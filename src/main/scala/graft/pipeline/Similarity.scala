@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import TextPrep.hash64
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * New surface for the training-data pipeline (the reference's only ranked
+  * retrieval is the full-text cosine index,
+  * /root/reference/bigdata/src/java/com/bigdata/search/FullTextIndex.java:892).
+  *
+  * Scale posture (100 TB):
+  *  - brute force is the correctness baseline: a broadcast of the (small)
+  *    query set against the corpus — one scan, no shuffle of the corpus;
+  *  - the LSH path buckets the corpus by random-hyperplane sign bits, so the
+  *    join key is the bucket id: the corpus shuffles once by bucket and each
+  *    query probes one bucket. Planes are derived from a reproducible hash,
+  *    not RNG state, so replays/retries see identical plans.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<double> columns, rounded to 6 decimals
+    * (rounding makes the value reproducible across engines that may differ
+    * in the last ulp of the accumulation).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
+    round(dot / (na * nb), 6)
+  }
+
+  private def asDouble(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+
+  /** Brute-force top-k cosine neighbors for each query vector (excluding the
+    * query itself). Ties broken by ascending vec_id — fully deterministic.
+    */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val corpus = asDouble(emb)
+    val q = asDouble(queries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "score")
+  }
+
+  /** Pseudo-random hyperplane component for (plane j, dimension d): uniform
+    * in [-1, 1), derived from the shared md5-based hash so an external oracle
+    * can rebuild the identical planes.
+    */
+  def planeComponent(j: Column, d: Column): Column =
+    (hash64(concat(j, lit(","), d)) % 1000000L).cast(DoubleType) / 500000.0 - 1.0
+
+  /** Random-hyperplane LSH bucket id: for planes j in [0, planes), bit j is
+    * the sign of dot(v, plane_j). Output: (vec_id, bucket).
+    */
+  def lshBuckets(emb: DataFrame, planes: Int): DataFrame = {
+    val e = asDouble(emb)
+    // dot(v, plane_j) = Σ_d v[d] · plane(j, d)
+    val dots = e
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"), col("x"),
+              explode(sequence(lit(0), lit(planes - 1))).as("j"))
+      .withColumn("contrib", col("x") * planeComponent(col("j"), col("d")))
+      .groupBy("vec_id", "j")
+      .agg(sum(col("contrib")).as("dot"))
+    dots
+      .groupBy("vec_id")
+      .agg(sum(when(col("dot") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+                 .otherwise(0L)).as("bucket"))
+  }
+
+  /** LSH-bucketed top-k: exact ranking restricted to the query's bucket.
+    * The approximation (vs bruteForceTopK) is missing neighbors that hash to
+    * other buckets — the standard ANN recall/cost trade.
+    */
+  def lshTopK(emb: DataFrame, queries: DataFrame, planes: Int, k: Int): DataFrame = {
+    val buckets = lshBuckets(emb, planes)
+    val corpus = asDouble(emb).join(buckets, "vec_id")
+    val q = asDouble(queries).join(buckets, "vec_id")
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("q_bucket"))
+    val scored = corpus.join(broadcast(q),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "score")
+  }
+}

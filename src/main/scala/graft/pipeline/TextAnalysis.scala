@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import TextPrep._
+
+/** Text-analysis operators for training-data curation: token statistics,
+  * language identification, quality scoring, and content fingerprinting.
+  * All pure column expressions (codegen'd end to end).
+  */
+object TextAnalysis {
+
+  /** Minimal per-language stopword lexicons for the n-gram/stopword language
+    * heuristic. Deliberately tiny and hard-coded: the operator's contract is
+    * a deterministic, SQL-reproducible heuristic, not a trained model.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de", "un", "une", "des", "que"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "de", "un", "una", "que"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "他"))
+
+  /** Token statistics: count, distinct count, type/token ratio, mean token
+    * length.
+    */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(ws).cast(LongType).as("n_tokens"),
+      size(array_distinct(ws)).cast(LongType).as("n_distinct"),
+      round(size(array_distinct(ws)).cast(DoubleType) / size(ws), 6).as("ttr"),
+      round(aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast(DoubleType) / size(ws), 6)
+        .as("mean_token_len"))
+  }
+
+  /** Stopword-vote language ID: predicted language = argmax over languages of
+    * the count of tokens in that language's stopword list; ties and zero
+    * votes resolve to 'und'. One pass, no explode: a filter-count per lexicon.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val ws = words(lower(col("text")))
+    val scores: Seq[(String, Column)] = stopwords.toSeq.sortBy(_._1).map {
+      case (lang, sw) =>
+        lang -> size(filter(ws, w => w.isin(sw: _*)))
+    }
+    // argmax with deterministic tie-break: higher count wins, then earlier
+    // language alphabetically; all-zero → 'und'
+    val best = scores.foldLeft((lit("und"), lit(0))) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    docs.select(col("doc_id"), best._1.as("pred_lang"), best._2.cast(LongType).as("votes"))
+  }
+
+  /** Heuristic quality score in [0,1]: combines length band, alphabetic
+    * ratio, type/token ratio, and mean word length band. Deterministic
+    * arithmetic only.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val nTok = size(ws).cast(DoubleType)
+    val alphaRatio =
+      length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast(DoubleType) /
+        greatest(length(col("text")), lit(1)).cast(DoubleType)
+    val ttr = size(array_distinct(ws)).cast(DoubleType) / greatest(size(ws), lit(1))
+    val meanLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast(DoubleType) /
+      greatest(size(ws), lit(1))
+    val lenScore = when(nTok >= 20 && nTok <= 1000, 1.0)
+      .when(nTok >= 5, 0.5).otherwise(0.0)
+    val wordLenScore = when(meanLen >= 3 && meanLen <= 10, 1.0).otherwise(0.5)
+    docs.select(
+      col("doc_id"),
+      round(lenScore, 6).as("len_score"),
+      round(alphaRatio, 6).as("alpha_ratio"),
+      round(ttr, 6).as("ttr"),
+      round((lenScore * 0.3 + alphaRatio * 0.3 + ttr * 0.2 + wordLenScore * 0.2), 6)
+        .as("quality"))
+  }
+
+  /** Content fingerprints: md5 of the whitespace-normalized lowercase text,
+    * plus a 64-bit order-sensitive polynomial word hash (so reordered words
+    * produce different fingerprints, unlike a bag hash).
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val ws = words(lower(col("text")))
+    val posHash = aggregate(
+      zip_with(ws, sequence(lit(1), size(ws)), (w, i) => (hash64(w) % 1000003L) * i),
+      lit(0L), (acc, v) => acc + v)
+    docs.select(
+      col("doc_id"),
+      md5(normalized(col("text"))).as("fp_md5"),
+      when(size(ws) > 0, posHash).otherwise(0L).as("fp_poly"))
+  }
+}

@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data-pipeline operator suite over `documents` and `embeddings`,
+  * each with a DuckDB oracle (see the md5-hash parity note in
+  * graft.pipeline.TextPrep).
+  *
+  * The shared DuckDB CTE prelude `WS` mirrors graft.pipeline.TextPrep.words/
+  * shingles exactly: whitespace split, empty tokens dropped, distinct word
+  * 3-grams.
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  /** DuckDB: tokens per document (multiplicity preserved). */
+  private val wsSql =
+    raw"""ws_t AS (SELECT doc_id, lang,
+            list_filter(regexp_split_to_array(trim(text), '\s+'), w -> len(w) > 0) AS ws
+          FROM documents)"""
+
+  /** DuckDB: distinct word 3-gram shingles per document. */
+  private val shSql =
+    raw"""sh_t AS (SELECT DISTINCT doc_id, lang,
+            unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+          FROM ws_t)"""
+
+  /** DuckDB: the shared 60-bit md5 hash (= TextPrep.hash64). */
+  private def h64(x: String) = s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
+  /** DuckDB: embeddings as double vectors. */
+  private val embSql =
+    """e_t AS (SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"""
+
+  private def cosSql(a: String, b: String) =
+    s"""ROUND(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
+       / (sqrt(list_sum(list_transform($a, x -> x*x)))
+          * sqrt(list_sum(list_transform($b, x -> x*x)))), 6)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- deduplication ----
+    "dedup_exact" -> ((s, d) => {
+      Dedup.exactGroups(docs(s, d), md5(substring(col("text"), 1, 50)))
+        .orderBy("keep_id")
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(docs(s, d), n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashLshCandidates(docs(s, d), n = 3, numHashes = 16, bands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_simhash" -> ((s, d) => {
+      Dedup.simhashPairs(docs(s, d), maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_embedding_cosine" -> ((s, d) => {
+      Dedup.embeddingNearDupPairs(emb(s, d), threshold = 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- similarity search ----
+    "ann_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
+    "ann_lsh_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), planes = 8, k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
+    // ---- text analysis ----
+    "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")),
+    "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
+    "text_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d)).orderBy("doc_id")),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
+
+    // ---- multimodal ----
+    "multimodal_meta" -> ((s, d) => Multimodal.blobMeta(docs(s, d)).orderBy("doc_id")),
+    // rows-only check (stubbed decode is not SQL-expressible):
+    "multimodal_features" -> ((s, d) =>
+      Multimodal.extractFeatures(s, docs(s, d)).orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(substr(text, 1, 50)) AS content_key, MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_docs
+         FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id""",
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $wsSql, $shSql,
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh_t GROUP BY 1),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+           FROM sh_t a JOIN sh_t b
+             ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+         FROM shared
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+         WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $wsSql, $shSql,
+         mh AS (SELECT doc_id, i,
+                  MIN(${h64("concat(i, '|', shingle)")}) AS minhash
+                FROM sh_t CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+         bands AS (SELECT doc_id, i // 4 AS band, list(minhash ORDER BY i) AS band_key
+                   FROM mh GROUP BY 1, 2)
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         ORDER BY id_a, id_b""",
+
+    "dedup_simhash" ->
+      s"""WITH $wsSql,
+         w AS (SELECT doc_id, lang, unnest(ws) AS w FROM ws_t),
+         h AS (SELECT doc_id, lang, ${h64("w")} AS h FROM w),
+         v AS (SELECT doc_id, lang, b, SUM((h >> b) % 2 * 2 - 1) AS v
+               FROM h CROSS JOIN range(32) r(b) GROUP BY 1, 2, 3),
+         s AS (SELECT doc_id, lang,
+                 SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+               FROM v GROUP BY 1, 2)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE hamming <= 3 ORDER BY id_a, id_b""",
+
+    "dedup_embedding_cosine" ->
+      s"""WITH $embSql
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos
+         FROM e_t a JOIN e_t b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE cos >= 0.35 ORDER BY id_a, id_b""",
+
+    "ann_topk" ->
+      s"""WITH $embSql,
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e_t WHERE vec_id < 5),
+         scored AS (
+           SELECT q_id, vec_id, ${cosSql("qv", "v")} AS score
+           FROM e_t CROSS JOIN q WHERE vec_id <> q_id)
+         SELECT q_id, rank, vec_id, score FROM (
+           SELECT q_id, vec_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id)
+                  AS BIGINT) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    "ann_lsh_topk" ->
+      s"""WITH $embSql,
+         dots AS (SELECT vec_id, j,
+                    SUM(v[d + 1] * ((${h64("concat(j, ',', d)")} % 1000000) / 500000.0 - 1.0)) AS dot
+                  FROM e_t CROSS JOIN range(8) r(j) CROSS JOIN range(64) s(d)
+                  GROUP BY 1, 2),
+         bk AS (SELECT vec_id,
+                  SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS bucket
+                FROM dots GROUP BY 1),
+         eb AS (SELECT e_t.vec_id, v, bucket FROM e_t JOIN bk ON e_t.vec_id = bk.vec_id),
+         q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket FROM eb WHERE vec_id < 5),
+         scored AS (
+           SELECT q_id, eb.vec_id, ${cosSql("qv", "v")} AS score
+           FROM eb JOIN q ON eb.bucket = q.q_bucket AND eb.vec_id <> q.q_id)
+         SELECT q_id, rank, vec_id, score FROM (
+           SELECT q_id, vec_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id)
+                  AS BIGINT) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    "text_token_stats" ->
+      s"""WITH $wsSql
+         SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+           ROUND(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS ttr,
+           ROUND(CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws), 6)
+             AS mean_token_len
+         FROM ws_t ORDER BY doc_id""",
+
+    "text_langid" -> {
+      val lex = TextAnalysis.stopwords.toSeq.sortBy(_._1).flatMap {
+        case (lang, sw) => sw.map(w => s"('$lang', '$w')")
+      }.mkString(", ")
+      raw"""WITH lex(lang, word) AS (VALUES $lex),
+         w AS (SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                        x -> len(x) > 0)) AS w
+               FROM documents),
+         votes AS (SELECT w.doc_id, l.lang, COUNT(*) AS votes
+                   FROM w JOIN lex l ON w.w = l.word GROUP BY 1, 2),
+         best AS (SELECT doc_id, lang, votes,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY votes DESC, lang) AS rn
+                  FROM votes)
+         SELECT d.doc_id,
+           COALESCE(b.lang, 'und') AS pred_lang,
+           CAST(COALESCE(b.votes, 0) AS BIGINT) AS votes
+         FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+         ORDER BY d.doc_id"""
+    },
+
+    "text_quality" ->
+      s"""WITH $wsSql,
+         base AS (
+           SELECT w.doc_id,
+             CAST(len(ws) AS DOUBLE) AS n_tok,
+             CAST(len(regexp_replace(lower(d.text), '[^a-z]', '', 'g')) AS DOUBLE)
+               / greatest(len(d.text), 1) AS alpha_ratio,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / greatest(len(ws), 1) AS ttr,
+             CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+               / greatest(len(ws), 1) AS mean_len
+           FROM ws_t w JOIN documents d ON w.doc_id = d.doc_id),
+         scored AS (
+           SELECT doc_id,
+             CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 1.0
+                  WHEN n_tok >= 5 THEN 0.5 ELSE 0.0 END AS len_score,
+             alpha_ratio, ttr,
+             CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0 ELSE 0.5 END AS wl
+           FROM base)
+         SELECT doc_id,
+           CAST(ROUND(len_score, 6) AS DOUBLE) AS len_score,
+           ROUND(alpha_ratio, 6) AS alpha_ratio,
+           ROUND(ttr, 6) AS ttr,
+           CAST(ROUND(len_score * 0.3 + alpha_ratio * 0.3 + ttr * 0.2 + wl * 0.2, 6)
+                AS DOUBLE) AS quality
+         FROM scored ORDER BY doc_id""",
+
+    "text_fingerprint" ->
+      raw"""WITH lw AS (SELECT doc_id, text,
+              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> len(x) > 0) AS ws
+            FROM documents)
+         SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+           CAST(COALESCE(list_sum(list_transform(range(1, len(ws) + 1),
+             i -> (CAST('0x' || substr(md5(ws[i]), 1, 15) AS BIGINT) % 1000003) * i)), 0)
+             AS BIGINT) AS fp_poly
+         FROM lw ORDER BY doc_id""",
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           substr(base64(encode(text)), 1, 8) AS head_b64
+         FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.queries.Pipeline
+
+/** Semantics checks for the training-data pipeline operators at sf0.001.
+  * Value-level parity with DuckDB is covered by the oracle harness.
+  */
+class PipelineSpec extends SparkSpecBase {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+
+  test("oracle keys are a subset of query keys") {
+    assert(Pipeline.oracles.keySet.subsetOf(Pipeline.queries.keySet))
+  }
+
+  test("all pipeline queries execute and return rows at sf0.001") {
+    val counts = Pipeline.queries.map { case (n, fn) => n -> fn(spark, sfDir).count() }
+    val empty = counts.filter(_._2 == 0L).keys.toSeq.sorted
+    assert(empty.isEmpty, s"queries with zero rows: $empty")
+  }
+
+  test("minhash LSH candidates contain every exact-high-Jaccard pair") {
+    // LSH with 4 bands of 4 rows has near-certain recall at jaccard >= 0.9
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.9, "source")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashLshCandidates(docs, 3, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(cand), s"LSH missed pairs: ${exact.diff(cand)}")
+  }
+
+  test("identical docs get identical simhash; near-dup pairs are symmetric-free") {
+    val pairs = Dedup.simhashPairs(docs, 3).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("brute-force top-k: every query gets exactly k ranked neighbors") {
+    val res = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+      .groupBy("q_id").count().collect()
+    assert(res.length == 5 && res.forall(_.getLong(1) == 10))
+  }
+
+  test("lsh top-k scores are a subset of brute-force candidate scores") {
+    val bf = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 1000)
+      .select("q_id", "vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 8, 10).collect()
+    // every LSH hit must carry the same score brute force computed for it
+    assert(lsh.forall(r => bf((r.getLong(0), r.getLong(2))) == r.getDouble(3)))
+  }
+
+  test("langId votes and fingerprint are deterministic across runs") {
+    val a = TextAnalysis.langId(docs).orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.langId(docs).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    val f1 = TextAnalysis.fingerprint(docs).orderBy("doc_id").collect().toSeq
+    val f2 = TextAnalysis.fingerprint(docs).orderBy("doc_id").collect().toSeq
+    assert(f1 == f2)
+  }
+
+  test("multimodal features: 4 deterministic features per doc, n_bytes matches meta") {
+    val feat = Multimodal.extractFeatures(spark, docs)
+    assert(feat.count() == docs.count())
+    val r = feat.orderBy("doc_id").first()
+    assert(r.getAs[scala.collection.Seq[Double]]("features").length == 4)
+    val meta = Multimodal.blobMeta(docs).orderBy("doc_id").first()
+    assert(r.getLong(1) == meta.getLong(1))
+  }
+}
