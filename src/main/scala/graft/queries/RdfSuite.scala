@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.rdf.{NTriples, QuadStore, Term}
+import graft.sparql._
+import graft.sparql.Algebra._
+
+/** SPARQL-engine operator suite, oracle-gated: the quad store is derived
+  * deterministically from the relational test tables (customer/nation/region/
+  * orders → entity triples), each algebra query is run through the
+  * Translator, and the DuckDB oracle computes the same answer with plain SQL
+  * joins over the base tables.
+  *
+  * This is the driver-checkable face of the RDF core; SPARQL-semantics corner
+  * cases (unbound handling, type errors, total order, MINUS scoping) are
+  * covered by RdfAlgebraSpec fixtures.
+  */
+object RdfSuite {
+
+  private val G = "http://g/"
+
+  /** Money columns quantized to 2 decimals; lexical forms are their exact
+    * string rendering, so oracle comparison is string-exact (no float drift).
+    */
+  private def money(c: Column): Column = Term.num(c.cast(DecimalType(18, 2)))
+
+  /** Derive the quad store: customers, nations, regions, orders as entities.
+    * locatedIn forms a 2-level hierarchy (customer→nation→region) for path
+    * queries.
+    */
+  def buildQuads(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val nat = Tables.load(s, dir, "nation")
+    val reg = Tables.load(s, dir, "region")
+    val ord = Tables.load(s, dir, "orders")
+    val custT = QuadStore.tripleize(cust,
+      Term.iri(concat(lit(G + "c"), col("c_custkey"))),
+      Seq(
+        G + "name" -> Term.str(col("c_name")),
+        G + "segment" -> Term.str(col("c_mktsegment")),
+        G + "acctbal" -> money(col("c_acctbal")),
+        G + "locatedIn" -> Term.iri(concat(lit(G + "n"), col("c_nationkey")))))
+    val natT = QuadStore.tripleize(nat,
+      Term.iri(concat(lit(G + "n"), col("n_nationkey"))),
+      Seq(
+        G + "name" -> Term.str(col("n_name")),
+        G + "locatedIn" -> Term.iri(concat(lit(G + "r"), col("n_regionkey")))))
+    val regT = QuadStore.tripleize(reg,
+      Term.iri(concat(lit(G + "r"), col("r_regionkey"))),
+      Seq(G + "name" -> Term.str(col("r_name"))))
+    val ordT = QuadStore.tripleize(ord,
+      Term.iri(concat(lit(G + "o"), col("o_orderkey"))),
+      Seq(
+        G + "by" -> Term.iri(concat(lit(G + "c"), col("o_custkey"))),
+        G + "price" -> money(col("o_totalprice"))))
+    QuadStore.fromTriples(Seq(custT, natT, regT, ordT))
+  }
+
+  /** Variant with named graphs: entity triples per source table graph. */
+  def buildNamedQuads(s: SparkSession, dir: String): DataFrame = {
+    val q = buildQuads(s, dir)
+    val g = when(Term.lex(col("s")).startsWith(G + "c"), Term.iri(G + "g_cust"))
+      .when(Term.lex(col("s")).startsWith(G + "n"), Term.iri(G + "g_nat"))
+      .when(Term.lex(col("s")).startsWith(G + "r"), Term.iri(G + "g_reg"))
+      .otherwise(Term.iri(G + "g_ord"))
+    q.withColumn("c", g)
+  }
+
+  private def tp(s: Pat, p: String, o: Pat) =
+    TriplePattern(s, C(Term.iri(G + p)), o)
+
+  private def run(s: SparkSession, dir: String, n: Node): Translator.Result =
+    Translator.translate(buildQuads(s, dir), n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "rdf_bgp_join" -> ((s, d) => {
+      // 4-pattern star join on ?c (SPOStarJoin shape); the segment pattern
+      // also restricts ?c to customer entities
+      val q = Bgp(Seq(
+        tp(V("c"), "locatedIn", V("n")),
+        tp(V("c"), "segment", V("sg")),
+        tp(V("c"), "name", V("cname")),
+        tp(V("n"), "name", V("nname"))))
+      run(s, d, q).df
+        .select(Term.lex(col("cname")).as("cname"), Term.lex(col("nname")).as("nname"))
+        .orderBy("cname")
+    }),
+
+    "rdf_optional" -> ((s, d) => {
+      val q = LeftJoin(
+        Bgp(Seq(tp(V("c"), "name", V("cn")))),
+        Filter(r => TermOps.gt(r("p"), Term.num(lit(400000))),
+          Bgp(Seq(tp(V("o"), "by", V("c")), tp(V("o"), "price", V("p"))))))
+      run(s, d, q).df
+        .select(Term.lex(col("cn")).as("cn"), Term.lex(col("p")).as("p"))
+        .orderBy("cn", "p")
+    }),
+
+    "rdf_union" -> ((s, d) => {
+      val q = Union(
+        Bgp(Seq(tp(V("x"), "segment", V("seg")), tp(V("x"), "name", V("nm")))),
+        Bgp(Seq(tp(V("x"), "locatedIn", V("r")),
+                tp(V("r"), "name", V("rn")), tp(V("x"), "name", V("nm")))))
+      run(s, d, q).df
+        .select(Term.lex(col("nm")).as("nm"))
+        .groupBy("nm").agg(count(lit(1)).as("n"))
+        .orderBy("nm")
+    }),
+
+    "rdf_minus" -> ((s, d) => {
+      val big = Filter(r => TermOps.gt(r("p"), Term.num(lit(400000))),
+        Bgp(Seq(tp(V("o"), "by", V("c")), tp(V("o"), "price", V("p")))))
+      val q = Minus(Bgp(Seq(tp(V("c"), "name", V("cn")), tp(V("c"), "segment", V("sg")))),
+                    big)
+      run(s, d, q).df.select(Term.lex(col("cn")).as("cn")).orderBy("cn")
+    }),
+
+    "rdf_exists" -> ((s, d) => {
+      val big = Filter(r => TermOps.gt(r("p"), Term.num(lit(400000))),
+        Bgp(Seq(tp(V("o"), "by", V("c")), tp(V("o"), "price", V("p")))))
+      val q = ExistsFilter(Bgp(Seq(tp(V("c"), "name", V("cn")))), big, negated = false)
+      run(s, d, q).df.select(Term.lex(col("cn")).as("cn")).orderBy("cn")
+    }),
+
+    "rdf_filter_bind" -> ((s, d) => {
+      // exact-addition BIND: no decimal rounding, so the oracle compare is
+      // string-exact
+      val q = Extend("disc", r => TermOps.arith(r("p"), Term.num(lit(1000)), _ + _),
+        Filter(r => TermOps.ge(r("p"), Term.num(lit(500000))),
+          Bgp(Seq(tp(V("o"), "by", V("c")), tp(V("o"), "price", V("p"))))))
+      run(s, d, q).df
+        .select(Term.lex(col("o")).as("o"),
+                Term.numVal(col("disc")).cast(DecimalType(18, 2)).cast(StringType).as("disc"))
+        .orderBy("o")
+    }),
+
+    "rdf_agg_group" -> ((s, d) => {
+      val q = Group(Seq("nname"),
+        Seq("ncust" -> Aggs.countVar("c"), "bal" -> Aggs.sumVar("b")),
+        Bgp(Seq(
+          tp(V("c"), "locatedIn", V("n")), tp(V("n"), "name", V("nname")),
+          tp(V("c"), "acctbal", V("b")))))
+      run(s, d, q).df
+        .select(Term.lex(col("nname")).as("nname"),
+                Term.numVal(col("ncust")).cast(LongType).as("ncust"),
+                Term.numVal(col("bal")).cast(DecimalType(18, 2)).cast(StringType).as("bal"))
+        .orderBy("nname")
+    }),
+
+    "rdf_orderby_slice" -> ((s, d) => {
+      val q = Slice(0, 10,
+        OrderBy(Seq("b" -> false, "cn" -> true),
+          Bgp(Seq(tp(V("c"), "name", V("cn")), tp(V("c"), "acctbal", V("b"))))))
+      run(s, d, q).df
+        .select(Term.lex(col("cn")).as("cn"), Term.lex(col("b")).as("b"))
+    }),
+
+    "rdf_path_plus" -> ((s, d) => {
+      val q = PathPattern(V("x"), OneOrMore(Link(G + "locatedIn")), V("y"))
+      run(s, d, q).df
+        .select(Term.lex(col("x")).as("x"), Term.lex(col("y")).as("y"))
+        .orderBy("x", "y")
+    }),
+
+    "rdf_construct" -> ((s, d) => {
+      import QueryForms._
+      val quads = buildQuads(s, d)
+      val node = PathPattern(V("c"), PSeq(Link(G + "locatedIn"), Link(G + "locatedIn")), V("r"))
+      val g = construct(quads, node,
+        Seq((TVar("c"), TConst(Term.iri(G + "inRegion")), TVar("r"))))
+      g.select(NTriples.termToString(col("s")).as("s"),
+               NTriples.termToString(col("p")).as("p"),
+               NTriples.termToString(col("o")).as("o"))
+        .orderBy("s", "o")
+    }),
+
+    "rdf_named_graphs" -> ((s, d) => {
+      val q = GraphNode(V("g"), Bgp(Seq(tp(V("x"), "name", V("nm")))))
+      Translator.translate(buildNamedQuads(s, d), q).df
+        .select(Term.lex(col("g")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("n"))
+        .orderBy("g")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "rdf_bgp_join" ->
+      """SELECT c_name AS cname, n_name AS nname
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY cname""",
+
+    "rdf_optional" ->
+      """SELECT cn, p FROM (
+           SELECT c_name AS cn,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS p
+           FROM customer LEFT JOIN
+             (SELECT * FROM orders WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 400000) o
+             ON o.o_custkey = c_custkey
+           UNION ALL SELECT n_name, NULL FROM nation   -- ?c ranges over all
+           UNION ALL SELECT r_name, NULL FROM region)  -- named entities
+         ORDER BY cn, p""",
+
+    "rdf_union" ->
+      """SELECT nm, COUNT(*) AS n FROM (
+           SELECT c_name AS nm FROM customer          -- arm 1: segment+name
+           UNION ALL
+           SELECT c_name AS nm FROM customer          -- arm 2: customers...
+           UNION ALL
+           SELECT n_name AS nm FROM nation)           -- ...and nations
+         GROUP BY nm ORDER BY nm""",
+
+    "rdf_minus" ->
+      """SELECT c_name AS cn FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND CAST(o_totalprice AS DECIMAL(18,2)) > 400000)
+         ORDER BY cn""",
+
+    "rdf_exists" ->
+      """SELECT c_name AS cn FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                       AND CAST(o_totalprice AS DECIMAL(18,2)) > 400000)
+         ORDER BY cn""",
+
+    "rdf_filter_bind" ->
+      """SELECT 'http://g/o' || o_orderkey AS o,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS DECIMAL(18,2)) AS VARCHAR) AS disc
+         FROM orders WHERE CAST(o_totalprice AS DECIMAL(18,2)) >= 500000
+         ORDER BY o""",
+
+    "rdf_agg_group" ->
+      """SELECT n_name AS nname, COUNT(*) AS ncust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY nname""",
+
+    "rdf_orderby_slice" ->
+      """SELECT c_name AS cn,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS b
+         FROM customer
+         ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_name LIMIT 10""",
+
+    "rdf_path_plus" ->
+      """SELECT x, y FROM (
+           SELECT 'http://g/c' || c_custkey AS x, 'http://g/n' || c_nationkey AS y
+           FROM customer
+           UNION ALL
+           SELECT 'http://g/c' || c_custkey, 'http://g/r' || n_regionkey
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           UNION ALL
+           SELECT DISTINCT 'http://g/n' || n_nationkey, 'http://g/r' || n_regionkey
+           FROM nation)
+         ORDER BY x, y""",
+
+    "rdf_construct" ->
+      """SELECT DISTINCT '<http://g/c' || c_custkey || '>' AS s,
+           '<http://g/inRegion>' AS p,
+           '<http://g/r' || n_regionkey || '>' AS o
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY s, o""",
+
+    "rdf_named_graphs" ->
+      """SELECT g, n FROM (
+           SELECT 'http://g/g_cust' AS g, COUNT(*) AS n FROM customer
+           UNION ALL
+           SELECT 'http://g/g_nat', COUNT(*) FROM nation
+           UNION ALL
+           SELECT 'http://g/g_reg', COUNT(*) FROM region)
+         ORDER BY g"""
+  )
+}

@@ -1,0 +1,165 @@
+package graft.rdf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** N-Triples / N-Quads line-format reader and writer.
+  *
+  * Replaces the reference's RIO parser + StatementBuffer ingestion
+  * (/root/reference/bigdata-rdf/src/java/com/bigdata/rdf/rio/
+  * StatementBuffer.java:87): each text line parses independently, so the
+  * parser is a per-partition map over `spark.read.text` — embarrassingly
+  * parallel, no driver bottleneck, ideal for 100 TB bulk load
+  * (AsynchronousStatementBufferFactory's goal, subsumed by partitioned read).
+  */
+object NTriples {
+
+  private val NumericDts = Set(Term.XsdInteger, Term.XsdDecimal, Term.XsdDouble,
+    "http://www.w3.org/2001/XMLSchema#int", "http://www.w3.org/2001/XMLSchema#long",
+    "http://www.w3.org/2001/XMLSchema#float")
+
+  /** Parse one RDF term in N-Triples syntax. Returns (kind, lex, dt, lang). */
+  private[rdf] def parseTerm(tok: String): (Byte, String, String, String) = {
+    if (tok.startsWith("<")) (0.toByte, tok.substring(1, tok.length - 1), null, null)
+    else if (tok.startsWith("_:")) (1.toByte, tok.substring(2), null, null)
+    else {
+      // literal: "lex"(@lang | ^^<dt>)?
+      val endQ = lastUnescapedQuote(tok)
+      val lex = unescape(tok.substring(1, endQ))
+      val rest = tok.substring(endQ + 1)
+      if (rest.startsWith("@")) (2.toByte, lex, null, rest.substring(1))
+      else if (rest.startsWith("^^<")) (2.toByte, lex, rest.substring(3, rest.length - 1), null)
+      else (2.toByte, lex, Term.XsdString, null)
+    }
+  }
+
+  private def lastUnescapedQuote(s: String): Int = {
+    var i = s.length - 1
+    while (i > 0) {
+      if (s.charAt(i) == '"') {
+        var bs = 0
+        var j = i - 1
+        while (j > 0 && s.charAt(j) == '\\') { bs += 1; j -= 1 }
+        if (bs % 2 == 0) return i
+      }
+      i -= 1
+    }
+    0
+  }
+
+  private def unescape(s: String): String = {
+    if (!s.contains('\\')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'u' =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Split a statement line into term tokens (respecting quoted literals). */
+  private[rdf] def tokenize(line: String): Seq[String] = {
+    val toks = Vector.newBuilder[String]
+    var i = 0
+    val n = line.length
+    while (i < n) {
+      val c = line.charAt(i)
+      if (c == ' ' || c == '\t') i += 1
+      else if (c == '.' && i == n - 1) i += 1
+      else {
+        val start = i
+        if (c == '"') {
+          i += 1
+          var done = false
+          while (i < n && !done) {
+            if (line.charAt(i) == '\\') i += 2
+            else if (line.charAt(i) == '"') { i += 1; done = true }
+            else i += 1
+          }
+          // datatype/lang suffix
+          while (i < n && line.charAt(i) != ' ' && line.charAt(i) != '\t') i += 1
+        } else {
+          while (i < n && line.charAt(i) != ' ' && line.charAt(i) != '\t') i += 1
+        }
+        toks += line.substring(start, i)
+      }
+    }
+    toks.result().filter(t => t.nonEmpty && t != ".")
+  }
+
+  private val rowSchema = StructType(Seq(
+    StructField("s", Term.schema), StructField("p", Term.schema),
+    StructField("o", Term.schema), StructField("c", Term.schema)))
+
+  /** Read an N-Triples or N-Quads file into a quads DataFrame (c NULL for
+    * triples — the default graph).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+    parseLines(spark, lines)
+  }
+
+  /** Parse a DataFrame of lines (column `value`) into quads. */
+  def parseLines(spark: SparkSession, lines: DataFrame): DataFrame = {
+    val rdd = lines.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val line = r.getString(0).trim
+        if (line.isEmpty || line.startsWith("#")) None
+        else {
+          val toks = tokenize(line)
+          if (toks.size < 3) None
+          else {
+            def toRow(t: (Byte, String, String, String)) = {
+              // scale must match DecimalType(38,18) for createDataFrame
+              val num =
+                if (t._3 != null && NumericDts(t._3))
+                  try new java.math.BigDecimal(t._2)
+                    .setScale(18, java.math.RoundingMode.HALF_UP)
+                  catch { case _: Exception => null }
+                else null
+              org.apache.spark.sql.Row(t._1, t._2, t._3, t._4, num)
+            }
+            val s = toRow(parseTerm(toks(0)))
+            val p = toRow(parseTerm(toks(1)))
+            val o = toRow(parseTerm(toks(2)))
+            val c = if (toks.size > 3) toRow(parseTerm(toks(3))) else null
+            Some(org.apache.spark.sql.Row(s, p, o, c))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, rowSchema)
+  }
+
+  /** Serialize a term struct column back to N-Triples token syntax. */
+  def termToString(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(t.isNull, lit(null).cast(StringType))
+      .when(Term.isIri(t), concat(lit("<"), Term.lex(t), lit(">")))
+      .when(Term.isBnode(t), concat(lit("_:"), Term.lex(t)))
+      .when(Term.lang(t).isNotNull,
+        concat(lit("\""), Term.lex(t), lit("\"@"), Term.lang(t)))
+      .when(Term.dt(t).isNotNull && Term.dt(t) =!= Term.XsdString,
+        concat(lit("\""), Term.lex(t), lit("\"^^<"), Term.dt(t), lit(">")))
+      .otherwise(concat(lit("\""), Term.lex(t), lit("\"")))
+
+  /** Write quads as N-Triples/N-Quads text. */
+  def write(quads: DataFrame, path: String): Unit =
+    quads.select(concat_ws(" ",
+        termToString(col("s")), termToString(col("p")), termToString(col("o")),
+        when(col("c").isNotNull, termToString(col("c"))).otherwise(lit("")),
+        lit(".")).as("value"))
+      .write.mode("overwrite").text(path)
+}

@@ -1,0 +1,67 @@
+package graft.rdf
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Quad-store construction and SPARQL-UPDATE-style mutation as DataFrame
+  * transformations (reference: SPORelation + AST2BOpUpdate under
+  * /root/reference/ — bigdata-rdf/src/java/com/bigdata/rdf/spo/
+  * SPORelation.java:128, sparql/ast/eval/AST2BOpUpdate.java:385-417).
+  *
+  * Scale posture: a persisted store is a parquet table partitioned by a
+  * predicate bucket (quads cluster naturally by `p` — the POS covering
+  * index's insight) so pattern scans with a bound predicate prune files; the
+  * in-memory form used by tests is the same DataFrame, unpartitioned.
+  */
+object QuadStore {
+
+  /** Assemble a quads DataFrame from (s,p,o[,c]) term columns. */
+  def fromTriples(dfs: Seq[DataFrame]): DataFrame =
+    dfs.map(_.select(col("s"), col("p"), col("o"),
+              if (dfs.head.columns.contains("c")) col("c") else Term.unbound.as("c")))
+      .reduce(_ unionByName _)
+
+  /** One relational row set → triples: for each (predicate, object column)
+    * pair, emit (subjectIri, predIri, obj). Null objects are skipped.
+    */
+  def tripleize(rows: DataFrame, subject: Column,
+                pos: Seq[(String, Column)], graph: Option[Column] = None): DataFrame = {
+    val c = graph.getOrElse(Term.unbound)
+    pos.map { case (p, o) =>
+      rows.select(subject.as("s"), Term.iri(p).as("p"), o.as("o"), c.as("c"))
+        .filter(col("o").isNotNull)
+    }.reduce(_ unionByName _)
+  }
+
+  // ---- SPARQL UPDATE data operations (InsertStatementsOp /
+  //      RemoveStatementsOp analogues) ----
+
+  /** INSERT DATA / INSERT WHERE: append, bag-dedup against existing. */
+  def insert(store: DataFrame, triples: DataFrame): DataFrame =
+    store.unionByName(triples.select("s", "p", "o", "c")).distinct()
+
+  /** DELETE DATA / DELETE WHERE: anti-join removal. */
+  def delete(store: DataFrame, triples: DataFrame): DataFrame =
+    store.join(triples.select(col("s").as("ds"), col("p").as("dp"),
+                              col("o").as("do"), col("c").as("dc")),
+      col("s") === col("ds") && col("p") === col("dp") &&
+      col("o") === col("do") && col("c") <=> col("dc"),
+      "left_anti")
+
+  /** CLEAR GRAPH <g> / DROP GRAPH: partition-level delete on context. */
+  def clearGraph(store: DataFrame, g: Column): DataFrame =
+    store.filter(!(col("c") <=> g))
+
+  /** ADD/COPY graph-to-graph. */
+  def copyGraph(store: DataFrame, from: Column, to: Column): DataFrame =
+    insert(store, store.filter(col("c") <=> from).withColumn("c", to))
+
+  /** Persist partitioned for predicate pruning at scale. */
+  def save(quads: DataFrame, path: String, pBuckets: Int = 64): Unit =
+    quads
+      .withColumn("p_bucket", pmod(hash(col("p.lex")), lit(pBuckets)))
+      .write.mode("overwrite").partitionBy("p_bucket").parquet(path)
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("p_bucket")
+}

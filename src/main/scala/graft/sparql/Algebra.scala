@@ -1,0 +1,75 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** SPARQL algebra IR.
+  *
+  * The analogue of the reference's AST (QueryRoot and friends,
+  * /root/reference/bigdata-rdf/src/java/com/bigdata/rdf/sparql/ast/), reduced
+  * to the algebraic core; the translator (Translator.scala) plays the role of
+  * AST2BOpUtility.convert (sparql/ast/eval/AST2BOpUtility.java:205), emitting
+  * a declarative DataFrame plan instead of a BOp pipeline.
+  *
+  * Value expressions are represented as resolver functions
+  * `(String => Column) => Column`: given a variable resolver they produce a
+  * Column over term structs. A text parser producing these closures from
+  * SPARQL expression syntax layers on top without changing the IR.
+  */
+object Algebra {
+
+  /** An expression over the in-scope variables. */
+  type Expr = (String => Column) => Column
+
+  /** Aggregate expression: applied inside groupBy().agg(...). */
+  type AggExpr = (String => Column) => Column
+
+  sealed trait Pat
+  /** A variable position. */
+  final case class V(name: String) extends Pat
+  /** A constant term (built with graft.rdf.Term constructors). */
+  final case class C(term: Column) extends Pat
+
+  /** Triple/quad pattern; `g` None = default graph (c IS NULL). */
+  final case class TriplePattern(s: Pat, p: Pat, o: Pat, g: Option[Pat] = None)
+
+  /** Property path between two patterns (compiled by Paths). */
+  sealed trait Path
+  final case class Link(iri: String) extends Path
+  final case class Inv(p: Path) extends Path
+  final case class PSeq(a: Path, b: Path) extends Path
+  final case class Alt(a: Path, b: Path) extends Path
+  final case class ZeroOrMore(p: Path) extends Path
+  final case class OneOrMore(p: Path) extends Path
+  final case class ZeroOrOne(p: Path) extends Path
+  /** Negated property set: any predicate not in `iris`. */
+  final case class NegatedSet(iris: Seq[String]) extends Path
+
+  sealed trait Node
+  final case class Bgp(tps: Seq[TriplePattern]) extends Node
+  /** Arbitrary-length path pattern (ArbitraryLengthPathOp.java:87). */
+  final case class PathPattern(s: Pat, path: Path, o: Pat) extends Node
+  final case class Filter(cond: Expr, child: Node) extends Node
+  final case class Join(l: Node, r: Node) extends Node
+  /** OPTIONAL; `cond` participates in the join per SPARQL LeftJoin. */
+  final case class LeftJoin(l: Node, r: Node, cond: Option[Expr] = None) extends Node
+  final case class Union(l: Node, r: Node) extends Node
+  /** SPARQL MINUS (NotExists solution-set hash join w/ shared-var rule,
+    * AST2BOpUtility.java:3393-3399). */
+  final case class Minus(l: Node, r: Node) extends Node
+  /** FILTER EXISTS / NOT EXISTS (ASTExistsOptimizer). */
+  final case class ExistsFilter(child: Node, sub: Node, negated: Boolean) extends Node
+  /** BIND(expr AS ?v). */
+  final case class Extend(v: String, expr: Expr, child: Node) extends Node
+  final case class Project(vars: Seq[String], child: Node) extends Node
+  final case class Distinct(child: Node) extends Node
+  final case class OrderBy(keys: Seq[(String, Boolean)], child: Node) extends Node
+  final case class Slice(offset: Long, limit: Long, child: Node) extends Node
+  /** GROUP BY + aggregates; empty keys = single global group. */
+  final case class Group(keys: Seq[String], aggs: Seq[(String, AggExpr)],
+                         child: Node) extends Node
+  /** Inline solution sequence (VALUES): a pre-built DataFrame of term
+    * structs, one column per variable. */
+  final case class Values(df: DataFrame, certain: Set[String]) extends Node
+  /** GRAPH ?g / GRAPH <iri> group: rewrites child patterns' graph position. */
+  final case class GraphNode(g: Pat, child: Node) extends Node
+}

@@ -1,0 +1,86 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.rdf.Term
+import Algebra._
+import Translator.Result
+
+/** SELECT / ASK / CONSTRUCT / DESCRIBE query forms
+  * (reference: QueryType.java:8-10, ASTConstructIterator, CBD.java under
+  * /root/reference/bigdata-rdf/src/java/com/bigdata/rdf/sparql/ast/).
+  */
+object QueryForms {
+
+  /** ASK: does at least one solution exist? */
+  def ask(quads: DataFrame, node: Node): Boolean =
+    !Translator.translate(quads, node).df.isEmpty
+
+  /** A CONSTRUCT template triple: each position is a variable name, a
+    * constant term column, or a fresh-per-solution blank node label.
+    */
+  sealed trait TPos
+  final case class TVar(name: String) extends TPos
+  final case class TConst(term: Column) extends TPos
+  final case class TBnode(label: String) extends TPos
+
+  /** CONSTRUCT: instantiate the template once per solution; rows with any
+    * unbound position are dropped (per spec); output distinct triples.
+    *
+    * Blank-node scoping: a fresh bnode per (solution, label) — realized as a
+    * content-addressed label (md5 of the solution's projected values), which
+    * is deterministic across retries/replays, unlike a counter
+    * (ASTConstructIterator uses per-solution fresh bnodes; determinism is our
+    * addition for replay safety).
+    */
+  def construct(quads: DataFrame, node: Node,
+                template: Seq[(TPos, TPos, TPos)]): DataFrame = {
+    val res = Translator.translate(quads, node)
+    val solutionKey = md5(to_json(struct(res.df.columns.sorted.map(col): _*)))
+    def materialize(p: TPos): Column = p match {
+      case TVar(n) => if (res.vars(n)) col(n) else Term.unbound
+      case TConst(t) => t
+      case TBnode(l) => Term.bnode(concat(lit(l), lit("-"), solutionKey))
+    }
+    template.map { case (s, p, o) =>
+      res.df.select(materialize(s).as("s"), materialize(p).as("p"),
+                    materialize(o).as("o"))
+        .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+    }.reduce(_ unionByName _).distinct()
+  }
+
+  /** DESCRIBE via symmetric Concise Bounded Description: statements where
+    * the node is subject or object, expanding through blank nodes up to
+    * `maxSteps` (CBD.java semantics, simplified: bnode closure).
+    */
+  def describe(quads: DataFrame, nodes: DataFrame, maxSteps: Int = 8): DataFrame = {
+    val dflt = quads.filter(col("c").isNull).select("s", "p", "o")
+    var frontier = nodes.select(col("n")).distinct()
+    var triples: DataFrame = null
+    var seenNodes = frontier
+    var i = 0
+    var done = false
+    while (i < maxSteps && !done) {
+      val out = dflt.join(frontier, dflt("s") === frontier("n")).select("s", "p", "o")
+      val in = dflt.join(frontier, dflt("o") === frontier("n")).select("s", "p", "o")
+      val step = out.unionByName(in).distinct()
+      triples = if (triples == null) step else triples.unionByName(step).distinct()
+      // continue only through blank nodes reached as objects/subjects
+      val newNodes = step.select(col("o").as("n")).filter(Term.isBnode(col("n")))
+        .unionByName(step.select(col("s").as("n")).filter(Term.isBnode(col("n"))))
+        .distinct()
+        .except(seenNodes)
+        .localCheckpoint(true)
+      if (newNodes.isEmpty) done = true
+      else { seenNodes = seenNodes.unionByName(newNodes); frontier = newNodes }
+      i += 1
+    }
+    if (triples == null) dflt.limit(0) else triples
+  }
+
+  /** SELECT result projected to plain (lex or numeric) columns — the bridge
+    * from term structs to a relational result surface.
+    */
+  def selectLex(res: Result, vars: Seq[String]): DataFrame =
+    res.df.select(vars.map(v => Term.lex(col(v)).as(v)): _*)
+}

@@ -1,0 +1,104 @@
+package graft.sparql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.rdf.Term
+
+/** SPARQL value semantics over term-struct columns.
+  *
+  * Three cross-cutting rules (reference pointers, /root/reference/):
+  *  - SPARQL type errors map to SQL NULL, and a NULL filter condition drops
+  *    the row — matching "type error counts as false" in
+  *    bigdata-rdf/src/java/com/bigdata/rdf/internal/constraints/
+  *    SPARQLConstraint.java.
+  *  - Value comparison (CompareBOp.java:55): numeric across datatypes via
+  *    the normalized `num` field, else same-datatype lexical compare;
+  *    incomparable pairs → NULL (error).
+  *  - ORDER BY total order (IVComparator.java:91-130): unbound < bnodes <
+  *    IRIs < literals, numerics by value, others by lexical form.
+  */
+object TermOps {
+
+  /** Effective boolean value (EBVBOp.java:45): booleans by value, numerics
+    * non-zero, strings non-empty; anything else is a type error (NULL).
+    */
+  def ebv(t: Column): Column =
+    when(t.isNull, lit(null).cast(BooleanType))
+      .when(Term.dt(t) === Term.XsdBoolean, Term.lex(t) === "true" || Term.lex(t) === "1")
+      .when(Term.numVal(t).isNotNull, Term.numVal(t) =!= 0)
+      .when(Term.isLiteral(t) && (Term.dt(t) === Term.XsdString || Term.dt(t).isNull),
+            length(Term.lex(t)) > 0)
+      .otherwise(lit(null).cast(BooleanType))
+
+  /** RDF term identity (SameTermBOp.java:44): null-safe struct equality. */
+  def sameTerm(a: Column, b: Column): Column = a <=> b
+
+  /** SPARQL `=` value equality: numeric by value, else identical term when
+    * both are comparable kinds; literal-vs-literal with different
+    * non-numeric datatypes is a type error (NULL).
+    */
+  def valueEq(a: Column, b: Column): Column =
+    when(a.isNull || b.isNull, lit(null).cast(BooleanType))
+      .when(Term.numVal(a).isNotNull && Term.numVal(b).isNotNull, Term.numVal(a) === Term.numVal(b))
+      .when(Term.isIri(a) || Term.isBnode(a) || Term.isIri(b) || Term.isBnode(b), a === b)
+      // literals: same dt/lang → lexical compare; else error (conservative)
+      .when(Term.dt(a) <=> Term.dt(b) && Term.lang(a) <=> Term.lang(b),
+            Term.lex(a) === Term.lex(b))
+      .otherwise(lit(null).cast(BooleanType))
+
+  /** SPARQL `<`-family comparison; returns -1/0/1 or NULL on type error. */
+  private def cmp(a: Column, b: Column): Column =
+    when(a.isNull || b.isNull, lit(null).cast(IntegerType))
+      .when(Term.numVal(a).isNotNull && Term.numVal(b).isNotNull,
+        when(Term.numVal(a) < Term.numVal(b), -1).when(Term.numVal(a) > Term.numVal(b), 1).otherwise(0))
+      .when(Term.isLiteral(a) && Term.isLiteral(b) &&
+            (Term.dt(a) <=> Term.dt(b)) && (Term.lang(a) <=> Term.lang(b)),
+        when(Term.lex(a) < Term.lex(b), -1).when(Term.lex(a) > Term.lex(b), 1).otherwise(0))
+      .otherwise(lit(null).cast(IntegerType))
+
+  def lt(a: Column, b: Column): Column = cmp(a, b) < 0
+  def le(a: Column, b: Column): Column = cmp(a, b) <= 0
+  def gt(a: Column, b: Column): Column = cmp(a, b) > 0
+  def ge(a: Column, b: Column): Column = cmp(a, b) >= 0
+
+  /** Numeric arithmetic with XPath promotion collapsed onto the decimal
+    * `num` view (MathBOp.java:58); non-numeric operand → NULL result term.
+    */
+  def arith(a: Column, b: Column, op: (Column, Column) => Column): Column = {
+    val r = op(Term.numVal(a), Term.numVal(b)).cast(Term.numType)
+    when(Term.numVal(a).isNotNull && Term.numVal(b).isNotNull && r.isNotNull,
+         Term.num(r)).otherwise(Term.unbound)
+  }
+
+  /** SPARQL ORDER BY total-order sort keys (ascending). Use all four columns
+    * as consecutive sort keys.
+    */
+  def sortKeys(t: Column): Seq[Column] = Seq(
+    // kind rank: unbound(0) < bnode(1) < iri(2) < literal(3)
+    when(t.isNull, 0)
+      .when(Term.isBnode(t), 1)
+      .when(Term.isIri(t), 2)
+      .otherwise(3),
+    // numerics before non-numeric literals, ordered by value
+    when(Term.numVal(t).isNotNull, 0).otherwise(1),
+    coalesce(Term.numVal(t), lit(0).cast(Term.numType)),
+    concat_ws("",
+      coalesce(Term.lex(t), lit("")),
+      coalesce(Term.dt(t), lit("")),
+      coalesce(Term.lang(t), lit(""))))
+
+  /** STR(), LANG(), DATATYPE() accessors per SPARQL. */
+  def strFn(t: Column): Column = Term.str(Term.lex(t))
+  def langFn(t: Column): Column = Term.str(coalesce(Term.lang(t), lit("")))
+  def datatypeFn(t: Column): Column =
+    when(Term.isLiteral(t),
+         Term.iri(coalesce(Term.dt(t),
+           when(Term.lang(t).isNotNull,
+                lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
+             .otherwise(lit(Term.XsdString)))))
+      .otherwise(Term.unbound)
+
+  /** BOUND(?v). */
+  def bound(t: Column): Column = t.isNotNull
+}

@@ -1,0 +1,240 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.rdf.Term
+import Algebra._
+
+/** Algebra → DataFrame translator (the analogue of AST2BOpUtility.convert,
+  * /root/reference/bigdata-rdf/src/java/com/bigdata/rdf/sparql/ast/eval/
+  * AST2BOpUtility.java:205).
+  *
+  * A solution set is a DataFrame with one term-struct column per variable;
+  * unbound = NULL (IBindingSet with absent key,
+  * /root/reference/bigdata/src/java/com/bigdata/bop/IBindingSet.java).
+  *
+  * Variable-scope tracking: each translated node carries `certain` (bound in
+  * every solution) and `maybe` (possibly unbound — introduced under OPTIONAL
+  * or a one-sided UNION arm). Joins use plain equality on certainly-bound
+  * shared vars — Catalyst then picks broadcast/SMJ/SHJ freely — and fall back
+  * to SPARQL *compatibility* semantics (unbound matches anything, values
+  * merge) only where a var may be unbound, mirroring the solution-set hash
+  * join's treatment (JVMHashJoinUtility.java:73; see SURVEY.md §7.4).
+  *
+  * Scale posture: everything here is declarative — no collect, no driver
+  * loops (property paths excepted, see Paths). BGP joins shuffle on shared
+  * variables; filters/constants reach the parquet scan via pushdown.
+  */
+object Translator {
+
+  final case class Result(df: DataFrame, certain: Set[String], maybe: Set[String]) {
+    def vars: Set[String] = certain ++ maybe
+  }
+
+  /** Entry point: translate `node` against the quad store (columns s,p,o,c
+    * as term structs; c NULL = default graph).
+    */
+  def translate(quads: DataFrame, node: Node): Result = node match {
+
+    case Bgp(tps) =>
+      require(tps.nonEmpty, "empty BGP")
+      tps.map(tp => translateTp(quads, tp)).reduce((l, r) => join(l, r, "inner", None))
+
+    case PathPattern(s, path, o) =>
+      val pairs = Paths.compile(quads, path) // (src, dst) term structs
+      bindEnds(pairs, s, o)
+
+    case Filter(cond, child) =>
+      val c = translate(quads, child)
+      // SPARQL: filter error (NULL) counts as false
+      c.copy(df = c.df.filter(coalesce(cond(resolver(c)), lit(false))))
+
+    case Join(l, r) =>
+      join(translate(quads, l), translate(quads, r), "inner", None)
+
+    case LeftJoin(l, r, cond) =>
+      join(translate(quads, l), translate(quads, r), "left_outer", cond)
+
+    case Union(l, r) =>
+      val (lr, rr) = (translate(quads, l), translate(quads, r))
+      val allVars = (lr.vars ++ rr.vars).toSeq.sorted
+      def pad(x: Result) = allVars.foldLeft(x.df)((d, v) =>
+        if (x.vars(v)) d else d.withColumn(v, Term.unbound))
+      Result(pad(lr).select(allVars.map(col): _*)
+               .unionByName(pad(rr).select(allVars.map(col): _*)),
+             lr.certain intersect rr.certain,
+             (lr.vars ++ rr.vars) -- (lr.certain intersect rr.certain))
+
+    case Minus(l, r) =>
+      val (lr, rr) = (translate(quads, l), translate(quads, r))
+      val shared = (lr.vars intersect rr.vars).toSeq.sorted
+      if (shared.isEmpty) lr // disjoint domains: MINUS removes nothing
+      else {
+        val rdf = renameAll(rr.df)
+        val compat = shared.map(v => compatCond(col(v), col(ren(v)))).reduce(_ && _)
+        // at least one shared var bound on both sides, else incompatible-by-
+        // definition rows would be removed (SPARQL MINUS corner case)
+        val oneBound = shared.map(v => col(v).isNotNull && col(ren(v)).isNotNull)
+          .reduce(_ || _)
+        lr.copy(df = lr.df.join(rdf, compat && oneBound, "left_anti"))
+      }
+
+    case ExistsFilter(child, sub, negated) =>
+      val c = translate(quads, child)
+      val s = translate(quads, sub)
+      val shared = (c.vars intersect s.vars).toSeq.sorted
+      val sdf = renameAll(s.df)
+      val cond =
+        if (shared.isEmpty) lit(true)
+        else shared.map(v => compatCond(col(v), col(ren(v)))).reduce(_ && _)
+      c.copy(df = c.df.join(sdf, cond, if (negated) "left_anti" else "left_semi"))
+
+    case Extend(v, expr, child) =>
+      val c = translate(quads, child)
+      Result(c.df.withColumn(v, expr(resolver(c))), c.certain, c.maybe + v)
+
+    case Project(vars, child) =>
+      val c = translate(quads, child)
+      Result(c.df.select(vars.map(v =>
+               (if (c.vars(v)) col(v) else Term.unbound).as(v)): _*),
+             c.certain intersect vars.toSet, vars.toSet -- c.certain)
+
+    case Distinct(child) =>
+      val c = translate(quads, child)
+      c.copy(df = c.df.dropDuplicates())
+
+    case OrderBy(keys, child) =>
+      val c = translate(quads, child)
+      val sortCols = keys.flatMap { case (v, asc) =>
+        TermOps.sortKeys(col(v)).map(k => if (asc) k.asc else k.desc)
+      }
+      c.copy(df = c.df.orderBy(sortCols: _*))
+
+    case Slice(off, lim, child) =>
+      val c = translate(quads, child)
+      val d0 = if (off > 0) c.df.offset(off.toInt) else c.df
+      c.copy(df = if (lim >= 0) d0.limit(lim.toInt) else d0)
+
+    case Group(keys, aggs, child) =>
+      val c = translate(quads, child)
+      val res = resolver(c)
+      val aggCols = aggs.map { case (name, a) => a(res).as(name) }
+      val grouped =
+        if (keys.isEmpty) c.df.agg(aggCols.head, aggCols.tail: _*)
+        else c.df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      Result(grouped, keys.toSet ++ aggs.map(_._1), Set.empty)
+
+    case Values(df, certain) =>
+      Result(df, certain, df.columns.toSet -- certain)
+
+    case GraphNode(g, child) =>
+      translate(quads, rewriteGraph(child, g))
+  }
+
+  // ---- helpers ----
+
+  private def ren(v: String): String = s"__r_$v"
+
+  private def renameAll(df: DataFrame): DataFrame =
+    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, ren(c)))
+
+  /** SPARQL compatibility: unbound on either side matches. */
+  private def compatCond(l: Column, r: Column): Column =
+    l.isNull || r.isNull || l === r
+
+  private def resolver(c: Result): String => Column =
+    v => if (c.vars(v)) col(v) else Term.unbound
+
+  private def translateTp(quads: DataFrame, tp: TriplePattern): Result = {
+    val positions: Seq[(String, Pat)] = Seq(
+      "s" -> tp.s, "p" -> tp.p, "o" -> tp.o,
+      "c" -> tp.g.getOrElse(null)).filter(_._2 != null)
+    var df = quads
+    // default graph = rows with NULL context; GRAPH ?g ranges over *named*
+    // graphs only, so a variable graph position excludes the default graph
+    tp.g match {
+      case None => df = df.filter(col("c").isNull)
+      case Some(V(_)) => df = df.filter(col("c").isNotNull)
+      case _ =>
+    }
+    // constants filter the scan
+    positions.foreach {
+      case (pos, C(term)) => df = df.filter(col(pos) === term)
+      case _ =>
+    }
+    // repeated variables add intra-pattern equality
+    val varPos = positions.collect { case (pos, V(n)) => (pos, n) }
+    varPos.groupBy(_._2).values.filter(_.size > 1).foreach { dup =>
+      dup.map(_._1).sliding(2).foreach {
+        case Seq(p1, p2) => df = df.filter(col(p1) === col(p2))
+        case _ =>
+      }
+    }
+    val selected = varPos.map(_._2).distinct
+    val proj = varPos.distinctBy(_._2).map { case (pos, n) => col(pos).as(n) }
+    Result(df.select(proj: _*), selected.toSet, Set.empty)
+  }
+
+  /** Generic solution join with SPARQL semantics (inner / left_outer). */
+  private def join(l: Result, r: Result, joinType: String,
+                   extraCond: Option[Expr]): Result = {
+    val shared = (l.vars intersect r.vars).toSeq.sorted
+    val bothCertain = shared.filter(v => l.certain(v) && r.certain(v))
+    val rdf = shared.foldLeft(r.df)((d, v) => d.withColumnRenamed(v, ren(v)))
+    val eqConds = shared.map { v =>
+      if (l.certain(v) && r.certain(v)) col(v) === col(ren(v))
+      else compatCond(col(v), col(ren(v)))
+    }
+    // the LeftJoin filter evaluates over the merged solution
+    val mergedResolver: String => Column = v =>
+      if (shared.contains(v)) coalesce(col(v), col(ren(v)))
+      else if (l.vars(v) || r.vars(v)) col(v)
+      else Term.unbound
+    val allConds = eqConds ++ extraCond.map(e => coalesce(e(mergedResolver), lit(false)))
+    val cond = if (allConds.isEmpty) lit(true) else allConds.reduce(_ && _)
+    var joined = l.df.join(rdf, cond, joinType)
+    // merge shared vars: both-certain sides are equal, keep left; otherwise
+    // take whichever side is bound
+    shared.foreach { v =>
+      joined =
+        if (bothCertain.contains(v)) joined.drop(ren(v))
+        else joined.withColumn(v, coalesce(col(v), col(ren(v)))).drop(ren(v))
+    }
+    val certain = joinType match {
+      case "inner" => l.certain ++ r.certain
+      case "left_outer" => l.certain
+      case _ => l.certain
+    }
+    Result(joined, certain, (l.vars ++ r.vars) -- certain)
+  }
+
+  /** Bind the endpoints of a compiled path-pair DataFrame (src, dst). */
+  private def bindEnds(pairs: DataFrame, s: Pat, o: Pat): Result = {
+    var df = pairs
+    var vars = Vector.empty[String]
+    s match {
+      case C(t) => df = df.filter(col("src") === t)
+      case V(n) => df = df.withColumnRenamed("src", n); vars :+= n
+    }
+    o match {
+      case C(t) => df = df.filter(col(if (vars.isEmpty) "dst" else "dst") === t)
+      case V(n) =>
+        if (vars.contains(n)) df = df.filter(col("dst") === col(n))
+        else { df = df.withColumnRenamed("dst", n); vars :+= n }
+    }
+    val keep = vars.distinct
+    Result(df.select(keep.map(col): _*).distinct(), keep.toSet, Set.empty)
+  }
+
+  /** Push a GRAPH context onto child triple patterns lacking one. */
+  private def rewriteGraph(n: Node, g: Pat): Node = n match {
+    case Bgp(tps) => Bgp(tps.map(tp => if (tp.g.isEmpty) tp.copy(g = Some(g)) else tp))
+    case Filter(c, ch) => Filter(c, rewriteGraph(ch, g))
+    case Join(l, r) => Join(rewriteGraph(l, g), rewriteGraph(r, g))
+    case LeftJoin(l, r, c) => LeftJoin(rewriteGraph(l, g), rewriteGraph(r, g), c)
+    case Union(l, r) => Union(rewriteGraph(l, g), rewriteGraph(r, g))
+    case Minus(l, r) => Minus(rewriteGraph(l, g), rewriteGraph(r, g))
+    case Extend(v, e, ch) => Extend(v, e, rewriteGraph(ch, g))
+    case other => other
+  }
+}
