@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Pipeline, RdfSuite, Relational}
+import graft.queries.{AnalyticsSuite, Pipeline, RdfSuite, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ object SparkEntry {
     Seq(
       (Relational.queries, Relational.oracles),
       (Pipeline.queries, Pipeline.oracles),
-      (RdfSuite.queries, RdfSuite.oracles)
+      (RdfSuite.queries, RdfSuite.oracles),
+      (AnalyticsSuite.queries, AnalyticsSuite.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

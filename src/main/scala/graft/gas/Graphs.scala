@@ -1,0 +1,127 @@
+package graft.gas
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.util.Fixpoint.materialize
+
+/** Graph analytics over edge DataFrames — the GAS layer's programs
+  * (reference: /root/reference/bigdata-gas/src/java/com/bigdata/rdf/graph/
+  * analytics/{BFS,SSSP,CC,PR}.java over the IGASProgram gather/apply/scatter
+  * API, IGASProgram.java:107-183) re-expressed as iterative DataFrame jobs.
+  *
+  * Edges: (src: BIGINT, dst: BIGINT [, weight: BIGINT]). Directed; pass both
+  * directions for undirected semantics.
+  *
+  * Determinism: PageRank uses scaled *integer* arithmetic (rank units of
+  * 1e-12) with floor division — no floating-point accumulation order
+  * dependence, so results are bit-identical across partitionings, replays,
+  * and external oracles.
+  *
+  * Scale posture: each round is one shuffle keyed by vertex; frontiers and
+  * state are checkpointed per round (O(1) lineage); aggregation is
+  * map-side-combined by Catalyst. This is the same communication pattern a
+  * Pregel superstep performs.
+  */
+object Graphs {
+
+  /** BFS: minimum hop count from the source set, up to maxDepth. */
+  def bfs(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    val e = materialize(edges.select("src", "dst").distinct())
+    var depths = materialize(
+      sources.select(col("node").cast(LongType)).distinct()
+        .withColumn("depth", lit(0L)))
+    var frontier = depths
+    var d = 0L
+    while (d < maxDepth && !frontier.isEmpty) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+        .join(depths.select("node"), Seq("node"), "left_anti")
+        .withColumn("depth", lit(d + 1))
+      frontier = materialize(next)
+      depths = materialize(depths.unionByName(frontier))
+      d += 1
+    }
+    depths
+  }
+
+  /** Hop-bounded SSSP (Bellman-Ford rounds): minimum weight path from
+    * `source` using at most maxHops edges. Integer weights.
+    */
+  def sssp(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    val e = materialize(
+      edges.select(col("src"), col("dst"), col("weight").cast(LongType)))
+    var dist = materialize(
+      e.sparkSession.range(1).select(lit(source).as("node"), lit(0L).as("dist")))
+    var i = 0
+    while (i < maxHops) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(e("dst").as("node"), (dist("dist") + e("weight")).as("dist"))
+        .unionByName(dist)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+      val next = materialize(relaxed)
+      // converged when no distance improved
+      if (next.except(dist).isEmpty) return next
+      dist = next
+      i += 1
+    }
+    dist
+  }
+
+  /** Connected components: component id = minimum reachable node id. Each
+    * round combines neighbor min-label propagation with pointer jumping
+    * (label := label of label), giving O(log n) rounds instead of
+    * O(diameter) — long chains/paths converge fast. Pass both edge
+    * directions for undirected graphs.
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val e = materialize(edges.select("src", "dst").distinct())
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var labels = materialize(nodes.withColumn("component", col("node")))
+    var i = 0
+    var done = false
+    while (i < maxIters && !done) {
+      val fromNbr = labels.join(e, labels("node") === e("src"))
+        .select(e("dst").as("node"), labels("component"))
+      val jump = labels.as("a")
+        .join(labels.as("b"), col("a.component") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.component").as("component"))
+      val next = materialize(
+        labels.unionByName(fromNbr).unionByName(jump)
+          .groupBy("node").agg(min(col("component")).as("component")))
+      if (next.except(labels).isEmpty) done = true
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** PageRank with damping 0.85, fixed iteration count, scaled-integer
+    * arithmetic: initial rank R0 = 1e12 per node;
+    * r'(v) = (15·1e12) div 100 + (85 · Σ_{u→v} (r(u) div deg(u))) div 100.
+    * Exact integer ops → deterministic across engines and partitionings.
+    */
+  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    val Unit_ : Long = 1000000000000L
+    val e = materialize(edges.select("src", "dst").distinct())
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val eDeg = materialize(e.join(deg, "src"))
+    val nodes = materialize(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct())
+    var ranks = nodes.withColumn("rank", lit(Unit_))
+    for (_ <- 1 to iters) {
+      val contribs = ranks.join(eDeg, ranks("node") === eDeg("src"))
+        .select(eDeg("dst").as("node"),
+                expr("rank div deg").as("contrib"))
+        .groupBy("node").agg(sum(col("contrib")).as("inflow"))
+      ranks = materialize(
+        nodes.join(contribs, Seq("node"), "left_outer")
+          .select(col("node"),
+            (lit(15L * Unit_ / 100L) +
+             expr("85 * coalesce(inflow, 0L) div 100")).as("rank")))
+    }
+    ranks
+  }
+}

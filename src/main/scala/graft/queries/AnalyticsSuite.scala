@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.gas.Graphs
+import graft.rdf.{QuadStore, Term}
+import graft.rules.RDFS
+import graft.search.FullText
+
+/** Inference + full-text + graph-analytics operators, oracle-gated.
+  *
+  * Graph inputs are derived deterministically from the test tables:
+  *  - part–supplier bipartite graph from lineitem (undirected; supplier
+  *    node ids offset by 1,000,000),
+  *  - per-user event chains from events (consecutive events linked).
+  */
+object AnalyticsSuite {
+
+  private val G = "http://g/"
+
+  /** Bipartite part–supplier edges (both directions) with min-quantity
+    * weight per pair.
+    */
+  private def psEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.load(s, d, "lineitem")
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(min(col("l_quantity").cast(LongType)).as("weight"))
+    val fwd = li.select(col("pk").as("src"), (col("sk") + 1000000L).as("dst"), col("weight"))
+    fwd.unionByName(li.select((col("sk") + 1000000L).as("src"), col("pk").as("dst"),
+                              col("weight")))
+  }
+
+  /** Per-user event chains: event → next event of the same user (by ts,
+    * event_id), both directions.
+    */
+  private def chainEdges(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = Tables.load(s, d, "events")
+      .withColumn("nxt", lead(col("event_id"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+    ev.select(col("event_id").as("src"), col("nxt").as("dst"))
+      .unionByName(ev.select(col("nxt").as("src"), col("event_id").as("dst")))
+  }
+
+  /** Class/property schema quads over customers for the RDFS closure:
+    * customers typed by segment class; segment ⊑ Customer ⊑ Party;
+    * locatedIn ⊑ within; domain(locatedIn)=Located, range(locatedIn)=Place.
+    */
+  private def classQuads(s: SparkSession, d: String): DataFrame = {
+    val base = RdfSuite.buildQuads(s, d)
+    val cust = Tables.load(s, d, "customer")
+    val typeT = QuadStore.tripleize(cust,
+      Term.iri(concat(lit(G + "c"), col("c_custkey"))),
+      Seq(RDFS.RdfType -> Term.iri(concat(lit(G + "seg_"), col("c_mktsegment")))))
+    val segs = cust.select(col("c_mktsegment")).distinct()
+    val sco = QuadStore.tripleize(segs,
+      Term.iri(concat(lit(G + "seg_"), col("c_mktsegment"))),
+      Seq(RDFS.SubClassOf -> Term.iri(G + "Customer")))
+    val one = cust.limit(1)
+    val axioms = QuadStore.fromTriples(Seq(
+      QuadStore.tripleize(one, Term.iri(G + "Customer"),
+        Seq(RDFS.SubClassOf -> Term.iri(G + "Party"))),
+      QuadStore.tripleize(one, Term.iri(G + "locatedIn"),
+        Seq(RDFS.SubPropertyOf -> Term.iri(G + "within"),
+            RDFS.Domain -> Term.iri(G + "Located"),
+            RDFS.Range -> Term.iri(G + "Place")))))
+    base.unionByName(typeT).unionByName(sco).unionByName(axioms)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "rdfs_closure_types" -> ((s, d) => {
+      val closed = RDFS.closure(classQuads(s, d))
+      closed.filter(col("p") === Term.iri(RDFS.RdfType))
+        .groupBy(Term.lex(col("o")).as("cls"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("cls")
+    }),
+
+    "rdfs_subproperty_infer" -> ((s, d) => {
+      val closed = RDFS.closure(classQuads(s, d))
+      closed.filter(col("p") === Term.iri(G + "within"))
+        .select(Term.lex(col("s")).as("s"), Term.lex(col("o")).as("o"))
+        .orderBy("s", "o")
+    }),
+
+    "fts_search" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id").as("doc"), col("text"))
+      val idx = FullText.buildIndex(docs)
+      FullText.search(idx, Seq("spark", "join", "fast"), minCosine = 0.0, maxRank = 20)
+        .orderBy("rank")
+    }),
+
+    "graph_bfs" -> ((s, d) => {
+      val src = s.range(1).select(lit(1L).as("node"))
+      Graphs.bfs(psEdges(s, d), src, maxDepth = 3).orderBy("node")
+    }),
+
+    "graph_sssp" -> ((s, d) => {
+      Graphs.sssp(psEdges(s, d), source = 1L, maxHops = 3).orderBy("node")
+    }),
+
+    "graph_cc" -> ((s, d) => {
+      Graphs.connectedComponents(chainEdges(s, d)).orderBy("node")
+    }),
+
+    "graph_pagerank" -> ((s, d) => {
+      Graphs.pagerank(psEdges(s, d), iters = 5).orderBy("node")
+    })
+  )
+
+  /** DuckDB: part–supplier edge CTEs. */
+  private val edgeSql =
+    """pair AS (SELECT l_partkey AS pk, 1000000 + l_suppkey AS sk,
+         MIN(CAST(l_quantity AS BIGINT)) AS weight
+       FROM lineitem GROUP BY 1, 2),
+       e AS (SELECT pk AS src, sk AS dst, weight FROM pair
+             UNION ALL SELECT sk, pk, weight FROM pair)"""
+
+  /** Integer PageRank iteration chain (no aggregates allowed in a recursive
+    * CTE, so the fixed iteration count unrolls to chained CTEs).
+    */
+  private def pagerankSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT n.node,
+            150000000000 + (85 * COALESCE(s.inflow, 0)) // 100 AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT ed.dst AS node, SUM(p.rank // ed.deg) AS inflow
+            FROM pr${i - 1} p JOIN edeg ed ON p.node = ed.src
+            GROUP BY ed.dst) s ON n.node = s.node)"""
+    }.mkString(",\n")
+    s"""WITH $edgeSql,
+       edeg AS (SELECT e.src, e.dst, d.deg FROM e JOIN
+                (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1) d USING (src)),
+       nodes AS (SELECT DISTINCT src AS node FROM e
+                 UNION SELECT DISTINCT dst FROM e),
+       pr0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+       $steps
+       SELECT node, rank FROM pr$iters ORDER BY node"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "rdfs_closure_types" ->
+      """SELECT cls, n FROM (
+           SELECT 'http://g/seg_' || c_mktsegment AS cls, COUNT(*) AS n
+           FROM customer GROUP BY 1
+           UNION ALL SELECT 'http://g/Customer', COUNT(*) FROM customer
+           UNION ALL SELECT 'http://g/Party', COUNT(*) FROM customer
+           UNION ALL SELECT 'http://g/Located',
+             (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM nation)
+           UNION ALL SELECT 'http://g/Place',
+             (SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region))
+         ORDER BY cls""",
+
+    "rdfs_subproperty_infer" ->
+      """SELECT s, o FROM (
+           SELECT 'http://g/c' || c_custkey AS s, 'http://g/n' || c_nationkey AS o
+           FROM customer
+           UNION ALL
+           SELECT 'http://g/n' || n_nationkey, 'http://g/r' || n_regionkey
+           FROM nation)
+         ORDER BY s, o""",
+
+    "fts_search" ->
+      """WITH tok AS (SELECT doc_id AS doc,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    t -> len(t) > 0)) AS term
+           FROM documents),
+         tf AS (SELECT term, doc, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         dfr AS (SELECT term, COUNT(DISTINCT doc) AS df FROM tf GROUP BY 1),
+         idx AS (SELECT term, doc, tf,
+                   (1.0 + ln(tf)) * ln((SELECT COUNT(*) FROM documents) / df) AS w
+                 FROM tf JOIN dfr USING (term)),
+         dn AS (SELECT doc, sqrt(SUM(w * w)) AS dnorm FROM idx GROUP BY 1),
+         sc AS (SELECT i.doc, ROUND(SUM(i.w) / (d.dnorm * sqrt(3.0)), 6) AS score
+                FROM idx i JOIN dn d ON i.doc = d.doc
+                WHERE i.term IN ('spark', 'join', 'fast')
+                GROUP BY i.doc, d.dnorm)
+         SELECT doc, score, rank FROM (
+           SELECT doc, score,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS BIGINT) AS rank
+           FROM sc)
+         WHERE rank <= 20 ORDER BY rank""",
+
+    "graph_bfs" ->
+      s"""WITH RECURSIVE $edgeSql,
+         bfs(node, d) AS (
+           SELECT CAST(1 AS BIGINT), 0
+           UNION
+           SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.node
+           WHERE bfs.d < 3)
+         SELECT node, CAST(MIN(d) AS BIGINT) AS depth FROM bfs
+         GROUP BY node ORDER BY node""",
+
+    "graph_sssp" ->
+      s"""WITH RECURSIVE $edgeSql,
+         walk(node, dist, hops) AS (
+           SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0
+           UNION
+           SELECT e.dst, walk.dist + e.weight, walk.hops + 1
+           FROM walk JOIN e ON e.src = walk.node
+           WHERE walk.hops < 3)
+         SELECT node, MIN(dist) AS dist FROM walk GROUP BY node ORDER BY node""",
+
+    "graph_cc" ->
+      """SELECT event_id AS node,
+           MIN(event_id) OVER (PARTITION BY user_id) AS component
+         FROM events
+         WHERE user_id IN (SELECT user_id FROM events
+                           GROUP BY user_id HAVING COUNT(*) > 1)
+         ORDER BY node""",
+
+    "graph_pagerank" -> pagerankSql(5)
+  )
+}

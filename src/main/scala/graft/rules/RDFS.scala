@@ -1,0 +1,112 @@
+package graft.rules
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.rdf.Term
+import graft.util.Fixpoint
+
+/** RDFS forward-chaining inference: materialize the closure of the core
+  * entailment rules over the statement relation.
+  *
+  * Reference: the datalog-style closure programs in
+  * /root/reference/bigdata-rdf/src/java/com/bigdata/rdf/rules/ —
+  * InferenceEngine.java:69 orchestrates FastClosure.java:28 /
+  * FullClosure.java:17 over one-class-per-rule implementations
+  * (RuleRdfs02/03/05/07/09/11). Here each rule is a DataFrame self-join and
+  * the program is a single semi-naive loop: each round joins only the
+  * *delta* against the accumulated store, the same work-avoidance the
+  * reference gets from its "new vs old" focus sets.
+  *
+  * Scale posture: rule joins shuffle on the join term; the schema-level
+  * relations (subClassOf/subPropertyOf/domain/range) are typically tiny and
+  * broadcast; the closure loop checkpoints per round (Fixpoint).
+  */
+object RDFS {
+
+  val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  val RdfsNs = "http://www.w3.org/2000/01/rdf-schema#"
+  val RdfType: String = RdfNs + "type"
+  val SubClassOf: String = RdfsNs + "subClassOf"
+  val SubPropertyOf: String = RdfsNs + "subPropertyOf"
+  val Domain: String = RdfsNs + "domain"
+  val Range: String = RdfsNs + "range"
+
+  private def p(name: String): Column = Term.iri(name)
+
+  /** One inference round: candidate triples derivable with at least one
+    * premise in `delta`. Works on (s,p,o) triples (default graph).
+    */
+  private def round(all: DataFrame, delta: DataFrame): DataFrame = {
+    def sel(df: DataFrame, pred: String) = df.filter(col("p") === p(pred))
+
+    // rdfs5: subPropertyOf transitivity
+    def spoTrans(l: DataFrame, r: DataFrame) =
+      sel(l, SubPropertyOf).as("a")
+        .join(sel(r, SubPropertyOf).as("b"), col("a.o") === col("b.s"))
+        .select(col("a.s").as("s"), p(SubPropertyOf).as("p"), col("b.o").as("o"))
+
+    // rdfs7: (s p o), (p subPropertyOf q) -> (s q o)
+    def spoApply(facts: DataFrame, schema: DataFrame) =
+      facts.as("f")
+        .join(broadcast(sel(schema, SubPropertyOf).as("h")), col("f.p") === col("h.s"))
+        .select(col("f.s").as("s"), col("h.o").as("p"), col("f.o").as("o"))
+
+    // rdfs2: (p domain c), (s p o) -> (s type c)
+    def domApply(facts: DataFrame, schema: DataFrame) =
+      facts.as("f")
+        .join(broadcast(sel(schema, Domain).as("h")), col("f.p") === col("h.s"))
+        .select(col("f.s").as("s"), p(RdfType).as("p"), col("h.o").as("o"))
+
+    // rdfs3: (p range c), (s p o) -> (o type c)
+    def rngApply(facts: DataFrame, schema: DataFrame) =
+      facts.as("f")
+        .join(broadcast(sel(schema, Range).as("h")), col("f.p") === col("h.s"))
+        .select(col("f.o").as("s"), p(RdfType).as("p"), col("h.o").as("o"))
+
+    // rdfs11: subClassOf transitivity
+    def scoTrans(l: DataFrame, r: DataFrame) =
+      sel(l, SubClassOf).as("a")
+        .join(sel(r, SubClassOf).as("b"), col("a.o") === col("b.s"))
+        .select(col("a.s").as("s"), p(SubClassOf).as("p"), col("b.o").as("o"))
+
+    // rdfs9: (s type c1), (c1 subClassOf c2) -> (s type c2)
+    def scoApply(facts: DataFrame, schema: DataFrame) =
+      sel(facts, RdfType).as("f")
+        .join(broadcast(sel(schema, SubClassOf).as("h")), col("f.o") === col("h.s"))
+        .select(col("f.s").as("s"), p(RdfType).as("p"), col("h.o").as("o"))
+
+    Seq(
+      spoTrans(delta, all), spoTrans(all, delta),
+      spoApply(delta, all), spoApply(all, delta),
+      domApply(delta, all), domApply(all, delta),
+      rngApply(delta, all), rngApply(all, delta),
+      scoTrans(delta, all), scoTrans(all, delta),
+      scoApply(delta, all), scoApply(all, delta)
+    ).reduce(_ unionByName _).distinct()
+  }
+
+  /** Materialized RDFS closure of the default graph. Returns the input store
+    * plus inferred triples (c NULL).
+    */
+  def closure(quads: DataFrame, maxIters: Int = 32): DataFrame = {
+    val triples = quads.filter(col("c").isNull).select("s", "p", "o").distinct()
+    val closed = Fixpoint.semiNaive(triples, maxIters)(round)
+    closed.withColumn("c", Term.unbound)
+  }
+
+  /** Backward-chaining rewrite for queries that only need inferred `type`
+    * facts (BackchainTypeResourceIterator analogue): expands a type pattern
+    * to direct + subclass-inherited types without materializing the closure.
+    */
+  def typesWithInference(quads: DataFrame): DataFrame = {
+    val triples = quads.filter(col("c").isNull)
+    val direct = triples.filter(col("p") === p(RdfType)).select("s", "o")
+    val sco = graft.sparql.Paths.transitiveClosure(
+      triples.filter(col("p") === p(SubClassOf))
+        .select(col("s").as("src"), col("o").as("dst")))
+    direct.unionByName(
+        direct.as("d").join(sco.as("h"), col("d.o") === col("h.src"))
+          .select(col("d.s").as("s"), col("h.dst").as("o")))
+      .distinct()
+  }
+}

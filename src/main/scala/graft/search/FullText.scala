@@ -1,0 +1,66 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Full-text search: inverted-index DataFrame + tf-idf cosine ranking.
+  *
+  * Reference: /root/reference/bigdata/src/java/com/bigdata/search/
+  * FullTextIndex.java:240 — token→(docId, weight) postings in a B+Tree with
+  * cosine relevance (:892-897), minCosine/maxRank slicing, exposed through
+  * the `bds:search` magic predicates (rdf/store/BDS.java:94-143). Here the
+  * postings are a DataFrame and scoring is one join + aggregation.
+  *
+  * Weights: w(t,d) = (1 + ln tf) · ln(N / df); scores are cosine similarity
+  * between the query vector and document vector, rounded to 6 decimals for
+  * cross-engine determinism; rank assigned over (score desc, doc asc).
+  *
+  * Scale posture: the index is partitioned by term (the posting-list key);
+  * a query broadcasts its handful of terms against the postings — one
+  * shuffle-free scan plus a small aggregation keyed by doc.
+  */
+object FullText {
+
+  /** Tokenize: lowercase, split on non-alphanumerics, drop empties. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Build the inverted index: (term, doc, tf, w) + per-doc norm.
+    * `docs` needs columns (doc, text).
+    */
+  def buildIndex(docs: DataFrame): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count_distinct(col("doc")).as("df"))
+    tf.join(df_, "term")
+      .withColumn("w", (lit(1.0) + log(col("tf"))) * log(lit(n.toDouble) / col("df")))
+      .select("term", "doc", "tf", "w")
+  }
+
+  /** Search the index: cosine(query, doc) with minCosine/maxRank slicing
+    * (Hiterator semantics). Query term weights are 1·idf (tf=1 per term).
+    */
+  def search(index: DataFrame, query: Seq[String], minCosine: Double = 0.0,
+             maxRank: Int = Int.MaxValue): DataFrame = {
+    val terms = query.map(_.toLowerCase).distinct
+    val docNorm = index.groupBy("doc").agg(sqrt(sum(col("w") * col("w"))).as("dnorm"))
+    val qpost = index.filter(col("term").isin(terms: _*))
+    // query weight per term = idf = w(t,d)/(1+ln tf) is awkward to recover;
+    // use the standard simplification: q vector has weight 1 per term, so
+    // score = Σ_t w(t,d) / (dnorm · sqrt(|q|))
+    val qnorm = math.sqrt(terms.size.toDouble)
+    val scored = qpost.groupBy("doc").agg(sum(col("w")).as("dot"))
+      .join(docNorm, "doc")
+      .withColumn("score", round(col("dot") / (col("dnorm") * qnorm), 6))
+      .filter(col("score") >= minCosine)
+    val w = Window.orderBy(col("score").desc, col("doc"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= maxRank)
+      .select("doc", "score", "rank")
+  }
+}

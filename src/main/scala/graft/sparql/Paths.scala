@@ -59,16 +59,7 @@ object Paths {
     nodes.select(col("n").as("src"), col("n").as("dst"))
   }
 
-  /** Materialize and cut plan lineage: localCheckpoint truncates the RDD
-    * lineage, and rebuilding the DataFrame from the checkpointed RDD issues
-    * fresh attribute ids — required because the fixpoint loop self-unions
-    * frames that would otherwise share attribute ids (Catalyst's union
-    * constraint rewrite fails on the aliased duplicates).
-    */
-  private def materialize(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint(eager = true)
-    df.sparkSession.createDataFrame(cp.rdd, cp.schema)
-  }
+  import graft.util.Fixpoint.materialize
 
   /** Semi-naive transitive closure of a distinct (src, dst) edge set. */
   def transitiveClosure(edges: DataFrame, maxIters: Int = 64): DataFrame = {

@@ -1,0 +1,39 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared machinery for iterative (fixpoint) DataFrame computations:
+  * property-path closure, inference closure, graph analytics.
+  *
+  * Scale posture: every round materializes via localCheckpoint — lineage
+  * stays O(1) instead of O(rounds), so 30-round closures don't build
+  * kilometer-deep plans; rebuilding from the checkpointed RDD issues fresh
+  * attribute ids so self-unions/self-joins across rounds stay resolvable
+  * (Catalyst's union constraint rewrite fails on shared ids).
+  */
+object Fixpoint {
+
+  /** Materialize a frame, truncate lineage, re-issue attribute ids. */
+  def materialize(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(eager = true)
+    df.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
+  /** Semi-naive iteration: `all` accumulates, `step(all, delta)` produces
+    * candidate new rows; loop ends when no new rows appear (or maxIters).
+    */
+  def semiNaive(init: DataFrame, maxIters: Int)
+               (step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    var all = materialize(init)
+    var delta = all
+    var i = 0
+    while (i < maxIters) {
+      val fresh = materialize(step(all, delta).except(all))
+      if (fresh.isEmpty) return all
+      all = materialize(all.unionByName(fresh))
+      delta = fresh
+      i += 1
+    }
+    all
+  }
+}
