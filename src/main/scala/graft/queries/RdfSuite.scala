@@ -178,6 +178,21 @@ object RdfSuite {
         .orderBy("s", "o")
     }),
 
+    "sparql_text" -> ((s, d) => {
+      // the full text path: SPARQL string -> parser -> algebra -> DataFrame
+      val df = Parser.select(s, buildQuads(s, d),
+        """PREFIX g: <http://g/>
+           SELECT ?nname (COUNT(?c) AS ?n) WHERE {
+             ?c g:locatedIn ?nat .
+             ?nat g:name ?nname .
+             ?c g:acctbal ?b .
+             FILTER(?b > 0)
+           } GROUP BY ?nname ORDER BY ?nname""")
+      df.select(Term.lex(col("nname")).as("nname"),
+                Term.numVal(col("n")).cast(LongType).as("n"))
+        .orderBy("nname")
+    }),
+
     "rdf_named_graphs" -> ((s, d) => {
       val q = GraphNode(V("g"), Bgp(Seq(tp(V("x"), "name", V("nm")))))
       Translator.translate(buildNamedQuads(s, d), q).df
@@ -261,6 +276,12 @@ object RdfSuite {
            '<http://g/r' || n_regionkey || '>' AS o
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          ORDER BY s, o""",
+
+    "sparql_text" ->
+      """SELECT n_name AS nname, COUNT(*) AS n
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0
+         GROUP BY n_name ORDER BY nname""",
 
     "rdf_named_graphs" ->
       """SELECT g, n FROM (

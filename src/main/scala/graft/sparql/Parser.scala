@@ -1,0 +1,692 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.rdf.Term
+import Algebra._
+
+/** SPARQL 1.1 text parser (hand-rolled recursive descent) for the query
+  * subset the engine evaluates: SELECT / ASK / CONSTRUCT with BGPs, property
+  * paths, FILTER (incl. EXISTS/NOT EXISTS), OPTIONAL, UNION, MINUS, BIND,
+  * VALUES, GRAPH, sub-SELECT, aggregates + GROUP BY/HAVING, DISTINCT,
+  * ORDER BY/LIMIT/OFFSET.
+  *
+  * Reference analogue: Bigdata2ASTSPARQLParser (javacc grammar sparql.jjt,
+  * /root/reference/bigdata-sails/src/java/com/bigdata/rdf/sail/sparql/
+  * Bigdata2ASTSPARQLParser.java:348); aggregate rewriting to internal
+  * variables mirrors GroupByRewriter
+  * (/root/reference/bigdata/src/java/com/bigdata/bop/solutions/
+  * GroupByRewriter.java:62).
+  */
+object Parser {
+
+  sealed trait Form
+  case object SelectForm extends Form
+  case object AskForm extends Form
+  case object ConstructForm extends Form
+
+  final case class Query(
+      form: Form,
+      node: Node,
+      projection: Seq[String],           // empty = SELECT *
+      distinct: Boolean,
+      template: Seq[(QueryForms.TPos, QueryForms.TPos, QueryForms.TPos)])
+
+  /** Parse and evaluate a SELECT query; returns the solution DataFrame
+    * (term-struct columns).
+    */
+  def select(spark: SparkSession, quads: DataFrame, text: String): DataFrame = {
+    val q = parse(spark, text)
+    require(q.form == SelectForm, s"not a SELECT query: ${q.form}")
+    Translator.translate(quads, q.node).df
+  }
+
+  def ask(spark: SparkSession, quads: DataFrame, text: String): Boolean = {
+    val q = parse(spark, text)
+    QueryForms.ask(quads, q.node)
+  }
+
+  def construct(spark: SparkSession, quads: DataFrame, text: String): DataFrame = {
+    val q = parse(spark, text)
+    QueryForms.construct(quads, q.node, q.template)
+  }
+
+  def parse(spark: SparkSession, text: String): Query =
+    new P(tokenize(text), spark).query()
+
+  // ---------------- tokenizer ----------------
+
+  private def tokenize(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    val n = s.length
+    def isWs(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isWs(c)) i += 1
+      else if (c == '#') { while (i < n && s.charAt(i) != '\n') i += 1 }
+      else if (c == '<' && i + 1 < n && s.charAt(i + 1) != '=' && !isWs(s.charAt(i + 1))) {
+        // IRI ref
+        val j = s.indexOf('>', i)
+        if (j < 0) throw new IllegalArgumentException(s"unterminated IRI at $i")
+        out += s.substring(i, j + 1); i = j + 1
+      } else if (c == '"' || c == '\'') {
+        val quote = c
+        val sb = new StringBuilder("\"")
+        i += 1
+        while (i < n && s.charAt(i) != quote) {
+          if (s.charAt(i) == '\\' && i + 1 < n) { sb.append(s.charAt(i)).append(s.charAt(i + 1)); i += 2 }
+          else { sb.append(s.charAt(i)); i += 1 }
+        }
+        i += 1
+        sb.append('"')
+        // lang tag or datatype suffix
+        if (i < n && s.charAt(i) == '@') {
+          val st = i; i += 1
+          while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '-')) i += 1
+          sb.append(s.substring(st, i))
+        } else if (i + 1 < n && s.charAt(i) == '^' && s.charAt(i + 1) == '^') {
+          sb.append("^^"); i += 2
+          if (i < n && s.charAt(i) == '<') {
+            val j = s.indexOf('>', i); sb.append(s.substring(i, j + 1)); i = j + 1
+          } else {
+            val st = i
+            while (i < n && !isWs(s.charAt(i)) && !"{}(),;.".contains(s.charAt(i))) i += 1
+            sb.append(s.substring(st, i))
+          }
+        }
+        out += sb.toString
+      } else if (c == '?' || c == '$') {
+        val st = i; i += 1
+        while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        if (i == st + 1) { out += "?"; } // bare '?' = path modifier
+        else out += "?" + s.substring(st + 1, i)
+      } else if (c.isDigit || (c == '.' && i + 1 < n && s.charAt(i + 1).isDigit)) {
+        val st = i
+        while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+        // a trailing '.' is the statement terminator, not part of the number
+        var tok = s.substring(st, i)
+        if (tok.endsWith(".") ) { tok = tok.dropRight(1); i -= 1 }
+        out += tok
+      } else if ("{}(),;".contains(c)) { out += c.toString; i += 1 }
+      else if (c == '.') { out += "."; i += 1 }
+      else if (c == '|' && i + 1 < n && s.charAt(i + 1) == '|') { out += "||"; i += 2 }
+      else if (c == '&' && i + 1 < n && s.charAt(i + 1) == '&') { out += "&&"; i += 2 }
+      else if (c == '!' && i + 1 < n && s.charAt(i + 1) == '=') { out += "!="; i += 2 }
+      else if (c == '<' && i + 1 < n && s.charAt(i + 1) == '=') { out += "<="; i += 2 }
+      else if (c == '>' && i + 1 < n && s.charAt(i + 1) == '=') { out += ">="; i += 2 }
+      else if ("=<>!+-*/^|".contains(c)) { out += c.toString; i += 1 }
+      else {
+        // pname / keyword / 'a'
+        val st = i
+        while (i < n && !isWs(s.charAt(i)) &&
+               !"{}(),;.=<>!+-*/^|\"'?".contains(s.charAt(i))) i += 1
+        out += s.substring(st, i)
+      }
+    }
+    out.result()
+  }
+
+  // ---------------- parser ----------------
+
+  private class P(toks: Vector[String], spark: SparkSession) {
+    private var pos = 0
+    private var prefixes = Map.empty[String, String]
+    // aggregate registry (GroupByRewriter analogue): structural key -> (var, agg)
+    private var aggs = Vector.empty[(String, AggExpr)]
+    private var aggKeys = Map.empty[String, String]
+    private var bnodeCounter = 0
+
+    private def peek: String = if (pos < toks.length) toks(pos) else ""
+    private def peekIs(s: String): Boolean = peek.equalsIgnoreCase(s)
+    private def next(): String = { val t = peek; pos += 1; t }
+    private def expect(s: String): Unit = {
+      val t = next()
+      require(t.equalsIgnoreCase(s), s"expected '$s' but found '$t' (pos $pos)")
+    }
+
+    def query(): Query = {
+      while (peekIs("PREFIX") || peekIs("BASE")) {
+        if (peekIs("BASE")) { next(); next() }
+        else { next(); val p = next(); val iri = stripIri(next()); prefixes += p.dropRight(1) -> iri }
+      }
+      if (peekIs("SELECT")) selectQuery()
+      else if (peekIs("ASK")) { next(); if (peekIs("WHERE")) next(); expect("{")
+        val n = groupGraphPattern(); expect("}")
+        Query(AskForm, n, Nil, distinct = false, Nil) }
+      else if (peekIs("CONSTRUCT")) constructQuery()
+      else throw new IllegalArgumentException(s"unsupported query form: $peek")
+    }
+
+    private def selectQuery(): Query = {
+      // aggregates are scoped per SELECT: a sub-SELECT's aggregates must not
+      // leak into (or group) the enclosing query
+      val (savedAggs, savedKeys) = (aggs, aggKeys)
+      aggs = Vector.empty; aggKeys = Map.empty
+      try selectQueryInner()
+      finally { aggs = savedAggs; aggKeys = savedKeys }
+    }
+
+    private def selectQueryInner(): Query = {
+      expect("SELECT")
+      val distinct = if (peekIs("DISTINCT")) { next(); true } else false
+      var proj = Vector.empty[String]
+      var binds = Vector.empty[(String, Expr)]
+      var star = false
+      while (!peekIs("WHERE") && peek != "{") {
+        if (peek == "*") { next(); star = true }
+        else if (peek.startsWith("?")) proj :+= next().substring(1)
+        else if (peek == "(") { // (expr AS ?v)
+          next(); val e = expression(); expect("AS")
+          val v = next().substring(1); expect(")")
+          proj :+= v; binds :+= (v -> e)
+        } else throw new IllegalArgumentException(s"bad SELECT item: $peek")
+      }
+      if (peekIs("WHERE")) next()
+      expect("{")
+      var node = groupGraphPattern()
+      expect("}")
+      // GROUP BY / HAVING
+      var groupKeys = Vector.empty[String]
+      var having = Vector.empty[Expr]
+      if (peekIs("GROUP")) {
+        next(); expect("BY")
+        while (peek.startsWith("?")) groupKeys :+= next().substring(1)
+      }
+      if (peekIs("HAVING")) { next(); expect("("); having :+= expression(); expect(")") }
+      val grouped = aggs.nonEmpty || groupKeys.nonEmpty
+      if (grouped) {
+        node = Group(groupKeys, aggs, node)
+        having.foreach(h => node = Filter(r => TermOps.ebv(h(r)), node))
+        // select expressions (which may reference the internal agg vars)
+        // become post-group binds
+        binds.foreach { case (v, e) => node = Extend(v, e, node) }
+      } else {
+        binds.foreach { case (v, e) => node = Extend(v, e, node) }
+      }
+      // ORDER BY / LIMIT / OFFSET (applied after projection per SPARQL,
+      // but our sort needs the columns: order before project)
+      var orderKeys = Vector.empty[(String, Boolean)]
+      if (peekIs("ORDER")) {
+        next(); expect("BY")
+        while (peek.startsWith("?") || peekIs("ASC") || peekIs("DESC")) {
+          if (peekIs("ASC")) { next(); expect("("); orderKeys :+= (next().substring(1) -> true); expect(")") }
+          else if (peekIs("DESC")) { next(); expect("("); orderKeys :+= (next().substring(1) -> false); expect(")") }
+          else orderKeys :+= (next().substring(1) -> true)
+        }
+      }
+      if (orderKeys.nonEmpty) node = OrderBy(orderKeys, node)
+      if (!star && proj.nonEmpty) node = Project(proj, node)
+      if (distinct) node = Distinct(node)
+      var offset = 0L; var limit = -1L
+      while (peekIs("LIMIT") || peekIs("OFFSET")) {
+        if (peekIs("LIMIT")) { next(); limit = next().toLong }
+        else { next(); offset = next().toLong }
+      }
+      if (offset != 0 || limit >= 0) node = Slice(offset, limit, node)
+      Query(SelectForm, node, proj, distinct, Nil)
+    }
+
+    private def constructQuery(): Query = {
+      expect("CONSTRUCT"); expect("{")
+      var tmpl = Vector.empty[(QueryForms.TPos, QueryForms.TPos, QueryForms.TPos)]
+      while (peek != "}") {
+        val s = templatePos(); val p = templatePos(); val o = templatePos()
+        tmpl :+= ((s, p, o))
+        if (peek == ".") next()
+      }
+      expect("}")
+      if (peekIs("WHERE")) next()
+      expect("{")
+      val node = groupGraphPattern()
+      expect("}")
+      Query(ConstructForm, node, Nil, distinct = false, tmpl)
+    }
+
+    private def templatePos(): QueryForms.TPos = {
+      val t = peek
+      if (t.startsWith("?")) { next(); QueryForms.TVar(t.substring(1)) }
+      else if (t.startsWith("_:")) { next(); QueryForms.TBnode(t.substring(2)) }
+      else QueryForms.TConst(termConst())
+    }
+
+    // GroupGraphPattern := sequence of triples blocks / keyword clauses
+    private def groupGraphPattern(): Node = {
+      var cur: Option[Node] = None
+      var filters = Vector.empty[Expr]
+      var existsFilters = Vector.empty[(Node, Boolean)]
+      def add(n: Node): Unit = cur = Some(cur.fold(n)(c => Join(c, n)))
+      while (peek != "}" && peek.nonEmpty) {
+        if (peekIs("OPTIONAL")) {
+          next(); expect("{")
+          val r = groupGraphPattern(); expect("}")
+          cur = Some(LeftJoin(cur.getOrElse(emptyNode), r))
+        } else if (peekIs("MINUS")) {
+          next(); expect("{")
+          val r = groupGraphPattern(); expect("}")
+          cur = Some(Minus(cur.getOrElse(emptyNode), r))
+        } else if (peekIs("FILTER")) {
+          next()
+          if (peekIs("EXISTS")) { next(); expect("{"); val sub = groupGraphPattern(); expect("}")
+            existsFilters :+= (sub -> false) }
+          else if (peekIs("NOT")) { next(); expect("EXISTS"); expect("{")
+            val sub = groupGraphPattern(); expect("}")
+            existsFilters :+= (sub -> true) }
+          else { expect("("); filters :+= expression(); expect(")") }
+        } else if (peekIs("BIND")) {
+          next(); expect("(")
+          val e = expression(); expect("AS"); val v = next().substring(1); expect(")")
+          cur = Some(Extend(v, e, cur.getOrElse(emptyNode)))
+        } else if (peekIs("VALUES")) {
+          add(valuesClause())
+        } else if (peekIs("GRAPH")) {
+          next()
+          val g = if (peek.startsWith("?")) V(next().substring(1)) else C(termConst())
+          expect("{"); val sub = groupGraphPattern(); expect("}")
+          add(GraphNode(g, sub))
+        } else if (peek == "{") {
+          // group or union chain or sub-select
+          next()
+          val first =
+            if (peekIs("SELECT")) { val q = selectQuery(); q.node }
+            else groupGraphPattern()
+          expect("}")
+          var u = first
+          while (peekIs("UNION")) {
+            next(); expect("{")
+            val r = if (peekIs("SELECT")) selectQuery().node else groupGraphPattern()
+            expect("}")
+            u = Union(u, r)
+          }
+          add(u)
+        } else if (peek == ".") { next() }
+        else {
+          add(triplesBlock())
+        }
+      }
+      var node = cur.getOrElse(emptyNode)
+      existsFilters.foreach { case (sub, neg) => node = ExistsFilter(node, sub, neg) }
+      filters.foreach(f => node = Filter(r => TermOps.ebv(f(r)), node))
+      node
+    }
+
+    private def emptyNode: Node = {
+      // empty group: single empty solution — a 1-row DataFrame, no columns
+      Values(spark.range(1).toDF("__unit").drop("__unit"), Set.empty)
+    }
+
+    private def valuesClause(): Node = {
+      expect("VALUES")
+      var vars = Vector.empty[String]
+      if (peek == "(") { next(); while (peek != ")") vars :+= next().substring(1); next() }
+      else vars :+= next().substring(1)
+      expect("{")
+      var rows = Vector.empty[Seq[Option[Column]]]
+      while (peek != "}") {
+        if (peek == "(") {
+          next()
+          var row = Vector.empty[Option[Column]]
+          while (peek != ")") row :+= valuesTerm()
+          next()
+          rows :+= row
+        } else rows :+= Vector(valuesTerm())
+      }
+      expect("}")
+      // build the inline DataFrame: one row per VALUES row
+      val df = rows.zipWithIndex.map { case (row, idx) =>
+        val base = spark.range(1).toDF(s"__v$idx")
+        vars.zip(row).foldLeft(base) { case (d, (v, t)) =>
+          d.withColumn(v, t.getOrElse(Term.unbound))
+        }.select(vars.map(col): _*)
+      }.reduce(_ unionByName _)
+      Values(df, Set.empty /* UNDEF possible: all maybe */)
+    }
+
+    private def valuesTerm(): Option[Column] =
+      if (peekIs("UNDEF")) { next(); None } else Some(termConst())
+
+    // TriplesBlock: s p o (',' o)* (';' p o ...)* '.'
+    private def triplesBlock(): Node = {
+      var tps = Vector.empty[TriplePattern]
+      var paths = Vector.empty[(Pat, Path, Pat)]
+      val s = varOrTerm()
+      var done = false
+      while (!done) {
+        val (isPath, linkOrPath) = pathExpr()
+        var more = true
+        while (more) {
+          val o = varOrTerm()
+          linkOrPath match {
+            case Left(p) => tps :+= TriplePattern(s, p, o)
+            case Right(p) => paths :+= ((s, p, o))
+          }
+          if (peek == ",") next() else more = false
+        }
+        if (peek == ";") { next(); if (peek == "." || peek == "}") done = true }
+        else done = true
+      }
+      if (peek == ".") next()
+      val bgp: Option[Node] = if (tps.nonEmpty) Some(Bgp(tps)) else None
+      val pathNodes = paths.map { case (a, p, b) => PathPattern(a, p, b): Node }
+      (bgp.toSeq ++ pathNodes).reduce((l, r) => Join(l, r))
+    }
+
+    /** Returns Left(predicate Pat) for a plain predicate (var or iri) or
+      * Right(Path) for a path expression.
+      */
+    private def pathExpr(): (Boolean, Either[Pat, Path]) = {
+      if (peek.startsWith("?")) return (false, Left(V(next().substring(1))))
+      val p = pathAlt()
+      p match {
+        case Link(iri) if !pathModified => (false, Left(C(Term.iri(iri))))
+        case other => (true, Right(other))
+      }
+    }
+
+    private var pathModified = false
+
+    private def pathAlt(): Path = {
+      var a = pathSeq()
+      while (peek == "|") { next(); pathModified = true; a = Alt(a, pathSeq()) }
+      a
+    }
+
+    private def pathSeq(): Path = {
+      var a = pathElt()
+      while (peek == "/") { next(); pathModified = true; a = PSeq(a, pathElt()) }
+      a
+    }
+
+    private def pathElt(): Path = {
+      pathModified = false
+      var inv = false
+      if (peek == "^") { next(); inv = true; pathModified = true }
+      var base: Path =
+        if (peek == "(") { next(); pathModified = true; val p = pathAlt(); expect(")"); p }
+        else if (peek == "!") {
+          next(); pathModified = true
+          expect("(")
+          var iris = Vector.empty[String]
+          iris :+= iriToken()
+          while (peek == "|") { next(); iris :+= iriToken() }
+          expect(")")
+          NegatedSet(iris)
+        } else Link(iriToken())
+      if (peek == "*") { next(); pathModified = true; base = ZeroOrMore(base) }
+      else if (peek == "+") { next(); pathModified = true; base = OneOrMore(base) }
+      else if (peek == "?") { next(); pathModified = true; base = ZeroOrOne(base) }
+      if (inv) Inv(base) else base
+    }
+
+    private def iriToken(): String = {
+      val t = next()
+      if (t.equalsIgnoreCase("a")) RdfTypeIri
+      else if (t.startsWith("<")) stripIri(t)
+      else expandPname(t)
+    }
+
+    private def varOrTerm(): Pat = {
+      if (peek.startsWith("?")) V(next().substring(1))
+      else if (peek.startsWith("_:")) { val t = next(); C(Term.bnode(lit(t.substring(2)))) }
+      else C(termConst())
+    }
+
+    private def termConst(): Column = {
+      val t = next()
+      if (t.startsWith("<")) Term.iri(stripIri(t))
+      else if (t.startsWith("\"")) parseLiteral(t)
+      else if (t.equalsIgnoreCase("a")) Term.iri(RdfTypeIri)
+      else if (t.equalsIgnoreCase("true")) Term.bool(lit(true))
+      else if (t.equalsIgnoreCase("false")) Term.bool(lit(false))
+      else if (t.headOption.exists(c => c.isDigit || c == '-' || c == '.') &&
+               t.exists(_.isDigit)) {
+        if (t.contains('.')) Term.num(lit(new java.math.BigDecimal(t)), Term.XsdDecimal)
+        else Term.num(lit(t.toLong), Term.XsdInteger)
+      }
+      else Term.iri(expandPname(t))
+    }
+
+    private def parseLiteral(t: String): Column = {
+      val endQ = t.lastIndexOf('"')
+      val lex = unescape(t.substring(1, endQ))
+      val rest = t.substring(endQ + 1)
+      if (rest.startsWith("@")) Term.langStr(lit(lex), lit(rest.substring(1)))
+      else if (rest.startsWith("^^")) {
+        val dt = if (rest.charAt(2) == '<') rest.substring(3, rest.length - 1)
+                 else expandPname(rest.substring(2))
+        dt match {
+          case Term.XsdInteger | Term.XsdDecimal | Term.XsdDouble =>
+            Term.num(lit(new java.math.BigDecimal(lex)), dt)
+          case Term.XsdBoolean => Term.bool(lit(lex == "true" || lex == "1"))
+          case other => Term.typed(lit(lex), lit(other))
+        }
+      } else Term.str(lit(lex))
+    }
+
+    private def unescape(s: String): String =
+      s.replace("\\n", "\n").replace("\\t", "\t").replace("\\\"", "\"")
+        .replace("\\\\", "\\")
+
+    // ---------------- expressions ----------------
+
+    private def expression(): Expr = orExpr()
+
+    private def boolTerm(c: Column): Column =
+      when(c.isNull, Term.unbound).otherwise(Term.bool(c))
+
+    private def orExpr(): Expr = {
+      var a = andExpr()
+      while (peek == "||") { next(); val b = andExpr()
+        val (x, y) = (a, b); a = r => boolTerm(TermOps.ebv(x(r)) || TermOps.ebv(y(r))) }
+      a
+    }
+
+    private def andExpr(): Expr = {
+      var a = relExpr()
+      while (peek == "&&") { next(); val b = relExpr()
+        val (x, y) = (a, b); a = r => boolTerm(TermOps.ebv(x(r)) && TermOps.ebv(y(r))) }
+      a
+    }
+
+    private def relExpr(): Expr = {
+      val a = addExpr()
+      peek match {
+        case "=" => next(); val b = addExpr(); r => boolTerm(TermOps.valueEq(a(r), b(r)))
+        case "!=" => next(); val b = addExpr(); r => boolTerm(!TermOps.valueEq(a(r), b(r)))
+        case "<" => next(); val b = addExpr(); r => boolTerm(TermOps.lt(a(r), b(r)))
+        case ">" => next(); val b = addExpr(); r => boolTerm(TermOps.gt(a(r), b(r)))
+        case "<=" => next(); val b = addExpr(); r => boolTerm(TermOps.le(a(r), b(r)))
+        case ">=" => next(); val b = addExpr(); r => boolTerm(TermOps.ge(a(r), b(r)))
+        case "IN" | "in" | "In" => next(); inList(a, negated = false)
+        case _ if peekIs("NOT") => next(); expect("IN"); inList(a, negated = true)
+        case _ => a
+      }
+    }
+
+    private def inList(a: Expr, negated: Boolean): Expr = {
+      expect("(")
+      var items = Vector.empty[Column]
+      while (peek != ")") { items :+= termConst(); if (peek == ",") next() }
+      expect(")")
+      r => {
+        val eqs = items.map(t => TermOps.valueEq(a(r), t))
+        val any = eqs.reduce(_ || _)
+        boolTerm(if (negated) !any else any)
+      }
+    }
+
+    private def addExpr(): Expr = {
+      var a = mulExpr()
+      while (peek == "+" || peek == "-") {
+        val op = next(); val b = mulExpr(); val (x, y) = (a, b)
+        a = if (op == "+") r => TermOps.arith(x(r), y(r), _ + _)
+            else r => TermOps.arith(x(r), y(r), _ - _)
+      }
+      a
+    }
+
+    private def mulExpr(): Expr = {
+      var a = unaryExpr()
+      while (peek == "*" || peek == "/") {
+        val op = next(); val b = unaryExpr(); val (x, y) = (a, b)
+        a = if (op == "*") r => TermOps.arith(x(r), y(r), _ * _)
+            else r => TermOps.arith(x(r), y(r), _ / _)
+      }
+      a
+    }
+
+    private def unaryExpr(): Expr = {
+      if (peek == "!") { next(); val e = unaryExpr(); r => boolTerm(!TermOps.ebv(e(r))) }
+      else if (peek == "-") { next(); val e = unaryExpr()
+        r => TermOps.arith(Term.num(lit(0)), e(r), _ - _) }
+      else if (peek == "+") { next(); unaryExpr() }
+      else primaryExpr()
+    }
+
+    private def primaryExpr(): Expr = {
+      val t = peek
+      if (t == "(") { next(); val e = expression(); expect(")"); e }
+      else if (t.startsWith("?")) { next(); val v = t.substring(1); r => r(v) }
+      else if (isAggregate(t)) aggregateCall()
+      else if (isFunction(t)) functionCall()
+      else { val c = termConst(); _ => c }
+    }
+
+    private val aggregateNames =
+      Set("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
+    private def isAggregate(t: String) = aggregateNames(t.toUpperCase)
+
+    private def aggregateCall(): Expr = {
+      val name = next().toUpperCase
+      expect("(")
+      val distinct = if (peekIs("DISTINCT")) { next(); true } else false
+      val (key, agg): (String, AggExpr) =
+        if (peek == "*") { next(); ("COUNT(*)", Aggs.countStar) }
+        else {
+          val v = next().substring(1)
+          name match {
+            case "COUNT" =>
+              if (distinct) (s"COUNT(DISTINCT ?$v)", Aggs.countDistinctVar(v))
+              else (s"COUNT(?$v)", Aggs.countVar(v))
+            case "SUM" => (s"SUM(?$v)", Aggs.sumVar(v))
+            case "AVG" => (s"AVG(?$v)", Aggs.avgVar(v))
+            case "MIN" => (s"MIN(?$v)", Aggs.minVar(v))
+            case "MAX" => (s"MAX(?$v)", Aggs.maxVar(v))
+            case "SAMPLE" => (s"SAMPLE(?$v)", Aggs.sampleVar(v))
+            case "GROUP_CONCAT" =>
+              var sep = " "
+              if (peek == ";") { next(); val kw = next() // SEPARATOR
+                require(kw.equalsIgnoreCase("SEPARATOR"), s"expected SEPARATOR, got $kw")
+                expect("="); val s = next(); sep = s.substring(1, s.lastIndexOf('"')) }
+              (s"GROUP_CONCAT(?$v,$sep)", Aggs.groupConcatVar(v, sep))
+          }
+        }
+      expect(")")
+      val internal = aggKeys.getOrElse(key, {
+        val v = s"__agg_${aggs.size}"
+        aggs :+= (v -> agg); aggKeys += key -> v; v
+      })
+      r => col(internal)
+    }
+
+    private val functionNames = Set(
+      "BOUND", "STR", "LANG", "DATATYPE", "ISIRI", "ISURI", "ISLITERAL",
+      "ISBLANK", "ISNUMERIC", "SAMETERM", "IF", "COALESCE", "REGEX",
+      "CONTAINS", "STRSTARTS", "STRENDS", "STRLEN", "UCASE", "LCASE",
+      "CONCAT", "SUBSTR", "ABS", "CEIL", "FLOOR", "ROUND", "YEAR", "MONTH",
+      "DAY", "MD5", "LANGMATCHES", "STRBEFORE", "STRAFTER", "REPLACE")
+    private def isFunction(t: String) = functionNames(t.toUpperCase)
+
+    /** Functions whose trailing arguments must be constant string literals
+      * (patterns/separators compiled into the plan, not data-dependent).
+      */
+    private val constStrFns = Set("REGEX", "STRBEFORE", "STRAFTER", "REPLACE",
+                                  "LANGMATCHES")
+
+    private def functionCall(): Expr = {
+      val name = next().toUpperCase
+      expect("(")
+      var args = Vector.empty[Expr]
+      var strs = Vector.empty[String]
+      if (constStrFns(name)) {
+        args :+= expression()
+        while (peek == ",") {
+          next()
+          val t = next()
+          require(t.startsWith("\""), s"$name needs a constant string, got '$t'")
+          strs :+= unescape(t.substring(1, t.lastIndexOf('"')))
+        }
+      } else {
+        while (peek != ")") { args :+= expression(); if (peek == ",") next() }
+      }
+      expect(")")
+      def litString(i: Int): String = strs(i)
+      val f: Expr = name match {
+        case "BOUND" => r => boolTerm(TermOps.bound(args(0)(r)))
+        case "STR" => r => TermOps.strFn(args(0)(r))
+        case "LANG" => r => TermOps.langFn(args(0)(r))
+        case "DATATYPE" => r => TermOps.datatypeFn(args(0)(r))
+        case "ISIRI" | "ISURI" => r => boolTerm(Term.isIri(args(0)(r)))
+        case "ISLITERAL" => r => boolTerm(Term.isLiteral(args(0)(r)))
+        case "ISBLANK" => r => boolTerm(Term.isBnode(args(0)(r)))
+        case "ISNUMERIC" => r => boolTerm(Term.isNumeric(args(0)(r)))
+        case "SAMETERM" => r => boolTerm(TermOps.sameTerm(args(0)(r), args(1)(r)))
+        case "IF" => r => when(TermOps.ebv(args(0)(r)), args(1)(r)).otherwise(args(2)(r))
+        case "COALESCE" => r => coalesce(args.map(_(r)): _*)
+        case "REGEX" => r => boolTerm(Term.lex(args(0)(r)).rlike(litString(0)))
+        case "CONTAINS" => r => boolTerm(Term.lex(args(0)(r)).contains(Term.lex(args(1)(r))))
+        case "STRSTARTS" => r => boolTerm(Term.lex(args(0)(r)).startsWith(Term.lex(args(1)(r))))
+        case "STRENDS" => r => boolTerm(Term.lex(args(0)(r)).endsWith(Term.lex(args(1)(r))))
+        case "STRLEN" => r => Term.num(length(Term.lex(args(0)(r))).cast("long"), Term.XsdInteger)
+        case "UCASE" => r => Term.str(upper(Term.lex(args(0)(r))))
+        case "LCASE" => r => Term.str(lower(Term.lex(args(0)(r))))
+        case "CONCAT" => r => Term.str(concat(args.map(a => Term.lex(a(r))): _*))
+        case "SUBSTR" => r =>
+          if (args.size >= 3)
+            Term.str(Term.lex(args(0)(r)).substr(Term.numVal(args(1)(r)).cast("int"),
+                                                 Term.numVal(args(2)(r)).cast("int")))
+          else Term.str(Term.lex(args(0)(r)).substr(
+            Term.numVal(args(1)(r)).cast("int"), length(Term.lex(args(0)(r)))))
+        case "STRBEFORE" => r => {
+          val (x, d) = (Term.lex(args(0)(r)), litString(0))
+          Term.str(when(x.contains(d), substring_index(x, d, 1)).otherwise(""))
+        }
+        case "STRAFTER" => r => {
+          val (x, d) = (Term.lex(args(0)(r)), litString(0))
+          Term.str(when(x.contains(d), substring_index(x, d, -1)).otherwise(""))
+        }
+        case "REPLACE" => r => Term.str(
+          regexp_replace(Term.lex(args(0)(r)), litString(0), litString(1)))
+        case "ABS" => r => numFn(args(0)(r), abs)
+        case "CEIL" => r => numFn(args(0)(r), c => ceil(c).cast(Term.numType))
+        case "FLOOR" => r => numFn(args(0)(r), c => floor(c).cast(Term.numType))
+        case "ROUND" => r => numFn(args(0)(r), c => round(c, 0))
+        case "MD5" => r => Term.str(md5(Term.lex(args(0)(r))))
+        case "LANGMATCHES" => r => boolTerm(
+          lower(Term.lex(args(0)(r))) === lower(lit(litString(0))) ||
+          lit(litString(0)) === "*" && length(Term.lex(args(0)(r))) > 0)
+        case other => throw new IllegalArgumentException(s"unsupported function $other")
+      }
+      f
+    }
+
+
+    private def numFn(t: Column, f: Column => Column): Column =
+      when(Term.numVal(t).isNotNull, Term.num(f(Term.numVal(t)).cast(Term.numType)))
+        .otherwise(Term.unbound)
+
+    private def stripIri(t: String): String = t.substring(1, t.length - 1)
+
+    private def expandPname(t: String): String = {
+      val idx = t.indexOf(':')
+      require(idx >= 0, s"not an IRI or prefixed name: '$t'")
+      val (p, local) = (t.substring(0, idx), t.substring(idx + 1))
+      prefixes.get(p) match {
+        case Some(ns) => ns + local
+        case None => throw new IllegalArgumentException(s"unknown prefix '$p:'")
+      }
+    }
+  }
+
+  private val RdfTypeIri = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+}

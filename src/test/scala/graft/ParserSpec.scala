@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import graft.rdf.{NTriples, Term}
+import graft.sparql.Parser
+
+/** End-to-end SPARQL text → result tests over the same fixture graph as
+  * RdfAlgebraSpec (the analogue of the reference's .rq golden files).
+  */
+class ParserSpec extends SparkSpecBase {
+
+  private val EX = "http://ex/"
+
+  private lazy val fixture: DataFrame = {
+    val nt = Seq(
+      s"""<${EX}alice> <${EX}worksFor> <${EX}acme> .""",
+      s"""<${EX}bob> <${EX}worksFor> <${EX}acme> .""",
+      s"""<${EX}carol> <${EX}worksFor> <${EX}globex> .""",
+      s"""<${EX}dave> <${EX}worksFor> <${EX}globex> .""",
+      s"""<${EX}acme> <${EX}name> "Acme" .""",
+      s"""<${EX}globex> <${EX}name> "Globex" .""",
+      s"""<${EX}alice> <${EX}age> "30"^^<${Term.XsdInteger}> .""",
+      s"""<${EX}bob> <${EX}age> "25.5"^^<${Term.XsdDecimal}> .""",
+      s"""<${EX}carol> <${EX}age> "41"^^<${Term.XsdInteger}> .""",
+      s"""<${EX}alice> <${EX}knows> <${EX}bob> .""",
+      s"""<${EX}bob> <${EX}knows> <${EX}carol> .""")
+    NTriples.parseLines(spark,
+      spark.createDataset(nt)(Encoders.STRING).toDF("value")).cache()
+  }
+
+  private def q(text: String): DataFrame = Parser.select(spark, fixture, text)
+  private def lexSeq(df: DataFrame, v: String): Seq[String] =
+    df.select(Term.lex(col(v))).collect().map(_.getString(0)).toSeq
+
+  private val P = s"PREFIX ex: <$EX>\n"
+
+  test("SELECT with prefixes, BGP, FILTER comparison") {
+    val df = q(P + "SELECT ?x WHERE { ?x ex:age ?a . FILTER(?a > 26) } ORDER BY ?x")
+    assert(lexSeq(df, "x") == Seq(EX + "alice", EX + "carol"))
+  }
+
+  test("OPTIONAL + BOUND") {
+    val df = q(P +
+      """SELECT ?x WHERE {
+           ?x ex:worksFor ?o .
+           OPTIONAL { ?x ex:age ?a }
+           FILTER(!BOUND(?a))
+         }""")
+    assert(lexSeq(df, "x") == Seq(EX + "dave"))
+  }
+
+  test("UNION and DISTINCT") {
+    val df = q(P +
+      """SELECT DISTINCT ?n WHERE {
+           { ?c ex:worksFor ?x . ?x ex:name ?n } UNION { ?x ex:name ?n }
+         } ORDER BY ?n""")
+    assert(lexSeq(df, "n") == Seq("Acme", "Globex"))
+  }
+
+  test("MINUS and FILTER NOT EXISTS agree here") {
+    val m = q(P + "SELECT ?x WHERE { ?x ex:worksFor ?o MINUS { ?x ex:age ?a } }")
+    val ne = q(P + "SELECT ?x WHERE { ?x ex:worksFor ?o FILTER NOT EXISTS { ?x ex:age ?a } }")
+    assert(lexSeq(m, "x").sorted == Seq(EX + "dave"))
+    assert(lexSeq(ne, "x").sorted == Seq(EX + "dave"))
+  }
+
+  test("BIND arithmetic and IN") {
+    val df = q(P +
+      """SELECT ?x ?a2 WHERE {
+           ?x ex:age ?a . BIND(?a * 2 AS ?a2)
+           FILTER(?x IN (ex:alice, ex:bob))
+         } ORDER BY ?x""")
+    assert(df.select(Term.numVal(col("a2"))).collect()
+      .map(_.getDecimal(0).doubleValue()).toSeq == Seq(60.0, 51.0))
+  }
+
+  test("VALUES inline data") {
+    val df = q(P +
+      """SELECT ?x ?a WHERE {
+           VALUES ?x { ex:alice ex:carol }
+           ?x ex:age ?a
+         } ORDER BY ?x""")
+    assert(lexSeq(df, "a") == Seq("30", "41"))
+  }
+
+  test("aggregates with GROUP BY / HAVING and aliased expression") {
+    val df = q(P +
+      """SELECT ?o (COUNT(?x) AS ?n) (AVG(?a) AS ?avg) WHERE {
+           ?x ex:worksFor ?o .
+           OPTIONAL { ?x ex:age ?a }
+         } GROUP BY ?o HAVING(COUNT(?x) > 1) ORDER BY ?o""")
+    val rows = df.collect()
+    assert(rows.length == 2)
+    val byOrg = rows.map(r => r.getStruct(0).getString(1) ->
+      r.getStruct(1).getDecimal(4).intValue()).toMap
+    assert(byOrg(EX + "acme") == 2 && byOrg(EX + "globex") == 2)
+  }
+
+  test("property path + and sequence via text syntax") {
+    val df = q(P + "SELECT ?y WHERE { ex:alice ex:knows+ ?y } ORDER BY ?y")
+    assert(lexSeq(df, "y") == Seq(EX + "bob", EX + "carol"))
+    val df2 = q(P + "SELECT ?n WHERE { ?x ex:worksFor/ex:name ?n . ?x ex:age ?a . FILTER(?a > 26) } ORDER BY ?n")
+    assert(lexSeq(df2, "n") == Seq("Acme", "Globex"))
+  }
+
+  test("string functions and REGEX") {
+    val df = q(P +
+      """SELECT ?n ?u WHERE {
+           ?x ex:name ?n . BIND(UCASE(?n) AS ?u)
+           FILTER(REGEX(?n, "^A"))
+         }""")
+    val r = df.collect()
+    assert(r.length == 1)
+    assert(r(0).getStruct(1).getString(1) == "ACME")
+  }
+
+  test("ASK and CONSTRUCT from text") {
+    assert(Parser.ask(spark, fixture, P + "ASK { ex:alice ex:knows ex:bob }"))
+    assert(!Parser.ask(spark, fixture, P + "ASK { ex:bob ex:knows ex:alice }"))
+    val g = Parser.construct(spark, fixture, P +
+      """CONSTRUCT { ?x ex:colleague ?y } WHERE {
+           ?x ex:worksFor ?o . ?y ex:worksFor ?o . FILTER(?x != ?y)
+         }""")
+    assert(g.count() == 4) // 2 pairs x 2 directions
+  }
+
+  test("sub-SELECT in a group") {
+    val df = q(P +
+      """SELECT ?x ?maxa WHERE {
+           ?x ex:age ?maxa .
+           { SELECT (MAX(?a) AS ?maxa) WHERE { ?y ex:age ?a } }
+         }""")
+    assert(lexSeq(df, "x") == Seq(EX + "carol"))
+  }
+
+  test("ORDER BY DESC with LIMIT/OFFSET") {
+    val df = q(P +
+      "SELECT ?x ?a WHERE { ?x ex:age ?a } ORDER BY DESC(?a) LIMIT 2 OFFSET 1")
+    assert(lexSeq(df, "x") == Seq(EX + "alice", EX + "bob"))
+  }
+}
