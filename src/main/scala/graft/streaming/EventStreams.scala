@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the event schema.
+  *
+  * The reference has NO streaming model (SURVEY.md §1.5/§2.16) — its closest
+  * artifacts are the change-log listeners
+  * (/root/reference/bigdata-sails/src/java/com/bigdata/rdf/sail/changesets/)
+  * and incremental truth maintenance. This module is the additive streaming
+  * story: the same event relation consumed incrementally with watermarked
+  * event-time windows and custom session state.
+  *
+  * Scale posture: both operators are classic keyed streaming aggregations —
+  * state is partitioned by (window, type) / user key across executors, the
+  * watermark bounds state size, and checkpointing makes them exactly-once on
+  * a real sink.
+  */
+object EventStreams {
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, n_events: Int, total_value: Double,
+                           started: java.sql.Timestamp, ended: java.sql.Timestamp)
+
+  /** Watermarked tumbling-window counts/sums per event type.
+    * 10-minute windows, 20-minute allowed lateness.
+    */
+  def windowedTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("n"), col("total"))
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session closes
+    * after `gapMinutes` without events (processing-time timeout drives
+    * emission between batches; end-of-stream flush is the caller's concern).
+    */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Ev], Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[Ev], state: GroupState[List[Ev]]) =>
+          if (state.hasTimedOut) {
+            val evs = state.get
+            state.remove()
+            Iterator(mkSession(user, evs))
+          } else {
+            val all = (state.getOption.getOrElse(Nil) ++ batch.toList).sortBy(_.ts.getTime)
+            // split on gaps: emit all closed sessions, keep the open one
+            val (closed, open) = splitSessions(all, gapMs)
+            if (open.nonEmpty) {
+              state.update(open)
+              state.setTimeoutTimestamp(open.last.ts.getTime + gapMs)
+            } else state.remove()
+            closed.iterator.map(evs => mkSession(user, evs))
+          }
+      }
+  }
+
+  private def splitSessions(evs: List[Ev], gapMs: Long): (List[List[Ev]], List[Ev]) = {
+    if (evs.isEmpty) return (Nil, Nil)
+    val sessions = evs.tail.foldLeft(List(List(evs.head))) { (acc, e) =>
+      val cur = acc.head
+      if (e.ts.getTime - cur.last.ts.getTime > gapMs) List(e) :: acc
+      else (cur :+ e) :: acc.tail
+    }.reverse
+    (sessions.init, sessions.last)
+  }
+
+  private def mkSession(user: Long, evs: List[Ev]): Session =
+    Session(user, evs.size, evs.map(_.value).sum, evs.head.ts, evs.last.ts)
+
+  /** File-source streaming ingest of the same parquet schema → windowed
+    * aggregate → a sink; demonstrates the deploy shape (readStream over a
+    * directory a loader appends to).
+    */
+  def fileStreamCounts(spark: SparkSession, dir: String): DataFrame =
+    windowedTypeCounts(
+      spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
+                "value DOUBLE, props STRING")
+        .parquet(dir))
+}

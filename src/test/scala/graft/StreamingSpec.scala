@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+
+/** Structured Streaming semantics via MemoryStream micro-batches. */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("watermarked windowed counts aggregate per 10-minute window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.windowedTypeCounts(input.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        Ev(1, ts(1), 7, "click", 1.0), Ev(2, ts(4), 7, "click", 2.0),
+        Ev(3, ts(11), 8, "view", 5.0), Ev(4, ts(12), 7, "click", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows == Set(
+        ("2026-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2026-01-01 10:10:00.0", "click", 1L, 3.0),
+        ("2026-01-01 10:10:00.0", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionization closes a session after the gap, keeps the open one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 5)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 7: events at :01 and :03 (one session), then :30 (new session)
+      input.addData(
+        Ev(1, ts(1), 7, "click", 1.0), Ev(2, ts(3), 7, "click", 2.0),
+        Ev(3, ts(30), 7, "view", 4.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[EventStreams.Session].collect()
+      // the :01-:03 session is closed by the :30 event (gap > 5 min)
+      assert(sessions.length == 1)
+      assert(sessions(0).n_events == 2 && sessions(0).total_value == 3.0)
+      assert(sessions(0).started == ts(1) && sessions(0).ended == ts(3))
+    } finally q.stop()
+  }
+}
