@@ -79,6 +79,9 @@ object Graphs {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     var labels = materialize(nodes.withColumn("component", col("node")))
+    // labels are monotonically non-increasing, so an unchanged sum is an
+    // exact convergence test — one cheap aggregate instead of an except()
+    var sum0 = labels.agg(sum(col("component"))).head().getLong(0)
     var i = 0
     var done = false
     while (i < maxIters && !done) {
@@ -90,7 +93,9 @@ object Graphs {
       val next = materialize(
         labels.unionByName(fromNbr).unionByName(jump)
           .groupBy("node").agg(min(col("component")).as("component")))
-      if (next.except(labels).isEmpty) done = true
+      val sum1 = next.agg(sum(col("component"))).head().getLong(0)
+      if (sum1 == sum0) done = true
+      sum0 = sum1
       labels = next
       i += 1
     }

@@ -40,20 +40,30 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         blockCol: String = "lang"): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), col(blockCol).as("block"),
-              explode(shingles(words(col("text")), n)).as("shingle"))
+    // materialize: the shingle relation feeds three plan branches (two join
+    // sides + sizes); without this Spark recomputes the explode 3x
+    // two-step select: tokenization lands in a real column first, so the
+    // shingle lambda's element_at references don't each re-inline (and
+    // re-evaluate) the split — that inlining is quadratic in document size
+    val sh = graft.util.Fixpoint.materialize(
+      docs.repartition(col("doc_id"))
+        .select(col("doc_id"), col(blockCol).as("block"), words(col("text")).as("ws"))
+        .select(col("doc_id"), col("block"), explode(shingles(col("ws"), n)).as("shingle")))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val shared = sh.as("a")
-      .join(sh.as("b"),
+    val shWithSize = sh.join(sizes, "doc_id")
+    // J >= t implies the smaller set has at least t x the larger's size:
+    // prune cross-size pairs before the expensive shared-count aggregation
+    val shared = shWithSize.as("a")
+      .join(shWithSize.as("b"),
             col("a.shingle") === col("b.shingle") &&
             col("a.block") === col("b.block") &&
-            col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+            col("a.doc_id") < col("b.doc_id") &&
+            col("a.n_sh") * threshold <= col("b.n_sh") &&
+            col("b.n_sh") * threshold <= col("a.n_sh"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+               col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
       .withColumn("jaccard",
         round(col("n_shared").cast(DoubleType) /
               (col("n_a") + col("n_b") - col("n_shared")), 6))
@@ -61,17 +71,33 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signatures: for hash function i in [0, numHashes), the signature
-    * is min over shingles s of hash64(i || '|' || s).
-    * Output: (doc_id, i, minhash).
+  /** Wide MinHash signatures: one row per doc with columns m0..m{k-1},
+    * m_i = min over shingles s of hash64(i || '|' || s).
+    *
+    * Computed as k parallel min-aggregates over the shingle relation — no
+    * k-way explode, so the shuffle carries one row per (doc, shingle) and
+    * the mins combine map-side.
     */
-  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame =
-    docs
-      .select(col("doc_id"), explode(shingles(words(col("text")), n)).as("shingle"))
-      .select(col("doc_id"), col("shingle"),
-              explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
-      .groupBy("doc_id", "i")
-      .agg(min(hash64(concat(col("i"), lit("|"), col("shingle")))).as("minhash"))
+  def minhashSignaturesWide(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    // repartition before the k md5s/row: the source table is often a single
+    // small parquet file (one input partition), which would serialize the
+    // hashing on one core
+    val sh = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(shingles(col("ws"), n)).as("shingle"))
+    val minCols = (0 until numHashes).map(i =>
+      min(hash64(concat(lit(i), lit("|"), col("shingle")))).as(s"m$i"))
+    sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** MinHash signatures in long form: (doc_id, i, minhash). */
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    val wide = minhashSignaturesWide(docs, n, numHashes)
+    val pairs = (0 until numHashes).map(i =>
+      struct(lit(i).as("i"), col(s"m$i").as("minhash")))
+    wide.select(col("doc_id"), explode(array(pairs: _*)).as("im"))
+      .select(col("doc_id"), col("im.i").as("i"), col("im.minhash").as("minhash"))
+  }
 
   /** LSH candidate pairs: split the signature into `bands` bands of
     * numHashes/bands rows each; docs sharing any full band signature are
@@ -81,13 +107,18 @@ object Dedup {
                            bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val bandSig = minhashSignatures(docs, n, numHashes)
-      .withColumn("band", (col("i") / rowsPerBand).cast(IntegerType))
-      .groupBy("doc_id", "band")
-      // array_agg ordered by i: sort_array of (i, minhash) structs keeps the
-      // in-band order deterministic regardless of shuffle order
-      .agg(sort_array(collect_list(struct(col("i"), col("minhash")))).as("sig"))
-      .withColumn("band_key", transform(col("sig"), s => s.getField("minhash")))
+    // band keys slice directly out of the wide signature row (in-band order
+    // is positional — no sort needed); materialized because the relation is
+    // both sides of the candidate self-join
+    val wide = minhashSignaturesWide(docs, n, numHashes)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+             array((0 until rowsPerBand).map(j => col(s"m${b * rowsPerBand + j}")): _*)
+               .as("band_key"))
+    }
+    val bandSig = graft.util.Fixpoint.materialize(
+      wide.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key")))
     bandSig.as("a")
       .join(bandSig.as("b"),
             col("a.band") === col("b.band") &&
@@ -102,6 +133,7 @@ object Dedup {
     */
   def simhash(docs: DataFrame, bits: Int = 32): DataFrame =
     docs
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .withColumn("h", hash64(col("w")))
       .select(col("doc_id"), col("h"),
@@ -119,8 +151,9 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
                    blockCol: String = "lang", bits: Int = 32): DataFrame = {
-    val sigs = simhash(docs, bits)
-      .join(docs.select(col("doc_id"), col(blockCol).as("block")), "doc_id")
+    val sigs = graft.util.Fixpoint.materialize(
+      simhash(docs, bits)
+        .join(docs.select(col("doc_id"), col(blockCol).as("block")), "doc_id"))
     sigs.as("a")
       .join(sigs.as("b"),
             col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))

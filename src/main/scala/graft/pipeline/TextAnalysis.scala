@@ -8,6 +8,10 @@ import TextPrep._
 /** Text-analysis operators for training-data curation: token statistics,
   * language identification, quality scoring, and content fingerprinting.
   * All pure column expressions (codegen'd end to end).
+  *
+  * Each operator tokenizes into a real `ws` column once, then computes over
+  * it — referencing the tokenizer expression repeatedly would re-inline (and
+  * re-run) the split per use.
   */
 object TextAnalysis {
 
@@ -22,12 +26,16 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "las", "y", "es", "de", "un", "una", "que"),
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "他"))
 
+  private def withWs(docs: DataFrame, lower_ : Boolean = false): DataFrame =
+    docs.withColumn("ws",
+      if (lower_) words(lower(col("text"))) else words(col("text")))
+
   /** Token statistics: count, distinct count, type/token ratio, mean token
     * length.
     */
   def tokenStats(docs: DataFrame): DataFrame = {
-    val ws = words(col("text"))
-    docs.select(
+    val ws = col("ws")
+    withWs(docs).select(
       col("doc_id"),
       size(ws).cast(LongType).as("n_tokens"),
       size(array_distinct(ws)).cast(LongType).as("n_distinct"),
@@ -41,7 +49,7 @@ object TextAnalysis {
     * votes resolve to 'und'. One pass, no explode: a filter-count per lexicon.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val ws = words(lower(col("text")))
+    val ws = col("ws")
     val scores: Seq[(String, Column)] = stopwords.toSeq.sortBy(_._1).map {
       case (lang, sw) =>
         lang -> size(filter(ws, w => w.isin(sw: _*)))
@@ -52,7 +60,8 @@ object TextAnalysis {
       case ((bl, bs), (lang, s)) =>
         (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
     }
-    docs.select(col("doc_id"), best._1.as("pred_lang"), best._2.cast(LongType).as("votes"))
+    withWs(docs, lower_ = true)
+      .select(col("doc_id"), best._1.as("pred_lang"), best._2.cast(LongType).as("votes"))
   }
 
   /** Heuristic quality score in [0,1]: combines length band, alphabetic
@@ -60,7 +69,7 @@ object TextAnalysis {
     * arithmetic only.
     */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val ws = words(col("text"))
+    val ws = col("ws")
     val nTok = size(ws).cast(DoubleType)
     val alphaRatio =
       length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast(DoubleType) /
@@ -71,7 +80,7 @@ object TextAnalysis {
     val lenScore = when(nTok >= 20 && nTok <= 1000, 1.0)
       .when(nTok >= 5, 0.5).otherwise(0.0)
     val wordLenScore = when(meanLen >= 3 && meanLen <= 10, 1.0).otherwise(0.5)
-    docs.select(
+    withWs(docs).select(
       col("doc_id"),
       round(lenScore, 6).as("len_score"),
       round(alphaRatio, 6).as("alpha_ratio"),
@@ -85,11 +94,11 @@ object TextAnalysis {
     * produce different fingerprints, unlike a bag hash).
     */
   def fingerprint(docs: DataFrame): DataFrame = {
-    val ws = words(lower(col("text")))
+    val ws = col("ws")
     val posHash = aggregate(
       zip_with(ws, sequence(lit(1), size(ws)), (w, i) => (hash64(w) % 1000003L) * i),
       lit(0L), (acc, v) => acc + v)
-    docs.select(
+    withWs(docs, lower_ = true).select(
       col("doc_id"),
       md5(normalized(col("text"))).as("fp_md5"),
       when(size(ws) > 0, posHash).otherwise(0L).as("fp_poly"))

@@ -87,8 +87,70 @@ object RDFS {
 
   /** Materialized RDFS closure of the default graph. Returns the input store
     * plus inferred triples (c NULL).
+    *
+    * Strategy: the reference's FastClosure insight (FastClosure.java:28) —
+    * order the rules so one pass suffices instead of a global fixpoint:
+    *   1. transitively close subPropertyOf (rdfs5),
+    *   2. apply property inheritance (rdfs7),
+    *   3. apply domain/range typing (rdfs2/rdfs3) on all facts,
+    *   4. transitively close subClassOf (rdfs11),
+    *   5. inherit types up the class hierarchy (rdfs9).
+    * Each schema closure is a log-round Paths.transitiveClosure; every rule
+    * application is a single broadcast join. `closureFixpoint` remains for
+    * rule sets that genuinely need it.
     */
   def closure(quads: DataFrame, maxIters: Int = 32): DataFrame = {
+    import graft.sparql.Paths
+    val triples = Fixpoint.materialize(
+      quads.filter(col("c").isNull).select("s", "p", "o").distinct())
+    def edges(pred: String) =
+      triples.filter(col("p") === p(pred))
+        .select(col("s").as("src"), col("o").as("dst"))
+    def asTriples(pairs: DataFrame, pred: String) =
+      pairs.select(col("src").as("s"), p(pred).as("p"), col("dst").as("o"))
+
+    // 1. + 2.: property hierarchy, then inherit facts along it
+    val spoClosed = Paths.transitiveClosure(edges(SubPropertyOf))
+    val inherited = triples.as("f")
+      .join(broadcast(spoClosed.as("h")), col("f.p") === col("h.src"))
+      .select(col("f.s").as("s"), col("h.dst").as("p"), col("f.o").as("o"))
+    val withInherited = Fixpoint.materialize(
+      triples.unionByName(asTriples(spoClosed, SubPropertyOf))
+        .unionByName(inherited).distinct())
+
+    // 3.: domain/range typing over all facts
+    def applySchema(pred: String, subjectSide: Boolean) = {
+      val schema = withInherited.filter(col("p") === p(pred))
+        .select(col("s").as("sp"), col("o").as("cls"))
+      withInherited.as("f")
+        .join(broadcast(schema), col("f.p") === col("sp"))
+        .select((if (subjectSide) col("f.s") else col("f.o")).as("s"),
+                p(RdfType).as("p"), col("cls").as("o"))
+    }
+    val typed = withInherited
+      .unionByName(applySchema(Domain, subjectSide = true))
+      .unionByName(applySchema(Range, subjectSide = false))
+
+    // 4. + 5.: class hierarchy, then inherit types up it
+    val scoClosed = Paths.transitiveClosure(
+      typed.filter(col("p") === p(SubClassOf))
+        .select(col("s").as("src"), col("o").as("dst")))
+    val typedAll = Fixpoint.materialize(typed.distinct())
+    val superTypes = typedAll.filter(col("p") === p(RdfType)).as("f")
+      .join(broadcast(scoClosed.as("h")), col("f.o") === col("h.src"))
+      .select(col("f.s").as("s"), p(RdfType).as("p"), col("h.dst").as("o"))
+
+    typedAll
+      .unionByName(asTriples(scoClosed, SubClassOf))
+      .unionByName(superTypes)
+      .distinct()
+      .withColumn("c", Term.unbound)
+  }
+
+  /** General fixpoint closure (FullClosure analogue) — for rule sets whose
+    * derivations feed each other in cycles the ordered pass can't cover.
+    */
+  def closureFixpoint(quads: DataFrame, maxIters: Int = 32): DataFrame = {
     val triples = quads.filter(col("c").isNull).select("s", "p", "o").distinct()
     val closed = Fixpoint.semiNaive(triples, maxIters)(round)
     closed.withColumn("c", Term.unbound)

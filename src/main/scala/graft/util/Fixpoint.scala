@@ -13,11 +13,12 @@ import org.apache.spark.sql.DataFrame
   */
 object Fixpoint {
 
-  /** Materialize a frame, truncate lineage, re-issue attribute ids. */
-  def materialize(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint(eager = true)
-    df.sparkSession.createDataFrame(cp.rdd, cp.schema)
-  }
+  /** Materialize a frame, truncate lineage, re-issue attribute ids.
+    * Conversion-free: reuses the checkpointed InternalRow RDD
+    * (org.apache.spark.sql.graft.Internal).
+    */
+  def materialize(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.Internal.freshIdCheckpoint(df)
 
   /** Semi-naive iteration: `all` accumulates, `step(all, delta)` produces
     * candidate new rows; loop ends when no new rows appear (or maxIters).

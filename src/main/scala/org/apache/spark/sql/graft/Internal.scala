@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Bridge into Spark's package-private session API.
+  *
+  * Fixpoint loops need frames that are (a) materialized with truncated
+  * lineage and (b) carry FRESH attribute ids (self-union/self-join across
+  * rounds otherwise trips Catalyst's union constraint rewrite on shared
+  * ids). The public route — `createDataFrame(df.rdd, schema)` — pays a full
+  * InternalRow→Row→InternalRow round trip per row; this helper reuses the
+  * checkpointed InternalRow RDD directly (zero conversion) and lets
+  * `internalCreateDataFrame` mint fresh output attributes.
+  */
+object Internal {
+
+  def freshIdCheckpoint(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(eager = true)
+    val classicDf =
+      cp.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = classicDf.sparkSession
+    spark.internalCreateDataFrame(
+      classicDf.queryExecution.toRdd, classicDf.schema, isStreaming = false)
+  }
+}
