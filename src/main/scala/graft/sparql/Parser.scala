@@ -594,7 +594,8 @@ object Parser {
       "ISBLANK", "ISNUMERIC", "SAMETERM", "IF", "COALESCE", "REGEX",
       "CONTAINS", "STRSTARTS", "STRENDS", "STRLEN", "UCASE", "LCASE",
       "CONCAT", "SUBSTR", "ABS", "CEIL", "FLOOR", "ROUND", "YEAR", "MONTH",
-      "DAY", "MD5", "LANGMATCHES", "STRBEFORE", "STRAFTER", "REPLACE")
+      "DAY", "HOURS", "MINUTES", "SECONDS", "MD5", "SHA1", "SHA256", "SHA512",
+      "ENCODE_FOR_URI", "LANGMATCHES", "STRBEFORE", "STRAFTER", "REPLACE")
     private def isFunction(t: String) = functionNames(t.toUpperCase)
 
     /** Functions whose trailing arguments must be constant string literals
@@ -662,6 +663,17 @@ object Parser {
         case "FLOOR" => r => numFn(args(0)(r), c => floor(c).cast(Term.numType))
         case "ROUND" => r => numFn(args(0)(r), c => round(c, 0))
         case "MD5" => r => Term.str(md5(Term.lex(args(0)(r))))
+        case "SHA1" => r => Term.str(sha1(Term.lex(args(0)(r))))
+        case "SHA256" => r => Term.str(sha2(Term.lex(args(0)(r)), 256))
+        case "SHA512" => r => Term.str(sha2(Term.lex(args(0)(r)), 512))
+        case "ENCODE_FOR_URI" => r => Term.str(url_encode(Term.lex(args(0)(r))))
+        // date/time accessors over xsd:dateTime lexical forms (DateBOp.java:47)
+        case "YEAR" => r => dtPart(args(0)(r), year)
+        case "MONTH" => r => dtPart(args(0)(r), month)
+        case "DAY" => r => dtPart(args(0)(r), dayofmonth)
+        case "HOURS" => r => dtPart(args(0)(r), hour)
+        case "MINUTES" => r => dtPart(args(0)(r), minute)
+        case "SECONDS" => r => dtPart(args(0)(r), second)
         case "LANGMATCHES" => r => boolTerm(
           lower(Term.lex(args(0)(r))) === lower(lit(litString(0))) ||
           lit(litString(0)) === "*" && length(Term.lex(args(0)(r))) > 0)
@@ -674,6 +686,12 @@ object Parser {
     private def numFn(t: Column, f: Column => Column): Column =
       when(Term.numVal(t).isNotNull, Term.num(f(Term.numVal(t)).cast(Term.numType)))
         .otherwise(Term.unbound)
+
+    private def dtPart(t: Column, f: Column => Column): Column = {
+      val ts = to_timestamp(Term.lex(t))
+      when(ts.isNotNull, Term.num(f(ts).cast(Term.numType), Term.XsdInteger))
+        .otherwise(Term.unbound)
+    }
 
     private def stripIri(t: String): String = t.substring(1, t.length - 1)
 

@@ -1,0 +1,95 @@
+package graft.sparql
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.rdf.{NTriples, Term}
+
+/** SPARQL result serializers — the result-sink surface (reference:
+  * content-negotiated writers behind
+  * /root/reference/bigdata-sails/src/java/com/bigdata/rdf/sail/webapp/
+  * ConnegUtil.java — SPARQL results XML/JSON/CSV/TSV).
+  *
+  * `toJson`/`toXml` collect (they serialize a *result*, inherently driver
+  * side — same as the reference streaming a response); `writeCsv` stays
+  * distributed.
+  */
+object Results {
+
+  private def esc(s: String): String = s
+    .replace("\\", "\\\\").replace("\"", "\\\"")
+    .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+
+  private def xesc(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def termJson(r: Row): Option[String] = {
+    if (r == null) return None
+    val kind = r.getByte(0)
+    val lex = esc(r.getString(1))
+    val dt = Option(r.getString(2))
+    val lang = Option(r.getString(3))
+    Some(kind match {
+      case 0 => s"""{"type":"uri","value":"$lex"}"""
+      case 1 => s"""{"type":"bnode","value":"$lex"}"""
+      case _ =>
+        val extra = lang.map(l => s""","xml:lang":"$l"""")
+          .orElse(dt.filter(_ != Term.XsdString).map(d => s""","datatype":"${esc(d)}""""))
+          .getOrElse("")
+        s"""{"type":"literal","value":"$lex"$extra}"""
+    })
+  }
+
+  /** SPARQL 1.1 Query Results JSON. */
+  def toJson(solutions: DataFrame): String = {
+    val vars = solutions.columns.toSeq
+    val rows = solutions.collect().map { row =>
+      val fields = vars.zipWithIndex.flatMap { case (v, i) =>
+        termJson(if (row.isNullAt(i)) null else row.getStruct(i))
+          .map(t => s""""${esc(v)}":$t""")
+      }
+      fields.mkString("{", ",", "}")
+    }
+    s"""{"head":{"vars":[${vars.map(v => s""""${esc(v)}"""").mkString(",")}]},""" +
+      s""""results":{"bindings":[${rows.mkString(",")}]}}"""
+  }
+
+  /** SPARQL Query Results XML. */
+  def toXml(solutions: DataFrame): String = {
+    val vars = solutions.columns.toSeq
+    val sb = new StringBuilder
+    sb ++= """<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#"><head>"""
+    vars.foreach(v => sb ++= s"""<variable name="${xesc(v)}"/>""")
+    sb ++= "</head><results>"
+    solutions.collect().foreach { row =>
+      sb ++= "<result>"
+      vars.zipWithIndex.foreach { case (v, i) =>
+        if (!row.isNullAt(i)) {
+          val t = row.getStruct(i)
+          val lex = xesc(t.getString(1))
+          sb ++= s"""<binding name="${xesc(v)}">"""
+          t.getByte(0) match {
+            case 0 => sb ++= s"<uri>$lex</uri>"
+            case 1 => sb ++= s"<bnode>$lex</bnode>"
+            case _ =>
+              val dt = Option(t.getString(2)).filter(_ != Term.XsdString)
+              val lang = Option(t.getString(3))
+              val attrs = lang.map(l => s""" xml:lang="$l"""")
+                .orElse(dt.map(d => s""" datatype="${xesc(d)}""""))
+                .getOrElse("")
+              sb ++= s"<literal$attrs>$lex</literal>"
+          }
+          sb ++= "</binding>"
+        }
+      }
+      sb ++= "</result>"
+    }
+    sb ++= "</results></sparql>"
+    sb.toString
+  }
+
+  /** CSV sink: N-Triples-style term rendering, written distributed. */
+  def writeCsv(solutions: DataFrame, path: String): Unit =
+    solutions
+      .select(solutions.columns.map(v => NTriples.termToString(col(v)).as(v)): _*)
+      .write.mode("overwrite").option("header", "true").csv(path)
+}
