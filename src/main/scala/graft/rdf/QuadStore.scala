@@ -56,12 +56,23 @@ object QuadStore {
   def copyGraph(store: DataFrame, from: Column, to: Column): DataFrame =
     insert(store, store.filter(col("c") <=> from).withColumn("c", to))
 
-  /** Persist partitioned for predicate pruning at scale. */
-  def save(quads: DataFrame, path: String, pBuckets: Int = 64): Unit =
+  /** Bucket count for predicate partitioning — fixed so readers can derive
+    * the partition filter from a constant predicate (Translator adds it).
+    */
+  val PBuckets = 64
+
+  /** Persist partitioned for predicate pruning at scale: quads cluster by a
+    * hash bucket of the predicate (the POS covering index's locality,
+    * SPOKeyOrder.java:89-127, reborn as partition pruning).
+    */
+  def save(quads: DataFrame, path: String): Unit =
     quads
-      .withColumn("p_bucket", pmod(hash(col("p.lex")), lit(pBuckets)))
+      .withColumn("p_bucket", pmod(hash(col("p.lex")), lit(PBuckets)))
       .write.mode("overwrite").partitionBy("p_bucket").parquet(path)
 
+  /** Load a persisted store; keeps `p_bucket` so bound-predicate patterns
+    * prune partitions (Translator.translateTp consumes and drops it).
+    */
   def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("p_bucket")
+    spark.read.parquet(path)
 }

@@ -72,4 +72,7 @@ object Algebra {
   final case class Values(df: DataFrame, certain: Set[String]) extends Node
   /** GRAPH ?g / GRAPH <iri> group: rewrites child patterns' graph position. */
   final case class GraphNode(g: Pat, child: Node) extends Node
+  /** SERVICE <iri> { config BGP }: evaluated by a registered internal
+    * service (Services.scala), result joined into the group. */
+  final case class ServiceNode(iri: String, config: Seq[TriplePattern]) extends Node
 }

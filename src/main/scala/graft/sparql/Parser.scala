@@ -284,6 +284,12 @@ object Parser {
           val g = if (peek.startsWith("?")) V(next().substring(1)) else C(termConst())
           expect("{"); val sub = groupGraphPattern(); expect("}")
           add(GraphNode(g, sub))
+        } else if (peekIs("SERVICE")) {
+          next()
+          val iri = iriToken()
+          expect("{"); val sub = groupGraphPattern(); expect("}")
+          val config = collectBgp(sub)
+          add(ServiceNode(iri, config))
         } else if (peek == "{") {
           // group or union chain or sub-select
           next()
@@ -308,6 +314,14 @@ object Parser {
       existsFilters.foreach { case (sub, neg) => node = ExistsFilter(node, sub, neg) }
       filters.foreach(f => node = Filter(r => TermOps.ebv(f(r)), node))
       node
+    }
+
+    /** Flatten a parsed group into its triple patterns (SERVICE config). */
+    private def collectBgp(n: Node): Seq[TriplePattern] = n match {
+      case Bgp(tps) => tps
+      case Join(l, r) => collectBgp(l) ++ collectBgp(r)
+      case other => throw new IllegalArgumentException(
+        s"SERVICE group must be a plain BGP, found: ${other.getClass.getSimpleName}")
     }
 
     private def emptyNode: Node = {

@@ -1,0 +1,105 @@
+package graft.sparql
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.rdf.Term
+import graft.search.FullText
+import Algebra._
+import Translator.Result
+
+/** Internal SERVICE registry — the ServiceCallJoin/ServiceRegistry analogue
+  * (/root/reference/bigdata/src/java/com/bigdata/bop/controller/
+  * ServiceCallJoin.java:103; registry sparql/ast/service/
+  * ServiceRegistry.java:34). Remote HTTP endpoints are out of scope
+  * (zero-egress); internal services evaluate a configuration BGP into a
+  * solution DataFrame that joins back into the enclosing group.
+  *
+  * Built-in: `graft://search` — the bds:search magic-predicate surface
+  * (reference rdf/store/BDS.java:94-143):
+  *
+  *   SERVICE <graft://search> {
+  *     ?lit <graft://search#query> "spark fast" .
+  *     ?lit <graft://search#relevance> ?score .     # optional
+  *     ?lit <graft://search#rank> ?rank .           # optional
+  *     ?lit <graft://search#minRelevance> "0.1" .   # optional
+  *     ?lit <graft://search#maxRank> "20" .         # optional
+  *   }
+  *
+  * binds ?lit to matching string literals in the store's default graph.
+  */
+object Services {
+
+  type ServiceFn = (DataFrame, Seq[TriplePattern]) => Result
+
+  private var registry = Map.empty[String, ServiceFn]
+
+  def register(iri: String, fn: ServiceFn): Unit = synchronized {
+    registry += iri -> fn
+  }
+
+  def lookup(iri: String): ServiceFn =
+    registry.getOrElse(iri,
+      throw new IllegalArgumentException(s"unknown SERVICE <$iri>"))
+
+  // ---- built-in: full-text search over the store's string literals ----
+
+  val SearchIri = "graft://search"
+  private val NS = "graft://search#"
+
+  register(SearchIri, (quads: DataFrame, config: Seq[TriplePattern]) => {
+    // extract (predicate-iri -> subject, object) via the constants' lex forms
+    val entries: Seq[(String, Pat, Pat)] = config.map {
+      case TriplePattern(s, C(pc), o, _) =>
+        (constLex(pc), s, o)
+      case other => throw new IllegalArgumentException(
+        s"search service config must use constant predicates: $other")
+    }
+    def find(suffix: String): Option[(Pat, Pat)] =
+      entries.collectFirst { case (p, s, o) if p == NS + suffix => (s, o) }
+
+    val (litVarPat, queryPat) = find("query").getOrElse(
+      throw new IllegalArgumentException("search service needs a #query triple"))
+    val litVar = litVarPat match {
+      case V(n) => n
+      case _ => throw new IllegalArgumentException("search subject must be a variable")
+    }
+    val queryText = queryPat match {
+      case C(t) => constLex(t)
+      case _ => throw new IllegalArgumentException("#query must be a constant string")
+    }
+    val minRel = find("minRelevance").flatMap {
+      case (_, C(t)) => Some(constLex(t).toDouble); case _ => None }.getOrElse(0.0)
+    val maxRank = find("maxRank").flatMap {
+      case (_, C(t)) => Some(constLex(t).toInt); case _ => None }.getOrElse(Int.MaxValue)
+    val scoreVar = find("relevance").collect { case (_, V(n)) => n }
+    val rankVar = find("rank").collect { case (_, V(n)) => n }
+
+    // docs = distinct string literals in the default graph
+    val lits = quads
+      .filter(col("c").isNull && Term.isLiteral(col("o")) &&
+              (Term.dt(col("o")) === Term.XsdString || Term.dt(col("o")).isNull))
+      .select(Term.lex(col("o")).as("doc"))
+      .distinct()
+      .withColumn("text", col("doc"))
+    val idx = FullText.buildIndex(lits)
+    val hits = FullText.search(idx, queryText.split("\\s+").toSeq, minRel, maxRank)
+
+    var out = hits.select(
+      (Term.str(col("doc")) +: (
+        scoreVar.map(_ => Term.num(col("score").cast(Term.numType))).toSeq ++
+        rankVar.map(_ => Term.num(col("rank").cast(Term.numType), Term.XsdInteger)).toSeq
+      )): _*)
+    val names = litVar +: (scoreVar.toSeq ++ rankVar.toSeq)
+    out = out.toDF(names: _*)
+    Result(out, names.toSet, Set.empty)
+  })
+
+  /** Recover the lexical form of a constant term Column (built by the
+    * parser via Term constructors — the lex field is a string literal).
+    */
+  private def constLex(t: org.apache.spark.sql.Column): String = {
+    // evaluate the constant struct against a 1-row frame
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.range(1).select(Term.lex(t).as("l")).head().getString(0)
+  }
+}

@@ -38,7 +38,8 @@ object Translator {
 
     case Bgp(tps) =>
       require(tps.nonEmpty, "empty BGP")
-      tps.map(tp => translateTp(quads, tp)).reduce((l, r) => join(l, r, "inner", None))
+      orderPatterns(tps).map(tp => translateTp(quads, tp))
+        .reduce((l, r) => join(l, r, "inner", None))
 
     case PathPattern(s, path, o) =>
       val pairs = Paths.compile(quads, path) // (src, dst) term structs
@@ -129,9 +130,42 @@ object Translator {
 
     case GraphNode(g, child) =>
       translate(quads, rewriteGraph(child, g))
+
+    case ServiceNode(iri, config) =>
+      Services.lookup(iri)(quads, config)
   }
 
   // ---- helpers ----
+
+  /** Greedy BGP join ordering (ASTStaticJoinOptimizer's heuristic,
+    * /root/reference/bigdata-rdf/src/java/com/bigdata/rdf/sparql/ast/
+    * optimizers/StaticOptimizer.java:27, without the range counts): start
+    * from the most-bound pattern, then repeatedly take the pattern sharing
+    * the most variables with what's bound so far (most-bound as tiebreak) —
+    * selective patterns run first and cartesian intermediates are avoided.
+    * Catalyst/AQE then picks physical join strategies per step.
+    */
+  private def orderPatterns(tps: Seq[TriplePattern]): Seq[TriplePattern] = {
+    if (tps.size <= 2) return tps
+    def pats(tp: TriplePattern): Seq[Pat] = Seq(tp.s, tp.p, tp.o) ++ tp.g.toSeq
+    def boundness(tp: TriplePattern): Int = pats(tp).count(_.isInstanceOf[C])
+    def vars(tp: TriplePattern): Set[String] = pats(tp).collect { case V(n) => n }.toSet
+    val remaining = scala.collection.mutable.ArrayBuffer(tps: _*)
+    val ordered = Vector.newBuilder[TriplePattern]
+    var bound = Set.empty[String]
+    val first = remaining.maxBy(tp => (boundness(tp), -remaining.indexOf(tp)))
+    remaining -= first
+    ordered += first
+    bound ++= vars(first)
+    while (remaining.nonEmpty) {
+      val next = remaining.maxBy(tp =>
+        ((vars(tp) intersect bound).size, boundness(tp), -remaining.indexOf(tp)))
+      remaining -= next
+      ordered += next
+      bound ++= vars(next)
+    }
+    ordered.result()
+  }
 
   private def ren(v: String): String = s"__r_$v"
 
@@ -150,6 +184,15 @@ object Translator {
       "s" -> tp.s, "p" -> tp.p, "o" -> tp.o,
       "c" -> tp.g.getOrElse(null)).filter(_._2 != null)
     var df = quads
+    // persisted stores carry p_bucket: a constant predicate derives the
+    // partition filter (partition pruning ≈ choosing the POS index)
+    tp.p match {
+      case C(term) if df.columns.contains("p_bucket") =>
+        df = df.filter(col("p_bucket") ===
+          pmod(hash(graft.rdf.Term.lex(term)), lit(graft.rdf.QuadStore.PBuckets)))
+      case _ =>
+    }
+    if (df.columns.contains("p_bucket")) df = df.drop("p_bucket")
     // default graph = rows with NULL context; GRAPH ?g ranges over *named*
     // graphs only, so a variable graph position excludes the default graph
     tp.g match {

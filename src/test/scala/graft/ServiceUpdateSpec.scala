@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import graft.rdf.{NTriples, QuadStore, Term}
+import graft.sparql.{Parser, Translator, Update}
+
+/** SERVICE (search magic predicates) + SPARQL UPDATE text + persisted-store
+  * partition pruning.
+  */
+class ServiceUpdateSpec extends SparkSpecBase {
+
+  private val EX = "http://ex/"
+  private def parse(nt: Seq[String]): DataFrame =
+    NTriples.parseLines(spark, spark.createDataset(nt)(Encoders.STRING).toDF("value"))
+
+  test("SERVICE graft://search binds literals with relevance and rank") {
+    val quads = parse(Seq(
+      s"""<${EX}d1> <${EX}body> "spark joins data fast" .""",
+      s"""<${EX}d2> <${EX}body> "slow tortoise walks" .""",
+      s"""<${EX}d3> <${EX}body> "fast spark query" ."""))
+    val df = Parser.select(spark, quads, s"""
+      PREFIX ex: <$EX>
+      SELECT ?doc ?lit ?score WHERE {
+        ?doc ex:body ?lit .
+        SERVICE <graft://search> {
+          ?lit <graft://search#query> "fast spark" .
+          ?lit <graft://search#relevance> ?score .
+          ?lit <graft://search#rank> ?rank .
+          ?lit <graft://search#maxRank> "5" .
+        }
+      } ORDER BY ?doc""")
+    val docs = df.select(Term.lex(col("doc"))).collect().map(_.getString(0))
+    assert(docs.toSeq == Seq(EX + "d1", EX + "d3"))
+  }
+
+  test("SPARQL UPDATE: INSERT DATA / DELETE DATA / DELETE-INSERT WHERE") {
+    val store0 = parse(Seq(
+      s"""<${EX}alice> <${EX}status> "active" .""",
+      s"""<${EX}bob> <${EX}status> "active" ."""))
+    // INSERT DATA
+    val s1 = Update.execute(spark, store0,
+      s"""INSERT DATA { <${EX}carol> <${EX}status> "new" . }""")
+    assert(s1.count() == 3)
+    // DELETE DATA
+    val s2 = Update.execute(spark, s1,
+      s"""DELETE DATA { <${EX}carol> <${EX}status> "new" . }""")
+    assert(s2.count() == 2)
+    // DELETE { } INSERT { } WHERE { }: archive active users
+    val s3 = Update.execute(spark, s2, s"""
+      PREFIX ex: <$EX>
+      DELETE { ?u ex:status "active" }
+      INSERT { ?u ex:status "archived" . ?u ex:wasActive "true" }
+      WHERE { ?u ex:status "active" }""")
+    assert(s3.count() == 4) // 2 archived + 2 wasActive
+    assert(s3.filter(col("o") === Term.str("archived")).count() == 2)
+    // sequential ops with ';'
+    val s4 = Update.execute(spark, s3,
+      s"""INSERT DATA { <${EX}x> <${EX}p> "1" . } ;
+          INSERT DATA { <${EX}x> <${EX}p> "2" . }""")
+    assert(s4.count() == 6)
+  }
+
+  test("persisted store: bound-predicate patterns prune partitions") {
+    val quads = parse(Seq(
+      s"""<${EX}a> <${EX}p1> "v1" .""",
+      s"""<${EX}b> <${EX}p2> "v2" .""",
+      s"""<${EX}c> <${EX}p3> "v3" ."""))
+    val path = "/tmp/graft_store_pruning"
+    QuadStore.save(quads, path)
+    val store = QuadStore.load(spark, path)
+    val df = Parser.select(spark, store,
+      s"""SELECT ?s WHERE { ?s <${EX}p2> ?o }""")
+    assert(df.count() == 1)
+    // the physical plan must contain a partition filter on p_bucket
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(p_bucket"),
+           s"no partition pruning in plan:\n$plan")
+  }
+}
