@@ -110,6 +110,15 @@ object AnalyticsSuite {
 
     "graph_pagerank" -> ((s, d) => {
       Graphs.pagerank(psEdges(s, d), iters = 5).orderBy("node")
+    }),
+
+    // GraphX-backed variants (same contracts, Pregel execution)
+    "graphx_cc" -> ((s, d) => {
+      graft.gas.GraphXBackend.connectedComponents(chainEdges(s, d)).orderBy("node")
+    }),
+
+    "graphx_bfs_hops" -> ((s, d) => {
+      graft.gas.GraphXBackend.hopDistances(psEdges(s, d), source = 1L).orderBy("node")
     })
   )
 
@@ -214,6 +223,24 @@ object AnalyticsSuite {
                            GROUP BY user_id HAVING COUNT(*) > 1)
          ORDER BY node""",
 
-    "graph_pagerank" -> pagerankSql(5)
+    "graph_pagerank" -> pagerankSql(5),
+
+    "graphx_cc" ->
+      """SELECT event_id AS node,
+           MIN(event_id) OVER (PARTITION BY user_id) AS component
+         FROM events
+         WHERE user_id IN (SELECT user_id FROM events
+                           GROUP BY user_id HAVING COUNT(*) > 1)
+         ORDER BY node""",
+
+    "graphx_bfs_hops" ->
+      s"""WITH RECURSIVE $edgeSql,
+         bfs(node, d) AS (
+           SELECT CAST(1 AS BIGINT), 0
+           UNION
+           SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.node
+           WHERE bfs.d < 8)
+         SELECT node, CAST(MIN(d) AS BIGINT) AS depth FROM bfs
+         GROUP BY node ORDER BY node"""
   )
 }
