@@ -178,6 +178,20 @@ object RdfSuite {
         .orderBy("s", "o")
     }),
 
+    "rdf_bgp_join_dict" -> ((s, d) => {
+      // the same star BGP as rdf_bgp_join, evaluated on the dictionary-
+      // encoded store (id joins + lazy lexicon decode) — same oracle
+      val store = graft.rdf.Dict.encode(buildQuads(s, d))
+      val tps = Seq(
+        tp(V("c"), "locatedIn", V("n")),
+        tp(V("c"), "segment", V("sg")),
+        tp(V("c"), "name", V("cname")),
+        tp(V("n"), "name", V("nname")))
+      graft.rdf.Dict.bgp(store, tps, Seq("cname", "nname"))
+        .select(Term.lex(col("cname")).as("cname"), Term.lex(col("nname")).as("nname"))
+        .orderBy("cname")
+    }),
+
     "sparql_text" -> ((s, d) => {
       // the full text path: SPARQL string -> parser -> algebra -> DataFrame
       val df = Parser.select(s, buildQuads(s, d),
@@ -276,6 +290,11 @@ object RdfSuite {
            '<http://g/r' || n_regionkey || '>' AS o
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          ORDER BY s, o""",
+
+    "rdf_bgp_join_dict" ->
+      """SELECT c_name AS cname, n_name AS nname
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY cname""",
 
     "sparql_text" ->
       """SELECT n_name AS nname, COUNT(*) AS n
