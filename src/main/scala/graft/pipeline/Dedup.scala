@@ -163,6 +163,52 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("hamming"))
   }
 
+  /** Exact Jaccard for a given candidate-pair set only: shingles are
+    * computed just for documents appearing in a pair (semi-join pruned),
+    * so verification cost scales with |candidates|, not |corpus|².
+    */
+  def verifyPairsJaccard(docs: DataFrame, pairs: DataFrame, n: Int,
+                         threshold: Double): DataFrame = {
+    val members = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val sh = graft.util.Fixpoint.materialize(
+      docs.join(members, "doc_id")
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .select(col("doc_id"), explode(shingles(col("ws"), n)).as("shingle")))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("shingle").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle").as("sh_b")), "id_b")
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(shared, Seq("id_a", "id_b"), "left_outer")
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(coalesce(col("n_shared"), lit(0L)).cast(DoubleType) /
+              (col("n_a") + col("n_b") - coalesce(col("n_shared"), lit(0L))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The full dedup pipeline: MinHash/LSH candidates → exact-Jaccard
+    * verification → connected-component clustering. Returns (doc_id,
+    * keep_id) for every document in a duplicate cluster; keep_id is the
+    * cluster's minimum doc_id (the canonical survivor).
+    */
+  def dedupClusters(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+                    bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val cand = minhashLshCandidates(docs, n, numHashes, bands)
+    val verified = verifyPairsJaccard(docs, cand, n, threshold)
+      .select("id_a", "id_b")
+    val edges = verified.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(verified.select(col("id_b").as("src"), col("id_a").as("dst")))
+    graft.gas.Graphs.connectedComponents(edges)
+      .select(col("node").as("doc_id"), col("component").as("keep_id"))
+  }
+
   /** Embedding near-duplicate pairs: cosine similarity ≥ threshold within a
     * blocking key (label). Exact within block; at scale the block comes from
     * an ANN bucketing pass (Similarity.lshBuckets).

@@ -120,6 +120,17 @@ object Relational {
         .orderBy("flag", "status")
     }),
 
+    "agg_cube" -> ((s, d) => {
+      // grouping sets beyond SPARQL's surface (free via Catalyst)
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+                col("n"), col("qty"))
+        .orderBy("flag", "status")
+    }),
+
     // ---- joins (§2.3) ----
     "join_inner_dims" -> ((s, d) => {
       // dimension joins: explicitly broadcast the small sides
@@ -357,6 +368,13 @@ object Relational {
            COALESCE(l_linestatus, 'ALL') AS status, COUNT(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY flag, status""",
+    "agg_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY flag, status""",
+
     "join_inner_dims" ->
       """SELECT c_custkey, c_name, n_name, r_name
          FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -252,6 +252,18 @@ object Parser {
 
     // GroupGraphPattern := sequence of triples blocks / keyword clauses
     private def groupGraphPattern(): Node = {
+      val (node, filters) = groupGraphPatternParts()
+      filters.foldLeft(node)((n, f) => Filter(r => TermOps.ebv(f(r)), n))
+    }
+
+    /** Parse a group, returning the node with top-level plain FILTERs
+      * *unapplied* (the OPTIONAL branch needs them as the LeftJoin
+      * condition: per the W3C algebra translation, a filter directly inside
+      * an OPTIONAL group joins the LeftJoin expression and is evaluated
+      * over the merged solution — wrapping it inside the right operand
+      * would see outer variables as unbound).
+      */
+    private def groupGraphPatternParts(): (Node, Seq[Expr]) = {
       var cur: Option[Node] = None
       var filters = Vector.empty[Expr]
       var existsFilters = Vector.empty[(Node, Boolean)]
@@ -259,8 +271,11 @@ object Parser {
       while (peek != "}" && peek.nonEmpty) {
         if (peekIs("OPTIONAL")) {
           next(); expect("{")
-          val r = groupGraphPattern(); expect("}")
-          cur = Some(LeftJoin(cur.getOrElse(emptyNode), r))
+          val (r, rFilters) = groupGraphPatternParts(); expect("}")
+          val cond: Option[Expr] =
+            if (rFilters.isEmpty) None
+            else Some(r2 => rFilters.map(f => TermOps.ebv(f(r2))).reduce(_ && _))
+          cur = Some(LeftJoin(cur.getOrElse(emptyNode), r, cond))
         } else if (peekIs("MINUS")) {
           next(); expect("{")
           val r = groupGraphPattern(); expect("}")
@@ -312,8 +327,7 @@ object Parser {
       }
       var node = cur.getOrElse(emptyNode)
       existsFilters.foreach { case (sub, neg) => node = ExistsFilter(node, sub, neg) }
-      filters.foreach(f => node = Filter(r => TermOps.ebv(f(r)), node))
-      node
+      (node, filters)
     }
 
     /** Flatten a parsed group into its triple patterns (SERVICE config). */
@@ -603,14 +617,7 @@ object Parser {
       r => col(internal)
     }
 
-    private val functionNames = Set(
-      "BOUND", "STR", "LANG", "DATATYPE", "ISIRI", "ISURI", "ISLITERAL",
-      "ISBLANK", "ISNUMERIC", "SAMETERM", "IF", "COALESCE", "REGEX",
-      "CONTAINS", "STRSTARTS", "STRENDS", "STRLEN", "UCASE", "LCASE",
-      "CONCAT", "SUBSTR", "ABS", "CEIL", "FLOOR", "ROUND", "YEAR", "MONTH",
-      "DAY", "HOURS", "MINUTES", "SECONDS", "MD5", "SHA1", "SHA256", "SHA512",
-      "ENCODE_FOR_URI", "LANGMATCHES", "STRBEFORE", "STRAFTER", "REPLACE")
-    private def isFunction(t: String) = functionNames(t.toUpperCase)
+    private def isFunction(t: String) = Parser.functionNames(t.toUpperCase)
 
     /** Functions whose trailing arguments must be constant string literals
       * (patterns/separators compiled into the plan, not data-dependent).
@@ -721,4 +728,15 @@ object Parser {
   }
 
   private val RdfTypeIri = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+  /** The built-in function registry (exposed for the guard test that keeps
+    * this set and the implementation in lockstep).
+    */
+  private[graft] val functionNames = Set(
+    "BOUND", "STR", "LANG", "DATATYPE", "ISIRI", "ISURI", "ISLITERAL",
+    "ISBLANK", "ISNUMERIC", "SAMETERM", "IF", "COALESCE", "REGEX",
+    "CONTAINS", "STRSTARTS", "STRENDS", "STRLEN", "UCASE", "LCASE",
+    "CONCAT", "SUBSTR", "ABS", "CEIL", "FLOOR", "ROUND", "YEAR", "MONTH",
+    "DAY", "HOURS", "MINUTES", "SECONDS", "MD5", "SHA1", "SHA256", "SHA512",
+    "ENCODE_FOR_URI", "LANGMATCHES", "STRBEFORE", "STRAFTER", "REPLACE")
 }

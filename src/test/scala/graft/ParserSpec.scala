@@ -30,6 +30,8 @@ class ParserSpec extends SparkSpecBase {
   }
 
   private def q(text: String): DataFrame = Parser.select(spark, fixture, text)
+  private def parse(nt: Seq[String]): DataFrame =
+    NTriples.parseLines(spark, spark.createDataset(nt)(Encoders.STRING).toDF("value"))
   private def lexSeq(df: DataFrame, v: String): Seq[String] =
     df.select(Term.lex(col(v))).collect().map(_.getString(0)).toSeq
 
@@ -132,6 +134,52 @@ class ParserSpec extends SparkSpecBase {
            { SELECT (MAX(?a) AS ?maxa) WHERE { ?y ex:age ?a } }
          }""")
     assert(lexSeq(df, "x") == Seq(EX + "carol"))
+  }
+
+  test("FILTER inside OPTIONAL referencing an outer var joins the LeftJoin condition") {
+    // Per the W3C algebra: FILTER(?a > 26) sees the *merged* solution, so
+    // alice (30) gets ?y bound, bob (25.5) and carol (41, no knows edge
+    // FROM carol... carol knows nothing) keep/lose accordingly.
+    val df = q(P +
+      """SELECT ?x ?y WHERE {
+           ?x ex:age ?a .
+           OPTIONAL { ?x ex:knows ?y . FILTER(?a > 26) }
+         } ORDER BY ?x""")
+    val rows = df.collect().map { r =>
+      (r.getStruct(0).getString(1),
+       if (r.isNullAt(1)) null else r.getStruct(1).getString(1))
+    }.toMap
+    assert(rows(EX + "alice") == EX + "bob") // 30 > 26, knows bob
+    assert(rows(EX + "bob") == null)         // 25.5 fails the condition
+    assert(rows(EX + "carol") == null)       // 41 passes but no knows edge
+  }
+
+  test("every registered function parses, plans, and executes") {
+    // arguments per function (default: one string-literal term)
+    val args = Map(
+      "BOUND" -> "?v", "SAMETERM" -> "?v, ?v", "IF" -> "ISLITERAL(?v), ?v, ?v",
+      "COALESCE" -> "?u, ?v", "REGEX" -> "?v, \"a\"", "CONTAINS" -> "?v, \"a\"",
+      "STRSTARTS" -> "?v, \"a\"", "STRENDS" -> "?v, \"a\"",
+      "CONCAT" -> "?v, \"x\"", "SUBSTR" -> "?v, 1, 2",
+      "LANGMATCHES" -> "LANG(?v), \"en\"", "STRBEFORE" -> "?v, \"c\"",
+      "STRAFTER" -> "?v, \"c\"", "REPLACE" -> "?v, \"a\", \"b\"",
+      "ABS" -> "?n", "CEIL" -> "?n", "FLOOR" -> "?n", "ROUND" -> "?n",
+      "YEAR" -> "?t", "MONTH" -> "?t", "DAY" -> "?t",
+      "HOURS" -> "?t", "MINUTES" -> "?t", "SECONDS" -> "?t"
+    ).withDefaultValue("?v")
+    val binds = graft.sparql.Parser.functionNames.toSeq.sorted.zipWithIndex
+      .map { case (f, i) => s"BIND($f(${args(f)}) AS ?r$i)" }.mkString("\n")
+    val store = parse(Seq(
+      s"""<${EX}x> <${EX}sv> "acme" .""",
+      s"""<${EX}x> <${EX}nv> "7"^^<${Term.XsdInteger}> .""",
+      s"""<${EX}x> <${EX}tv> "2026-03-15T10:30:00"^^<${Term.XsdDateTime}> ."""))
+    val df = graft.sparql.Parser.select(spark, store, s"""PREFIX ex: <$EX>
+      SELECT * WHERE {
+        ?x ex:sv ?v . ?x ex:nv ?n . ?x ex:tv ?t .
+        OPTIONAL { ?x ex:none ?u }
+        $binds
+      }""")
+    assert(df.count() == 1) // all functions plan and evaluate
   }
 
   test("ORDER BY DESC with LIMIT/OFFSET") {
