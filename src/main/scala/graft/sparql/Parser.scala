@@ -24,6 +24,7 @@ object Parser {
   case object SelectForm extends Form
   case object AskForm extends Form
   case object ConstructForm extends Form
+  case object DescribeForm extends Form
 
   final case class Query(
       form: Form,
@@ -49,6 +50,24 @@ object Parser {
   def construct(spark: SparkSession, quads: DataFrame, text: String): DataFrame = {
     val q = parse(spark, text)
     QueryForms.construct(quads, q.node, q.template)
+  }
+
+  /** DESCRIBE: resolve the target nodes (constants, or the projected vars'
+    * values from the WHERE clause) and return their CBD triples.
+    */
+  def describe(spark: SparkSession, quads: DataFrame, text: String): DataFrame = {
+    val q = parse(spark, text)
+    require(q.form == DescribeForm, s"not a DESCRIBE query: ${q.form}")
+    import org.apache.spark.sql.functions.col
+    val nodes: DataFrame = q.node match {
+      case Values(df, _) if q.projection.isEmpty =>
+        df.select(col(df.columns.head).as("n"))
+      case n =>
+        val res = Translator.translate(quads, n)
+        q.projection.map(v => res.df.select(col(v).as("n"))).reduce(_ unionByName _)
+          .distinct()
+    }
+    QueryForms.describe(quads, nodes)
   }
 
   def parse(spark: SparkSession, text: String): Query =
@@ -155,6 +174,7 @@ object Parser {
         val n = groupGraphPattern(); expect("}")
         Query(AskForm, n, Nil, distinct = false, Nil) }
       else if (peekIs("CONSTRUCT")) constructQuery()
+      else if (peekIs("DESCRIBE")) describeQuery()
       else throw new IllegalArgumentException(s"unsupported query form: $peek")
     }
 
@@ -225,6 +245,29 @@ object Parser {
       }
       if (offset != 0 || limit >= 0) node = Slice(offset, limit, node)
       Query(SelectForm, node, proj, distinct, Nil)
+    }
+
+    private def describeQuery(): Query = {
+      expect("DESCRIBE")
+      var vars = Vector.empty[String]
+      var consts = Vector.empty[org.apache.spark.sql.Column]
+      while (!peekIs("WHERE") && peek != "{" && peek.nonEmpty) {
+        if (peek.startsWith("?")) vars :+= next().substring(1)
+        else consts :+= termConst()
+      }
+      if (peek == "{" || peekIs("WHERE")) {
+        if (peekIs("WHERE")) next()
+        expect("{")
+        val n = groupGraphPattern()
+        expect("}")
+        Query(DescribeForm, n, vars, distinct = false, Nil)
+      } else {
+        // constant-only DESCRIBE: node list as an inline VALUES frame
+        val df = consts.zipWithIndex
+          .map { case (c, i) => spark.range(1).select(c.as("n")) }
+          .reduce(_ unionByName _)
+        Query(DescribeForm, Values(df, Set("n")), Nil, distinct = false, Nil)
+      }
     }
 
     private def constructQuery(): Query = {

@@ -80,6 +80,20 @@ class CoverageSpec extends SparkSpecBase {
     assert(json.count(_ == '{') == json.count(_ == '}'))
   }
 
+  test("DESCRIBE from query text: constants and WHERE-bound targets") {
+    val nt = Seq(
+      s"<${EX}a> <${EX}p> <${EX}b> .",
+      s"<${EX}b> <${EX}p> <${EX}c> .",
+      s"""<${EX}a> <${EX}name> "A" .""")
+    val quads = NTriples.parseLines(spark,
+      spark.createDataset(nt)(Encoders.STRING).toDF("value"))
+    val byConst = Parser.describe(spark, quads, s"DESCRIBE <${EX}a>")
+    assert(byConst.count() == 2) // a's out-edges: p->b, name
+    val byWhere = Parser.describe(spark, quads,
+      s"PREFIX ex: <$EX> DESCRIBE ?x WHERE { ?x ex:p <${EX}c> }")
+    assert(byWhere.count() == 2) // b: in-edge from a, out-edge to c
+  }
+
   test("datetime and hash functions in SPARQL text") {
     val nt = Seq(
       s"""<${EX}e> <${EX}at> "2026-03-15T10:30:00"^^<${Term.XsdDateTime}> .""")

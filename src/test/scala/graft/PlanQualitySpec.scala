@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+import graft.queries.Relational
+import graft.util.Skew
+
+/** Plan-quality regression guards: the physical plans the engine MUST keep
+  * producing (pushdown, pruning, broadcast) — .explain-driven development,
+  * frozen as assertions.
+  */
+class PlanQualitySpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    Relational.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("filters and column pruning reach the parquet scan") {
+    val p = plan("scan_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), IsNotNull(l_quantity), EqualTo(l_returnflag,R)"),
+           s"missing pushed filters:\n$p")
+    // only the 4 referenced columns are read
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_returnflag:string>"),
+           s"column pruning regressed:\n$p")
+  }
+
+  test("dimension joins broadcast; selective dim filter pushes down") {
+    val p = plan("join_star_agg")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), s"dim filter not pushed:\n$p")
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline") {
+    // AQE finalizes the plan at execution; run first, then inspect
+    val df = Relational.queries("agg_tpch_q1")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen spans print as "*(n)" stage markers in the final plan
+    assert(p.contains("*("), s"no codegen spans:\n$p")
+  }
+
+  test("salted join equals plain join and spreads hot keys") {
+    import spark.implicits._
+    // hot key: 10k rows of key=1 against a 3-row dimension
+    val big = spark.range(10000).select(lit(1L).as("k"), col("id").as("payload"))
+      .unionByName(spark.range(100).select((col("id") % 3).as("k"), col("id").as("payload")))
+    val dim = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("dk", "name")
+    val plain = big.join(dim, col("k") === col("dk")).select("payload", "name")
+    val salted = Skew.saltedJoin(big, dim, col("k"), col("dk"), 8)
+      .select("payload", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+}
