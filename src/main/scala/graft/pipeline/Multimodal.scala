@@ -56,6 +56,36 @@ object Multimodal {
     }.toArray
   }
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_feature", DoubleType)))
+
+  /** Frame sampling over a video-shaped blob: emit every `stride`-th
+    * "frame" (fixed-size byte window) with a stub feature. One row per
+    * sampled frame — the 1:N explode shape a video pipeline produces; the
+    * windowing/batching is real, the decode is the deterministic fake.
+    */
+  def sampleFrames(spark: SparkSession, docs: DataFrame,
+                   frameBytes: Int = 16, stride: Int = 4): DataFrame = {
+    val withB = withBlob(docs).select("doc_id", "blob")
+    val rdd = withB.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val nFrames = math.max(1, bytes.length / frameBytes)
+        (0 until nFrames by stride).map { f =>
+          val slice = bytes.slice(f * frameBytes, math.min((f + 1) * frameBytes, bytes.length))
+          val feat =
+            if (slice.isEmpty) 0.0
+            else math.round(slice.map(b => (b & 0xff).toDouble).sum / slice.length * 1e6) / 1e6
+          Row(id, f, feat)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, frameSchema)
+  }
+
   /** Partition-wise feature extraction over the blob column. */
   def extractFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
     val withB = withBlob(docs).select("doc_id", "blob")

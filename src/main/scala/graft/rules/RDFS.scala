@@ -156,6 +156,20 @@ object RDFS {
     closed.withColumn("c", Term.unbound)
   }
 
+  /** Incremental closure maintenance on ASSERT (TruthMaintenance.java:110's
+    * assert path): given an already-closed store and newly inserted
+    * triples, derive only the consequences of the delta — no full
+    * recomputation. (Retraction remains recompute-closure: the
+    * justifications index that makes incremental retraction possible is
+    * deliberately out of scope.)
+    */
+  def incrementalClosure(closedQuads: DataFrame, inserted: DataFrame): DataFrame = {
+    val closed = closedQuads.filter(col("c").isNull).select("s", "p", "o")
+    val delta = inserted.filter(col("c").isNull).select("s", "p", "o").distinct()
+    Fixpoint.semiNaiveFrom(closed, delta, 32)(round)
+      .withColumn("c", Term.unbound)
+  }
+
   /** Backward-chaining rewrite for queries that only need inferred `type`
     * facts (BackchainTypeResourceIterator analogue): expands a type pattern
     * to direct + subclass-inherited types without materializing the closure.

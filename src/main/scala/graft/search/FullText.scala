@@ -41,6 +41,20 @@ object FullText {
       .select("term", "doc", "tf", "w")
   }
 
+  /** Subject-centric index over an RDF store (reference:
+    * BigdataSubjectCentricFullTextIndex): doc = subject term, text = all of
+    * the subject's string-literal objects concatenated.
+    */
+  def buildSubjectIndex(quads: DataFrame): DataFrame = {
+    import graft.rdf.Term
+    val docs = quads
+      .filter(col("c").isNull && Term.isLiteral(col("o")) &&
+              (Term.dt(col("o")) === Term.XsdString || Term.dt(col("o")).isNull))
+      .groupBy(Term.lex(col("s")).as("doc"))
+      .agg(concat_ws(" ", sort_array(collect_list(Term.lex(col("o"))))).as("text"))
+    buildIndex(docs)
+  }
+
   /** Search the index: cosine(query, doc) with minCosine/maxRank slicing
     * (Hiterator semantics). Query term weights are 1·idf (tf=1 per term).
     */

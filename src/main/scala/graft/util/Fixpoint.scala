@@ -25,8 +25,18 @@ object Fixpoint {
     */
   def semiNaive(init: DataFrame, maxIters: Int)
                (step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    var all = materialize(init)
-    var delta = all
+    val m = materialize(init)
+    semiNaiveFrom(m, m, maxIters)(step)
+  }
+
+  /** Semi-naive iteration seeded with an existing closed set plus a delta —
+    * the incremental-maintenance entry point: only consequences of `delta`
+    * are derived, never the full closure.
+    */
+  def semiNaiveFrom(closed: DataFrame, delta0: DataFrame, maxIters: Int)
+                   (step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    var all = materialize(closed.unionByName(delta0).distinct())
+    var delta = materialize(delta0)
     var i = 0
     while (i < maxIters) {
       val fresh = materialize(step(all, delta).except(all))

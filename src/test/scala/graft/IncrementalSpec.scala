@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import graft.rdf.{NTriples, QuadStore, Term}
+import graft.rules.RDFS
+import graft.search.FullText
+import graft.sparql.{Parser, Translator}
+import graft.sparql.Algebra._
+
+/** Incremental closure maintenance, subject-centric search, frame sampling,
+  * empty-store robustness, and BGP ordering.
+  */
+class IncrementalSpec extends SparkSpecBase {
+
+  private val EX = "http://ex/"
+  private def parse(nt: Seq[String]): DataFrame =
+    NTriples.parseLines(spark, spark.createDataset(nt)(Encoders.STRING).toDF("value"))
+
+  test("incremental closure on assert equals full recompute") {
+    val base = parse(Seq(
+      s"<${EX}Dog> <${RDFS.SubClassOf}> <${EX}Mammal> .",
+      s"<${EX}Mammal> <${RDFS.SubClassOf}> <${EX}Animal> .",
+      s"<${EX}rex> <${RDFS.RdfType}> <${EX}Dog> ."))
+    val closed = RDFS.closure(base)
+    // assert a new individual + a new subclass edge
+    val delta = parse(Seq(
+      s"<${EX}lassie> <${RDFS.RdfType}> <${EX}Dog> .",
+      s"<${EX}Animal> <${RDFS.SubClassOf}> <${EX}Thing> ."))
+    val inc = RDFS.incrementalClosure(closed, delta)
+    val full = RDFS.closure(QuadStore.insert(base, delta))
+    assert(inc.except(full).isEmpty && full.except(inc).isEmpty,
+      "incremental result diverges from recompute")
+    // spot: lassie inherits all the way to the NEW superclass
+    assert(!inc.filter(col("s") === Term.iri(EX + "lassie") &&
+                       col("o") === Term.iri(EX + "Thing")).isEmpty)
+  }
+
+  test("subject-centric full-text: subjects rank by their literal bag") {
+    val quads = parse(Seq(
+      s"""<${EX}doc1> <${EX}title> "spark engine" .""",
+      s"""<${EX}doc1> <${EX}body> "fast joins" .""",
+      s"""<${EX}doc2> <${EX}title> "slow snail" ."""))
+    val idx = FullText.buildSubjectIndex(quads)
+    val hits = FullText.search(idx, Seq("spark", "fast"), 0.0, 10).collect()
+    assert(hits.length == 1 && hits(0).getString(0) == EX + "doc1")
+  }
+
+  test("frame sampling: stride windows with deterministic features") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(5)
+    val frames = graft.pipeline.Multimodal.sampleFrames(spark, docs, 16, 4)
+    assert(frames.count() >= 5)
+    val f = frames.filter(col("frame_idx") === 0).count()
+    assert(f == 5) // every doc has frame 0
+    // deterministic across runs
+    val again = graft.pipeline.Multimodal.sampleFrames(spark, docs, 16, 4)
+    assert(frames.except(again).isEmpty)
+  }
+
+  test("queries over an empty store behave (no crash, empty results)") {
+    val empty = parse(Seq.empty)
+    val df = Parser.select(spark, empty,
+      s"PREFIX ex: <$EX> SELECT ?x WHERE { ?x ex:p ?y . FILTER(?y > 1) }")
+    assert(df.isEmpty)
+    assert(!Parser.ask(spark, empty, s"ASK {<${EX}a> <${EX}p> <${EX}b>}"))
+    assert(RDFS.closure(empty).count() == 0)
+  }
+
+  test("BGP ordering: most-bound pattern first, connectivity preserved") {
+    val quads = parse(Seq(
+      s"<${EX}a> <${EX}p> <${EX}b> .",
+      s"<${EX}b> <${EX}q> <${EX}c> ."))
+    // patterns given in worst order: unbound first, constant-rich last
+    val q = Bgp(Seq(
+      TriplePattern(V("x"), V("pp"), V("y")),
+      TriplePattern(V("y"), C(Term.iri(EX + "q")), C(Term.iri(EX + "c")))))
+    val res = Translator.translate(quads, q)
+    assert(res.df.count() == 1) // correctness independent of order
+  }
+}
