@@ -112,9 +112,18 @@ object AnalyticsSuite {
       Graphs.pagerank(psEdges(s, d), iters = 5).orderBy("node")
     }),
 
-    // GraphX-backed variants (same contracts, Pregel execution)
+    // GraphX-backed variants (same contracts, Pregel execution).
+    // CC input is the event↔user star graph: identical components to the
+    // chain graph but diameter 2 — GraphX's Pregel loop is O(diameter),
+    // so feeding it 100-hop chains would burn 100 supersteps.
     "graphx_cc" -> ((s, d) => {
-      graft.gas.GraphXBackend.connectedComponents(chainEdges(s, d)).orderBy("node")
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), (col("user_id") + 1000000000L).as("unode"))
+      val edges = ev.select(col("event_id").as("src"), col("unode").as("dst"))
+        .unionByName(ev.select(col("unode").as("src"), col("event_id").as("dst")))
+      graft.gas.GraphXBackend.connectedComponents(edges)
+        .filter(col("node") < 1000000000L) // event nodes only
+        .orderBy("node")
     }),
 
     "graphx_bfs_hops" -> ((s, d) => {
@@ -228,10 +237,7 @@ object AnalyticsSuite {
     "graphx_cc" ->
       """SELECT event_id AS node,
            MIN(event_id) OVER (PARTITION BY user_id) AS component
-         FROM events
-         WHERE user_id IN (SELECT user_id FROM events
-                           GROUP BY user_id HAVING COUNT(*) > 1)
-         ORDER BY node""",
+         FROM events ORDER BY node""",
 
     "graphx_bfs_hops" ->
       s"""WITH RECURSIVE $edgeSql,
