@@ -12,6 +12,12 @@ object Bench {
       .config(Tables.requiredConfs)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up (not reported): JIT + codegen + parquet footer caches, so the
+    // first measured query isn't charged for JVM start-of-life costs
+    try SparkEntry.queries("values_in")(spark, sfDir).count()
+    catch { case _: Throwable => }
+    try SparkEntry.queries("agg_minmax")(spark, sfDir).count()
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

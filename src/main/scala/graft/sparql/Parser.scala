@@ -154,6 +154,8 @@ object Parser {
     // aggregate registry (GroupByRewriter analogue): structural key -> (var, agg)
     private var aggs = Vector.empty[(String, AggExpr)]
     private var aggKeys = Map.empty[String, String]
+    // pre-group binds for aggregates over expressions (SUM(?a * 2))
+    private var preAggBinds = Vector.empty[(String, Expr)]
     private var bnodeCounter = 0
 
     private def peek: String = if (pos < toks.length) toks(pos) else ""
@@ -181,10 +183,10 @@ object Parser {
     private def selectQuery(): Query = {
       // aggregates are scoped per SELECT: a sub-SELECT's aggregates must not
       // leak into (or group) the enclosing query
-      val (savedAggs, savedKeys) = (aggs, aggKeys)
-      aggs = Vector.empty; aggKeys = Map.empty
+      val (savedAggs, savedKeys, savedPre) = (aggs, aggKeys, preAggBinds)
+      aggs = Vector.empty; aggKeys = Map.empty; preAggBinds = Vector.empty
       try selectQueryInner()
-      finally { aggs = savedAggs; aggKeys = savedKeys }
+      finally { aggs = savedAggs; aggKeys = savedKeys; preAggBinds = savedPre }
     }
 
     private def selectQueryInner(): Query = {
@@ -216,6 +218,8 @@ object Parser {
       if (peekIs("HAVING")) { next(); expect("("); having :+= expression(); expect(")") }
       val grouped = aggs.nonEmpty || groupKeys.nonEmpty
       if (grouped) {
+        // expression-argument aggregates bind their internal vars pre-group
+        preAggBinds.foreach { case (v, e) => node = Extend(v, e, node) }
         node = Group(groupKeys, aggs, node)
         having.foreach(h => node = Filter(r => TermOps.ebv(h(r)), node))
         // select expressions (which may reference the internal agg vars)
@@ -498,7 +502,9 @@ object Parser {
 
     private def varOrTerm(): Pat = {
       if (peek.startsWith("?")) V(next().substring(1))
-      else if (peek.startsWith("_:")) { val t = next(); C(Term.bnode(lit(t.substring(2)))) }
+      // a blank node in a query pattern is an existential = a fresh
+      // non-projectable variable, NOT a constant term (SPARQL §4.1.4)
+      else if (peek.startsWith("_:")) { val t = next(); V("__bn_" + t.substring(2)) }
       else C(termConst())
     }
 
@@ -634,7 +640,17 @@ object Parser {
       val (key, agg): (String, AggExpr) =
         if (peek == "*") { next(); ("COUNT(*)", Aggs.countStar) }
         else {
-          val v = next().substring(1)
+          // aggregate over a general expression: rewrite to a pre-group
+          // BIND of an internal variable (GroupByRewriter.java:62)
+          val v =
+            if (peek.startsWith("?") && toks.lift(pos + 1).contains(")"))
+              next().substring(1)
+            else {
+              val e = expression()
+              val iv = s"__pa_${preAggBinds.size}"
+              preAggBinds :+= (iv -> e)
+              iv
+            }
           name match {
             case "COUNT" =>
               if (distinct) (s"COUNT(DISTINCT ?$v)", Aggs.countDistinctVar(v))

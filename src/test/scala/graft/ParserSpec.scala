@@ -154,6 +154,24 @@ class ParserSpec extends SparkSpecBase {
     assert(rows(EX + "carol") == null)       // 41 passes but no knows edge
   }
 
+  test("blank nodes in patterns are existential variables") {
+    // _:who matches ANY subject, like a fresh variable — were it a constant
+    // bnode term, nothing in the data would match
+    val df = q(P + "SELECT ?o WHERE { _:who ex:worksFor ?o } ORDER BY ?o")
+    assert(df.count() == 4)
+  }
+
+  test("aggregates over expressions rewrite to pre-group binds") {
+    val df = q(P +
+      """SELECT ?o (SUM(?a * 2) AS ?dbl) (COUNT(?x) AS ?n) WHERE {
+           ?x ex:worksFor ?o . ?x ex:age ?a
+         } GROUP BY ?o ORDER BY ?o""")
+    val rows = df.collect().map(r =>
+      r.getStruct(0).getString(1) -> r.getStruct(1).getDecimal(4).doubleValue()).toMap
+    assert(rows(EX + "acme") == 111.0)  // (30 + 25.5) * 2
+    assert(rows(EX + "globex") == 82.0) // 41 * 2
+  }
+
   test("every registered function parses, plans, and executes") {
     // arguments per function (default: one string-literal term)
     val args = Map(
