@@ -155,6 +155,23 @@ class RdfAlgebraSpec extends SparkSpecBase {
     assert(inv.df.count() == 2)
   }
 
+  test("path connectives: alternative, zero-or-one, negated set") {
+    // alt: worksFor | knows from alice
+    val alt = Translator.translate(fixture,
+      PathPattern(C(Term.iri(ex("alice"))),
+        Alt(Link(ex("worksFor")), Link(ex("knows"))), V("y")))
+    assert(lexOf(alt.df, "y").sorted == Seq(ex("acme"), ex("bob")))
+    // zero-or-one: knows? from alice = alice itself + bob
+    val zoo = Translator.translate(fixture,
+      PathPattern(C(Term.iri(ex("alice"))), ZeroOrOne(Link(ex("knows"))), V("y")))
+    assert(lexOf(zoo.df, "y").sorted == Seq(ex("alice"), ex("bob")))
+    // negated set: alice's edges that are NOT worksFor/knows = age only
+    val neg = Translator.translate(fixture,
+      PathPattern(C(Term.iri(ex("alice"))),
+        NegatedSet(Seq(ex("worksFor"), ex("knows"))), V("y")))
+    assert(lexOf(neg.df, "y") == Seq("30"))
+  }
+
   test("GRAPH patterns bind the context variable") {
     val g1 = Term.iri(ex("g1"))
     val named = fixture.limit(0)
