@@ -94,6 +94,21 @@ class CoverageSpec extends SparkSpecBase {
     assert(byWhere.count() == 2) // b: in-edge from a, out-edge to c
   }
 
+  test("CSV sink round-trips term rendering distributed") {
+    val quads = NTriples.parseLines(spark, spark.createDataset(Seq(
+      s"""<${EX}x> <${EX}name> "A,B" .""",
+      s"""<${EX}x> <${EX}age> "3"^^<${Term.XsdInteger}> ."""))(Encoders.STRING)
+      .toDF("value"))
+    val sols = Parser.select(spark, quads,
+      s"PREFIX ex: <$EX> SELECT ?n ?a WHERE { ?x ex:name ?n . ?x ex:age ?a }")
+    val path = "/tmp/graft_csv_sink"
+    Results.writeCsv(sols, path)
+    val back = spark.read.option("header", "true").csv(path).collect()
+    assert(back.length == 1)
+    assert(back(0).getString(0) == "\"A,B\"")
+    assert(back(0).getString(1).startsWith("\"3\"^^<"))
+  }
+
   test("datetime and hash functions in SPARQL text") {
     val nt = Seq(
       s"""<${EX}e> <${EX}at> "2026-03-15T10:30:00"^^<${Term.XsdDateTime}> .""")
