@@ -1,0 +1,113 @@
+package graft.rdf
+
+import javax.xml.parsers.DocumentBuilderFactory
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.w3c.dom.{Element, Node => DomNode}
+import scala.collection.mutable
+
+/** RDF/XML reader (subset): rdf:Description and typed node elements,
+  * rdf:about/rdf:ID/rdf:nodeID subjects, property elements with
+  * rdf:resource, nested node elements, plain/typed/lang literals, and
+  * rdf:datatype / xml:lang. (rdf:parseType and containers are not
+  * supported.)
+  *
+  * Reference: the RIO RDF/XML parser
+  * (/root/reference/bigdata-rdf/src/java/com/bigdata/rdf/rio/rdfxml/).
+  * Parallelism is per file (wholeTextFiles), like the Turtle reader; the
+  * XML itself parses with the JDK's DOM parser — no added dependencies.
+  */
+object RdfXml {
+
+  private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  private val rowSchema = StructType(Seq(
+    StructField("s", Term.schema), StructField("p", Term.schema),
+    StructField("o", Term.schema), StructField("c", Term.schema)))
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val rdd = spark.sparkContext.wholeTextFiles(path)
+      .flatMap { case (_, content) => parseDoc(content) }
+      .map { case (s, p, o) => Row(s, p, o, null) }
+    spark.createDataFrame(rdd, rowSchema)
+  }
+
+  private def iriRow(lex: String) = Row(0.toByte, lex, null, null, null)
+  private def bnodeRow(label: String) = Row(1.toByte, label, null, null, null)
+
+  private def litRow(lex: String, dt: String, lang: String) = {
+    val numericDts = Set(Term.XsdInteger, Term.XsdDecimal, Term.XsdDouble)
+    val num =
+      if (dt != null && numericDts(dt))
+        try new java.math.BigDecimal(lex).setScale(18, java.math.RoundingMode.HALF_UP)
+        catch { case _: Exception => null }
+      else null
+    Row(2.toByte, lex, if (dt == null && lang == null) Term.XsdString else dt,
+        lang, num)
+  }
+
+  def parseDoc(content: String): Seq[(Row, Row, Row)] = {
+    val dbf = DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    val doc = dbf.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(content.getBytes("UTF-8")))
+    val out = mutable.ArrayBuffer.empty[(Row, Row, Row)]
+    var bnodeCounter = 0
+    def freshBnode(): Row = { bnodeCounter += 1; bnodeRow(s"genid$bnodeCounter") }
+
+    def childElements(e: Element): Seq[Element] = {
+      val nl = e.getChildNodes
+      (0 until nl.getLength).map(nl.item)
+        .collect { case el: Element => el }
+    }
+
+    def rdfAttr(e: Element, local: String): Option[String] =
+      Option(e.getAttributeNS(RdfNs, local)).filter(_.nonEmpty)
+
+    def xmlLang(e: Element): Option[String] =
+      Option(e.getAttributeNS("http://www.w3.org/XML/1998/namespace", "lang"))
+        .filter(_.nonEmpty)
+
+    /** Parse a node element (rdf:Description or a typed node); returns its
+      * subject term.
+      */
+    def nodeElement(e: Element, baseLang: Option[String]): Row = {
+      val subj = rdfAttr(e, "about").map(iriRow)
+        .orElse(rdfAttr(e, "ID").map(id => iriRow("#" + id)))
+        .orElse(rdfAttr(e, "nodeID").map(bnodeRow))
+        .getOrElse(freshBnode())
+      val lang = xmlLang(e).orElse(baseLang)
+      // typed node element: the element name is an rdf:type
+      if (!(e.getNamespaceURI == RdfNs && e.getLocalName == "Description"))
+        out += ((subj, iriRow(RdfNs + "type"),
+                 iriRow(e.getNamespaceURI + e.getLocalName)))
+      childElements(e).foreach(pe => propertyElement(subj, pe, lang))
+      subj
+    }
+
+    def propertyElement(subj: Row, pe: Element, baseLang: Option[String]): Unit = {
+      val pred = iriRow(pe.getNamespaceURI + pe.getLocalName)
+      val lang = xmlLang(pe).orElse(baseLang)
+      val resource = rdfAttr(pe, "resource")
+      val nodeId = rdfAttr(pe, "nodeID")
+      val datatype = rdfAttr(pe, "datatype")
+      val kids = childElements(pe)
+      if (resource.isDefined) out += ((subj, pred, iriRow(resource.get)))
+      else if (nodeId.isDefined) out += ((subj, pred, bnodeRow(nodeId.get)))
+      else if (kids.nonEmpty) {
+        // nested node element object
+        val obj = nodeElement(kids.head, lang)
+        out += ((subj, pred, obj))
+      } else {
+        val text = pe.getTextContent
+        out += ((subj, pred, litRow(text, datatype.orNull,
+                                    if (datatype.isDefined) null else lang.orNull)))
+      }
+    }
+
+    val root = doc.getDocumentElement
+    if (root.getNamespaceURI == RdfNs && root.getLocalName == "RDF")
+      childElements(root).foreach(e => nodeElement(e, xmlLang(root)))
+    else nodeElement(root, None)
+    out.toSeq
+  }
+}

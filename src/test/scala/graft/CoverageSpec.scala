@@ -40,6 +40,36 @@ class CoverageSpec extends SparkSpecBase {
     assert(city.getByte(0) == 1)
   }
 
+  test("RDF/XML subset: typed nodes, resources, literals with lang/datatype") {
+    val xml = s"""<?xml version="1.0"?>
+      <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+               xmlns:ex="$EX">
+        <ex:Person rdf:about="${EX}alice">
+          <ex:name xml:lang="en">Alice</ex:name>
+          <ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">30</ex:age>
+          <ex:worksFor rdf:resource="${EX}acme"/>
+          <ex:address>
+            <rdf:Description>
+              <ex:city>Berlin</ex:city>
+            </rdf:Description>
+          </ex:address>
+        </ex:Person>
+      </rdf:RDF>"""
+    val df = graft.rdf.RdfXml.read(spark, writeTmp("cov.rdf", xml))
+    assert(df.count() == 6) // type + name + age + worksFor + address + city
+    // typed node element produced the rdf:type triple
+    assert(df.filter(col("o") === Term.iri(EX + "Person")).count() == 1)
+    // typed literal normalized numerically
+    val age = df.filter(col("p") === Term.iri(EX + "age"))
+      .select(Term.numVal(col("o"))).head().getDecimal(0)
+    assert(age.intValue() == 30)
+    // lang literal preserved
+    assert(df.filter(col("o") === Term.langStr(lit("Alice"), lit("en"))).count() == 1)
+    // nested bnode object chains
+    val city = df.filter(col("p") === Term.iri(EX + "city")).select("s").head().getStruct(0)
+    assert(city.getByte(0) == 1)
+  }
+
   test("owl:sameAs: canonicalize merges cliques; expand materializes variants") {
     val nt = Seq(
       s"<${EX}a1> <${OwlSameAs.SameAs}> <${EX}a2> .",
