@@ -78,17 +78,23 @@ object Similarity {
                  .otherwise(0L)).as("bucket"))
   }
 
-  /** LSH-bucketed top-k: exact ranking restricted to the query's bucket.
-    * The approximation (vs bruteForceTopK) is missing neighbors that hash to
-    * other buckets — the standard ANN recall/cost trade.
+  /** LSH-bucketed top-k: exact ranking restricted to buckets within
+    * Hamming distance `probes` of the query's bucket (0 = the query bucket
+    * only; 1 = multiprobe over all single-bit-flip neighbors — the standard
+    * recall/cost knob: each extra bit of probing multiplies candidates
+    * ~(planes+1)× and recovers neighbors that fell across one hyperplane).
     */
-  def lshTopK(emb: DataFrame, queries: DataFrame, planes: Int, k: Int): DataFrame = {
+  def lshTopK(emb: DataFrame, queries: DataFrame, planes: Int, k: Int,
+              probes: Int = 0): DataFrame = {
     val buckets = lshBuckets(emb, planes)
     val corpus = asDouble(emb).join(buckets, "vec_id")
     val q = asDouble(queries).join(buckets, "vec_id")
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("q_bucket"))
+    val bucketCond =
+      if (probes == 0) col("bucket") === col("q_bucket")
+      else bit_count(col("bucket") bitwiseXOR col("q_bucket")) <= probes
     val scored = corpus.join(broadcast(q),
-        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        bucketCond && col("vec_id") =!= col("q_id"))
       .withColumn("score", cosine(col("qv"), col("v")))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
     scored

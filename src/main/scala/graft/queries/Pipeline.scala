@@ -90,6 +90,13 @@ object Pipeline {
         .orderBy("q_id", "rank")
     }),
 
+    "ann_lsh_multiprobe" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), planes = 8, k = 10,
+                         probes = 1)
+        .orderBy("q_id", "rank")
+    }),
+
     // ---- text analysis ----
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
@@ -216,6 +223,28 @@ object Pipeline {
          scored AS (
            SELECT q_id, eb.vec_id, ${cosSql("qv", "v")} AS score
            FROM eb JOIN q ON eb.bucket = q.q_bucket AND eb.vec_id <> q.q_id)
+         SELECT q_id, rank, vec_id, score FROM (
+           SELECT q_id, vec_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id)
+                  AS BIGINT) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    "ann_lsh_multiprobe" ->
+      s"""WITH $embSql,
+         dots AS (SELECT vec_id, j,
+                    SUM(v[d + 1] * ((${h64("concat(j, ',', d)")} % 1000000) / 500000.0 - 1.0)) AS dot
+                  FROM e_t CROSS JOIN range(8) r(j) CROSS JOIN range(64) s(d)
+                  GROUP BY 1, 2),
+         bk AS (SELECT vec_id,
+                  SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS bucket
+                FROM dots GROUP BY 1),
+         eb AS (SELECT e_t.vec_id, v, bucket FROM e_t JOIN bk ON e_t.vec_id = bk.vec_id),
+         q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket FROM eb WHERE vec_id < 5),
+         scored AS (
+           SELECT q_id, eb.vec_id, ${cosSql("qv", "v")} AS score
+           FROM eb JOIN q ON bit_count(xor(eb.bucket, q.q_bucket)) <= 1
+                         AND eb.vec_id <> q.q_id)
          SELECT q_id, rank, vec_id, score FROM (
            SELECT q_id, vec_id, score,
              CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id)

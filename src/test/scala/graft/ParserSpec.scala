@@ -154,6 +154,16 @@ class ParserSpec extends SparkSpecBase {
     assert(rows(EX + "carol") == null)       // 41 passes but no knows edge
   }
 
+  test("GROUP_CONCAT with separator and SAMPLE through text") {
+    val df = q(P +
+      """SELECT ?o (GROUP_CONCAT(?n; SEPARATOR=",") AS ?names) (SAMPLE(?n) AS ?one)
+         WHERE { ?n ex:worksFor ?o } GROUP BY ?o ORDER BY ?o""")
+    val byOrg = df.collect().map(r =>
+      r.getStruct(0).getString(1) -> r.getStruct(1).getString(1)).toMap
+    assert(byOrg(EX + "acme") == s"${EX}alice,${EX}bob") // sorted, joined
+    assert(byOrg(EX + "globex") == s"${EX}carol,${EX}dave")
+  }
+
   test("blank nodes in patterns are existential variables") {
     // _:who matches ANY subject, like a fresh variable — were it a constant
     // bnode term, nothing in the data would match
