@@ -56,6 +56,23 @@ object QuadStore {
   def copyGraph(store: DataFrame, from: Column, to: Column): DataFrame =
     insert(store, store.filter(col("c") <=> from).withColumn("c", to))
 
+  /** Fast cardinality estimate for an as-bound pattern (the REST API's
+    * ESTCARD, /root/reference/bigdata-sails/src/java/com/bigdata/rdf/sail/
+    * webapp/QueryServlet.java:116; backed there by B+Tree range counts,
+    * here by a pruned parquet count — parquet stats + pushdown make it a
+    * metadata-mostly scan for selective patterns).
+    */
+  def estcard(store: DataFrame, s: Option[Column] = None,
+              p: Option[Column] = None, o: Option[Column] = None,
+              c: Option[Column] = None): Long = {
+    var df = store
+    s.foreach(t => df = df.filter(col("s") === t))
+    p.foreach(t => df = df.filter(col("p") === t))
+    o.foreach(t => df = df.filter(col("o") === t))
+    c.foreach(t => df = df.filter(col("c") <=> t))
+    df.count()
+  }
+
   /** Bucket count for predicate partitioning — fixed so readers can derive
     * the partition filter from a constant predicate (Translator adds it).
     */

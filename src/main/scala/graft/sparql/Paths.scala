@@ -61,6 +61,24 @@ object Paths {
 
   import graft.util.Fixpoint.materialize
 
+  /** Incremental closure maintenance on edge insert: given an existing
+    * closure and newly added edges, derive only the pairs the new edges
+    * enable — closure ∪ (closure? · new · closure?) via delta-seeded
+    * iteration, never recomputing from scratch.
+    */
+  def closureWithDelta(closure: DataFrame, newEdges: DataFrame,
+                       maxIters: Int = 64): DataFrame = {
+    val delta0 = materialize(newEdges.distinct())
+    graft.util.Fixpoint.semiNaiveFrom(closure, delta0, maxIters) { (all, delta) =>
+      // new pairs extend through the delta in either direction
+      val fwd = delta.as("d").join(all.as("a"), col("d.dst") === col("a.src"))
+        .select(col("d.src").as("src"), col("a.dst").as("dst"))
+      val bwd = all.as("a").join(delta.as("d"), col("a.dst") === col("d.src"))
+        .select(col("a.src").as("src"), col("d.dst").as("dst"))
+      fwd.unionByName(bwd).distinct()
+    }
+  }
+
   /** Semi-naive transitive closure of a distinct (src, dst) edge set. */
   def transitiveClosure(edges: DataFrame, maxIters: Int = 64): DataFrame = {
     val e = materialize(edges.distinct())

@@ -32,7 +32,12 @@ class GoldenSpec extends SparkSpecBase {
     test(s"golden: $name") {
       val data = Turtle.read(spark, dir.resolve(s"$name.ttl").toString)
       val query = Files.readString(dir.resolve(s"$name.rq"))
-      val df = Parser.select(spark, data, query)
+      val isConstruct = query.toUpperCase.contains("CONSTRUCT")
+      val df0 =
+        if (isConstruct) Parser.construct(spark, data, query)
+        else Parser.select(spark, data, query)
+      // CONSTRUCT output compares as sorted triples (bag semantics)
+      val df = if (isConstruct) df0.orderBy("s.lex", "p.lex", "o.lex") else df0
       val rendered = df.select(
         concat_ws("\t", df.columns.map(c =>
           coalesce(NTriples.termToString(col(c)), lit(""))): _*).as("line"))

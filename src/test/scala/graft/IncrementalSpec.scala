@@ -57,6 +57,32 @@ class IncrementalSpec extends SparkSpecBase {
     assert(frames.except(again).isEmpty)
   }
 
+  test("incremental path closure on edge insert equals recompute") {
+    import graft.sparql.Paths
+    def edges(pairs: (String, String)*): DataFrame =
+      parse(pairs.map { case (a, b) => s"<${EX}$a> <${EX}next> <${EX}$b> ." })
+        .select(col("s").as("src"), col("o").as("dst"))
+    val base = edges("a" -> "b", "b" -> "c")
+    val closed = Paths.transitiveClosure(base)
+    // new edge c->d connects the chain; and an isolated e->f
+    val delta = edges("c" -> "d", "e" -> "f")
+    val inc = Paths.closureWithDelta(closed, delta)
+    val full = Paths.transitiveClosure(base.unionByName(delta))
+    assert(inc.except(full).isEmpty && full.except(inc).isEmpty)
+    assert(inc.count() == 7) // ab ac ad bc bd cd ef
+  }
+
+  test("ESTCARD fast cardinality for as-bound patterns") {
+    val quads = parse(Seq(
+      s"<${EX}a> <${EX}p> <${EX}b> .",
+      s"<${EX}c> <${EX}p> <${EX}b> .",
+      s"<${EX}a> <${EX}q> <${EX}d> ."))
+    assert(QuadStore.estcard(quads) == 3)
+    assert(QuadStore.estcard(quads, p = Some(Term.iri(EX + "p"))) == 2)
+    assert(QuadStore.estcard(quads, s = Some(Term.iri(EX + "a")),
+                             p = Some(Term.iri(EX + "q"))) == 1)
+  }
+
   test("queries over an empty store behave (no crash, empty results)") {
     val empty = parse(Seq.empty)
     val df = Parser.select(spark, empty,

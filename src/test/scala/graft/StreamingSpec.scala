@@ -34,6 +34,23 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join against a dimension table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val users = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Ev]
+    val enriched = input.toDF().join(users, "user_id")
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Ev(1, ts(1), 7, "click", 1.0), Ev(2, ts(2), 9, "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+      assert(rows.length == 1) // user 9 has no dimension row (inner join)
+      assert(rows(0).getAs[String]("tier") == "gold")
+    } finally q.stop()
+  }
+
   test("sessionization closes a session after the gap, keeps the open one") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
