@@ -191,7 +191,10 @@ object Parser {
 
     private def selectQueryInner(): Query = {
       expect("SELECT")
-      val distinct = if (peekIs("DISTINCT")) { next(); true } else false
+      // REDUCED permits (but does not require) duplicate elimination —
+      // implementing it as DISTINCT is spec-conformant
+      val distinct =
+        if (peekIs("DISTINCT") || peekIs("REDUCED")) { next(); true } else false
       var proj = Vector.empty[String]
       var binds = Vector.empty[(String, Expr)]
       var star = false
@@ -231,12 +234,27 @@ object Parser {
       // ORDER BY / LIMIT / OFFSET (applied after projection per SPARQL,
       // but our sort needs the columns: order before project)
       var orderKeys = Vector.empty[(String, Boolean)]
+      var orderBindIdx = 0
+      def orderKey(asc: Boolean): Unit = {
+        // every key parses as an expression; non-trivial ones bind an
+        // internal column (Project later drops it). A bare ?v stays direct.
+        val start = pos
+        if (peek.startsWith("?")) {
+          val v = next().substring(1)
+          if (!"+-*/".contains(peek)) { orderKeys :+= (v -> asc); return }
+          pos = start
+        }
+        val e = expression()
+        val iv = s"__ord_$orderBindIdx"; orderBindIdx += 1
+        node = Extend(iv, e, node)
+        orderKeys :+= (iv -> asc)
+      }
       if (peekIs("ORDER")) {
         next(); expect("BY")
-        while (peek.startsWith("?") || peekIs("ASC") || peekIs("DESC")) {
-          if (peekIs("ASC")) { next(); expect("("); orderKeys :+= (next().substring(1) -> true); expect(")") }
-          else if (peekIs("DESC")) { next(); expect("("); orderKeys :+= (next().substring(1) -> false); expect(")") }
-          else orderKeys :+= (next().substring(1) -> true)
+        while (peek.startsWith("?") || peekIs("ASC") || peekIs("DESC") || peek == "(") {
+          if (peekIs("ASC")) { next(); expect("("); orderKey(asc = true); expect(")") }
+          else if (peekIs("DESC")) { next(); expect("("); orderKey(asc = false); expect(")") }
+          else orderKey(asc = true)
         }
       }
       if (orderKeys.nonEmpty) node = OrderBy(orderKeys, node)

@@ -154,6 +154,15 @@ class ParserSpec extends SparkSpecBase {
     assert(rows(EX + "carol") == null)       // 41 passes but no knows edge
   }
 
+  test("SELECT REDUCED and ORDER BY expression") {
+    val red = q(P + "SELECT REDUCED ?o WHERE { ?x ex:worksFor ?o } ORDER BY ?o")
+    assert(red.count() == 2)
+    // order by a computed key: age descending via (0 - ?a)
+    val byNegAge = q(P +
+      "SELECT ?x WHERE { ?x ex:age ?a } ORDER BY (0 - ?a)")
+    assert(lexSeq(byNegAge, "x") == Seq(EX + "carol", EX + "alice", EX + "bob"))
+  }
+
   test("GROUP_CONCAT with separator and SAMPLE through text") {
     val df = q(P +
       """SELECT ?o (GROUP_CONCAT(?n; SEPARATOR=",") AS ?names) (SAMPLE(?n) AS ?one)
