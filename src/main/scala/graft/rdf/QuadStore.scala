@@ -73,6 +73,12 @@ object QuadStore {
     df.count()
   }
 
+  /** Enumerate named graphs (the REST API's CONTEXTS,
+    * QueryServlet.java:122): distinct non-null contexts.
+    */
+  def contexts(store: DataFrame): DataFrame =
+    store.filter(col("c").isNotNull).select(col("c")).distinct()
+
   /** Bucket count for predicate partitioning — fixed so readers can derive
     * the partition filter from a constant predicate (Translator adds it).
     */

@@ -72,6 +72,14 @@ class IncrementalSpec extends SparkSpecBase {
     assert(inc.count() == 7) // ab ac ad bc bd cd ef
   }
 
+  test("CONTEXTS enumerates named graphs") {
+    val g1 = Term.iri(EX + "g1")
+    val base = parse(Seq(s"<${EX}a> <${EX}p> <${EX}b> ."))
+    val withNamed = QuadStore.insert(base, base.withColumn("c", g1))
+    val ctxs = QuadStore.contexts(withNamed).collect()
+    assert(ctxs.length == 1 && ctxs(0).getStruct(0).getString(1) == EX + "g1")
+  }
+
   test("ESTCARD fast cardinality for as-bound patterns") {
     val quads = parse(Seq(
       s"<${EX}a> <${EX}p> <${EX}b> .",
