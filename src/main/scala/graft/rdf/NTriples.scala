@@ -144,16 +144,24 @@ object NTriples {
     spark.createDataFrame(rdd, rowSchema)
   }
 
-  /** Serialize a term struct column back to N-Triples token syntax. */
-  def termToString(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  /** Serialize a term struct column back to N-Triples token syntax.
+    * Literal lexical forms escape backslash, quote, and line controls so
+    * the line-based format survives arbitrary content.
+    */
+  def termToString(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val lex = Term.lex(t)
+    val esc = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(lex, "\\\\", "\\\\\\\\"),
+      "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
     when(t.isNull, lit(null).cast(StringType))
-      .when(Term.isIri(t), concat(lit("<"), Term.lex(t), lit(">")))
-      .when(Term.isBnode(t), concat(lit("_:"), Term.lex(t)))
+      .when(Term.isIri(t), concat(lit("<"), lex, lit(">")))
+      .when(Term.isBnode(t), concat(lit("_:"), lex))
       .when(Term.lang(t).isNotNull,
-        concat(lit("\""), Term.lex(t), lit("\"@"), Term.lang(t)))
+        concat(lit("\""), esc, lit("\"@"), Term.lang(t)))
       .when(Term.dt(t).isNotNull && Term.dt(t) =!= Term.XsdString,
-        concat(lit("\""), Term.lex(t), lit("\"^^<"), Term.dt(t), lit(">")))
-      .otherwise(concat(lit("\""), Term.lex(t), lit("\"")))
+        concat(lit("\""), esc, lit("\"^^<"), Term.dt(t), lit(">")))
+      .otherwise(concat(lit("\""), esc, lit("\"")))
+  }
 
   /** Write quads as N-Triples/N-Quads text. */
   def write(quads: DataFrame, path: String): Unit =

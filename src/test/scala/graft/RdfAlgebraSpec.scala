@@ -230,6 +230,24 @@ class RdfAlgebraSpec extends SparkSpecBase {
     assert(back.except(fixture).isEmpty && fixture.except(back).isEmpty)
   }
 
+  test("NTriples round-trip survives quotes, newlines, tabs in literals") {
+    import org.apache.spark.sql.Encoders
+    val nasty = Seq(
+      "<http://ex/x> <http://ex/p> \"line\\nbreak and \\\"quote\\\" and\\ttab\" .",
+      "<http://ex/x> <http://ex/q> \"back\\\\slash\"@en .")
+    val quads = NTriples.parseLines(spark,
+      spark.createDataset(nasty)(Encoders.STRING).toDF("value"))
+    val path = "/tmp/graft_nt_nasty"
+    NTriples.write(quads, path)
+    val back = NTriples.read(spark, path)
+    assert(back.count() == 2)
+    assert(back.except(quads).isEmpty && quads.except(back).isEmpty)
+    // the parsed lex really contains the control characters
+    val lex = quads.filter(col("p") === Term.iri("http://ex/p"))
+      .select(Term.lex(col("o"))).head().getString(0)
+    assert(lex.contains("\n") && lex.contains("\"") && lex.contains("\t"))
+  }
+
   test("QuadStore update ops: insert / delete / clearGraph") {
     val add = fixture.filter(col("p") === Term.iri(ex("knows")))
       .withColumn("o", Term.iri(ex("zed")))
