@@ -120,8 +120,13 @@ object Parser {
         while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
         if (i == st + 1) { out += "?"; } // bare '?' = path modifier
         else out += "?" + s.substring(st + 1, i)
-      } else if (c.isDigit || (c == '.' && i + 1 < n && s.charAt(i + 1).isDigit)) {
+      } else if (c.isDigit || (c == '.' && i + 1 < n && s.charAt(i + 1).isDigit) ||
+                 (c == '-' && i + 1 < n && s.charAt(i + 1).isDigit)) {
+        // '-' glued to a digit lexes as a negative literal ("-5"); the
+        // binary-minus reading requires whitespace ("?a - 5"), matching
+        // the SPARQL grammar's longest-match tokenization
         val st = i
+        if (c == '-') i += 1
         while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
         // a trailing '.' is the statement terminator, not part of the number
         var tok = s.substring(st, i)
@@ -534,7 +539,7 @@ object Parser {
       else if (t.equalsIgnoreCase("true")) Term.bool(lit(true))
       else if (t.equalsIgnoreCase("false")) Term.bool(lit(false))
       else if (t.headOption.exists(c => c.isDigit || c == '-' || c == '.') &&
-               t.exists(_.isDigit)) {
+               t.exists(_.isDigit) && t.forall(c => c.isDigit || c == '-' || c == '.')) {
         if (t.contains('.')) Term.num(lit(new java.math.BigDecimal(t)), Term.XsdDecimal)
         else Term.num(lit(t.toLong), Term.XsdInteger)
       }

@@ -154,6 +154,13 @@ class ParserSpec extends SparkSpecBase {
     assert(rows(EX + "carol") == null)       // 41 passes but no knows edge
   }
 
+  test("negative numeric literals in filters and VALUES") {
+    val df = q(P + "SELECT ?x WHERE { ?x ex:age ?a . FILTER(?a > -5) } ORDER BY ?x")
+    assert(df.count() == 3) // all ages exceed -5
+    val spaced = q(P + "SELECT ?x WHERE { ?x ex:age ?a . FILTER(?a - 5 > 21) } ORDER BY ?x")
+    assert(lexSeq(spaced, "x") == Seq(EX + "alice", EX + "carol")) // 25, 36 > 21
+  }
+
   test("SELECT REDUCED and ORDER BY expression") {
     val red = q(P + "SELECT REDUCED ?o WHERE { ?x ex:worksFor ?o } ORDER BY ?o")
     assert(red.count() == 2)
