@@ -154,6 +154,33 @@ class ParserSpec extends SparkSpecBase {
     assert(rows(EX + "carol") == null)       // 41 passes but no knows edge
   }
 
+  test("badly-designed nested OPTIONAL follows bottom-up semantics") {
+    // The ASTBottomUpOptimizer case (SURVEY §7.4): the inner OPTIONAL
+    // references ?n, which is bound in the OUTER pattern but not in its
+    // parent group. Bottom-up: the inner LeftJoin evaluates in isolation
+    // (?n there comes from phone), and the outer join then rejects rows
+    // whose phone-?n conflicts with name-?n — x2 loses its email binding
+    // entirely. Top-down evaluation would instead keep (x2, e2).
+    val data = parse(Seq(
+      s"""<${EX}x1> <${EX}name> "a" .""",
+      s"""<${EX}x1> <${EX}email> "e1" .""",
+      s"""<${EX}x1> <${EX}phone> "a" .""",
+      s"""<${EX}x2> <${EX}name> "b" .""",
+      s"""<${EX}x2> <${EX}email> "e2" .""",
+      s"""<${EX}x2> <${EX}phone> "c" ."""))
+    val df = Parser.select(spark, data, P +
+      """SELECT ?x ?n ?e WHERE {
+           ?x ex:name ?n
+           OPTIONAL { ?x ex:email ?e OPTIONAL { ?x ex:phone ?n } }
+         } ORDER BY ?x""")
+    val rows = df.collect().map { r =>
+      (r.getStruct(0).getString(1), r.getStruct(1).getString(1),
+       if (r.isNullAt(2)) null else r.getStruct(2).getString(1))
+    }
+    assert(rows(0) == ((EX + "x1", "a", "e1"))) // compatible all the way
+    assert(rows(1) == ((EX + "x2", "b", null))) // phone-n "c" conflicts: optional drops
+  }
+
   test("negative numeric literals in filters and VALUES") {
     val df = q(P + "SELECT ?x WHERE { ?x ex:age ?a . FILTER(?a > -5) } ORDER BY ?x")
     assert(df.count() == 3) // all ages exceed -5
