@@ -1,0 +1,63 @@
+package graft.sparql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Query EXPLAIN surface — the ASTContainer's diagnostic dump
+  * (/root/reference/bigdata-rdf/src/java/com/bigdata/rdf/sparql/ast/
+  * ASTContainer.java:45 carries original/optimized AST + BOp plan; REST
+  * exposes it via ?explain). Here: the parsed algebra, the variable-scope
+  * analysis, and Catalyst's formatted physical plan.
+  */
+object Explain {
+
+  final case class Explanation(algebra: String, certainVars: Set[String],
+                               maybeVars: Set[String], physicalPlan: String) {
+    def render: String =
+      s"""== SPARQL algebra ==
+         |$algebra
+         |== variable scope ==
+         |certain: ${certainVars.toSeq.sorted.mkString(", ")}
+         |maybe:   ${maybeVars.toSeq.sorted.mkString(", ")}
+         |== physical plan (Catalyst) ==
+         |$physicalPlan""".stripMargin
+  }
+
+  def explain(spark: SparkSession, quads: DataFrame, queryText: String): Explanation = {
+    val q = Parser.parse(spark, queryText)
+    val res = Translator.translate(quads, q.node)
+    Explanation(
+      algebra = pretty(q.node, 0),
+      certainVars = res.certain,
+      maybeVars = res.maybe,
+      physicalPlan = res.df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+  }
+
+  private def pretty(n: Algebra.Node, depth: Int): String = {
+    import Algebra._
+    val pad = "  " * depth
+    n match {
+      case Bgp(tps) => s"${pad}BGP(${tps.size} patterns)"
+      case PathPattern(_, p, _) => s"${pad}Path(${p.getClass.getSimpleName})"
+      case Filter(_, c) => s"${pad}Filter\n${pretty(c, depth + 1)}"
+      case Join(l, r) => s"${pad}Join\n${pretty(l, depth + 1)}\n${pretty(r, depth + 1)}"
+      case LeftJoin(l, r, cond) =>
+        s"${pad}LeftJoin${if (cond.isDefined) "(cond)" else ""}\n${pretty(l, depth + 1)}\n${pretty(r, depth + 1)}"
+      case Union(l, r) => s"${pad}Union\n${pretty(l, depth + 1)}\n${pretty(r, depth + 1)}"
+      case Minus(l, r) => s"${pad}Minus\n${pretty(l, depth + 1)}\n${pretty(r, depth + 1)}"
+      case ExistsFilter(c, s, neg) =>
+        s"${pad}${if (neg) "NotExists" else "Exists"}\n${pretty(c, depth + 1)}\n${pretty(s, depth + 1)}"
+      case Extend(v, _, c) => s"${pad}Extend(?$v)\n${pretty(c, depth + 1)}"
+      case Project(vs, c) => s"${pad}Project(${vs.map("?" + _).mkString(", ")})\n${pretty(c, depth + 1)}"
+      case Distinct(c) => s"${pad}Distinct\n${pretty(c, depth + 1)}"
+      case OrderBy(ks, c) =>
+        s"${pad}OrderBy(${ks.map { case (v, a) => s"?$v ${if (a) "ASC" else "DESC"}" }.mkString(", ")})\n${pretty(c, depth + 1)}"
+      case Slice(o, l, c) => s"${pad}Slice(offset=$o, limit=$l)\n${pretty(c, depth + 1)}"
+      case Group(ks, aggs, c) =>
+        s"${pad}Group(keys=${ks.map("?" + _).mkString(",")}; aggs=${aggs.map("?" + _._1).mkString(",")})\n${pretty(c, depth + 1)}"
+      case Values(_, _) => s"${pad}Values"
+      case GraphNode(_, c) => s"${pad}Graph\n${pretty(c, depth + 1)}"
+      case ServiceNode(iri, _) => s"${pad}Service<$iri>"
+    }
+  }
+}

@@ -124,6 +124,19 @@ class CoverageSpec extends SparkSpecBase {
     assert(byWhere.count() == 2) // b: in-edge from a, out-edge to c
   }
 
+  test("EXPLAIN renders algebra, scope analysis, and the physical plan") {
+    val quads = NTriples.parseLines(spark, spark.createDataset(Seq(
+      s"<${EX}a> <${EX}p> <${EX}b> ."))(Encoders.STRING).toDF("value"))
+    val ex = graft.sparql.Explain.explain(spark, quads, s"""
+      PREFIX ex: <$EX>
+      SELECT ?x WHERE { ?x ex:p ?y OPTIONAL { ?y ex:p ?z } } ORDER BY ?x LIMIT 5""")
+    val out = ex.render
+    assert(out.contains("LeftJoin") && out.contains("Slice(offset=0, limit=5)"))
+    assert(ex.certainVars == Set("x"))
+    assert(out.contains("== physical plan"))
+    assert(out.contains("Scan ExistingRDD") || out.contains("Project"))
+  }
+
   test("CSV sink round-trips term rendering distributed") {
     val quads = NTriples.parseLines(spark, spark.createDataset(Seq(
       s"""<${EX}x> <${EX}name> "A,B" .""",
