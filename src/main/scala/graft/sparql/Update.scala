@@ -28,20 +28,24 @@ object Update {
     ops.foldLeft(store)((st, op) => executeOne(spark, st, op))
   }
 
-  /** Split on top-level ';' (outside braces/quotes). */
+  /** Split on top-level ';' (outside braces/quotes; escaped quotes inside
+    * literals do not toggle string state).
+    */
   private def splitOps(text: String): Seq[String] = {
     val out = Vector.newBuilder[String]
     var depth = 0
     var inStr = false
+    var prevBackslash = false
     val cur = new StringBuilder
     for (c <- text) {
-      if (c == '"') inStr = !inStr
+      if (c == '"' && !prevBackslash) inStr = !inStr
       if (!inStr) {
         if (c == '{') depth += 1
         if (c == '}') depth -= 1
       }
       if (c == ';' && depth == 0 && !inStr) { out += cur.toString; cur.clear() }
       else cur.append(c)
+      prevBackslash = c == '\\' && !prevBackslash
     }
     if (cur.toString.trim.nonEmpty) out += cur.toString
     out.result().map(_.trim).filter(_.nonEmpty)

@@ -54,11 +54,13 @@ class ServiceUpdateSpec extends SparkSpecBase {
       WHERE { ?u ex:status "active" }""")
     assert(s3.count() == 4) // 2 archived + 2 wasActive
     assert(s3.filter(col("o") === Term.str("archived")).count() == 2)
-    // sequential ops with ';'
+    // sequential ops with ';' — including ';' and escaped quotes inside a
+    // literal, which must NOT split the program
     val s4 = Update.execute(spark, s3,
-      s"""INSERT DATA { <${EX}x> <${EX}p> "1" . } ;
+      s"""INSERT DATA { <${EX}x> <${EX}p> "a;b and \\"q\\"" . } ;
           INSERT DATA { <${EX}x> <${EX}p> "2" . }""")
     assert(s4.count() == 6)
+    assert(!s4.filter(col("o") === Term.str("a;b and \"q\"")).isEmpty)
   }
 
   test("persisted store: bound-predicate patterns prune partitions") {
