@@ -43,7 +43,10 @@ object Multimodal {
     StructField("features", ArrayType(DoubleType))))
 
   /** STUB decode: a real implementation would parse the codec here. The fake
-    * is deterministic — per-quarter mean byte value — so tests are stable.
+    * is deterministic — per-quarter mean byte value in micro-units via
+    * integer math (sum·10⁶ div len, then ONE fp division) — so the value is
+    * bit-reproducible across engines and the driver's DuckDB oracle can
+    * check it exactly.
     */
   private def fakeDecode(bytes: Array[Byte]): Array[Double] = {
     val n = bytes.length
@@ -52,7 +55,10 @@ object Multimodal {
       val hi = math.max(lo + 1, (q + 1) * n / 4)
       val slice = bytes.slice(lo, math.min(hi, n))
       if (slice.isEmpty) 0.0
-      else math.round(slice.map(b => (b & 0xff).toDouble).sum / slice.length * 1e6) / 1e6
+      else {
+        val micro = slice.foldLeft(0L)((a, b) => a + (b & 0xff)) * 1000000L / slice.length
+        micro.toDouble / 1e6
+      }
     }.toArray
   }
 

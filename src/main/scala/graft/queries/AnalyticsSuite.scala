@@ -158,7 +158,7 @@ object AnalyticsSuite {
                  UNION SELECT DISTINCT dst FROM e),
        pr0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
        $steps
-       SELECT node, rank FROM pr$iters ORDER BY node"""
+       SELECT node, CAST(rank AS BIGINT) AS rank FROM pr$iters ORDER BY node"""
   }
 
   val oracles: Map[String, String] = Map(

@@ -105,9 +105,15 @@ object Pipeline {
 
     // ---- multimodal ----
     "multimodal_meta" -> ((s, d) => Multimodal.blobMeta(docs(s, d)).orderBy("doc_id")),
-    // rows-only check (stubbed decode is not SQL-expressible):
+    // exploded to scalar rows: (doc_id, n_bytes, quarter, feature) — array
+    // columns would break the driver's sort-then-hash compare, and the
+    // integer-exact stub makes every value DuckDB-checkable
     "multimodal_features" -> ((s, d) =>
-      Multimodal.extractFeatures(s, docs(s, d)).orderBy("doc_id"))
+      Multimodal.extractFeatures(s, docs(s, d))
+        .select(col("doc_id"), col("n_bytes"),
+                posexplode(col("features")).as(Seq("quarter", "feature")))
+        .withColumn("quarter", col("quarter").cast("long"))
+        .orderBy("doc_id", "quarter"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -327,6 +333,34 @@ object Pipeline {
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5,
            substr(base64(encode(text)), 1, 8) AS head_b64
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // mirrors Multimodal.fakeDecode's integer math exactly: per-quarter
+    // byte slice [lo, min(max(lo+1, hi), nb)), mean in micro-units via
+    // integer division, ONE fp division at the end — bit-identical doubles
+    "multimodal_features" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                octet_length(encode(text)) AS nb FROM documents),
+         q AS (SELECT doc_id, nb, unnest([0,1,2,3]) AS quarter FROM b),
+         bounds AS (SELECT doc_id, nb, quarter,
+                 (quarter*nb)//4 AS lo,
+                 LEAST(GREATEST((quarter*nb)//4 + 1, ((quarter+1)*nb)//4), nb) AS hi
+               FROM q),
+         bytes AS (SELECT doc_id, hx, unnest(range(0, nb)) AS i FROM b),
+         bvals AS (SELECT doc_id, i,
+                 CAST('0x' || substring(hx, CAST(2*i+1 AS BIGINT), 2) AS INTEGER) AS v
+               FROM bytes),
+         feat AS (SELECT bo.doc_id AS doc_id, bo.quarter AS quarter,
+                 SUM(v.v) AS s, COUNT(*) AS len
+               FROM bounds bo JOIN bvals v
+                 ON v.doc_id = bo.doc_id AND v.i >= bo.lo AND v.i < bo.hi
+               GROUP BY 1, 2)
+         SELECT bo.doc_id, CAST(bo.nb AS BIGINT) AS n_bytes,
+           CAST(bo.quarter AS BIGINT) AS quarter,
+           COALESCE(CAST(CAST((f.s * 1000000) // f.len AS BIGINT) AS DOUBLE)
+                    / 1000000.0, 0.0) AS feature
+         FROM bounds bo LEFT JOIN feat f
+           ON f.doc_id = bo.doc_id AND f.quarter = bo.quarter
+         ORDER BY bo.doc_id, bo.quarter"""
   )
 }

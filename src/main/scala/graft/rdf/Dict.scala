@@ -26,10 +26,13 @@ import graft.sparql.Algebra.{C, Pat, TriplePattern, V}
 object Dict {
 
   /** Canonical serialization of a term (kind/lex/dt/lang; `num` is derived
-    * from lex+dt, so it is excluded).
+    * from lex+dt, so it is excluded). Fields join on a \\u0001 separator so
+    * shifted field boundaries can't collide ("ab"@cd vs "a"@bcd); NULL
+    * fields coalesce to "" first because concat_ws would *skip* them and
+    * shift the remaining fields onto the wrong positions.
     */
   def termKey(t: Column): Column =
-    concat_ws("",
+    concat_ws("\u0001",
       Term.kind(t).cast(StringType), coalesce(Term.lex(t), lit("")),
       coalesce(Term.dt(t), lit("")), coalesce(Term.lang(t), lit("")))
 

@@ -46,8 +46,12 @@ object Algebra {
 
   sealed trait Node
   final case class Bgp(tps: Seq[TriplePattern]) extends Node
-  /** Arbitrary-length path pattern (ArbitraryLengthPathOp.java:87). */
-  final case class PathPattern(s: Pat, path: Path, o: Pat) extends Node
+  /** Arbitrary-length path pattern (ArbitraryLengthPathOp.java:87).
+    * `g` is the enclosing GRAPH context (None = default graph); a variable
+    * context evaluates the path per named graph and binds the variable.
+    */
+  final case class PathPattern(s: Pat, path: Path, o: Pat,
+                               g: Option[Pat] = None) extends Node
   final case class Filter(cond: Expr, child: Node) extends Node
   final case class Join(l: Node, r: Node) extends Node
   /** OPTIONAL; `cond` participates in the join per SPARQL LeftJoin. */

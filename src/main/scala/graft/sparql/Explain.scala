@@ -38,7 +38,8 @@ object Explain {
     val pad = "  " * depth
     n match {
       case Bgp(tps) => s"${pad}BGP(${tps.size} patterns)"
-      case PathPattern(_, p, _) => s"${pad}Path(${p.getClass.getSimpleName})"
+      case PathPattern(_, p, _, g) =>
+        s"${pad}Path(${p.getClass.getSimpleName}${g.map(x => s", graph=$x").getOrElse("")})"
       case Filter(_, c) => s"${pad}Filter\n${pretty(c, depth + 1)}"
       case Join(l, r) => s"${pad}Join\n${pretty(l, depth + 1)}\n${pretty(r, depth + 1)}"
       case LeftJoin(l, r, cond) =>

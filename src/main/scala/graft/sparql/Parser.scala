@@ -239,6 +239,7 @@ object Parser {
       // ORDER BY / LIMIT / OFFSET (applied after projection per SPARQL,
       // but our sort needs the columns: order before project)
       var orderKeys = Vector.empty[(String, Boolean)]
+      var ordIvs = Vector.empty[String]
       var orderBindIdx = 0
       def orderKey(asc: Boolean): Unit = {
         // every key parses as an expression; non-trivial ones bind an
@@ -252,6 +253,7 @@ object Parser {
         val e = expression()
         val iv = s"__ord_$orderBindIdx"; orderBindIdx += 1
         node = Extend(iv, e, node)
+        ordIvs :+= iv
         orderKeys :+= (iv -> asc)
       }
       if (peekIs("ORDER")) {
@@ -262,9 +264,23 @@ object Parser {
           else orderKey(asc = true)
         }
       }
-      if (orderKeys.nonEmpty) node = OrderBy(orderKeys, node)
-      if (!star && proj.nonEmpty) node = Project(proj, node)
-      if (distinct) node = Distinct(node)
+      if (distinct) {
+        // DISTINCT dedups the *projection* but must not destroy ORDER BY's
+        // row order (dropDuplicates shuffles), so: project (keeping the
+        // internal __ord columns — deterministic functions of the row, they
+        // never change the dedup result; SPARQL restricts DISTINCT+ORDER BY
+        // keys to projected expressions), dedup, THEN sort, and finally drop
+        // the __ord columns with a second projection.
+        if (!star && proj.nonEmpty) node = Project(proj ++ ordIvs, node)
+        node = Distinct(node)
+        if (orderKeys.nonEmpty) node = OrderBy(orderKeys, node)
+        if (!star && proj.nonEmpty && ordIvs.nonEmpty) node = Project(proj, node)
+      } else {
+        // without DISTINCT, ORDER BY may reference non-projected variables,
+        // so the sort runs before the projection drops them
+        if (orderKeys.nonEmpty) node = OrderBy(orderKeys, node)
+        if (!star && proj.nonEmpty) node = Project(proj, node)
+      }
       var offset = 0L; var limit = -1L
       while (peekIs("LIMIT") || peekIs("OFFSET")) {
         if (peekIs("LIMIT")) { next(); limit = next().toLong }
@@ -757,7 +773,10 @@ object Parser {
         }
         case "STRAFTER" => r => {
           val (x, d) = (Term.lex(args(0)(r)), litString(0))
-          Term.str(when(x.contains(d), substring_index(x, d, -1)).otherwise(""))
+          // SPARQL 17.4.3.9: substring after the FIRST occurrence (not
+          // substring_index's last); empty delimiter yields x (locate=1)
+          Term.str(when(x.contains(d),
+            x.substr(locate(d, x) + lit(d.length), length(x))).otherwise(""))
         }
         case "REPLACE" => r => Term.str(
           regexp_replace(Term.lex(args(0)(r)), litString(0), litString(1)))
@@ -777,9 +796,16 @@ object Parser {
         case "HOURS" => r => dtPart(args(0)(r), hour)
         case "MINUTES" => r => dtPart(args(0)(r), minute)
         case "SECONDS" => r => dtPart(args(0)(r), second)
-        case "LANGMATCHES" => r => boolTerm(
-          lower(Term.lex(args(0)(r))) === lower(lit(litString(0))) ||
-          lit(litString(0)) === "*" && length(Term.lex(args(0)(r))) > 0)
+        case "LANGMATCHES" => r => {
+          // RFC 4647 basic filtering: "*" matches any non-empty tag;
+          // otherwise the range matches the tag exactly or as a subtag
+          // prefix ("en" matches "en-US"), case-insensitively
+          val tag = lower(Term.lex(args(0)(r)))
+          val range = litString(0).toLowerCase
+          boolTerm(
+            if (range == "*") length(tag) > 0
+            else tag === range || tag.startsWith(range + "-"))
+        }
         case other => throw new IllegalArgumentException(s"unsupported function $other")
       }
       f

@@ -22,41 +22,96 @@ import Algebra._
   */
 object Paths {
 
-  /** Compile a path over the quad store into a distinct (src, dst) pair
-    * DataFrame of term structs. Default-graph rows only (c IS NULL).
+  /** Compile a path over the quad store into a distinct pair DataFrame of
+    * term structs, scoped to a graph context: `None` = default graph
+    * (c IS NULL), `Some(C(g))` = one named graph, `Some(V(n))` = every named
+    * graph separately — the result then carries a third column `g` and the
+    * closure/join machinery keys on it, so a path never crosses graphs
+    * (GRAPH ?g { ?s p+ ?o } semantics).
     */
-  def compile(quads: DataFrame, path: Path): DataFrame = path match {
+  def compile(quads: DataFrame, path: Path, graph: Option[Pat] = None): DataFrame =
+    graph match {
+      case Some(V(_)) => compilePerGraph(quads.filter(col("c").isNotNull), path)
+      case Some(C(t)) => compileFlat(quads.filter(col("c") === t), path)
+      case _          => compileFlat(quads.filter(col("c").isNull), path)
+    }
+
+  /** Single-graph compilation: `scoped` is already filtered to one graph
+    * context, pairs are (src, dst).
+    */
+  private def compileFlat(scoped: DataFrame, path: Path): DataFrame = path match {
     case Link(iri) =>
-      quads.filter(col("c").isNull && col("p") === Term.iri(iri))
+      scoped.filter(col("p") === Term.iri(iri))
         .select(col("s").as("src"), col("o").as("dst"))
     case Inv(p) =>
-      compile(quads, p).select(col("dst").as("src"), col("src").as("dst"))
+      compileFlat(scoped, p).select(col("dst").as("src"), col("src").as("dst"))
     case PSeq(a, b) =>
-      val l = compile(quads, a)
-      val r = compile(quads, b).withColumnRenamed("src", "mid")
+      val l = compileFlat(scoped, a)
+      val r = compileFlat(scoped, b).withColumnRenamed("src", "mid")
       l.join(r, l("dst") === r("mid")).select(l("src"), r("dst")).distinct()
     case Alt(a, b) =>
-      compile(quads, a).unionByName(compile(quads, b)).distinct()
+      compileFlat(scoped, a).unionByName(compileFlat(scoped, b)).distinct()
     case ZeroOrOne(p) =>
-      compile(quads, p).unionByName(identityPairs(quads)).distinct()
+      compileFlat(scoped, p).unionByName(identityPairs(scoped)).distinct()
     case OneOrMore(p) =>
-      transitiveClosure(compile(quads, p))
+      transitiveClosure(compileFlat(scoped, p))
     case ZeroOrMore(p) =>
-      transitiveClosure(compile(quads, p)).unionByName(identityPairs(quads)).distinct()
+      transitiveClosure(compileFlat(scoped, p)).unionByName(identityPairs(scoped)).distinct()
     case NegatedSet(iris) =>
       val excluded = iris.foldLeft(lit(false))((acc, i) => acc || col("p") === Term.iri(i))
-      quads.filter(col("c").isNull && !excluded)
+      scoped.filter(!excluded)
         .select(col("s").as("src"), col("o").as("dst")).distinct()
+  }
+
+  /** Variable-graph compilation: pairs are (g, src, dst) and every join /
+    * closure step also keys on `g`, evaluating the path independently per
+    * named graph (`scoped` is pre-filtered to c IS NOT NULL).
+    */
+  private def compilePerGraph(scoped: DataFrame, path: Path): DataFrame = path match {
+    case Link(iri) =>
+      scoped.filter(col("p") === Term.iri(iri))
+        .select(col("c").as("g"), col("s").as("src"), col("o").as("dst"))
+    case Inv(p) =>
+      compilePerGraph(scoped, p)
+        .select(col("g"), col("dst").as("src"), col("src").as("dst"))
+    case PSeq(a, b) =>
+      val l = compilePerGraph(scoped, a)
+      val r = compilePerGraph(scoped, b)
+        .withColumnRenamed("src", "mid").withColumnRenamed("g", "g2")
+      l.join(r, l("dst") === r("mid") && l("g") === r("g2"))
+        .select(l("g"), l("src"), r("dst")).distinct()
+    case Alt(a, b) =>
+      compilePerGraph(scoped, a).unionByName(compilePerGraph(scoped, b)).distinct()
+    case ZeroOrOne(p) =>
+      compilePerGraph(scoped, p).unionByName(identityPairsPerGraph(scoped)).distinct()
+    case OneOrMore(p) =>
+      closureLoop(compilePerGraph(scoped, p), keyed = true, 64)
+    case ZeroOrMore(p) =>
+      closureLoop(compilePerGraph(scoped, p), keyed = true, 64)
+        .unionByName(identityPairsPerGraph(scoped)).distinct()
+    case NegatedSet(iris) =>
+      val excluded = iris.foldLeft(lit(false))((acc, i) => acc || col("p") === Term.iri(i))
+      scoped.filter(!excluded)
+        .select(col("c").as("g"), col("s").as("src"), col("o").as("dst")).distinct()
   }
 
   /** All graph nodes paired with themselves (zero-length path endpoints:
     * ZeroLengthPathOp.java:53 binds right = left over the node domain).
+    * `scoped` is already filtered to the graph context.
     */
-  private def identityPairs(quads: DataFrame): DataFrame = {
-    val nodes = quads.filter(col("c").isNull).select(col("s").as("n"))
-      .unionByName(quads.filter(col("c").isNull).select(col("o").as("n")))
+  private def identityPairs(scoped: DataFrame): DataFrame = {
+    val nodes = scoped.select(col("s").as("n"))
+      .unionByName(scoped.select(col("o").as("n")))
       .distinct()
     nodes.select(col("n").as("src"), col("n").as("dst"))
+  }
+
+  /** Per-graph node domain: each node paired with itself within its graph. */
+  private def identityPairsPerGraph(scoped: DataFrame): DataFrame = {
+    val nodes = scoped.select(col("c").as("g"), col("s").as("n"))
+      .unionByName(scoped.select(col("c").as("g"), col("o").as("n")))
+      .distinct()
+    nodes.select(col("g"), col("n").as("src"), col("n").as("dst"))
   }
 
   import graft.util.Fixpoint.materialize
@@ -80,15 +135,25 @@ object Paths {
   }
 
   /** Semi-naive transitive closure of a distinct (src, dst) edge set. */
-  def transitiveClosure(edges: DataFrame, maxIters: Int = 64): DataFrame = {
+  def transitiveClosure(edges: DataFrame, maxIters: Int = 64): DataFrame =
+    closureLoop(edges, keyed = false, maxIters)
+
+  /** Closure loop shared by the flat and per-graph variants: when `keyed`,
+    * frames carry a `g` column and frontier extension also matches on it.
+    */
+  private def closureLoop(edges: DataFrame, keyed: Boolean, maxIters: Int): DataFrame = {
     val e = materialize(edges.distinct())
     var all = e
     var frontier = e
     var i = 0
     while (i < maxIters) {
+      val joinCond =
+        if (keyed) col("f.dst") === col("e.src") && col("f.g") === col("e.g")
+        else col("f.dst") === col("e.src")
+      val head = if (keyed) Seq(col("f.g").as("g")) else Nil
       val grown = frontier.as("f")
-        .join(e.as("e"), col("f.dst") === col("e.src"))
-        .select(col("f.src").as("src"), col("e.dst").as("dst"))
+        .join(e.as("e"), joinCond)
+        .select(head ++ Seq(col("f.src").as("src"), col("e.dst").as("dst")): _*)
         .distinct()
       frontier = materialize(grown.except(all))
       if (frontier.isEmpty) return all

@@ -83,7 +83,7 @@ object TermOps {
     // numerics before non-numeric literals, ordered by value
     when(Term.numVal(t).isNotNull, 0).otherwise(1),
     coalesce(Term.numVal(t), lit(0).cast(Term.numType)),
-    concat_ws("",
+    concat_ws("\u0001",
       coalesce(Term.lex(t), lit("")),
       coalesce(Term.dt(t), lit("")),
       coalesce(Term.lang(t), lit(""))))

@@ -41,9 +41,9 @@ object Translator {
       orderPatterns(tps).map(tp => translateTp(quads, tp))
         .reduce((l, r) => join(l, r, "inner", None))
 
-    case PathPattern(s, path, o) =>
-      val pairs = Paths.compile(quads, path) // (src, dst) term structs
-      bindEnds(pairs, s, o)
+    case PathPattern(s, path, o, g) =>
+      val pairs = Paths.compile(quads, path, g) // (src, dst[, g]) term structs
+      bindEnds(pairs, s, o, g)
 
     case Filter(cond, child) =>
       val c = translate(quads, child)
@@ -252,7 +252,8 @@ object Translator {
   }
 
   /** Bind the endpoints of a compiled path-pair DataFrame (src, dst). */
-  private def bindEnds(pairs: DataFrame, s: Pat, o: Pat): Result = {
+  private def bindEnds(pairs: DataFrame, s: Pat, o: Pat,
+                       g: Option[Pat] = None): Result = {
     var df = pairs
     var vars = Vector.empty[String]
     s match {
@@ -260,24 +261,44 @@ object Translator {
       case V(n) => df = df.withColumnRenamed("src", n); vars :+= n
     }
     o match {
-      case C(t) => df = df.filter(col(if (vars.isEmpty) "dst" else "dst") === t)
+      case C(t) => df = df.filter(col("dst") === t)
       case V(n) =>
         if (vars.contains(n)) df = df.filter(col("dst") === col(n))
         else { df = df.withColumnRenamed("dst", n); vars :+= n }
+    }
+    // a variable GRAPH context arrives as a `g` column (Paths.compile
+    // per-graph mode) and binds like any other position
+    g match {
+      case Some(V(n)) if df.columns.contains("g") =>
+        if (vars.contains(n)) df = df.filter(col("g") === col(n))
+        else { df = df.withColumnRenamed("g", n); vars :+= n }
+      case _ =>
     }
     val keep = vars.distinct
     Result(df.select(keep.map(col): _*).distinct(), keep.toSet, Set.empty)
   }
 
-  /** Push a GRAPH context onto child triple patterns lacking one. */
+  /** Push a GRAPH context onto every pattern in scope lacking one. A nested
+    * GRAPH block keeps its own (inner) context; VALUES and SERVICE carry no
+    * graph scope by definition.
+    */
   private def rewriteGraph(n: Node, g: Pat): Node = n match {
     case Bgp(tps) => Bgp(tps.map(tp => if (tp.g.isEmpty) tp.copy(g = Some(g)) else tp))
+    case p: PathPattern => if (p.g.isEmpty) p.copy(g = Some(g)) else p
     case Filter(c, ch) => Filter(c, rewriteGraph(ch, g))
     case Join(l, r) => Join(rewriteGraph(l, g), rewriteGraph(r, g))
     case LeftJoin(l, r, c) => LeftJoin(rewriteGraph(l, g), rewriteGraph(r, g), c)
     case Union(l, r) => Union(rewriteGraph(l, g), rewriteGraph(r, g))
     case Minus(l, r) => Minus(rewriteGraph(l, g), rewriteGraph(r, g))
+    case ExistsFilter(ch, sub, neg) =>
+      ExistsFilter(rewriteGraph(ch, g), rewriteGraph(sub, g), neg)
     case Extend(v, e, ch) => Extend(v, e, rewriteGraph(ch, g))
+    case Project(vs, ch) => Project(vs, rewriteGraph(ch, g))
+    case Distinct(ch) => Distinct(rewriteGraph(ch, g))
+    case OrderBy(ks, ch) => OrderBy(ks, rewriteGraph(ch, g))
+    case Slice(off, lim, ch) => Slice(off, lim, rewriteGraph(ch, g))
+    case Group(ks, aggs, ch) => Group(ks, aggs, rewriteGraph(ch, g))
+    case gn: GraphNode => gn
     case other => other
   }
 }

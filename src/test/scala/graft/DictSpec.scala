@@ -49,4 +49,16 @@ class DictSpec extends SparkSpecBase {
       Seq(tp(C(Term.iri(EX + "alice")), "worksFor", V("org"))), Seq("org"))
     assert(one.count() == 1)
   }
+
+  test("termKey separates fields: shifted boundaries don't collide") {
+    // same concatenated bytes, different field splits — each pair must get
+    // distinct ids ("ab"@cd vs "a"@bcd; lex/datatype shifts likewise)
+    val terms = Seq(
+      Term.langStr(lit("ab"), lit("cd")), Term.langStr(lit("a"), lit("bcd")),
+      Term.typed(lit("ab"), lit(EX + "dt")), Term.typed(lit("a"), lit("b" + EX + "dt")),
+      Term.str(lit("abcd")))
+    val ids = spark.range(1).select(terms.map(Dict.termId): _*).head()
+    val distinctIds = (0 until terms.size).map(ids.getLong).toSet
+    assert(distinctIds.size == terms.size)
+  }
 }

@@ -258,4 +258,64 @@ class ParserSpec extends SparkSpecBase {
       "SELECT ?x ?a WHERE { ?x ex:age ?a } ORDER BY DESC(?a) LIMIT 2 OFFSET 1")
     assert(lexSeq(df, "x") == Seq(EX + "alice", EX + "bob"))
   }
+
+  test("SELECT DISTINCT preserves ORDER BY order and LIMIT picks sorted rows") {
+    // two employees per employer → duplicates that dedup must collapse
+    // BEFORE the sort, not after (dropDuplicates shuffles row order)
+    val base = P +
+      """SELECT DISTINCT ?n WHERE { ?x ex:worksFor ?c . ?c ex:name ?n }
+         ORDER BY DESC(STRLEN(?n)) """
+    assert(lexSeq(q(base), "n") == Seq("Globex", "Acme"))
+    assert(lexSeq(q(base + "LIMIT 1"), "n") == Seq("Globex"))
+    // bare-variable key, ascending
+    val bare = P +
+      """SELECT DISTINCT ?n WHERE { ?x ex:worksFor ?c . ?c ex:name ?n }
+         ORDER BY DESC(?n) LIMIT 1"""
+    assert(lexSeq(q(bare), "n") == Seq("Globex"))
+  }
+
+  test("STRAFTER takes the FIRST occurrence; STRBEFORE unchanged") {
+    val df = q(P +
+      """SELECT ?r ?b WHERE { ?c ex:name ?n . FILTER(?n = "Acme")
+           BIND(STRAFTER("abcabc", "b") AS ?r)
+           BIND(STRBEFORE("abcabc", "b") AS ?b) }""")
+    assert(lexSeq(df, "r") == Seq("cabc"))
+    assert(lexSeq(df, "b") == Seq("a"))
+  }
+
+  test("LANGMATCHES does RFC 4647 subtag-prefix matching") {
+    val g = parse(Seq(
+      s"""<${EX}d1> <${EX}label> "hello"@en-US .""",
+      s"""<${EX}d2> <${EX}label> "bonjour"@fr .""",
+      s"""<${EX}d3> <${EX}label> "plain" ."""))
+    val en = Parser.select(spark, g, P +
+      """SELECT ?x WHERE { ?x ex:label ?l . FILTER(LANGMATCHES(LANG(?l), "en")) }""")
+    assert(lexSeq(en, "x") == Seq(EX + "d1"))
+    val any = Parser.select(spark, g, P +
+      """SELECT ?x WHERE { ?x ex:label ?l . FILTER(LANGMATCHES(LANG(?l), "*")) }
+         ORDER BY ?x""")
+    assert(lexSeq(any, "x") == Seq(EX + "d1", EX + "d2"))
+  }
+
+  test("property path inside GRAPH is scoped to that graph") {
+    val g = parse(Seq(
+      s"""<${EX}a> <${EX}k> <${EX}b> <${EX}g1> .""",
+      s"""<${EX}b> <${EX}k> <${EX}c> <${EX}g1> .""",
+      s"""<${EX}c> <${EX}k> <${EX}d> <${EX}g2> .""",
+      s"""<${EX}a> <${EX}k> <${EX}z> ."""))
+    // constant graph: closure stays inside g1 (must not reach d via g2 or
+    // z via the default graph)
+    val const = Parser.select(spark, g, P +
+      """SELECT ?y WHERE { GRAPH <http://ex/g1> { ex:a ex:k+ ?y } } ORDER BY ?y""")
+    assert(lexSeq(const, "y") == Seq(EX + "b", EX + "c"))
+    // variable graph: per-graph closure, graph var binds; a→b→c only in g1
+    val perG = Parser.select(spark, g, P +
+      """SELECT ?g ?y WHERE { GRAPH ?g { ex:a ex:k+ ?y } } ORDER BY ?y""")
+    assert(lexSeq(perG, "g") == Seq(EX + "g1", EX + "g1"))
+    assert(lexSeq(perG, "y") == Seq(EX + "b", EX + "c"))
+    // default graph (no GRAPH clause) still excludes named-graph edges
+    val dflt = Parser.select(spark, g, P +
+      """SELECT ?y WHERE { ex:a ex:k+ ?y }""")
+    assert(lexSeq(dflt, "y") == Seq(EX + "z"))
+  }
 }
