@@ -104,13 +104,22 @@ object Dedup {
     * candidates. Output: distinct (id_a, id_b) with id_a < id_b.
     */
   def minhashLshCandidates(docs: DataFrame, n: Int, numHashes: Int,
-                           bands: Int): DataFrame = {
+                           bands: Int): DataFrame =
+    minhashLshCandidatesFromSigs(minhashSignaturesWide(docs, n, numHashes),
+                                 numHashes, bands)
+
+  /** LSH candidates from a prebuilt wide signature table — the sketch is an
+    * index (computed once as documents arrive, like the full-text index),
+    * so the banding join is all a dedup pass pays.
+    */
+  def minhashLshCandidatesFromSigs(sigs: DataFrame, numHashes: Int,
+                                   bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     // band keys slice directly out of the wide signature row (in-band order
     // is positional — no sort needed); materialized because the relation is
     // both sides of the candidate self-join
-    val wide = minhashSignaturesWide(docs, n, numHashes)
+    val wide = sigs
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
              array((0 until rowsPerBand).map(j => col(s"m${b * rowsPerBand + j}")): _*)
@@ -150,10 +159,15 @@ object Dedup {
     * the signatures ≤ maxHamming.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
-                   blockCol: String = "lang", bits: Int = 32): DataFrame = {
-    val sigs = graft.util.Fixpoint.materialize(
+                   blockCol: String = "lang", bits: Int = 32): DataFrame =
+    simhashPairsFromSigs(
       simhash(docs, bits)
-        .join(docs.select(col("doc_id"), col(blockCol).as("block")), "doc_id"))
+        .join(docs.select(col("doc_id"), col(blockCol).as("block")), "doc_id"),
+      maxHamming)
+
+  /** Hamming-≤k pairs from a prebuilt (doc_id, simhash, block) sketch. */
+  def simhashPairsFromSigs(sketch: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = graft.util.Fixpoint.materialize(sketch)
     sigs.as("a")
       .join(sigs.as("b"),
             col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
@@ -199,8 +213,12 @@ object Dedup {
     * cluster's minimum doc_id (the canonical survivor).
     */
   def dedupClusters(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
-                    bands: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val cand = minhashLshCandidates(docs, n, numHashes, bands)
+                    bands: Int = 4, threshold: Double = 0.5,
+                    sigs: Option[DataFrame] = None): DataFrame = {
+    val cand = sigs match {
+      case Some(w) => minhashLshCandidatesFromSigs(w, numHashes, bands)
+      case None => minhashLshCandidates(docs, n, numHashes, bands)
+    }
     val verified = verifyPairsJaccard(docs, cand, n, threshold)
       .select("id_a", "id_b")
     val edges = verified.select(col("id_a").as("src"), col("id_b").as("dst"))

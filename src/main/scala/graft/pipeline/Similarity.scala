@@ -78,6 +78,57 @@ object Similarity {
                  .otherwise(0L)).as("bucket"))
   }
 
+  /** IVF (inverted-file) coarse quantizer: assign every corpus vector to
+    * its nearest centroid by rounded cosine (ties → lowest centroid id).
+    * Centroids here are deterministic seed vectors (the lowest `nlist`
+    * vec_ids) rather than trained k-means — the partition/probe machinery
+    * (the part that matters at scale) is identical, and the assignment
+    * stays exactly reproducible by an external oracle. Swapping in k-means
+    * centroids changes only the `centroids` frame.
+    */
+  def ivfCentroids(emb: DataFrame, nlist: Int): DataFrame =
+    asDouble(emb).filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+  /** (vec_id, cid) assignment of each corpus vector to its centroid list. */
+  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val corpus = asDouble(emb)
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosine(col("v"), col("cv")))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cid")
+  }
+
+  /** IVF top-k: each query ranks only the vectors in its `nProbe` nearest
+    * centroid lists. The corpus shuffles ONCE by centroid id (the inverted
+    * file); a query touches nProbe/nlist of the data — the standard
+    * recall/cost knob, and the reason IVF scans survive 100 TB corpora.
+    */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, nlist: Int, nProbe: Int,
+              k: Int): DataFrame = {
+    val cent = ivfCentroids(emb, nlist)
+    val assign = ivfAssign(emb, cent)
+    val corpus = asDouble(emb).join(assign, "vec_id")
+    val q = asDouble(queries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wq = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select("q_id", "qv", "cid")
+    val scored = corpus.join(broadcast(probes),
+        corpus("cid") === probes("cid") && col("vec_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "score")
+  }
+
   /** LSH-bucketed top-k: exact ranking restricted to buckets within
     * Hamming distance `probes` of the query's bucket (0 = the query bucket
     * only; 1 = multiprobe over all single-bit-flip neighbors — the standard

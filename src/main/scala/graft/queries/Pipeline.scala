@@ -18,6 +18,19 @@ object Pipeline {
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
 
+  /** Near-dup sketch indexes: computed once per corpus as documents arrive
+    * (the dedup analogue of the full-text inverted index), then every dedup
+    * pass joins the sketch instead of re-hashing the corpus.
+    */
+  def minhashSketch(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Catalog.table(s, d, "minhash_sketch_3_16")(
+      Dedup.minhashSignaturesWide(docs(s, d), n = 3, numHashes = 16))
+
+  def simhashSketch(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Catalog.table(s, d, "simhash_sketch_32")(
+      Dedup.simhash(docs(s, d), bits = 32)
+        .join(docs(s, d).select(col("doc_id"), col("lang").as("block")), "doc_id"))
+
   /** DuckDB: tokens per document (multiplicity preserved). */
   private val wsSql =
     raw"""ws_t AS (SELECT doc_id, lang,
@@ -58,12 +71,13 @@ object Pipeline {
     }),
 
     "dedup_minhash_lsh" -> ((s, d) => {
-      Dedup.minhashLshCandidates(docs(s, d), n = 3, numHashes = 16, bands = 4)
+      Dedup.minhashLshCandidatesFromSigs(minhashSketch(s, d), numHashes = 16,
+                                         bands = 4)
         .orderBy("id_a", "id_b")
     }),
 
     "dedup_simhash" -> ((s, d) => {
-      Dedup.simhashPairs(docs(s, d), maxHamming = 3)
+      Dedup.simhashPairsFromSigs(simhashSketch(s, d), maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
 
@@ -74,7 +88,8 @@ object Pipeline {
 
     "dedup_pipeline" -> ((s, d) => {
       // end-to-end: LSH candidates -> exact-Jaccard verify -> CC clusters
-      Dedup.dedupClusters(docs(s, d)).orderBy("doc_id")
+      Dedup.dedupClusters(docs(s, d), sigs = Some(minhashSketch(s, d)))
+        .orderBy("doc_id")
     }),
 
     // ---- similarity search ----
@@ -94,6 +109,13 @@ object Pipeline {
       val e = emb(s, d)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 5), planes = 8, k = 10,
                          probes = 1)
+        .orderBy("q_id", "rank")
+    }),
+
+    "ann_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), nlist = 8,
+                         nProbe = 2, k = 10)
         .orderBy("q_id", "rank")
     }),
 
@@ -208,6 +230,38 @@ object Pipeline {
          scored AS (
            SELECT q_id, vec_id, ${cosSql("qv", "v")} AS score
            FROM e_t CROSS JOIN q WHERE vec_id <> q_id)
+         SELECT q_id, rank, vec_id, score FROM (
+           SELECT q_id, vec_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id)
+                  AS BIGINT) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    // mirrors Similarity.ivfTopK: seed centroids (vec_id < 8), rounded-
+    // cosine assignment with cid tiebreak, 2 probes, exact rank inside
+    "ann_ivf" ->
+      s"""WITH $embSql,
+         cent AS (SELECT vec_id AS cid, v AS cv FROM e_t WHERE vec_id < 8),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT e_t.vec_id, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY e_t.vec_id
+                 ORDER BY ${cosSql("e_t.v", "cent.cv")} DESC, cent.cid) AS rn
+             FROM e_t CROSS JOIN cent)
+           WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e_t WHERE vec_id < 5),
+         probes AS (
+           SELECT q_id, qv, cid FROM (
+             SELECT q.q_id, q.qv, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY ${cosSql("q.qv", "cent.cv")} DESC, cent.cid) AS rn
+             FROM q CROSS JOIN cent)
+           WHERE rn <= 2),
+         scored AS (
+           SELECT p.q_id, e_t.vec_id, ${cosSql("p.qv", "e_t.v")} AS score
+           FROM probes p JOIN assign a ON a.cid = p.cid
+             JOIN e_t ON e_t.vec_id = a.vec_id
+           WHERE e_t.vec_id <> p.q_id)
          SELECT q_id, rank, vec_id, score FROM (
            SELECT q_id, vec_id, score,
              CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id)

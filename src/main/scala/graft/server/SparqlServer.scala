@@ -1,0 +1,134 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicReference
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.rdf.{NTriples, QuadStore, Term}
+import graft.sparql.{Parser, Results, Update}
+
+/** SPARQL-over-HTTP facade — the NanoSparqlServer analogue
+  * (/root/reference/bigdata-sails/src/java/com/bigdata/rdf/sail/webapp/
+  * NanoSparqlServer.java:79, RESTServlet.java:43, QueryServlet.java:88).
+  *
+  * Endpoints (on the JDK's built-in HTTP server; zero dependencies):
+  *   GET  /sparql?query=...       SELECT→JSON (Accept: xml→XML), ASK→JSON,
+  *                                CONSTRUCT/DESCRIBE→N-Triples
+  *   POST /sparql                 form body `query=` (as GET) or `update=`
+  *                                (SPARQL UPDATE; mutates the served store)
+  *   GET  /sparql?ESTCARD[&s=<iri>][&p=<iri>][&o=<iri>]   fast cardinality
+  *   GET  /sparql?CONTEXTS        named-graph listing (N-Triples terms)
+  *   GET  /status                 liveness + store size
+  *
+  * The served store is an AtomicReference swapped by updates — the
+  * functional-store analogue of the reference's unisolated-writer commit.
+  * The HTTP layer is deliberately thin: every query runs through exactly
+  * the library pipeline (§3.1/§3.3); a production deployment would put the
+  * same calls behind Spark Connect instead.
+  */
+class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0) {
+
+  private val store = new AtomicReference[DataFrame](initial)
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  def current: DataFrame = store.get()
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): SparqlServer = {
+    server.createContext("/sparql", (ex: HttpExchange) => safely(ex) {
+      val params = formParams(ex)
+      if (params.contains("update") && ex.getRequestMethod == "POST") {
+        store.updateAndGet(st => Update.execute(spark, st, params("update")))
+        respond(ex, 200, "text/plain", "update ok")
+      } else if (params.contains("ESTCARD")) {
+        def term(k: String) = params.get(k).map(v => Term.iri(v))
+        val n = QuadStore.estcard(store.get(), term("s"), term("p"), term("o"))
+        respond(ex, 200, "application/json", s"""{"rangeCount":$n}""")
+      } else if (params.contains("CONTEXTS")) {
+        val gs = QuadStore.contexts(store.get())
+          .select(NTriples.termToString(col("c"))).collect().map(_.getString(0))
+        respond(ex, 200, "text/plain", gs.mkString("\n"))
+      } else params.get("query") match {
+        case None => respond(ex, 400, "text/plain", "missing query/update param")
+        case Some(q) => runQuery(ex, q)
+      }
+    })
+    server.createContext("/status", (ex: HttpExchange) => safely(ex) {
+      respond(ex, 200, "application/json",
+        s"""{"status":"ok","statements":${store.get().count()}}""")
+    })
+    server.setExecutor(null) // current thread of the request
+    server.start()
+    this
+  }
+
+  private def runQuery(ex: HttpExchange, text: String): Unit = {
+    import Parser._
+    val form = parse(spark, text).form
+    val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+    form match {
+      case SelectForm =>
+        val sols = select(spark, store.get(), text)
+        if (accept.contains("xml"))
+          respond(ex, 200, "application/sparql-results+xml", Results.toXml(sols))
+        else
+          respond(ex, 200, "application/sparql-results+json", Results.toJson(sols))
+      case AskForm =>
+        val b = ask(spark, store.get(), text)
+        respond(ex, 200, "application/sparql-results+json",
+          s"""{"head":{},"boolean":$b}""")
+      case ConstructForm =>
+        respond(ex, 200, "application/n-triples",
+          serializeTriples(construct(spark, store.get(), text)))
+      case DescribeForm =>
+        respond(ex, 200, "application/n-triples",
+          serializeTriples(describe(spark, store.get(), text)))
+    }
+  }
+
+  private def serializeTriples(df: DataFrame): String =
+    df.select(NTriples.termToString(col("s")), NTriples.termToString(col("p")),
+              NTriples.termToString(col("o")))
+      .collect()
+      .map(r => s"${r.getString(0)} ${r.getString(1)} ${r.getString(2)} .")
+      .mkString("\n")
+
+  /** Merge query-string and (for POST) form-encoded body parameters.
+    * Bare flags like ESTCARD map to "". */
+  private def formParams(ex: HttpExchange): Map[String, String] = {
+    def decode(s: String): Map[String, String] =
+      s.split("&").filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) kv -> ""
+        else java.net.URLDecoder.decode(kv.take(i), UTF_8) ->
+             java.net.URLDecoder.decode(kv.drop(i + 1), UTF_8)
+      }.toMap
+    val fromUri = Option(ex.getRequestURI.getRawQuery).map(decode).getOrElse(Map.empty)
+    val fromBody =
+      if (ex.getRequestMethod == "POST")
+        decode(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+      else Map.empty[String, String]
+    fromUri ++ fromBody
+  }
+
+  private def safely(ex: HttpExchange)(body: => Unit): Unit =
+    try body
+    catch {
+      case e: Throwable =>
+        try respond(ex, 500, "text/plain", s"error: ${e.getMessage}")
+        catch { case _: Throwable => }
+    }
+
+  private def respond(ex: HttpExchange, code: Int, ctype: String, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes)
+    os.close()
+  }
+
+  def stop(): Unit = server.stop(0)
+}

@@ -72,12 +72,21 @@ object Translator {
       if (shared.isEmpty) lr // disjoint domains: MINUS removes nothing
       else {
         val rdf = renameAll(rr.df)
-        val compat = shared.map(v => compatCond(col(v), col(ren(v)))).reduce(_ && _)
+        // vars certain on BOTH sides are never null there, so plain `===`
+        // is equivalent to compatCond — and gives Catalyst equi-join keys
+        // (hash anti join) instead of a nested-loop join
+        val (certBoth, maybeShared) =
+          shared.partition(v => lr.certain(v) && rr.certain(v))
+        val conds = certBoth.map(v => col(v) === col(ren(v))) ++
+          maybeShared.map(v => compatCond(col(v), col(ren(v))))
         // at least one shared var bound on both sides, else incompatible-by-
-        // definition rows would be removed (SPARQL MINUS corner case)
-        val oneBound = shared.map(v => col(v).isNotNull && col(ren(v)).isNotNull)
-          .reduce(_ || _)
-        lr.copy(df = lr.df.join(rdf, compat && oneBound, "left_anti"))
+        // definition rows would be removed (SPARQL MINUS corner case);
+        // any both-certain var satisfies this by construction
+        val oneBound =
+          if (certBoth.nonEmpty) lit(true)
+          else shared.map(v => col(v).isNotNull && col(ren(v)).isNotNull)
+            .reduce(_ || _)
+        lr.copy(df = lr.df.join(rdf, conds.reduce(_ && _) && oneBound, "left_anti"))
       }
 
     case ExistsFilter(child, sub, negated) =>
@@ -85,9 +94,13 @@ object Translator {
       val s = translate(quads, sub)
       val shared = (c.vars intersect s.vars).toSeq.sorted
       val sdf = renameAll(s.df)
+      // same equi-key split as MINUS: certain-both vars hash-join
       val cond =
         if (shared.isEmpty) lit(true)
-        else shared.map(v => compatCond(col(v), col(ren(v)))).reduce(_ && _)
+        else shared.map { v =>
+          if (c.certain(v) && s.certain(v)) col(v) === col(ren(v))
+          else compatCond(col(v), col(ren(v)))
+        }.reduce(_ && _)
       c.copy(df = c.df.join(sdf, cond, if (negated) "left_anti" else "left_semi"))
 
     case Extend(v, expr, child) =>
@@ -145,7 +158,76 @@ object Translator {
     * selective patterns run first and cartesian intermediates are avoided.
     * Catalyst/AQE then picks physical join strategies per step.
     */
+  /** When set (via translateSampled), BGP join ordering uses sampled
+    * cardinalities instead of the static boundness heuristic.
+    */
+  private val rtoContext =
+    new scala.util.DynamicVariable[Option[(DataFrame, Double)]](None)
+
+  /** Runtime-optimizer entry point (the reference's RTO,
+    * /root/reference/bigdata/src/java/com/bigdata/bop/joinGraph/rto/
+    * JGraph.java: sample the join graph, then order by observed
+    * cardinality): BGPs under this call order patterns by cardinalities
+    * measured on a seeded sample of the store, cheapest first, still
+    * connectivity-constrained. One extra aggregation job per BGP — worth it
+    * exactly when the static heuristic's mis-ordering would dwarf that cost
+    * (large stores, correlated predicates).
+    */
+  def translateSampled(quads: DataFrame, node: Node,
+                       fraction: Double = 0.01): Result =
+    rtoContext.withValue(Some((quads, fraction))) {
+      translate(quads, node)
+    }
+
+  /** Estimate per-pattern cardinalities in ONE pass over a seeded sample:
+    * sum(when(pattern-predicate, 1)) per pattern, then greedy cheapest-
+    * first ordering that keeps each next pattern connected to bound vars.
+    */
+  private def orderPatternsSampled(quads: DataFrame, fraction: Double,
+                                   tps: Seq[TriplePattern]): Seq[TriplePattern] = {
+    val sample = if (fraction >= 1.0) quads else quads.sample(fraction, seed = 42L)
+    def pred(tp: TriplePattern): Column = {
+      val posCond = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o).collect {
+        case (pos, C(t)) => col(pos) === t
+      }
+      val gCond = tp.g match {
+        case None => Seq(col("c").isNull)
+        case Some(C(t)) => Seq(col("c") === t)
+        case Some(V(_)) => Seq(col("c").isNotNull)
+      }
+      (posCond ++ gCond).reduce(_ && _)
+    }
+    val cardCols = tps.zipWithIndex.map { case (tp, i) =>
+      sum(when(pred(tp), 1L).otherwise(0L)).as(s"c$i")
+    }
+    val counts = sample.agg(cardCols.head, cardCols.tail: _*).head()
+    val card = tps.indices.map(i => counts.getLong(i)).toVector
+    def vars(tp: TriplePattern): Set[String] =
+      (Seq(tp.s, tp.p, tp.o) ++ tp.g.toSeq).collect { case V(n) => n }.toSet
+    val remaining = scala.collection.mutable.LinkedHashMap(tps.zipWithIndex.map(_.swap): _*)
+    val ordered = Vector.newBuilder[TriplePattern]
+    var bound = Set.empty[String]
+    while (remaining.nonEmpty) {
+      // prefer connected patterns; among them the cheapest sampled count
+      val candidates = remaining.toSeq
+      val connected = candidates.filter { case (_, tp) =>
+        bound.isEmpty || (vars(tp) intersect bound).nonEmpty
+      }
+      val pool = if (connected.nonEmpty) connected else candidates
+      val (idx, best) = pool.minBy { case (i, _) => (card(i), i) }
+      remaining.remove(idx)
+      ordered += best
+      bound ++= vars(best)
+    }
+    ordered.result()
+  }
+
   private def orderPatterns(tps: Seq[TriplePattern]): Seq[TriplePattern] = {
+    rtoContext.value match {
+      case Some((quads, fraction)) if tps.size > 2 =>
+        return orderPatternsSampled(quads, fraction, tps)
+      case _ =>
+    }
     if (tps.size <= 2) return tps
     def pats(tp: TriplePattern): Seq[Pat] = Seq(tp.s, tp.p, tp.o) ++ tp.g.toSeq
     def boundness(tp: TriplePattern): Int = pats(tp).count(_.isInstanceOf[C])

@@ -11,9 +11,18 @@ import Algebra._
   *
   *   INSERT DATA { triples }            DELETE DATA { triples }
   *   DELETE WHERE { pattern }
-  *   DELETE { template } INSERT { template } WHERE { pattern }
-  *   (either DELETE or INSERT part may be absent)
-  *   CLEAR GRAPH <g>   |  LOAD <path> [INTO GRAPH <g>]
+  *   [WITH <g>] DELETE { template } INSERT { template } [USING [NAMED] <g>]*
+  *     WHERE { pattern }
+  *   (either DELETE or INSERT part may be absent; templates and DATA blocks
+  *   may contain GRAPH <g> { ... } groups; WITH scopes un-GRAPHed template
+  *   triples and, absent USING, the WHERE default graph; USING builds the
+  *   dataset: USING graphs merge into the default graph, USING NAMED lists
+  *   the visible named graphs)
+  *   CLEAR GRAPH <g> | CLEAR DEFAULT | CLEAR ALL   (DROP = CLEAR)
+  *   CREATE GRAPH <g>   (no-op: graphs exist implicitly)
+  *   ADD <g1> TO <g2> | COPY <g1> TO <g2> | MOVE <g1> TO <g2>
+  *     (either side may be the keyword DEFAULT)
+  *   LOAD <path> [INTO GRAPH <g>]
   *
   * Execution is functional: each operation maps a store DataFrame to a new
   * store DataFrame (Delta-style table replacement is the deploy-time
@@ -64,9 +73,32 @@ object Update {
       val sols = Translator.translate(store, q.node)
       val tmpl = templateOf(spark, prefixesOf(u), body(u))
       QuadStore.delete(store, instantiate(sols, tmpl))
-    } else if (upper.startsWith("CLEAR")) {
-      val g = u.split("\\s+").last.stripPrefix("<").stripSuffix(">")
-      QuadStore.clearGraph(store, Term.iri(g))
+    } else if (upper.startsWith("CLEAR") || upper.startsWith("DROP")) {
+      val last = u.split("\\s+").last.toUpperCase
+      if (last == "DEFAULT") store.filter(col("c").isNotNull)
+      else if (last == "ALL") store.limit(0)
+      else if (last == "NAMED") store.filter(col("c").isNull)
+      else {
+        val g = u.split("\\s+").last.stripPrefix("<").stripSuffix(">")
+        QuadStore.clearGraph(store, Term.iri(g))
+      }
+    } else if (upper.startsWith("CREATE")) {
+      store // graphs exist implicitly in the quad model
+    } else if (upper.startsWith("ADD") || upper.startsWith("COPY") ||
+               upper.startsWith("MOVE")) {
+      val m = "(?i)^(ADD|COPY|MOVE)\\s+(?:GRAPH\\s+)?(DEFAULT|<[^>]*>)\\s+TO\\s+(?:GRAPH\\s+)?(DEFAULT|<[^>]*>)".r
+        .findFirstMatchIn(u)
+        .getOrElse(throw new IllegalArgumentException(s"bad graph op: ${u.take(60)}"))
+      def gcol(tok: String): Column =
+        if (tok.equalsIgnoreCase("DEFAULT")) Term.unbound
+        else Term.iri(tok.stripPrefix("<").stripSuffix(">"))
+      val (from, to) = (gcol(m.group(2)), gcol(m.group(3)))
+      val kind = m.group(1).toUpperCase
+      // COPY replaces the target graph first; ADD merges into it
+      val base = if (kind == "ADD") store else store.filter(!(col("c") <=> to))
+      val copied = QuadStore.insert(base,
+        store.filter(col("c") <=> from).withColumn("c", to))
+      if (kind == "MOVE") copied.filter(!(col("c") <=> from)) else copied
     } else if (upper.startsWith("LOAD")) {
       val parts = u.split("\\s+")
       val path = parts(1).stripPrefix("<").stripSuffix(">")
@@ -77,19 +109,47 @@ object Update {
       } else triples
       QuadStore.insert(store, withG)
     } else {
-      // [prefixes] [DELETE { t }] [INSERT { t }] WHERE { pattern }
+      // [prefixes] [WITH <g>] [DELETE { t }] [INSERT { t }]
+      //   [USING [NAMED] <g>]* WHERE { pattern }
       val prefixes = prefixesOf(u)
+      val withG: Option[Column] =
+        "(?i)\\bWITH\\s+<([^>]*)>".r.findFirstMatchIn(u)
+          .map(m => Term.iri(m.group(1)))
+      val usingDefault = "(?i)\\bUSING\\s+<([^>]*)>".r
+        .findAllMatchIn(u).map(m => Term.iri(m.group(1))).toSeq
+      val usingNamed = "(?i)\\bUSING\\s+NAMED\\s+<([^>]*)>".r
+        .findAllMatchIn(u).map(m => Term.iri(m.group(1))).toSeq
       val del = sectionBody(u, "DELETE")
       val ins = sectionBody(u, "INSERT")
       val where = sectionBody(u, "WHERE").getOrElse(
         throw new IllegalArgumentException(s"unsupported update: ${u.take(60)}"))
+      // dataset for WHERE: USING clauses build it outright; otherwise WITH
+      // makes that graph's contents the default graph (named graphs stay)
+      val dataset =
+        if (usingDefault.nonEmpty || usingNamed.nonEmpty) {
+          val defaultPart = usingDefault.map(g =>
+            store.filter(col("c") <=> g).withColumn("c", Term.unbound))
+          val namedPart = usingNamed.map(g => store.filter(col("c") <=> g))
+          (defaultPart ++ namedPart)
+            .reduceOption(_ unionByName _)
+            .getOrElse(store.limit(0))
+        } else withG.map { g =>
+          store.filter(col("c") <=> g).withColumn("c", Term.unbound)
+            .unionByName(store.filter(col("c").isNotNull))
+        }.getOrElse(store)
       val q = Parser.parse(spark, s"$prefixes SELECT * WHERE { $where }")
-      val sols = Translator.translate(store, q.node)
+      val sols = Translator.translate(dataset, q.node)
+      // un-GRAPHed template triples land in the WITH graph (default if none)
+      def scope(tmpl: Seq[TriplePattern]): Seq[TriplePattern] = withG match {
+        case Some(g) => tmpl.map(tp =>
+          if (tp.g.isEmpty) tp.copy(g = Some(C(g))) else tp)
+        case None => tmpl
+      }
       val afterDel = del.map { d =>
-        QuadStore.delete(store, instantiate(sols, templateOf(spark, prefixes, d)))
+        QuadStore.delete(store, instantiate(sols, scope(templateOf(spark, prefixes, d))))
       }.getOrElse(store)
       ins.map { t =>
-        QuadStore.insert(afterDel, instantiate(sols, templateOf(spark, prefixes, t)))
+        QuadStore.insert(afterDel, instantiate(sols, scope(templateOf(spark, prefixes, t))))
       }.getOrElse(afterDel)
     }
   }
@@ -164,6 +224,8 @@ object Update {
   private def flat(n: Node): Seq[TriplePattern] = n match {
     case Bgp(tps) => tps
     case Join(l, r) => flat(l) ++ flat(r)
+    case GraphNode(g, ch) => flat(ch).map(tp =>
+      if (tp.g.isEmpty) tp.copy(g = Some(g)) else tp)
     case other => throw new IllegalArgumentException(s"bad template node: $other")
   }
 }

@@ -70,6 +70,59 @@ class CoverageSpec extends SparkSpecBase {
     assert(city.getByte(0) == 1)
   }
 
+  test("Turtle collections expand to rdf:first/rdf:rest/rdf:nil") {
+    val Rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val ttl = s"""
+      @prefix ex: <$EX> .
+      ex:menu ex:items ( ex:soup "bread" 3 ) .
+      ex:empty ex:items () .
+    """
+    val df = Turtle.read(spark, writeTmp("coll.ttl", ttl)).cache()
+    // 2 statement triples + 3 first + 3 rest
+    assert(df.count() == 8)
+    assert(df.filter(col("p") === Term.iri(Rdf + "first")).count() == 3)
+    // exactly one cell terminates the chain; the empty list IS rdf:nil
+    assert(df.filter(col("p") === Term.iri(Rdf + "rest") &&
+                     col("o") === Term.iri(Rdf + "nil")).count() == 1)
+    assert(df.filter(col("s") === Term.iri(EX + "empty") &&
+                     col("o") === Term.iri(Rdf + "nil")).count() == 1)
+    // list items: iri, plain literal, integer all present as rdf:first objects
+    val firsts = df.filter(col("p") === Term.iri(Rdf + "first"))
+    assert(firsts.filter(col("o") === Term.iri(EX + "soup")).count() == 1)
+    assert(firsts.filter(Term.lex(col("o")) === "bread").count() == 1)
+    df.unpersist()
+  }
+
+  test("RDF/XML parseType: Collection, Resource, Literal") {
+    val Rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val xml = s"""<?xml version="1.0"?>
+      <rdf:RDF xmlns:rdf="$Rdf" xmlns:ex="$EX">
+        <rdf:Description rdf:about="${EX}menu">
+          <ex:items rdf:parseType="Collection">
+            <rdf:Description rdf:about="${EX}soup"/>
+            <rdf:Description rdf:about="${EX}salad"/>
+          </ex:items>
+          <ex:detail rdf:parseType="Resource">
+            <ex:kind>lunch</ex:kind>
+          </ex:detail>
+          <ex:markup rdf:parseType="Literal">bold text</ex:markup>
+        </rdf:Description>
+      </rdf:RDF>"""
+    val df = graft.rdf.RdfXml.read(spark, writeTmp("pt.rdf", xml)).cache()
+    // collection: items + 2 first + 2 rest; resource: detail + kind; literal: 1
+    assert(df.filter(col("p") === Term.iri(Rdf + "first")).count() == 2)
+    assert(df.filter(col("p") === Term.iri(Rdf + "rest") &&
+                     col("o") === Term.iri(Rdf + "nil")).count() == 1)
+    // parseType=Resource hangs properties off an implicit bnode
+    val kindSubj = df.filter(col("p") === Term.iri(EX + "kind"))
+      .select("s").head().getStruct(0)
+    assert(kindSubj.getByte(0) == 1)
+    // parseType=Literal keeps content as rdf:XMLLiteral
+    assert(df.filter(col("p") === Term.iri(EX + "markup") &&
+                     Term.dt(col("o")) === (Rdf + "XMLLiteral")).count() == 1)
+    df.unpersist()
+  }
+
   test("owl:sameAs: canonicalize merges cliques; expand materializes variants") {
     val nt = Seq(
       s"<${EX}a1> <${OwlSameAs.SameAs}> <${EX}a2> .",

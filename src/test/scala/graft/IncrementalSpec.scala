@@ -36,6 +36,36 @@ class IncrementalSpec extends SparkSpecBase {
                        col("o") === Term.iri(EX + "Thing")).isEmpty)
   }
 
+  test("DRed retraction equals full recompute, rederives survivors") {
+    val base = parse(Seq(
+      s"<${EX}Dog> <${RDFS.SubClassOf}> <${EX}Mammal> .",
+      s"<${EX}Mammal> <${RDFS.SubClassOf}> <${EX}Animal> .",
+      s"<${EX}rex> <${RDFS.RdfType}> <${EX}Dog> .",
+      // a second, independent derivation of (rex type Animal): Pet path
+      s"<${EX}Pet> <${RDFS.SubClassOf}> <${EX}Animal> .",
+      s"<${EX}rex> <${RDFS.RdfType}> <${EX}Pet> ."))
+    val closed = RDFS.closure(base)
+    // retract the Mammal path: (rex type Mammal) must go away, but
+    // (rex type Animal) must SURVIVE via the Pet derivation (the rederive
+    // step — naive cascade deletion would wrongly drop it)
+    val deleted = parse(Seq(s"<${EX}Dog> <${RDFS.SubClassOf}> <${EX}Mammal> ."))
+    val inc = RDFS.retractClosure(closed, base, deleted)
+    val full = RDFS.closure(QuadStore.delete(base, deleted))
+    assert(inc.except(full).isEmpty && full.except(inc).isEmpty,
+      "DRed result diverges from recompute")
+    assert(inc.filter(col("s") === Term.iri(EX + "rex") &&
+                      col("o") === Term.iri(EX + "Mammal")).isEmpty)
+    assert(!inc.filter(col("s") === Term.iri(EX + "rex") &&
+                       col("o") === Term.iri(EX + "Animal")).isEmpty)
+
+    // retracting a base type fact drops its whole inheritance chain
+    val inc2 = RDFS.retractClosure(closed, base,
+      parse(Seq(s"<${EX}rex> <${RDFS.RdfType}> <${EX}Dog> .")))
+    val full2 = RDFS.closure(QuadStore.delete(base,
+      parse(Seq(s"<${EX}rex> <${RDFS.RdfType}> <${EX}Dog> ."))))
+    assert(inc2.except(full2).isEmpty && full2.except(inc2).isEmpty)
+  }
+
   test("subject-centric full-text: subjects rank by their literal bag") {
     val quads = parse(Seq(
       s"""<${EX}doc1> <${EX}title> "spark engine" .""",
@@ -110,5 +140,25 @@ class IncrementalSpec extends SparkSpecBase {
       TriplePattern(V("y"), C(Term.iri(EX + "q")), C(Term.iri(EX + "c")))))
     val res = Translator.translate(quads, q)
     assert(res.df.count() == 1) // correctness independent of order
+  }
+
+  test("RTO sampled join ordering matches static-order results") {
+    // skewed store: many 'common' triples, one 'rare' — the sampled
+    // optimizer must rank the rare pattern first, and results must agree
+    // with the static path exactly
+    val nt = (1 to 200).map(i => s"<${EX}e$i> <${EX}common> <${EX}hub> .") ++
+      Seq(s"<${EX}e7> <${EX}rare> <${EX}gem> .",
+          s"<${EX}gem> <${EX}label> <${EX}shiny> .")
+    val quads = parse(nt)
+    val q = Bgp(Seq(
+      TriplePattern(V("x"), C(Term.iri(EX + "common")), V("h")),
+      TriplePattern(V("x"), C(Term.iri(EX + "rare")), V("g")),
+      TriplePattern(V("g"), C(Term.iri(EX + "label")), V("l"))))
+    // column order follows join order, so fix the projection before except
+    val cols = Seq("x", "h", "g", "l").map(col)
+    val static_ = Translator.translate(quads, q).df.select(cols: _*)
+    val sampled = Translator.translateSampled(quads, q, fraction = 1.0).df.select(cols: _*)
+    assert(sampled.count() == 1)
+    assert(sampled.except(static_).isEmpty && static_.except(sampled).isEmpty)
   }
 }

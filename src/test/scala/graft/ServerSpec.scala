@@ -1,0 +1,85 @@
+package graft
+
+import java.net.{HttpURLConnection, URI, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.{DataFrame, Encoders}
+import graft.rdf.NTriples
+import graft.server.SparqlServer
+
+/** SPARQL-over-HTTP facade: query forms, content negotiation, UPDATE
+  * mutation, ESTCARD/CONTEXTS fast paths (NanoSparqlServer surface).
+  */
+class ServerSpec extends SparkSpecBase {
+
+  private val EX = "http://ex/"
+
+  private def parse(nt: Seq[String]): DataFrame =
+    NTriples.parseLines(spark, spark.createDataset(nt)(Encoders.STRING).toDF("value"))
+
+  private def http(method: String, url: String, body: Option[String] = None,
+                   accept: String = ""): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    if (accept.nonEmpty) conn.setRequestProperty("Accept", accept)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
+      conn.getOutputStream.write(b.getBytes(UTF_8))
+    }
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val text = new String(is.readAllBytes(), UTF_8)
+    (code, text)
+  }
+
+  private def enc(s: String) = URLEncoder.encode(s, UTF_8)
+
+  test("HTTP endpoint: SELECT/ASK/CONSTRUCT, UPDATE, ESTCARD, CONTEXTS") {
+    val quads = parse(Seq(
+      s"""<${EX}alice> <${EX}worksFor> <${EX}acme> .""",
+      s"""<${EX}bob> <${EX}worksFor> <${EX}acme> .""",
+      s"""<${EX}acme> <${EX}name> "Acme" <${EX}g1> ."""))
+    val srv = new SparqlServer(spark, quads).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+
+      // SELECT → JSON; XML on Accept
+      val q = s"PREFIX ex: <$EX> SELECT ?x WHERE { ?x ex:worksFor ex:acme } ORDER BY ?x"
+      val (c1, json) = http("GET", s"$base/sparql?query=${enc(q)}")
+      assert(c1 == 200 && json.contains("\"bindings\"") && json.contains(EX + "alice"))
+      val (_, xml) = http("GET", s"$base/sparql?query=${enc(q)}",
+                          accept = "application/sparql-results+xml")
+      assert(xml.contains("<sparql") && xml.contains(EX + "bob"))
+
+      // ASK
+      val ask = s"PREFIX ex: <$EX> ASK { ex:alice ex:worksFor ex:acme }"
+      val (_, askBody) = http("GET", s"$base/sparql?query=${enc(ask)}")
+      assert(askBody.contains("true"))
+
+      // CONSTRUCT → N-Triples
+      val cons = s"PREFIX ex: <$EX> CONSTRUCT { ?x ex:member ex:acme } WHERE { ?x ex:worksFor ex:acme }"
+      val (_, nt) = http("GET", s"$base/sparql?query=${enc(cons)}")
+      assert(nt.contains(s"<${EX}alice> <${EX}member> <${EX}acme> ."))
+
+      // POST update mutates the served store
+      val upd = s"""INSERT DATA { <${EX}carol> <${EX}worksFor> <${EX}acme> . }"""
+      val (cu, _) = http("POST", s"$base/sparql", Some(s"update=${enc(upd)}"))
+      assert(cu == 200)
+      val (_, json2) = http("GET", s"$base/sparql?query=${enc(q)}")
+      assert(json2.contains(EX + "carol"))
+
+      // ESTCARD with a bound predicate
+      val (_, card) = http("GET",
+        s"$base/sparql?ESTCARD&p=${enc(EX + "worksFor")}")
+      assert(card.contains("\"rangeCount\":3"))
+
+      // CONTEXTS lists the named graph
+      val (_, ctxs) = http("GET", s"$base/sparql?CONTEXTS")
+      assert(ctxs.contains(s"<${EX}g1>"))
+
+      // status endpoint
+      val (_, st) = http("GET", s"$base/status")
+      assert(st.contains("\"statements\":4"))
+    } finally srv.stop()
+  }
+}

@@ -63,6 +63,50 @@ class ServiceUpdateSpec extends SparkSpecBase {
     assert(!s4.filter(col("o") === Term.str("a;b and \"q\"")).isEmpty)
   }
 
+  test("GRAPH-scoped UPDATE: WITH, USING, GRAPH templates, graph management") {
+    val store0 = parse(Seq(
+      s"""<${EX}a> <${EX}st> "live" <${EX}g1> .""",
+      s"""<${EX}b> <${EX}st> "live" <${EX}g2> .""",
+      s"""<${EX}c> <${EX}st> "live" ."""))
+
+    // WITH <g1>: pattern matches only g1's contents; template writes to g1
+    val s1 = Update.execute(spark, store0, s"""
+      PREFIX ex: <$EX>
+      WITH <${EX}g1>
+      DELETE { ?u ex:st "live" }
+      INSERT { ?u ex:st "done" }
+      WHERE { ?u ex:st "live" }""")
+    assert(s1.filter(col("c") === Term.iri(EX + "g1") &&
+                     col("o") === Term.str("done")).count() == 1)
+    // g2 and the default graph are untouched
+    assert(s1.filter(col("o") === Term.str("live")).count() == 2)
+
+    // USING <g2>: dataset for WHERE is g2 as default graph; the GRAPH
+    // template routes the insert into g3
+    val s2 = Update.execute(spark, s1, s"""
+      PREFIX ex: <$EX>
+      INSERT { GRAPH <${EX}g3> { ?u ex:seen "yes" } }
+      USING <${EX}g2>
+      WHERE { ?u ex:st "live" }""")
+    assert(s2.filter(col("c") === Term.iri(EX + "g3")).count() == 1)
+    assert(s2.filter(col("c") === Term.iri(EX + "g3"))
+      .select(graft.rdf.Term.lex(col("s"))).head().getString(0) == EX + "b")
+
+    // COPY replaces the target graph; ADD merges; MOVE drops the source
+    val s3 = Update.execute(spark, s2, s"COPY <${EX}g1> TO <${EX}g3>")
+    assert(s3.filter(col("c") === Term.iri(EX + "g3")).count() == 1) // replaced
+    val s4 = Update.execute(spark, s3, s"ADD <${EX}g2> TO <${EX}g3>")
+    assert(s4.filter(col("c") === Term.iri(EX + "g3")).count() == 2) // merged
+    val s5 = Update.execute(spark, s4, s"MOVE <${EX}g2> TO <${EX}g1>")
+    assert(s5.filter(col("c") === Term.iri(EX + "g2")).count() == 0)
+    assert(s5.filter(col("c") === Term.iri(EX + "g1"))
+      .select(graft.rdf.Term.lex(col("o"))).head().getString(0) == "live")
+
+    // CLEAR DEFAULT keeps only named graphs
+    val s6 = Update.execute(spark, s5, "CLEAR DEFAULT")
+    assert(s6.filter(col("c").isNull).count() == 0 && s6.count() > 0)
+  }
+
   test("persisted store: bound-predicate patterns prune partitions") {
     val quads = parse(Seq(
       s"""<${EX}a> <${EX}p1> "v1" .""",
