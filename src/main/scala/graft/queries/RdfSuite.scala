@@ -207,6 +207,23 @@ object RdfSuite {
         .orderBy("cname")
     }),
 
+    "rdf_filter_dict" -> ((s, d) => {
+      // filter on a decoded VALUE over the id-joined store: the BGP joins
+      // stay in id space; only ?b (the filter var) and the projection
+      // decode through the lexicon (lazy materialization)
+      val store = dictStore(s, d)
+      val tps = Seq(
+        tp(V("c"), "acctbal", V("b")),
+        tp(V("c"), "name", V("cname")))
+      graft.rdf.Dict.bgpFilter(store, tps,
+          filters = Seq("b" -> ((b: org.apache.spark.sql.Column) =>
+            graft.sparql.TermOps.gt(b, Term.num(lit(9000))))),
+          project = Seq("cname", "b"))
+        .select(Term.lex(col("cname")).as("cname"),
+                Term.lex(col("b")).as("bal"))
+        .orderBy("cname")
+    }),
+
     "sparql_text" -> ((s, d) => {
       // the full text path: SPARQL string -> parser -> algebra -> DataFrame
       val df = Parser.select(s, buildQuads(s, d),
@@ -268,6 +285,12 @@ object RdfSuite {
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                        AND CAST(o_totalprice AS DECIMAL(18,2)) > 400000)
          ORDER BY cn""",
+
+    "rdf_filter_dict" ->
+      """SELECT c_name AS cname,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal
+         FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 9000
+         ORDER BY cname""",
 
     "rdf_filter_bind" ->
       """SELECT 'http://g/o' || o_orderkey AS o,

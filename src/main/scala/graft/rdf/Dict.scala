@@ -58,7 +58,43 @@ object Dict {
   /** Evaluate a BGP over the id quads (default graph), decoding only the
     * requested variables back to term structs via the lexicon.
     */
-  def bgp(store: Store, tps: Seq[TriplePattern], project: Seq[String]): DataFrame = {
+  def bgp(store: Store, tps: Seq[TriplePattern], project: Seq[String]): DataFrame =
+    // decode projected vars: one lexicon join per var (only at the end)
+    decode(store, bgpIds(store, tps), project).select(project.map(col): _*)
+
+  /** Replace each named id column with its decoded term struct. */
+  private def decode(store: Store, df0: DataFrame, vars: Seq[String]): DataFrame =
+    vars.foldLeft(df0) { (df, v) =>
+      df.join(store.lexicon.select(col("id").as(s"__id_$v"), col("term").as(s"__t_$v")),
+              col(v) === col(s"__id_$v"))
+        .drop(v, s"__id_$v")
+        .withColumnRenamed(s"__t_$v", v)
+    }
+
+  /** BGP + FILTER with lazy materialization (ChunkedMaterializationOp's
+    * placement, bigdata-rdf ChunkedMaterializationOp.java:69): the BGP
+    * joins run entirely on 8-byte ids; ONLY the variables a filter
+    * inspects decode through the lexicon — as late as possible, right
+    * before that filter — then the projection decodes at the very end.
+    * Variables in both a filter and the projection decode once.
+    *
+    * `filters` maps a variable name to a term-struct predicate (the same
+    * expression vocabulary as the main translator's `Expr`).
+    */
+  def bgpFilter(store: Store, tps: Seq[TriplePattern],
+                filters: Seq[(String, Column => Column)],
+                project: Seq[String]): DataFrame = {
+    val filterVars = filters.map(_._1).distinct
+    val joined = bgpIds(store, tps)
+    val decoded = decode(store, joined, (filterVars ++ project).distinct)
+    val filtered = filters.foldLeft(decoded) { case (df, (v, pred)) =>
+      df.filter(coalesce(pred(col(v)), lit(false)))
+    }
+    filtered.select(project.map(col): _*)
+  }
+
+  /** The id-space BGP join (no decode) — shared by bgp/bgpFilter. */
+  private def bgpIds(store: Store, tps: Seq[TriplePattern]): DataFrame = {
     def one(tp: TriplePattern): DataFrame = {
       var df = store.quads.filter(col("c").isNull)
       val positions = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
@@ -75,17 +111,10 @@ object Dict {
       }
       df.select(varPos.distinctBy(_._2).map { case (p, n) => col(p).as(n) }: _*)
     }
-    val joined = tps.map(one).reduce { (l, r) =>
+    tps.map(one).reduce { (l, r) =>
       val shared = l.columns.toSet intersect r.columns.toSet
       if (shared.isEmpty) l.crossJoin(r)
       else l.join(r, shared.toSeq)
     }
-    // decode projected vars: one lexicon join per var (only at the end)
-    project.foldLeft(joined) { (df, v) =>
-      df.join(store.lexicon.select(col("id").as(s"__id_$v"), col("term").as(s"__t_$v")),
-              col(v) === col(s"__id_$v"))
-        .drop(v, s"__id_$v")
-        .withColumnRenamed(s"__t_$v", v)
-    }.select(project.map(col): _*)
   }
 }

@@ -91,4 +91,31 @@ object EventStreams {
         .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
                 "value DOUBLE, props STRING")
         .parquet(dir))
+
+  final case class Doc(doc_id: Long, content_key: String, text: String)
+
+  /** Streaming exact dedup for the ingestion pipeline: the FIRST document
+    * per content key passes through, later duplicates are dropped —
+    * `mapGroupsWithState` keyed by content key holds one boolean per key
+    * (the seen-set), so state is O(distinct keys) and partitioned across
+    * executors. This is how the batch `Dedup.exactGroups` semantics carry
+    * over to continuous ingestion at 100 TB: dedup before you ever land
+    * the duplicate bytes.
+    */
+  def streamingExactDedup(docs: Dataset[Doc]): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.content_key)
+      .flatMapGroupsWithState[Boolean, Doc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, batch: Iterator[Doc], state: GroupState[Boolean]) =>
+          if (state.getOption.contains(true)) Iterator.empty
+          else {
+            state.update(true)
+            // within one batch, the lowest doc_id is the canonical survivor
+            val first = batch.minBy(_.doc_id)
+            Iterator(first)
+          }
+      }
+  }
 }

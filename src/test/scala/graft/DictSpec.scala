@@ -50,6 +50,26 @@ class DictSpec extends SparkSpecBase {
     assert(one.count() == 1)
   }
 
+  test("bgpFilter: id-space joins, lazy decode only for filter + projection") {
+    val quadsF = NTriples.parseLines(spark,
+      spark.createDataset(Seq(
+        s"""<${EX}alice> <${EX}age> "30"^^<${Term.XsdInteger}> .""",
+        s"""<${EX}bob> <${EX}age> "25"^^<${Term.XsdInteger}> .""",
+        s"""<${EX}alice> <${EX}name> "Alice" .""",
+        s"""<${EX}bob> <${EX}name> "Bob" ."""))(Encoders.STRING)
+        .toDF("value"))
+    val st = Dict.encode(quadsF)
+    def tp(s: graft.sparql.Algebra.Pat, p: String, o: graft.sparql.Algebra.Pat) =
+      TriplePattern(s, C(Term.iri(EX + p)), o)
+    val res = Dict.bgpFilter(st,
+      Seq(tp(V("x"), "age", V("a")), tp(V("x"), "name", V("n"))),
+      filters = Seq("a" -> ((a: org.apache.spark.sql.Column) =>
+        graft.sparql.TermOps.gt(a, Term.num(lit(26))))),
+      project = Seq("n"))
+    assert(res.select(Term.lex(col("n"))).collect().map(_.getString(0)).toSeq
+      == Seq("Alice"))
+  }
+
   test("termKey separates fields: shifted boundaries don't collide") {
     // same concatenated bytes, different field splits — each pair must get
     // distinct ids ("ab"@cd vs "a"@bcd; lex/datatype shifts likewise)

@@ -71,4 +71,24 @@ class StreamingSpec extends SparkSpecBase {
       assert(sessions(0).started == ts(1) && sessions(0).ended == ts(3))
     } finally q.stop()
   }
+
+  test("streaming exact dedup passes first doc per content key, drops later dups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.Doc
+    val input = MemoryStream[Doc]
+    val q = EventStreams.streamingExactDedup(input.toDS())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: k1 twice (lowest id wins), k2 once
+      input.addData(Doc(5, "k1", "a"), Doc(2, "k1", "a"), Doc(3, "k2", "b"))
+      q.processAllAvailable()
+      // batch 2: k1 again (dropped — state remembers), k3 new (passes)
+      input.addData(Doc(9, "k1", "a"), Doc(7, "k3", "c"))
+      q.processAllAvailable()
+      val out = spark.table("deduped").as[Doc].collect().map(d => (d.doc_id, d.content_key)).toSet
+      assert(out == Set((2L, "k1"), (3L, "k2"), (7L, "k3")))
+    } finally q.stop()
+  }
 }
