@@ -38,6 +38,21 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("*("), s"no codegen spans:\n$p")
   }
 
+  test("MINUS and EXISTS compile to hash anti/semi joins, never nested loops") {
+    // certain-both shared vars must yield equi-join keys: a
+    // BroadcastNestedLoopJoin here is the O(|L|*|R|) plan that took
+    // rdf_minus from 1.8s to 53s at sf0.1 — frozen as a regression guard
+    for (name <- Seq("rdf_minus", "rdf_exists")) {
+      val df = graft.queries.RdfSuite.queries(name)(spark, sfDir)
+      df.collect() // AQE finalizes at execution
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+             s"$name degraded to a nested-loop join:\n$p")
+      assert(p.contains("LeftAnti") || p.contains("LeftSemi"),
+             s"$name lost its anti/semi join:\n$p")
+    }
+  }
+
   test("salted join equals plain join and spreads hot keys") {
     import spark.implicits._
     // hot key: 10k rows of key=1 against a 3-row dimension
