@@ -78,5 +78,10 @@ object Algebra {
   final case class GraphNode(g: Pat, child: Node) extends Node
   /** SERVICE <iri> { config BGP }: evaluated by a registered internal
     * service (Services.scala), result joined into the group. */
-  final case class ServiceNode(iri: String, config: Seq[TriplePattern]) extends Node
+  /** SERVICE group: `config` feeds internal (graft://) services; for
+    * http(s) endpoints `remoteQuery` carries the full SPARQL text
+    * (prefixes + SELECT * over the group) shipped to the remote server.
+    */
+  final case class ServiceNode(iri: String, config: Seq[TriplePattern],
+                               remoteQuery: Option[String] = None) extends Node
 }

@@ -388,9 +388,21 @@ object Parser {
         } else if (peekIs("SERVICE")) {
           next()
           val iri = iriToken()
-          expect("{"); val sub = groupGraphPattern(); expect("}")
+          expect("{")
+          val startTok = pos
+          val sub = groupGraphPattern()
+          val endTok = pos
+          expect("}")
           val config = collectBgp(sub)
-          add(ServiceNode(iri, config))
+          // for http(s) endpoints, ship the group verbatim (tokens joined —
+          // literals/IRIs are single tokens) with the prefixes in scope
+          val remote =
+            if (iri.startsWith("http://") || iri.startsWith("https://")) {
+              val decls = prefixes.map { case (p, ns) => s"PREFIX $p: <$ns>" }
+                .mkString(" ")
+              Some(s"$decls SELECT * WHERE { ${toks.slice(startTok, endTok).mkString(" ")} }")
+            } else None
+          add(ServiceNode(iri, config, remote))
         } else if (peek == "{") {
           // group or union chain or sub-select
           next()

@@ -87,6 +87,55 @@ object Results {
     sb.toString
   }
 
+  /** Parse SPARQL 1.1 JSON results into (vars, term-struct DataFrame) — the
+    * inverse of `toJson`, used by federated SERVICE to ingest a remote
+    * endpoint's response. Jackson ships with Spark (no added dependency).
+    */
+  def fromJson(spark: org.apache.spark.sql.SparkSession,
+               body: String): (Seq[String], DataFrame) = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val root = new ObjectMapper().readTree(body)
+    val vars: Seq[String] = {
+      val it = root.path("head").path("vars").elements()
+      val b = Vector.newBuilder[String]
+      while (it.hasNext) b += it.next().asText()
+      b.result()
+    }
+    val numericDts = Set(Term.XsdInteger, Term.XsdDecimal, Term.XsdDouble)
+    def term(n: JsonNode): Row = {
+      if (n == null || n.isMissingNode) return null
+      val v = n.path("value").asText()
+      n.path("type").asText() match {
+        case "uri" => Row(0.toByte, v, null, null, null)
+        case "bnode" => Row(1.toByte, v, null, null, null)
+        case _ => // literal / typed-literal
+          val lang = Option(n.get("xml:lang")).map(_.asText()).orNull
+          val dt0 = Option(n.get("datatype")).map(_.asText()).orNull
+          val dt = if (lang == null && dt0 == null) Term.XsdString else dt0
+          val num =
+            if (dt != null && numericDts(dt))
+              try new java.math.BigDecimal(v)
+                .setScale(18, java.math.RoundingMode.HALF_UP)
+              catch { case _: Exception => null }
+            else null
+          Row(2.toByte, v, dt, lang, num)
+      }
+    }
+    val bindings = {
+      val it = root.path("results").path("bindings").elements()
+      val b = Vector.newBuilder[Row]
+      while (it.hasNext) {
+        val o = it.next()
+        b += Row(vars.map(v => term(o.get(v))): _*)
+      }
+      b.result()
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      vars.map(v => org.apache.spark.sql.types.StructField(v, Term.schema)))
+    (vars, spark.createDataFrame(
+      java.util.Arrays.asList(bindings: _*), schema))
+  }
+
   /** CSV sink: N-Triples-style term rendering, written distributed. */
   def writeCsv(solutions: DataFrame, path: String): Unit =
     solutions

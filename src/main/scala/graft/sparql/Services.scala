@@ -102,4 +102,30 @@ object Services {
     val spark = org.apache.spark.sql.SparkSession.active
     spark.range(1).select(Term.lex(t).as("l")).head().getString(0)
   }
+
+  /** Federated SERVICE over the SPARQL protocol (ServiceCallJoin's remote
+    * half, bigdata sparql/ast/service/RemoteServiceCallImpl.java): POST the
+    * group's SELECT to the endpoint, parse the JSON results into a
+    * term-struct solution frame, and hand it back for the enclosing group's
+    * compatibility join. Remote chunks materialize on the driver — the same
+    * granularity the reference's remote service calls work at.
+    */
+  def callRemote(spark: org.apache.spark.sql.SparkSession, endpoint: String,
+                 query: String): Result = {
+    val conn = java.net.URI.create(endpoint).toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
+    conn.setRequestProperty("Accept", "application/sparql-results+json")
+    val body = "query=" + java.net.URLEncoder.encode(query, "UTF-8")
+    conn.getOutputStream.write(body.getBytes("UTF-8"))
+    val code = conn.getResponseCode
+    if (code >= 400)
+      throw new IllegalStateException(s"SERVICE <$endpoint> returned HTTP $code")
+    val text = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+    val (vars, df) = Results.fromJson(spark, text)
+    // remote bindings may leave any var unbound in any row → all maybe
+    Result(df, Set.empty, vars.toSet)
+  }
 }

@@ -144,8 +144,14 @@ object Translator {
     case GraphNode(g, child) =>
       translate(quads, rewriteGraph(child, g))
 
-    case ServiceNode(iri, config) =>
-      Services.lookup(iri)(quads, config)
+    case ServiceNode(iri, config, remote) =>
+      // http(s) endpoints federate over the SPARQL protocol; graft:// IRIs
+      // dispatch to the internal service registry
+      if (iri.startsWith("http://") || iri.startsWith("https://"))
+        Services.callRemote(quads.sparkSession, iri,
+          remote.getOrElse(throw new IllegalArgumentException(
+            s"SERVICE <$iri> has no remote query text")))
+      else Services.lookup(iri)(quads, config)
   }
 
   // ---- helpers ----

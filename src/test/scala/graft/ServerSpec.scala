@@ -82,4 +82,32 @@ class ServerSpec extends SparkSpecBase {
       assert(st.contains("\"statements\":4"))
     } finally srv.stop()
   }
+
+  test("federated SERVICE: join local patterns against a remote endpoint") {
+    // remote store: employment facts, served over HTTP
+    val remoteStore = parse(Seq(
+      s"""<${EX}alice> <${EX}worksFor> <${EX}acme> .""",
+      s"""<${EX}bob> <${EX}worksFor> <${EX}globex> ."""))
+    val srv = new SparqlServer(spark, remoteStore).start()
+    try {
+      // local store: ages; the query joins local ?x ex:age with the
+      // remote ?x ex:worksFor bindings fetched over the SPARQL protocol
+      val localStore = parse(Seq(
+        s"""<${EX}alice> <${EX}age> "30"^^<${graft.rdf.Term.XsdInteger}> .""",
+        s"""<${EX}carol> <${EX}age> "41"^^<${graft.rdf.Term.XsdInteger}> ."""))
+      val df = graft.sparql.Parser.select(spark, localStore, s"""
+        PREFIX ex: <$EX>
+        SELECT ?x ?org WHERE {
+          ?x ex:age ?a .
+          SERVICE <http://127.0.0.1:${srv.boundPort}/sparql> {
+            ?x ex:worksFor ?org .
+          }
+        }""")
+      val rows = df.select(graft.rdf.Term.lex(org.apache.spark.sql.functions.col("x")),
+                           graft.rdf.Term.lex(org.apache.spark.sql.functions.col("org")))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      // only alice is in both stores
+      assert(rows == Set((EX + "alice", EX + "acme")))
+    } finally srv.stop()
+  }
 }
