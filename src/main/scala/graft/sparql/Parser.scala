@@ -424,13 +424,42 @@ object Parser {
         }
       }
       var node = cur.getOrElse(emptyNode)
+      node = mergeMagicSearch(node)
       existsFilters.foreach { case (sub, neg) => node = ExistsFilter(node, sub, neg) }
       (node, filters)
     }
 
-    /** Flatten a parsed group into its triple patterns (SERVICE config). */
+    /** Each statement with magic search predicates produced its own
+      * ServiceNode fragment (one per triples block); a search needs its
+      * whole config (#query + bound vars), so merge the group's fragments
+      * into ONE service call joined after the ordinary patterns.
+      */
+    private def mergeMagicSearch(n0: Node): Node = {
+      var magicAcc = Vector.empty[TriplePattern]
+      def strip(n: Node): Option[Node] = n match {
+        case ServiceNode(Services.SearchIri, tps, _) =>
+          magicAcc ++= tps; None
+        case Join(l, r) => (strip(l), strip(r)) match {
+          case (Some(a), Some(b)) => Some(Join(a, b))
+          case (a, b) => a.orElse(b)
+        }
+        case other => Some(other)
+      }
+      val stripped = strip(n0)
+      if (magicAcc.isEmpty) n0
+      else {
+        val svc = ServiceNode(Services.SearchIri, magicAcc)
+        stripped.map(s => Join(s, svc)).getOrElse(svc)
+      }
+    }
+
+    /** Flatten a parsed group into its triple patterns (SERVICE config).
+      * Magic search predicates inside an explicit SERVICE group re-wrap as
+      * a nested ServiceNode — unwrap them back to their triples.
+      */
     private def collectBgp(n: Node): Seq[TriplePattern] = n match {
       case Bgp(tps) => tps
+      case ServiceNode(Services.SearchIri, tps, _) => tps
       case Join(l, r) => collectBgp(l) ++ collectBgp(r)
       case other => throw new IllegalArgumentException(
         s"SERVICE group must be a plain BGP, found: ${other.getClass.getSimpleName}")
@@ -474,6 +503,7 @@ object Parser {
     // TriplesBlock: s p o (',' o)* (';' p o ...)* '.'
     private def triplesBlock(): Node = {
       var tps = Vector.empty[TriplePattern]
+      var magic = Vector.empty[TriplePattern]
       var paths = Vector.empty[(Pat, Path, Pat)]
       val s = varOrTerm()
       var done = false
@@ -483,7 +513,12 @@ object Parser {
         while (more) {
           val o = varOrTerm()
           linkOrPath match {
-            case Left(p) => tps :+= TriplePattern(s, p, o)
+            case Left((p, iriOpt)) =>
+              // magic predicates (the reference's bds:search surface,
+              // BDS.java:94) route to the search service instead of the BGP
+              if (iriOpt.exists(_.startsWith(Services.SearchIri + "#")))
+                magic :+= TriplePattern(s, p, o)
+              else tps :+= TriplePattern(s, p, o)
             case Right(p) => paths :+= ((s, p, o))
           }
           if (peek == ",") next() else more = false
@@ -494,17 +529,19 @@ object Parser {
       if (peek == ".") next()
       val bgp: Option[Node] = if (tps.nonEmpty) Some(Bgp(tps)) else None
       val pathNodes = paths.map { case (a, p, b) => PathPattern(a, p, b): Node }
-      (bgp.toSeq ++ pathNodes).reduce((l, r) => Join(l, r))
+      val svc: Option[Node] =
+        if (magic.nonEmpty) Some(ServiceNode(Services.SearchIri, magic)) else None
+      (bgp.toSeq ++ pathNodes ++ svc.toSeq).reduce((l, r) => Join(l, r))
     }
 
-    /** Returns Left(predicate Pat) for a plain predicate (var or iri) or
-      * Right(Path) for a path expression.
+    /** Returns Left(predicate Pat, constant IRI if known) for a plain
+      * predicate (var or iri) or Right(Path) for a path expression.
       */
-    private def pathExpr(): (Boolean, Either[Pat, Path]) = {
-      if (peek.startsWith("?")) return (false, Left(V(next().substring(1))))
+    private def pathExpr(): (Boolean, Either[(Pat, Option[String]), Path]) = {
+      if (peek.startsWith("?")) return (false, Left((V(next().substring(1)), None)))
       val p = pathAlt()
       p match {
-        case Link(iri) if !pathModified => (false, Left(C(Term.iri(iri))))
+        case Link(iri) if !pathModified => (false, Left((C(Term.iri(iri)), Some(iri))))
         case other => (true, Right(other))
       }
     }

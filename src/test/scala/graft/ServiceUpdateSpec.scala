@@ -34,6 +34,24 @@ class ServiceUpdateSpec extends SparkSpecBase {
     assert(docs.toSeq == Seq(EX + "d1", EX + "d3"))
   }
 
+  test("magic search predicates inline in a BGP (bds:search surface)") {
+    val quads = parse(Seq(
+      s"""<${EX}d1> <${EX}body> "spark joins data fast" .""",
+      s"""<${EX}d2> <${EX}body> "slow tortoise walks" .""",
+      s"""<${EX}d3> <${EX}body> "fast spark query" ."""))
+    // no SERVICE wrapper: the magic predicates sit in the triples block
+    // like the reference's ?lit bds:search "..." pattern
+    val df = Parser.select(spark, quads, s"""
+      PREFIX ex: <$EX>
+      SELECT ?doc ?score WHERE {
+        ?doc ex:body ?lit .
+        ?lit <graft://search#query> "fast spark" .
+        ?lit <graft://search#relevance> ?score .
+      } ORDER BY ?doc""")
+    val docs = df.select(Term.lex(col("doc"))).collect().map(_.getString(0))
+    assert(docs.toSeq == Seq(EX + "d1", EX + "d3"))
+  }
+
   test("SPARQL UPDATE: INSERT DATA / DELETE DATA / DELETE-INSERT WHERE") {
     val store0 = parse(Seq(
       s"""<${EX}alice> <${EX}status> "active" .""",
