@@ -98,4 +98,50 @@ object QuadStore {
     */
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  // ---- versioned commits ----------------------------------------------
+  // The reference's commit protocol (CommitOp → Journal commit points with
+  // commitCounter/commit records, bigdata/src/java/com/bigdata/journal/
+  // AbstractJournal.java) maps to snapshot-versioned table directories:
+  // each commit writes a NEW immutable version directory v<n>, then
+  // atomically publishes it by renaming a pointer file — readers resolve
+  // the pointer and only ever see complete snapshots; old versions remain
+  // readable (time travel / long-running queries keep their snapshot).
+  // This is the Delta-style pattern expressed with nothing but a
+  // filesystem; on an object store the pointer lives in a small
+  // transaction-log object instead.
+
+  private def versionDir(root: String, v: Long) = s"$root/v$v"
+  private def pointer(root: String) = new java.io.File(s"$root/_CURRENT")
+
+  /** Latest committed version, or -1 for an empty store root. */
+  def currentVersion(root: String): Long = {
+    val p = pointer(root)
+    if (!p.exists()) -1L
+    else java.nio.file.Files.readString(p.toPath).trim.toLong
+  }
+
+  /** Commit a new snapshot: write v<n+1> fully, then publish it with an
+    * atomic pointer swap. Returns the new version number.
+    */
+  def commit(quads: DataFrame, root: String): Long = {
+    val next = currentVersion(root) + 1
+    save(quads, versionDir(root, next))
+    val tmp = new java.io.File(s"$root/_CURRENT.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, next.toString)
+    java.nio.file.Files.move(tmp.toPath, pointer(root).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Open the store at the latest commit, or a specific version (time
+    * travel). Reading a version is always consistent: version directories
+    * are immutable once the pointer has advanced past them.
+    */
+  def open(spark: SparkSession, root: String, version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else currentVersion(root)
+    require(v >= 0, s"no committed version under $root")
+    load(spark, versionDir(root, v))
+  }
 }

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{StructField, StructType}
+import graft.rdf.{NTriples, QuadStore, Term}
+import graft.rules.RDFS
+
+/** Streaming RDF ingestion with incremental inference — the streaming
+  * composition of the reference's load path (StatementBuffer) and assert-
+  * side truth maintenance (TruthMaintenance.java:110): each micro-batch of
+  * N-Triples lines parses, derives ONLY the new consequences against the
+  * already-closed store (semi-naive assert), and publishes a new store
+  * version with an atomic commit. Readers always see a complete closed
+  * snapshot; a crashed batch leaves the pointer untouched.
+  *
+  * Scale posture: per-batch work is proportional to the delta (the
+  * incremental closure never recomputes), and the commit is one immutable
+  * version directory — the same shape a 1000-executor cluster writing to
+  * object storage uses.
+  */
+object RdfIngest {
+
+  private val quadSchema = StructType(Seq(
+    StructField("s", Term.schema), StructField("p", Term.schema),
+    StructField("o", Term.schema), StructField("c", Term.schema)))
+
+  private def emptyStore(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], quadSchema)
+
+  /** One ingestion step (also the foreachBatch body): parse the lines,
+    * extend the closed store, commit. Returns the new version.
+    */
+  def ingestBatch(spark: SparkSession, lines: DataFrame, root: String): Long = {
+    val triples = NTriples.parseLines(spark, lines)
+    val current =
+      if (QuadStore.currentVersion(root) >= 0)
+        QuadStore.open(spark, root).drop("p_bucket")
+      else emptyStore(spark)
+    val closed = RDFS.incrementalClosure(current, triples)
+    // keep explicitly named graphs from the delta (closure covers the
+    // default graph; quads with a context pass through unchanged)
+    val withNamed = closed.unionByName(
+      triples.filter(org.apache.spark.sql.functions.col("c").isNotNull))
+    QuadStore.commit(withNamed.distinct(), root)
+  }
+
+  /** Start the streaming ingestion over a DataFrame of N-Triples lines
+    * (column `value`) — file stream, socket, or MemoryStream in tests.
+    */
+  def startIngest(lines: DataFrame, root: String): StreamingQuery =
+    lines.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch.sparkSession, batch, root); ()
+      }
+      .start()
+}

@@ -12,6 +12,12 @@ class StreamingSpec extends SparkSpecBase {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
 
+  private def parse(nt: Seq[String]) = {
+    import org.apache.spark.sql.Encoders
+    graft.rdf.NTriples.parseLines(spark,
+      spark.createDataset(nt)(Encoders.STRING).toDF("value"))
+  }
+
   test("watermarked windowed counts aggregate per 10-minute window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -69,6 +75,50 @@ class StreamingSpec extends SparkSpecBase {
       assert(sessions.length == 1)
       assert(sessions(0).n_events == 2 && sessions(0).total_value == 3.0)
       assert(sessions(0).started == ts(1) && sessions(0).ended == ts(3))
+    } finally q.stop()
+  }
+
+  test("streaming RDF ingest: per-batch incremental closure + versioned commits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.rdf.{QuadStore, Term}
+    import graft.rules.RDFS
+    import org.apache.spark.sql.functions.col
+    val EX = "http://ex/"
+    val root = java.nio.file.Files.createTempDirectory("rdf-ingest").toString
+    val input = MemoryStream[String]
+    val q = graft.streaming.RdfIngest.startIngest(input.toDF(), root)
+    try {
+      // batch 1: schema + one typed individual
+      input.addData(
+        s"<${EX}Dog> <${RDFS.SubClassOf}> <${EX}Animal> .",
+        s"<${EX}rex> <${RDFS.RdfType}> <${EX}Dog> .")
+      q.processAllAvailable()
+      val v1 = QuadStore.currentVersion(root)
+      val s1 = QuadStore.open(spark, root)
+      // closure inferred (rex type Animal)
+      assert(!s1.filter(col("s.lex") === (EX + "rex") &&
+                        col("o.lex") === (EX + "Animal")).isEmpty)
+
+      // batch 2: a second individual — only the delta's consequences derive
+      input.addData(s"<${EX}lassie> <${RDFS.RdfType}> <${EX}Dog> .")
+      q.processAllAvailable()
+      val v2 = QuadStore.currentVersion(root)
+      assert(v2 == v1 + 1)
+      val s2 = QuadStore.open(spark, root)
+      assert(!s2.filter(col("s.lex") === (EX + "lassie") &&
+                        col("o.lex") === (EX + "Animal")).isEmpty)
+      // time travel: the v1 snapshot is still readable and lassie-free
+      val old = QuadStore.open(spark, root, v1)
+      assert(old.filter(col("s.lex") === (EX + "lassie")).isEmpty)
+      // full-recompute equivalence for the final state
+      val all = parse(Seq(
+        s"<${EX}Dog> <${RDFS.SubClassOf}> <${EX}Animal> .",
+        s"<${EX}rex> <${RDFS.RdfType}> <${EX}Dog> .",
+        s"<${EX}lassie> <${RDFS.RdfType}> <${EX}Dog> ."))
+      val full = RDFS.closure(all).select("s", "p", "o")
+      val got = s2.drop("p_bucket").select("s", "p", "o")
+      assert(got.except(full).isEmpty && full.except(got).isEmpty)
     } finally q.stop()
   }
 
