@@ -109,6 +109,28 @@ object AnalyticsSuite {
         .orderBy("rank")
     }),
 
+    "owl_transitive_locatedin" -> ((s, d) => {
+      // declare locatedIn transitive; the OWL closure derives
+      // customer→region hops through nations. Output: entities located
+      // (directly or transitively) in each region. The closed store is a
+      // load-time Catalog artifact like the RDFS closure.
+      val closed = Catalog.table(s, d, "owl_closed") {
+        val base = RdfSuite.buildQuads(s, d)
+        val one = Tables.load(s, d, "customer").limit(1)
+        val axiom = QuadStore.tripleize(one, Term.iri(G + "locatedIn"),
+          Seq(RDFS.RdfType -> Term.iri(graft.rules.Owl.TransitiveProperty)))
+        graft.rules.Owl.closure(base.unionByName(axiom))
+      }
+      val regions = closed.filter(col("p") === Term.iri(G + "name") &&
+                                  Term.lex(col("s")).startsWith(G + "r"))
+        .select(col("s").as("rkey"), Term.lex(col("o")).as("region"))
+      closed.filter(col("p") === Term.iri(G + "locatedIn") &&
+                    Term.lex(col("o")).startsWith(G + "r"))
+        .join(regions, col("o") === col("rkey"))
+        .groupBy("region").agg(count(lit(1)).as("n"))
+        .orderBy("region")
+    }),
+
     "graph_bfs" -> ((s, d) => {
       val src = s.range(1).select(lit(1L).as("node"))
       Graphs.bfs(psEdges(s, d), src, maxDepth = 3).orderBy("node")
@@ -196,6 +218,18 @@ object AnalyticsSuite {
            SELECT 'http://g/n' || n_nationkey, 'http://g/r' || n_regionkey
            FROM nation)
          ORDER BY s, o""",
+
+    "owl_transitive_locatedin" ->
+      """SELECT region, n FROM (
+           SELECT r_name AS region, COUNT(*) AS n FROM (
+             SELECT r.r_name FROM customer c
+               JOIN nation n ON c_nationkey = n_nationkey
+               JOIN region r ON n.n_regionkey = r.r_regionkey
+             UNION ALL
+             SELECT r.r_name FROM nation n
+               JOIN region r ON n.n_regionkey = r.r_regionkey)
+           GROUP BY 1)
+         ORDER BY region""",
 
     "fts_search" ->
       """WITH tok AS (SELECT doc_id AS doc,

@@ -36,7 +36,7 @@ object RDFS {
   /** One inference round: candidate triples derivable with at least one
     * premise in `delta`. Works on (s,p,o) triples (default graph).
     */
-  private def round(all: DataFrame, delta: DataFrame): DataFrame = {
+  private[rules] def round(all: DataFrame, delta: DataFrame): DataFrame = {
     def sel(df: DataFrame, pred: String) = df.filter(col("p") === p(pred))
 
     // rdfs5: subPropertyOf transitivity

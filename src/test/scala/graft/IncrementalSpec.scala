@@ -36,6 +36,39 @@ class IncrementalSpec extends SparkSpecBase {
                        col("o") === Term.iri(EX + "Thing")).isEmpty)
   }
 
+  test("OWL property rules: inverseOf, symmetric, transitive, RDFS interplay") {
+    import graft.rules.Owl
+    val base = parse(Seq(
+      // inverseOf both ways
+      s"<${EX}worksFor> <${Owl.InverseOf}> <${EX}employs> .",
+      s"<${EX}alice> <${EX}worksFor> <${EX}acme> .",
+      s"<${EX}globex> <${EX}employs> <${EX}bob> .",
+      // symmetric
+      s"<${EX}knows> <${RDFS.RdfType}> <${Owl.SymmetricProperty}> .",
+      s"<${EX}alice> <${EX}knows> <${EX}bob> .",
+      // transitive chain a→b→c→d
+      s"<${EX}within> <${RDFS.RdfType}> <${Owl.TransitiveProperty}> .",
+      s"<${EX}a> <${EX}within> <${EX}b> .",
+      s"<${EX}b> <${EX}within> <${EX}c> .",
+      s"<${EX}c> <${EX}within> <${EX}d> .",
+      // RDFS interplay: employs-derived facts get domain-typed
+      s"<${EX}employs> <${RDFS.Domain}> <${EX}Org> ."))
+    val closed = Owl.closure(base)
+    def has(s: String, p: String, o: String) =
+      !closed.filter(col("s") === Term.iri(s) && col("p") === Term.iri(p) &&
+                     col("o") === Term.iri(o)).isEmpty
+    assert(has(EX + "acme", EX + "employs", EX + "alice")) // inverse fwd
+    assert(has(EX + "bob", EX + "worksFor", EX + "globex")) // inverse bwd
+    assert(has(EX + "bob", EX + "knows", EX + "alice")) // symmetric
+    assert(has(EX + "a", EX + "within", EX + "c")) // transitive 1 hop
+    assert(has(EX + "a", EX + "within", EX + "d")) // transitive 2 hops
+    // the INFERRED (acme employs alice) triggers rdfs2 domain typing
+    assert(has(EX + "acme", RDFS.RdfType, EX + "Org"))
+    // idempotence: closing the closure adds nothing
+    val again = Owl.closure(closed)
+    assert(again.except(closed).isEmpty && closed.except(again).isEmpty)
+  }
+
   test("DRed retraction equals full recompute, rederives survivors") {
     val base = parse(Seq(
       s"<${EX}Dog> <${RDFS.SubClassOf}> <${EX}Mammal> .",
