@@ -25,12 +25,16 @@ object Similarity {
   /** Cosine similarity of two array<double> columns, rounded to 6 decimals
     * (rounding makes the value reproducible across engines that may differ
     * in the last ulp of the accumulation).
+    *
+    * The inner products use the native codegen'd `DotProduct` expression
+    * (graft.functions) instead of `aggregate(zip_with(...))` — higher-order
+    * functions run their lambdas interpreted per element; the custom
+    * expression is one fused primitive loop with identical left-to-right
+    * summation (bit-identical results, so oracle parity is unchanged).
     */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
-    round(dot / (na * nb), 6)
+    import graft.functions.DotProduct.dot
+    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
   }
 
   private def asDouble(emb: DataFrame): DataFrame =

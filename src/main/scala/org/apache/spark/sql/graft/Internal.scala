@@ -1,6 +1,7 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** Bridge into Spark's package-private session API.
   *
@@ -22,4 +23,13 @@ object Internal {
     spark.internalCreateDataFrame(
       classicDf.queryExecution.toRdd, classicDf.schema, isStreaming = false)
   }
+
+  /** Column ↔ Expression bridges for custom Catalyst expressions
+    * (ExpressionUtils is private[sql]).
+    */
+  def toColumn(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def toExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

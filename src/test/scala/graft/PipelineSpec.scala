@@ -22,6 +22,28 @@ class PipelineSpec extends SparkSpecBase {
     assert(empty.isEmpty, s"queries with zero rows: $empty")
   }
 
+  test("native DotProduct equals the lambda fold bit-for-bit and codegens") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("v")).limit(100)
+    val pairs = e.as("a").crossJoin(e.as("b")).limit(500)
+      .select(col("a.v").as("x"), col("b.v").as("y"))
+    val lambda = aggregate(zip_with(col("x"), col("y"), (p, q) => p * q),
+                           lit(0.0), (acc, v) => acc + v)
+    val diff = pairs
+      .select(graft.functions.DotProduct.dot(col("x"), col("y")).as("native"),
+              lambda.as("folded"))
+      .filter(col("native") =!= col("folded")) // bit-exact, not approx
+      .count()
+    assert(diff == 0, "native dot product diverges from the lambda fold")
+    // and the expression participates in whole-stage codegen
+    val planned = pairs.select(
+      graft.functions.DotProduct.dot(col("x"), col("y")).as("d"))
+    planned.collect()
+    assert(planned.queryExecution.executedPlan.toString.contains("*("),
+           "DotProduct fell out of whole-stage codegen")
+  }
+
   test("minhash LSH candidates contain every exact-high-Jaccard pair") {
     // LSH with 4 bands of 4 rows has near-certain recall at jaccard >= 0.9
     val exact = Dedup.ngramJaccardPairs(docs, 3, 0.9, "source")
