@@ -99,6 +99,20 @@ object QuadStore {
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Save as a SUBJECT-bucketed table: rows hash-cluster by `s` into a
+    * fixed bucket count recorded in the table metadata, so star joins and
+    * self-joins on the subject read co-located buckets and skip the
+    * shuffle entirely — the SPO covering index's join locality
+    * (SPOKeyOrder.java:89) expressed as Spark bucketing. Requires
+    * saveAsTable (bucket metadata lives in the catalog).
+    */
+  def saveBucketed(quads: DataFrame, table: String, buckets: Int = 64): Unit =
+    quads.select("s", "p", "o", "c")
+      .write.mode("overwrite")
+      .bucketBy(buckets, "s")
+      .format("parquet")
+      .saveAsTable(table)
+
   // ---- versioned commits ----------------------------------------------
   // The reference's commit protocol (CommitOp → Journal commit points with
   // commitCounter/commit records, bigdata/src/java/com/bigdata/journal/

@@ -53,6 +53,25 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("subject-bucketed store: self-join on s runs shuffle-free") {
+    import org.apache.spark.sql.Encoders
+    val EX = "http://ex/"
+    val quads = graft.rdf.NTriples.parseLines(spark,
+      spark.createDataset((1 to 200).flatMap(i => Seq(
+        s"<${EX}e$i> <${EX}p> <${EX}v$i> .",
+        s"<${EX}e$i> <${EX}q> <${EX}w$i> .")))(Encoders.STRING).toDF("value"))
+    spark.sql("DROP TABLE IF EXISTS graft_bucketed_test")
+    graft.rdf.QuadStore.saveBucketed(quads, "graft_bucketed_test", buckets = 8)
+    val t = spark.table("graft_bucketed_test")
+    val j = t.as("a").join(t.as("b"),
+      col("a.s") === col("b.s") && col("a.p") =!= col("b.p"))
+    assert(j.count() == 400) // (p,q) and (q,p) per entity
+    val plan = j.queryExecution.executedPlan.toString
+    // both sides read co-located buckets: no shuffle exchange anywhere
+    assert(!plan.contains("Exchange hashpartitioning"),
+           s"bucketed self-join still shuffles:\n$plan")
+  }
+
   test("salted join equals plain join and spreads hot keys") {
     import spark.implicits._
     // hot key: 10k rows of key=1 against a 3-row dimension
