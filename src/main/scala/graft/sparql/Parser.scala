@@ -314,7 +314,23 @@ object Parser {
     }
 
     private def constructQuery(): Query = {
-      expect("CONSTRUCT"); expect("{")
+      expect("CONSTRUCT")
+      // SPARQL 1.1 shorthand: CONSTRUCT WHERE { tps } — the pattern IS the
+      // template (must be a plain BGP per the grammar)
+      if (peekIs("WHERE")) {
+        next(); expect("{")
+        val node = groupGraphPattern()
+        expect("}")
+        val tmpl = collectBgp(node).map { tp =>
+          def pos(p0: Pat): QueryForms.TPos = p0 match {
+            case V(n) => QueryForms.TVar(n)
+            case C(t) => QueryForms.TConst(t)
+          }
+          (pos(tp.s), pos(tp.p), pos(tp.o))
+        }
+        return Query(ConstructForm, node, Nil, distinct = false, tmpl)
+      }
+      expect("{")
       var tmpl = Vector.empty[(QueryForms.TPos, QueryForms.TPos, QueryForms.TPos)]
       while (peek != "}") {
         val s = templatePos(); val p = templatePos(); val o = templatePos()

@@ -297,6 +297,15 @@ class ParserSpec extends SparkSpecBase {
     assert(lexSeq(any, "x") == Seq(EX + "d1", EX + "d2"))
   }
 
+  test("CONSTRUCT WHERE shorthand uses the pattern as template") {
+    val g = Parser.construct(spark, fixture, P +
+      """CONSTRUCT WHERE { ?x ex:worksFor ?o }""")
+    assert(g.count() == 4)
+    assert(g.filter(col("p") === Term.iri(EX + "worksFor")).count() == 4)
+    assert(!g.filter(col("s") === Term.iri(EX + "alice") &&
+                     col("o") === Term.iri(EX + "acme")).isEmpty)
+  }
+
   test("property path inside GRAPH is scoped to that graph") {
     val g = parse(Seq(
       s"""<${EX}a> <${EX}k> <${EX}b> <${EX}g1> .""",
