@@ -105,14 +105,48 @@ object Similarity {
       .select("vec_id", "cid")
   }
 
+  /** Lloyd's k-means refinement of the IVF quantizer: deterministic seeds
+    * (lowest k vec_ids) → assign by rounded cosine (ties → lowest cid) →
+    * per-dimension mean → repeat. Empty clusters keep their previous
+    * centroid. Each iteration is one broadcast-assign plus one
+    * groupBy-mean — the standard distributed Lloyd step; the result plugs
+    * straight into `ivfTopK`'s centroid frame.
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val corpus = asDouble(emb)
+    var cent = graft.util.Fixpoint.materialize(ivfCentroids(emb, k))
+    for (_ <- 1 to iters) {
+      val assign = ivfAssignFrom(corpus, cent)
+      val means = corpus.join(assign, "vec_id")
+        .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cid", "d").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(transform(sort_array(collect_list(struct(col("d"), col("m")))),
+                       e => e.getField("m")).as("nv"))
+      cent = graft.util.Fixpoint.materialize(
+        cent.join(means, Seq("cid"), "left_outer")
+          .select(col("cid"), coalesce(col("nv"), col("cv")).as("cv")))
+    }
+    cent
+  }
+
+  private def ivfAssignFrom(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosine(col("v"), col("cv")))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cid")
+  }
+
   /** IVF top-k: each query ranks only the vectors in its `nProbe` nearest
     * centroid lists. The corpus shuffles ONCE by centroid id (the inverted
     * file); a query touches nProbe/nlist of the data — the standard
     * recall/cost knob, and the reason IVF scans survive 100 TB corpora.
     */
   def ivfTopK(emb: DataFrame, queries: DataFrame, nlist: Int, nProbe: Int,
-              k: Int): DataFrame = {
-    val cent = ivfCentroids(emb, nlist)
+              k: Int, centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(ivfCentroids(emb, nlist))
     val assign = ivfAssign(emb, cent)
     val corpus = asDouble(emb).join(assign, "vec_id")
     val q = asDouble(queries)

@@ -47,11 +47,21 @@ object RdfIngest {
 
   /** Start the streaming ingestion over a DataFrame of N-Triples lines
     * (column `value`) — file stream, socket, or MemoryStream in tests.
+    *
+    * Exactly-once across retries: foreachBatch may replay a batch after a
+    * failure, so each committed version records the batch id that produced
+    * it; a replayed batch id is skipped instead of double-committed (the
+    * sink-side idempotence Structured Streaming asks of foreachBatch).
     */
   def startIngest(lines: DataFrame, root: String): StreamingQuery =
     lines.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch.sparkSession, batch, root); ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new java.io.File(s"$root/_batch_$batchId")
+        if (!marker.exists()) {
+          ingestBatch(batch.sparkSession, batch, root)
+          marker.createNewFile()
+        }
+        ()
       }
       .start()
 }

@@ -73,6 +73,24 @@ class PipelineSpec extends SparkSpecBase {
     assert(lsh.forall(r => bf((r.getLong(0), r.getLong(2))) == r.getDouble(3)))
   }
 
+  test("k-means IVF: deterministic training, full recall inside probed lists") {
+    val cent1 = Similarity.kmeansCentroids(emb, k = 4, iters = 2)
+    val cent2 = Similarity.kmeansCentroids(emb, k = 4, iters = 2)
+    // deterministic: same seeds, same assignment tiebreak, same means
+    assert(cent1.except(cent2).isEmpty && cent2.except(cent1).isEmpty)
+    // trained centroids plug into ivfTopK; every query gets k ranked hits
+    val q = emb.filter(col("vec_id") < 3)
+    val hits = Similarity.ivfTopK(emb, q, nlist = 4, nProbe = 2, k = 5,
+                                  centroids = Some(cent1))
+    val perQ = hits.groupBy("q_id").count().collect().map(_.getLong(1))
+    assert(perQ.length == 3 && perQ.forall(_ == 5))
+    // IVF scores agree with brute force on the pairs it returns
+    val bf = Similarity.bruteForceTopK(emb, q, k = 1000)
+      .select(col("q_id").as("bq"), col("vec_id").as("bv"), col("score").as("bscore"))
+    val joined = hits.join(bf, col("q_id") === col("bq") && col("vec_id") === col("bv"))
+    assert(joined.filter(col("score") =!= col("bscore")).isEmpty)
+  }
+
   test("langId votes and fingerprint are deterministic across runs") {
     val a = TextAnalysis.langId(docs).orderBy("doc_id").collect().toSeq
     val b = TextAnalysis.langId(docs).orderBy("doc_id").collect().toSeq

@@ -61,6 +61,15 @@ class PlanQualitySpec extends SparkSpecBase {
         s"<${EX}e$i> <${EX}p> <${EX}v$i> .",
         s"<${EX}e$i> <${EX}q> <${EX}w$i> .")))(Encoders.STRING).toDF("value"))
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_test")
+    // a stale warehouse dir from a previous JVM blocks CTAS even after DROP
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "graft_bucketed_test")
+    if (loc.exists()) {
+      java.nio.file.Files.walk(loc.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
     graft.rdf.QuadStore.saveBucketed(quads, "graft_bucketed_test", buckets = 8)
     val t = spark.table("graft_bucketed_test")
     val j = t.as("a").join(t.as("b"),
