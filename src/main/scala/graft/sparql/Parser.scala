@@ -854,6 +854,19 @@ object Parser {
         case "SHA256" => r => Term.str(sha2(Term.lex(args(0)(r)), 256))
         case "SHA512" => r => Term.str(sha2(Term.lex(args(0)(r)), 512))
         case "ENCODE_FOR_URI" => r => Term.str(url_encode(Term.lex(args(0)(r))))
+        // term constructors (SPARQL 17.4.2.5-2.8)
+        case "IRI" | "URI" => r => Term.iri(Term.lex(args(0)(r)))
+        case "STRDT" => r => Term.typed(Term.lex(args(0)(r)), Term.lex(args(1)(r)))
+        case "STRLANG" => r => Term.langStr(Term.lex(args(0)(r)), Term.lex(args(1)(r)))
+        // BNODE(str): content-addressed label — same argument, same bnode
+        // (replay-safe determinism instead of RNG state, like CONSTRUCT's
+        // bnode handling); the zero-arg RNG form is intentionally absent
+        case "BNODE" => r => Term.bnode(concat(lit("fn_"), md5(Term.lex(args(0)(r)))))
+        // TZ returns the zone string ("Z", "+05:00", "" if absent);
+        // TIMEZONE's xsd:dayTimeDuration form maps to the same lexical tail
+        case "TZ" => r => Term.str(
+          coalesce(regexp_extract(Term.lex(args(0)(r)),
+                                  "(Z|[+-]\\d{2}:\\d{2})$", 1), lit("")))
         // date/time accessors over xsd:dateTime lexical forms (DateBOp.java:47)
         case "YEAR" => r => dtPart(args(0)(r), year)
         case "MONTH" => r => dtPart(args(0)(r), month)
@@ -911,5 +924,6 @@ object Parser {
     "CONTAINS", "STRSTARTS", "STRENDS", "STRLEN", "UCASE", "LCASE",
     "CONCAT", "SUBSTR", "ABS", "CEIL", "FLOOR", "ROUND", "YEAR", "MONTH",
     "DAY", "HOURS", "MINUTES", "SECONDS", "MD5", "SHA1", "SHA256", "SHA512",
-    "ENCODE_FOR_URI", "LANGMATCHES", "STRBEFORE", "STRAFTER", "REPLACE")
+    "ENCODE_FOR_URI", "LANGMATCHES", "STRBEFORE", "STRAFTER", "REPLACE",
+    "IRI", "URI", "STRDT", "STRLANG", "BNODE", "TZ")
 }

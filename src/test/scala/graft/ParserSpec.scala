@@ -236,7 +236,8 @@ class ParserSpec extends SparkSpecBase {
       "STRAFTER" -> "?v, \"c\"", "REPLACE" -> "?v, \"a\", \"b\"",
       "ABS" -> "?n", "CEIL" -> "?n", "FLOOR" -> "?n", "ROUND" -> "?n",
       "YEAR" -> "?t", "MONTH" -> "?t", "DAY" -> "?t",
-      "HOURS" -> "?t", "MINUTES" -> "?t", "SECONDS" -> "?t"
+      "HOURS" -> "?t", "MINUTES" -> "?t", "SECONDS" -> "?t",
+      "STRDT" -> "?v, STR(ex:dt)", "STRLANG" -> "?v, \"en\"", "TZ" -> "?t"
     ).withDefaultValue("?v")
     val binds = graft.sparql.Parser.functionNames.toSeq.sorted.zipWithIndex
       .map { case (f, i) => s"BIND($f(${args(f)}) AS ?r$i)" }.mkString("\n")
@@ -295,6 +296,33 @@ class ParserSpec extends SparkSpecBase {
       """SELECT ?x WHERE { ?x ex:label ?l . FILTER(LANGMATCHES(LANG(?l), "*")) }
          ORDER BY ?x""")
     assert(lexSeq(any, "x") == Seq(EX + "d1", EX + "d2"))
+  }
+
+  test("term constructors: IRI, STRDT, STRLANG, BNODE(str), TZ") {
+    val df = q(P +
+      """SELECT ?i ?d ?l ?b WHERE {
+           ?c ex:name ?n . FILTER(?n = "Acme")
+           BIND(IRI(CONCAT("http://ex/", "made")) AS ?i)
+           BIND(STRDT("42", STR(ex:mytype)) AS ?d)
+           BIND(STRLANG("chat", "fr") AS ?l)
+           BIND(BNODE("seed") AS ?b)
+         }""")
+    val r = df.head()
+    assert(r.getStruct(0).getString(1) == EX + "made") // IRI lex
+    val d = r.getStruct(1)
+    assert(d.getString(1) == "42" && d.getString(2) == EX + "mytype")
+    val l = r.getStruct(2)
+    assert(l.getString(1) == "chat" && l.getString(3) == "fr")
+    assert(r.getStruct(3).getByte(0) == 1) // bnode kind
+    // same BNODE argument gives the same label (content-addressed)
+    val b2 = q(P + """SELECT ?b WHERE { ?c ex:name "Acme" . BIND(BNODE("seed") AS ?b) }""")
+    assert(b2.head().getStruct(0).getString(1) == r.getStruct(3).getString(1))
+    // TZ over a zoned and unzoned dateTime
+    val tz = q(P + """SELECT ?z ?u WHERE { ?c ex:name "Acme" .
+        BIND(TZ("2026-01-01T10:00:00Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>) AS ?z)
+        BIND(TZ("2026-01-01T10:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>) AS ?u) }""")
+    val t = tz.head()
+    assert(t.getStruct(0).getString(1) == "Z" && t.getStruct(1).getString(1) == "")
   }
 
   test("CONSTRUCT WHERE shorthand uses the pattern as template") {
