@@ -216,6 +216,30 @@ object Parser {
       expect("{")
       var node = groupGraphPattern()
       expect("}")
+      // query-level trailing VALUES (18.2.4.3): textually after the
+      // solution modifiers, but it joins the PATTERN result before them —
+      // look ahead for a top-level VALUES, parse it out of order, and have
+      // the modifier loop stop at its position
+      var valuesAt = -1
+      var valuesEnd = -1
+      locally {
+        var i = pos
+        var depth = 0
+        while (i < toks.length && valuesAt < 0) {
+          val t = toks(i)
+          if (t == "{" || t == "(") depth += 1
+          else if (t == "}" || t == ")") depth -= 1
+          else if (depth == 0 && t.equalsIgnoreCase("VALUES")) valuesAt = i
+          i += 1
+        }
+        if (valuesAt >= 0) {
+          val saved = pos
+          pos = valuesAt
+          node = Join(node, valuesClause())
+          valuesEnd = pos
+          pos = saved
+        }
+      }
       // GROUP BY / HAVING
       var groupKeys = Vector.empty[String]
       var having = Vector.empty[Expr]
@@ -287,6 +311,11 @@ object Parser {
         else { next(); offset = next().toLong }
       }
       if (offset != 0 || limit >= 0) node = Slice(offset, limit, node)
+      // the trailing VALUES block was consumed out of order above
+      if (valuesAt >= 0) {
+        require(pos == valuesAt, s"unexpected tokens before trailing VALUES at $pos")
+        pos = valuesEnd
+      }
       Query(SelectForm, node, proj, distinct, Nil)
     }
 

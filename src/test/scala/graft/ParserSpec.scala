@@ -298,6 +298,16 @@ class ParserSpec extends SparkSpecBase {
     assert(lexSeq(any, "x") == Seq(EX + "d1", EX + "d2"))
   }
 
+  test("query-level trailing VALUES joins before solution modifiers") {
+    val df = q(P +
+      """SELECT ?x ?a WHERE { ?x ex:age ?a }
+         ORDER BY DESC(?a) LIMIT 1
+         VALUES ?x { ex:alice ex:bob }""")
+    // VALUES restricts to alice/bob BEFORE the limit: carol's higher age
+    // must not absorb the LIMIT slot — alice (30) wins among the two
+    assert(lexSeq(df, "x") == Seq(EX + "alice"))
+  }
+
   test("term constructors: IRI, STRDT, STRLANG, BNODE(str), TZ") {
     val df = q(P +
       """SELECT ?i ?d ?l ?b WHERE {
