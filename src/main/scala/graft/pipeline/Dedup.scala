@@ -90,6 +90,20 @@ object Dedup {
     sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
   }
 
+  /** MinHash signature as a per-row ARRAY column — zero shuffle: m_i =
+    * array_min over the doc's own shingles. The groupBy variant above wins
+    * when the shingle relation is already exploded (map-side combine);
+    * this one wins when each row carries its document whole — notably on
+    * STREAMING frames, where it needs no aggregation state at all.
+    */
+  def minhashSignatureArray(text: Column, n: Int, numHashes: Int): Column = {
+    val sh = shingles(words(text), n)
+    val mins = (0 until numHashes).map { i =>
+      array_min(transform(sh, s => hash64(concat(lit(i), lit("|"), s))))
+    }
+    array(mins: _*)
+  }
+
   /** MinHash signatures in long form: (doc_id, i, minhash). */
   def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
     val wide = minhashSignaturesWide(docs, n, numHashes)

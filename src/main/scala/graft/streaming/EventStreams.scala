@@ -94,6 +94,54 @@ object EventStreams {
 
   final case class Doc(doc_id: Long, content_key: String, text: String)
 
+  final case class NearDupCandidate(doc_id: Long, rep_id: Long)
+
+  /** Streaming NEAR-dup candidates at ingestion: each document's MinHash
+    * signature computes per row (`Dedup.minhashSignatureArray` — no
+    * aggregation state), splits into LSH band keys, and a stateful
+    * operator keyed by (band, band_key) remembers the first document of
+    * each bucket. A later document sharing any band emits a candidate
+    * edge (doc, bucket_representative) — downstream, exact verification +
+    * clustering run exactly as in the batch `dedupClusters`. State is one
+    * long per non-empty bucket, the streaming analogue of the sketch
+    * index.
+    */
+  def streamingNearDupCandidates(docs: Dataset[Doc], n: Int = 3,
+                                 numHashes: Int = 16,
+                                 bands: Int = 4): Dataset[NearDupCandidate] = {
+    import docs.sparkSession.implicits._
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val sig = docs.toDF()
+      .withColumn("sig", graft.pipeline.Dedup.minhashSignatureArray(
+        org.apache.spark.sql.functions.col("text"), n, numHashes))
+    val bandRows = (0 until bands).map { b =>
+      sig.select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.concat_ws("|",
+          (org.apache.spark.sql.functions.lit(b) +:
+            (0 until rowsPerBand).map(j =>
+              org.apache.spark.sql.functions.element_at(
+                org.apache.spark.sql.functions.col("sig"),
+                b * rowsPerBand + j + 1))): _*).as("bucket"))
+    }.reduce(_ unionByName _)
+    bandRows.as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, NearDupCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, batch: Iterator[(Long, String)], state: GroupState[Long]) =>
+          val ids = batch.map(_._1).toSeq.sorted
+          state.getOption match {
+            case Some(rep) =>
+              ids.filter(_ != rep).map(NearDupCandidate(_, rep)).iterator
+            case None =>
+              val rep = ids.head
+              state.update(rep)
+              ids.tail.map(NearDupCandidate(_, rep)).iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup for the ingestion pipeline: the FIRST document
     * per content key passes through, later duplicates are dropped —
     * `mapGroupsWithState` keyed by content key holds one boolean per key

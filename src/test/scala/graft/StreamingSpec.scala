@@ -122,6 +122,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates: shared minhash band pairs across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{Doc, NearDupCandidate}
+    val input = MemoryStream[Doc]
+    val q = graft.streaming.EventStreams.streamingNearDupCandidates(input.toDS())
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append()).start()
+    val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val far = "completely different content about distributed query engines at scale"
+    try {
+      input.addData(Doc(1, "a", near1), Doc(9, "b", far))
+      q.processAllAvailable()
+      // batch 2: a near-duplicate of doc 1 arrives later
+      input.addData(Doc(5, "c", near2))
+      q.processAllAvailable()
+      val cands = spark.table("neardup").as[NearDupCandidate].collect().toSet
+      assert(cands.contains(NearDupCandidate(5, 1)),
+             s"near-dup pair not emitted: $cands")
+      assert(!cands.exists(c => c.doc_id == 9 || c.rep_id == 9),
+             s"unrelated doc paired: $cands")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup passes first doc per content key, drops later dups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
