@@ -139,6 +139,6 @@ object Results {
   /** CSV sink: N-Triples-style term rendering, written distributed. */
   def writeCsv(solutions: DataFrame, path: String): Unit =
     solutions
-      .select(solutions.columns.map(v => NTriples.termToString(col(v)).as(v)): _*)
+      .select(solutions.columns.toIndexedSeq.map(v => NTriples.termToString(col(v)).as(v)): _*)
       .write.mode("overwrite").option("header", "true").csv(path)
 }

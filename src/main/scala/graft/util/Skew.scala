@@ -24,7 +24,7 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame,
                  leftKey: Column, rightKey: Column, buckets: Int): DataFrame = {
     val salted = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(buckets)))
+      pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(buckets)))
     val replicated = right
       .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
     salted

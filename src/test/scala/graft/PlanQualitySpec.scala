@@ -53,6 +53,17 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("quad-store scans push struct predicate equality into parquet") {
+    // the catalog quads table is parquet; a constant-predicate pattern
+    // must reach the scan as a pushed struct-equality filter (choosing
+    // the POS index, expressed as parquet pushdown)
+    val df = graft.queries.RdfSuite.queries("rdf_bgp_join")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(p,"),
+           s"predicate filter not pushed to the quad scan:\n$p")
+  }
+
   test("subject-bucketed store: self-join on s runs shuffle-free") {
     import org.apache.spark.sql.Encoders
     val EX = "http://ex/"
