@@ -31,6 +31,9 @@ import graft.sparql.{Parser, Results, Update}
 class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0) {
 
   private val store = new AtomicReference[DataFrame](initial)
+  private val generation = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val describeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, String), String]()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   def current: DataFrame = store.get()
@@ -41,6 +44,7 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0) {
       val params = formParams(ex)
       if (params.contains("update") && ex.getRequestMethod == "POST") {
         store.updateAndGet(st => Update.execute(spark, st, params("update")))
+        generation.incrementAndGet() // invalidates cached CBDs
         respond(ex, 200, "text/plain", "update ok")
       } else if (params.contains("ESTCARD")) {
         def term(k: String) = params.get(k).map(v => Term.iri(v))
@@ -59,6 +63,20 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0) {
       respond(ex, 200, "application/json",
         s"""{"status":"ok","statements":${store.get().count()}}""")
     })
+    // linked-data GET (RESTServlet.java:132-170): /ld?uri=<iri> → DESCRIBE.
+    // CBDs cache per IRI (DescribeCache.java's job) keyed on the store
+    // generation — any update invalidates the whole cache at once.
+    server.createContext("/ld", (ex: HttpExchange) => safely(ex) {
+      formParams(ex).get("uri") match {
+        case None => respond(ex, 400, "text/plain", "missing uri param")
+        case Some(u) =>
+          val gen = generation.get()
+          val body = describeCache.computeIfAbsent((gen, u), { _ =>
+            serializeTriples(Parser.describe(spark, store.get(), s"DESCRIBE <$u>"))
+          })
+          respond(ex, 200, "application/n-triples", body)
+      }
+    })
     server.setExecutor(null) // current thread of the request
     server.start()
     this
@@ -73,6 +91,8 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0) {
         val sols = select(spark, store.get(), text)
         if (accept.contains("xml"))
           respond(ex, 200, "application/sparql-results+xml", Results.toXml(sols))
+        else if (accept.contains("tab-separated"))
+          respond(ex, 200, "text/tab-separated-values", Results.toTsv(sols))
         else
           respond(ex, 200, "application/sparql-results+json", Results.toJson(sols))
       case AskForm =>

@@ -136,6 +136,19 @@ object Results {
       java.util.Arrays.asList(bindings: _*), schema))
   }
 
+  /** SPARQL 1.1 Query Results TSV: header of ?var names, N-Triples term
+    * rendering per cell (the ConnegUtil family's remaining member).
+    */
+  def toTsv(solutions: DataFrame): String = {
+    val vars = solutions.columns.toSeq
+    val header = vars.map("?" + _).mkString("\t")
+    val rows = solutions
+      .select(vars.map(v => coalesce(NTriples.termToString(col(v)), lit(""))): _*)
+      .collect()
+      .map(r => vars.indices.map(r.getString).mkString("\t"))
+    (header +: rows).mkString("\n")
+  }
+
   /** CSV sink: N-Triples-style term rendering, written distributed. */
   def writeCsv(solutions: DataFrame, path: String): Unit =
     solutions

@@ -80,6 +80,22 @@ class ServerSpec extends SparkSpecBase {
       // status endpoint
       val (_, st) = http("GET", s"$base/status")
       assert(st.contains("\"statements\":4"))
+
+      // TSV content negotiation
+      val (_, tsv) = http("GET", s"$base/sparql?query=${enc(q)}",
+                          accept = "text/tab-separated-values")
+      assert(tsv.startsWith("?x") && tsv.contains(s"<${EX}alice>"))
+
+      // linked-data GET → DESCRIBE, cached per store generation
+      val (_, ld1) = http("GET", s"$base/ld?uri=${enc(EX + "alice")}")
+      assert(ld1.contains(s"<${EX}alice> <${EX}worksFor> <${EX}acme> ."))
+      val (_, ld1b) = http("GET", s"$base/ld?uri=${enc(EX + "alice")}")
+      assert(ld1b == ld1) // cache hit returns the same body
+      // an update invalidates the cache: the new triple appears
+      val upd2 = s"""INSERT DATA { <${EX}alice> <${EX}title> "boss" . }"""
+      http("POST", s"$base/sparql", Some(s"update=${enc(upd2)}"))
+      val (_, ld2) = http("GET", s"$base/ld?uri=${enc(EX + "alice")}")
+      assert(ld2.contains("\"boss\""))
     } finally srv.stop()
   }
 
