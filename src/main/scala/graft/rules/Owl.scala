@@ -32,6 +32,8 @@ object Owl {
   val InverseOf = OwlNs + "inverseOf"
   val TransitiveProperty = OwlNs + "TransitiveProperty"
   val SymmetricProperty = OwlNs + "SymmetricProperty"
+  val FunctionalProperty = OwlNs + "FunctionalProperty"
+  val InverseFunctionalProperty = OwlNs + "InverseFunctionalProperty"
 
   private def p(name: String) = Term.iri(name)
 
@@ -78,9 +80,38 @@ object Owl {
       .unionByName(apply1(all, all, delta))
   }
 
+  /** owl:FunctionalProperty / owl:InverseFunctionalProperty → owl:sameAs:
+    * (p a FunctionalProperty), (s p o1), (s p o2) → (o1 sameAs o2);
+    * the inverse-functional form equates SUBJECTS sharing (p, o). Emitted
+    * sameAs triples then feed `OwlSameAs.canonicalMap/canonicalize`.
+    */
+  private def funcRound(all: DataFrame, delta: DataFrame): DataFrame = {
+    def pairs(facts1: DataFrame, facts2: DataFrame, schema: DataFrame,
+              cls: String, bySubject: Boolean) = {
+      val (key, out) = if (bySubject) ("s", "o") else ("o", "s")
+      facts1.as("a")
+        .join(broadcast(typedProps(schema, cls)), col("a.p") === col("prop"))
+        .join(facts2.as("b"),
+              col("a.p") === col("b.p") && col(s"a.$key") === col(s"b.$key") &&
+              !(col(s"a.$out") <=> col(s"b.$out")))
+        .select(col(s"a.$out").as("s"), p(SameAsIri).as("p"), col(s"b.$out").as("o"))
+    }
+    Seq(
+      pairs(delta, all, all, FunctionalProperty, bySubject = true),
+      pairs(all, delta, all, FunctionalProperty, bySubject = true),
+      pairs(all, all, delta, FunctionalProperty, bySubject = true),
+      pairs(delta, all, all, InverseFunctionalProperty, bySubject = false),
+      pairs(all, delta, all, InverseFunctionalProperty, bySubject = false),
+      pairs(all, all, delta, InverseFunctionalProperty, bySubject = false)
+    ).reduce(_ unionByName _)
+  }
+
+  private val SameAsIri = OwlSameAs.SameAs
+
   /** One OWL rule round: consequences with ≥1 premise in `delta`. */
   private[rules] def round(all: DataFrame, delta: DataFrame): DataFrame =
-    Seq(invRound(all, delta), symRound(all, delta), transRound(all, delta))
+    Seq(invRound(all, delta), symRound(all, delta), transRound(all, delta),
+        funcRound(all, delta))
       .reduce(_ unionByName _).distinct()
 
   /** Combined RDFS + OWL-property closure of the default graph.
@@ -101,13 +132,16 @@ object Owl {
       cnt(isType && col("o") === p(SymmetricProperty)).as("sym"),
       cnt(isType && col("o") === p(TransitiveProperty)).as("trans"),
       cnt(col("p") === p(RDFS.SubPropertyOf) || col("p") === p(RDFS.SubClassOf) ||
-          col("p") === p(RDFS.Domain) || col("p") === p(RDFS.Range)).as("rdfs")
+          col("p") === p(RDFS.Domain) || col("p") === p(RDFS.Range)).as("rdfs"),
+      cnt(isType && (col("o") === p(FunctionalProperty) ||
+                     col("o") === p(InverseFunctionalProperty))).as("func")
     ).head()
     val rounds: Seq[(DataFrame, DataFrame) => DataFrame] =
       (if (present.getLong(3) > 0) Seq(RDFS.round _) else Nil) ++
       (if (present.getLong(0) > 0) Seq(invRound _) else Nil) ++
       (if (present.getLong(1) > 0) Seq(symRound _) else Nil) ++
-      (if (present.getLong(2) > 0) Seq(transRound _) else Nil)
+      (if (present.getLong(2) > 0) Seq(transRound _) else Nil) ++
+      (if (present.getLong(4) > 0) Seq(funcRound _) else Nil)
     if (rounds.isEmpty) return triples.withColumn("c", Term.unbound)
     Fixpoint.semiNaive(triples, maxIters) { (all, delta) =>
       rounds.map(r => r(all, delta)).reduce(_ unionByName _).distinct()

@@ -69,6 +69,32 @@ class IncrementalSpec extends SparkSpecBase {
     assert(again.except(closed).isEmpty && closed.except(again).isEmpty)
   }
 
+  test("OWL functional properties derive sameAs; canonicalization merges") {
+    import graft.rules.{Owl, OwlSameAs}
+    val base = parse(Seq(
+      // hasSSN is inverse-functional: same (p, o) ⇒ same subject
+      s"<${EX}hasSSN> <${RDFS.RdfType}> <${Owl.InverseFunctionalProperty}> .",
+      s"<${EX}alice1> <${EX}hasSSN> <${EX}ssn42> .",
+      s"<${EX}alice2> <${EX}hasSSN> <${EX}ssn42> .",
+      // hasBirthMother is functional: same subject ⇒ same object
+      s"<${EX}hasBirthMother> <${RDFS.RdfType}> <${Owl.FunctionalProperty}> .",
+      s"<${EX}bob> <${EX}hasBirthMother> <${EX}m1> .",
+      s"<${EX}bob> <${EX}hasBirthMother> <${EX}m2> .",
+      s"<${EX}alice1> <${EX}age> <${EX}thirty> ."))
+    val closed = Owl.closure(base)
+    val sameAs = closed.filter(col("p") === Term.iri(OwlSameAs.SameAs))
+    // both directions derived for both property kinds
+    assert(!sameAs.filter(col("s") === Term.iri(EX + "alice1") &&
+                          col("o") === Term.iri(EX + "alice2")).isEmpty)
+    assert(!sameAs.filter(col("s") === Term.iri(EX + "m1") &&
+                          col("o") === Term.iri(EX + "m2")).isEmpty)
+    // derived sameAs feeds the canonicalizer: alice1/alice2 collapse
+    val canon = OwlSameAs.canonicalize(closed)
+    val aliceSubjects = canon
+      .filter(col("p") === Term.iri(EX + "hasSSN")).select("s").distinct()
+    assert(aliceSubjects.count() == 1)
+  }
+
   test("DRed retraction equals full recompute, rederives survivors") {
     val base = parse(Seq(
       s"<${EX}Dog> <${RDFS.SubClassOf}> <${EX}Mammal> .",
