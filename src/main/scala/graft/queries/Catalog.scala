@@ -26,7 +26,19 @@ object Catalog {
 
   private lazy val root: String = {
     val pid = ProcessHandle.current().pid()
-    s"${System.getProperty("java.io.tmpdir")}/graft-catalog-$pid"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-catalog-$pid"
+    // artifacts are per-JVM scratch: reclaim them on exit so repeated
+    // driver runs don't accumulate dead catalog dirs in tmp
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => try java.nio.file.Files.delete(f)
+                        catch { case _: Exception => })
+      }
+    }))
+    dir
   }
 
   /** Return the memoized parquet-backed table, building it on first use. */
