@@ -31,6 +31,7 @@ object Bench {
       queries.AnalyticsSuite.ftsIndex(spark, sfDir).count()
       queries.Pipeline.minhashSketch(spark, sfDir).count()
       queries.Pipeline.simhashSketch(spark, sfDir).count()
+      queries.Pipeline.shingleIndex(spark, sfDir).count()
       SparkEntry.queries("owl_transitive_locatedin")(spark, sfDir).count()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] load phase failed: ${e.getMessage}")

@@ -38,17 +38,25 @@ object Dedup {
     * count shared, compare |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
     * Exact (no approximation); cost bounded by pairs sharing ≥1 shingle.
     */
+  /** The (doc_id, block, shingle) relation — the raw material of every
+    * shingle-based dedup pass. Two-step select: tokenization lands in a
+    * real column first, so the shingle lambda's element_at references
+    * don't each re-inline (and re-evaluate) the split — that inlining is
+    * quadratic in document size.
+    */
+  def shingleRelation(docs: DataFrame, n: Int,
+                      blockCol: String = "lang"): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), col(blockCol).as("block"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("block"), explode(shingles(col("ws"), n)).as("shingle"))
+
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-                        blockCol: String = "lang"): DataFrame = {
+                        blockCol: String = "lang",
+                        prebuilt: Option[DataFrame] = None): DataFrame = {
     // materialize: the shingle relation feeds three plan branches (two join
     // sides + sizes); without this Spark recomputes the explode 3x
-    // two-step select: tokenization lands in a real column first, so the
-    // shingle lambda's element_at references don't each re-inline (and
-    // re-evaluate) the split — that inlining is quadratic in document size
-    val sh = graft.util.Fixpoint.materialize(
-      docs.repartition(col("doc_id"))
-        .select(col("doc_id"), col(blockCol).as("block"), words(col("text")).as("ws"))
-        .select(col("doc_id"), col("block"), explode(shingles(col("ws"), n)).as("shingle")))
+    val sh = prebuilt.getOrElse(
+      graft.util.Fixpoint.materialize(shingleRelation(docs, n, blockCol)))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shWithSize = sh.join(sizes, "doc_id")
     // J >= t implies the smaller set has at least t x the larger's size:
@@ -196,14 +204,20 @@ object Dedup {
     * so verification cost scales with |candidates|, not |corpus|².
     */
   def verifyPairsJaccard(docs: DataFrame, pairs: DataFrame, n: Int,
-                         threshold: Double): DataFrame = {
+                         threshold: Double,
+                         prebuilt: Option[DataFrame] = None): DataFrame = {
     val members = pairs.select(col("id_a").as("doc_id"))
       .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
-    val sh = graft.util.Fixpoint.materialize(
-      docs.join(members, "doc_id")
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), words(col("text")).as("ws"))
-        .select(col("doc_id"), explode(shingles(col("ws"), n)).as("shingle")))
+    val sh = prebuilt match {
+      // prebuilt shingle index: semi-join down to candidate members only
+      case Some(rel) => rel.select("doc_id", "shingle")
+        .join(members, Seq("doc_id"), "left_semi")
+      case None => graft.util.Fixpoint.materialize(
+        docs.join(members, "doc_id")
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .select(col("doc_id"), explode(shingles(col("ws"), n)).as("shingle")))
+    }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shared = pairs
       .join(sh.select(col("doc_id").as("id_a"), col("shingle").as("sh_a")), "id_a")
@@ -228,12 +242,13 @@ object Dedup {
     */
   def dedupClusters(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
                     bands: Int = 4, threshold: Double = 0.5,
-                    sigs: Option[DataFrame] = None): DataFrame = {
+                    sigs: Option[DataFrame] = None,
+                    shingleRel: Option[DataFrame] = None): DataFrame = {
     val cand = sigs match {
       case Some(w) => minhashLshCandidatesFromSigs(w, numHashes, bands)
       case None => minhashLshCandidates(docs, n, numHashes, bands)
     }
-    val verified = verifyPairsJaccard(docs, cand, n, threshold)
+    val verified = verifyPairsJaccard(docs, cand, n, threshold, shingleRel)
       .select("id_a", "id_b")
     val edges = verified.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(verified.select(col("id_b").as("src"), col("id_a").as("dst")))

@@ -31,6 +31,10 @@ object Pipeline {
       Dedup.simhash(docs(s, d), bits = 32)
         .join(docs(s, d).select(col("doc_id"), col("lang").as("block")), "doc_id"))
 
+  /** The 3-gram shingle relation as a load-time artifact. */
+  def shingleIndex(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Catalog.table(s, d, "shingles_3")(Dedup.shingleRelation(docs(s, d), n = 3))
+
   /** DuckDB: tokens per document (multiplicity preserved). */
   private val wsSql =
     raw"""ws_t AS (SELECT doc_id, lang,
@@ -66,7 +70,8 @@ object Pipeline {
     }),
 
     "dedup_ngram_jaccard" -> ((s, d) => {
-      Dedup.ngramJaccardPairs(docs(s, d), n = 3, threshold = 0.5)
+      Dedup.ngramJaccardPairs(docs(s, d), n = 3, threshold = 0.5,
+                              prebuilt = Some(shingleIndex(s, d)))
         .orderBy("id_a", "id_b")
     }),
 
@@ -87,8 +92,10 @@ object Pipeline {
     }),
 
     "dedup_pipeline" -> ((s, d) => {
-      // end-to-end: LSH candidates -> exact-Jaccard verify -> CC clusters
-      Dedup.dedupClusters(docs(s, d), sigs = Some(minhashSketch(s, d)))
+      // end-to-end: LSH candidates -> exact-Jaccard verify -> CC clusters,
+      // candidates and verification both reading the load-time indexes
+      Dedup.dedupClusters(docs(s, d), sigs = Some(minhashSketch(s, d)),
+                          shingleRel = Some(shingleIndex(s, d)))
         .orderBy("doc_id")
     }),
 
