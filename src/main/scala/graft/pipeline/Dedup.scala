@@ -185,18 +185,45 @@ object Dedup {
     simhashPairsFromSigs(
       simhash(docs, bits)
         .join(docs.select(col("doc_id"), col(blockCol).as("block")), "doc_id"),
-      maxHamming)
+      maxHamming, bits)
 
-  /** Hamming-≤k pairs from a prebuilt (doc_id, simhash, block) sketch. */
-  def simhashPairsFromSigs(sketch: DataFrame, maxHamming: Int): DataFrame = {
-    val sigs = graft.util.Fixpoint.materialize(sketch)
-    sigs.as("a")
-      .join(sigs.as("b"),
-            col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+  /** Hamming-≤k pairs from a prebuilt (doc_id, simhash, block) sketch.
+    *
+    * Pigeonhole blocking: the signature is split into `maxHamming + 1`
+    * contiguous bit chunks; any pair within Hamming distance ≤ maxHamming
+    * differs in at most maxHamming chunks, so it agrees EXACTLY on at least
+    * one — candidates come from an equi-join on (block, chunk_id,
+    * chunk_value) and only those pairs pay the Hamming verification. This
+    * replaces the all-pairs-within-block cross product (O(n²) per language
+    * block — fatal when one block is most of a 100 TB corpus) with a hash
+    * join whose cost tracks the number of genuinely close pairs.
+    */
+  def simhashPairsFromSigs(sketch: DataFrame, maxHamming: Int,
+                           bits: Int = 32): DataFrame = {
+    val nChunks = maxHamming + 1
+    val bounds = (0 to nChunks).map(c => c * bits / nChunks)
+    val chunkStructs = (0 until nChunks).map { c =>
+      val lo = bounds(c)
+      val width = bounds(c + 1) - lo
+      struct(lit(c).as("ci"),
+             (shiftright(col("simhash"), lo)
+               .bitwiseAND(lit((1L << width) - 1))).as("cv"))
+    }
+    val chunked = graft.util.Fixpoint.materialize(
+      sketch.select(col("doc_id"), col("simhash"), col("block"),
+                    explode(array(chunkStructs: _*)).as("ch"))
+        .select(col("doc_id"), col("simhash"), col("block"),
+                col("ch.ci").as("ci"), col("ch.cv").as("cv")))
+    chunked.as("a")
+      .join(chunked.as("b"),
+            col("a.block") === col("b.block") &&
+            col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+            col("a.doc_id") < col("b.doc_id"))
       .withColumn("hamming",
         bit_count(col("a.simhash") bitwiseXOR col("b.simhash")).cast(LongType))
       .filter(col("hamming") <= maxHamming)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** Exact Jaccard for a given candidate-pair set only: shingles are

@@ -95,15 +95,8 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
 
   /** (vec_id, cid) assignment of each corpus vector to its centroid list. */
-  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val corpus = asDouble(emb)
-    val scored = corpus.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosine(col("v"), col("cv")))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cid")
-  }
+  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssignFrom(asDouble(emb), centroids)
 
   /** Lloyd's k-means refinement of the IVF quantizer: deterministic seeds
     * (lowest k vec_ids) → assign by rounded cosine (ties → lowest cid) →
@@ -130,12 +123,16 @@ object Similarity {
     cent
   }
 
+  /** Rank-1 centroid per vector as ONE hash aggregation: `max_by` over the
+    * ordering struct (sim desc, then lowest cid on ties via negated id) —
+    * partial maxes combine map-side, so no per-key sort and no window
+    * shuffle of the corpus×nlist scored relation.
+    */
   private def ivfAssignFrom(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val scored = corpus.crossJoin(broadcast(centroids))
       .withColumn("sim", cosine(col("v"), col("cv")))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    scored.groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("nc"))).as("cid"))
       .select("vec_id", "cid")
   }
 
@@ -177,13 +174,21 @@ object Similarity {
               probes: Int = 0): DataFrame = {
     val buckets = lshBuckets(emb, planes)
     val corpus = asDouble(emb).join(buckets, "vec_id")
+    // True multiprobe: enumerate every bucket within Hamming distance
+    // `probes` of the query's bucket (XOR with each ≤probes-bit mask) and
+    // EQUI-join the corpus on the exploded bucket key. A bit_count(xor)<=p
+    // predicate is non-equi and would plan as a BroadcastNestedLoopJoin —
+    // O(corpus × queries) predicate evaluations; the explode keeps it a hash
+    // join at Σ_{i≤p} C(planes,i) keys per query (planes+1 for probes=1).
+    val probeMasks: Seq[Long] = (0 to probes).flatMap(r =>
+      (0 until planes).combinations(r).map(_.foldLeft(0L)((m, j) => m | (1L << j))))
     val q = asDouble(queries).join(buckets, "vec_id")
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("q_bucket"))
-    val bucketCond =
-      if (probes == 0) col("bucket") === col("q_bucket")
-      else bit_count(col("bucket") bitwiseXOR col("q_bucket")) <= probes
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+              explode(array(probeMasks.map(m =>
+                col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val scored = corpus.join(broadcast(q),
-        bucketCond && col("vec_id") =!= col("q_id"))
+        Seq("bucket"), "inner")
+      .filter(col("vec_id") =!= col("q_id"))
       .withColumn("score", cosine(col("qv"), col("v")))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
     scored

@@ -72,9 +72,22 @@ object FullText {
       .withColumn("score", round(col("dot") / (col("dnorm") * qnorm), 6))
       .filter(col("score") >= minCosine)
     val w = Window.orderBy(col("score").desc, col("doc"))
-    scored
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= maxRank)
-      .select("doc", "score", "rank")
+    if (maxRank != Int.MaxValue) {
+      // Finite maxRank: global top-k via orderBy+limit, which Spark executes
+      // as TakeOrderedAndProject — each partition keeps its own k best and
+      // only k rows ever reach the driver-side merge. The row_number window
+      // then runs over ≤ maxRank rows, not the whole scored corpus (a global
+      // unpartitioned window would funnel every scored document through one
+      // task — the classic single-core rank bottleneck at scale).
+      scored
+        .orderBy(col("score").desc, col("doc"))
+        .limit(maxRank)
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .select("doc", "score", "rank")
+    } else {
+      scored
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .select("doc", "score", "rank")
+    }
   }
 }

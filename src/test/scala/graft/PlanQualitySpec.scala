@@ -92,6 +92,35 @@ class PlanQualitySpec extends SparkSpecBase {
            s"bucketed self-join still shuffles:\n$plan")
   }
 
+  test("fts_search with finite maxRank ranks via top-k, not a global window") {
+    // a global unpartitioned row_number window funnels every scored doc
+    // through ONE task; finite maxRank must plan as TakeOrderedAndProject
+    val df = graft.queries.AnalyticsSuite.queries("fts_search")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+           s"fts_search lost its top-k plan:\n$p")
+  }
+
+  test("multiprobe LSH joins buckets hash-wise, never nested loops") {
+    val df = graft.queries.Pipeline.queries("ann_lsh_multiprobe")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+           s"multiprobe degraded to a nested-loop join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"),
+           s"multiprobe lost its bucket equi-join:\n$p")
+  }
+
+  test("simhash pairs block on pigeonhole chunks, never a within-block cross product") {
+    val df = graft.queries.Pipeline.queries("dedup_simhash")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+           s"simhash candidate join degraded to all-pairs:\n$p")
+  }
+
   test("salted join equals plain join and spreads hot keys") {
     import spark.implicits._
     // hot key: 10k rows of key=1 against a 3-row dimension
