@@ -31,6 +31,18 @@ object Turtle {
     spark.createDataFrame(rdd, rowSchema)
   }
 
+  /** TriG reader: Turtle plus `<g> { ... }` / `GRAPH <g> { ... }` blocks
+    * (reference ships its named-graph test data as TriG; RIO wires
+    * TriGParser through the same StatementBuffer). Statements outside a
+    * block land in the default graph (c = null).
+    */
+  def readTrig(spark: SparkSession, path: String): DataFrame = {
+    val rdd = spark.sparkContext.wholeTextFiles(path)
+      .flatMap { case (_, content) => parseQuads(content) }
+      .map { case (s, p, o, c) => Row(s, p, o, c) }
+    spark.createDataFrame(rdd, rowSchema)
+  }
+
   type T = Row // term struct row
 
   private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
@@ -53,7 +65,13 @@ object Turtle {
   }
 
   /** Parse one Turtle document into statements. */
-  def parseDoc(content: String): Iterator[(T, T, T)] = {
+  def parseDoc(content: String): Iterator[(T, T, T)] =
+    parseQuads(content).map { case (s, p, o, _) => (s, p, o) }
+
+  /** Parse one TriG (or plain Turtle) document into quads; c is null for
+    * default-graph statements.
+    */
+  def parseQuads(content: String): Iterator[(T, T, T, T)] = {
     val p = new TtlParser(content)
     p.document()
   }
@@ -63,7 +81,8 @@ object Turtle {
     private val n = s.length
     private var prefixes = Map.empty[String, String]
     private var bnodeId = 0
-    private val out = Vector.newBuilder[(T, T, T)]
+    private var graph: T = null
+    private val out = Vector.newBuilder[(T, T, T, T)]
 
     private def ws(): Unit = {
       var go = true
@@ -77,7 +96,7 @@ object Turtle {
 
     private def peekCh: Char = if (i < n) s.charAt(i) else '\u0000'
 
-    def document(): Iterator[(T, T, T)] = {
+    def document(): Iterator[(T, T, T, T)] = {
       ws()
       while (i < n) {
         if (s.startsWith("@prefix", i) || s.regionMatches(true, i, "PREFIX", 0, 6)) {
@@ -94,20 +113,54 @@ object Turtle {
           i = end + 1
           ws()
           if (peekCh == '.') { i += 1; ws() }
+        } else if (peekCh == '{') {
+          graphBlock(null) // TriG default-graph block
         } else {
-          statement()
+          // TriG: an optional GRAPH keyword, then a node followed by '{'
+          // opens a named-graph block; otherwise the node is a subject.
+          val hadGraphKw = s.regionMatches(true, i, "GRAPH", 0, 5) &&
+            i + 5 < n && (s.charAt(i + 5).isWhitespace || s.charAt(i + 5) == '<')
+          if (hadGraphKw) { i += 5; ws() }
+          val node = subjectTerm()
           ws()
+          if (hadGraphKw || peekCh == '{') graphBlock(node)
+          else {
+            predicateObjectList(node)
+            ws()
+            require(peekCh == '.', s"expected '.' at offset $i: ...${s.substring(math.max(0, i - 20), math.min(n, i + 5))}")
+            i += 1
+          }
         }
+        ws()
       }
       out.result().iterator
+    }
+
+    private def graphBlock(g: T): Unit = {
+      ws()
+      require(peekCh == '{', s"expected '{' at $i")
+      i += 1
+      graph = g
+      ws()
+      while (peekCh != '}' && i < n) {
+        statement()
+        ws()
+      }
+      require(peekCh == '}', s"unterminated graph block at $i")
+      i += 1
+      graph = null
+      ws()
+      if (peekCh == '.') i += 1 // optional terminator after a block
     }
 
     private def statement(): Unit = {
       val subj = subjectTerm()
       predicateObjectList(subj)
       ws()
-      require(peekCh == '.', s"expected '.' at offset $i: ...${s.substring(math.max(0, i - 20), math.min(n, i + 5))}")
-      i += 1
+      // inside a graph block the last statement's '.' is optional
+      if (peekCh == '.') i += 1
+      else require(graph != null && peekCh == '}',
+        s"expected '.' at offset $i: ...${s.substring(math.max(0, i - 20), math.min(n, i + 5))}")
     }
 
     private def predicateObjectList(subj: T): Unit = {
@@ -119,11 +172,11 @@ object Turtle {
         while (more) {
           ws()
           val obj = objectTerm()
-          out += ((subj, pred, obj))
+          out += ((subj, pred, obj, graph))
           ws()
           if (peekCh == ',') { i += 1 } else more = false
         }
-        if (peekCh == ';') { i += 1; ws(); if (peekCh == '.' || peekCh == ']') go = false }
+        if (peekCh == ';') { i += 1; ws(); if (peekCh == '.' || peekCh == ']' || peekCh == '}') go = false }
         else go = false
       }
     }
@@ -211,9 +264,9 @@ object Turtle {
       else {
         val cells = list.map { _ => bnodeId += 1; bnodeRow(s"anon$bnodeId") }
         cells.lazyZip(list).lazyZip(cells.indices).foreach { (cell, item, idx) =>
-          out += ((cell, iriRow(RdfFirst), item))
+          out += ((cell, iriRow(RdfFirst), item, graph))
           val rest = if (idx == list.size - 1) iriRow(RdfNil) else cells(idx + 1)
-          out += ((cell, iriRow(RdfRest), rest))
+          out += ((cell, iriRow(RdfRest), rest, graph))
         }
         cells.head
       }
