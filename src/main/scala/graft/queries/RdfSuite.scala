@@ -257,7 +257,9 @@ object RdfSuite {
     "rdf_optional" ->
       """SELECT cn, p FROM (
            SELECT c_name AS cn,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS p
+             regexp_replace(regexp_replace(
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+               '(\.\d*?)0+$', '\1'), '\.$', '') AS p
            FROM customer LEFT JOIN
              (SELECT * FROM orders WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 400000) o
              ON o.o_custkey = c_custkey
@@ -288,7 +290,9 @@ object RdfSuite {
 
     "rdf_filter_dict" ->
       """SELECT c_name AS cname,
-           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal
+           regexp_replace(regexp_replace(
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR),
+             '(\.\d*?)0+$', '\1'), '\.$', '') AS bal
          FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 9000
          ORDER BY cname""",
 
@@ -306,7 +310,9 @@ object RdfSuite {
 
     "rdf_orderby_slice" ->
       """SELECT c_name AS cn,
-           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS b
+           regexp_replace(regexp_replace(
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR),
+             '(\.\d*?)0+$', '\1'), '\.$', '') AS b
          FROM customer
          ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_name LIMIT 10""",
 

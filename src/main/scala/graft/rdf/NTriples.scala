@@ -15,9 +15,7 @@ import org.apache.spark.sql.types._
   */
 object NTriples {
 
-  private val NumericDts = Set(Term.XsdInteger, Term.XsdDecimal, Term.XsdDouble,
-    "http://www.w3.org/2001/XMLSchema#int", "http://www.w3.org/2001/XMLSchema#long",
-    "http://www.w3.org/2001/XMLSchema#float")
+  private val NumericDts = Term.numericDatatypes
 
   /** Parse one RDF term in N-Triples syntax. Returns (kind, lex, dt, lang). */
   private[rdf] def parseTerm(tok: String): (Byte, String, String, String) = {
@@ -77,8 +75,7 @@ object NTriples {
     val n = line.length
     while (i < n) {
       val c = line.charAt(i)
-      if (c == ' ' || c == '\t') i += 1
-      else if (c == '.' && i == n - 1) i += 1
+      if (c == ' ' || c == '\t' || c == '.') i += 1
       else {
         val start = i
         if (c == '"') {
@@ -89,10 +86,26 @@ object NTriples {
             else if (line.charAt(i) == '"') { i += 1; done = true }
             else i += 1
           }
-          // datatype/lang suffix
-          while (i < n && line.charAt(i) != ' ' && line.charAt(i) != '\t') i += 1
+          // datatype/lang suffix: '^^<dt>' runs to its '>', a lang tag to
+          // whitespace or the statement '.' (terms may abut the final '.')
+          if (i + 1 < n && line.charAt(i) == '^' && line.charAt(i + 1) == '^') {
+            i += 2
+            if (i < n && line.charAt(i) == '<') {
+              while (i < n && line.charAt(i) != '>') i += 1
+              if (i < n) i += 1
+            }
+          } else if (i < n && line.charAt(i) == '@') {
+            while (i < n && line.charAt(i) != ' ' && line.charAt(i) != '\t' &&
+                   line.charAt(i) != '.') i += 1
+          }
+        } else if (c == '<') {
+          // IRI: runs to '>', regardless of what abuts it
+          while (i < n && line.charAt(i) != '>') i += 1
+          if (i < n) i += 1
         } else {
-          while (i < n && line.charAt(i) != ' ' && line.charAt(i) != '\t') i += 1
+          // bnode label / keyword: stop at whitespace or statement '.'
+          while (i < n && line.charAt(i) != ' ' && line.charAt(i) != '\t' &&
+                 line.charAt(i) != '.') i += 1
         }
         toks += line.substring(start, i)
       }
@@ -130,7 +143,8 @@ object NTriples {
                     .setScale(18, java.math.RoundingMode.HALF_UP)
                   catch { case _: Exception => null }
                 else null
-              org.apache.spark.sql.Row(t._1, t._2, t._3, t._4, num)
+              val lex = if (num != null) Term.canonicalNumLex(t._2) else t._2
+              org.apache.spark.sql.Row(t._1, lex, t._3, t._4, num)
             }
             val s = toRow(parseTerm(toks(0)))
             val p = toRow(parseTerm(toks(1)))

@@ -29,12 +29,24 @@ object Term {
   val KindBnode: Int = 1
   val KindLiteral: Int = 2
 
-  val XsdString = "http://www.w3.org/2001/XMLSchema#string"
-  val XsdInteger = "http://www.w3.org/2001/XMLSchema#integer"
-  val XsdDecimal = "http://www.w3.org/2001/XMLSchema#decimal"
-  val XsdDouble = "http://www.w3.org/2001/XMLSchema#double"
-  val XsdBoolean = "http://www.w3.org/2001/XMLSchema#boolean"
-  val XsdDateTime = "http://www.w3.org/2001/XMLSchema#dateTime"
+  val XsdNs = "http://www.w3.org/2001/XMLSchema#"
+  val XsdString = XsdNs + "string"
+  val XsdInteger = XsdNs + "integer"
+  val XsdDecimal = XsdNs + "decimal"
+  val XsdDouble = XsdNs + "double"
+  val XsdBoolean = XsdNs + "boolean"
+  val XsdDateTime = XsdNs + "dateTime"
+
+  /** XSD datatypes with numeric value space — literals of these types carry
+    * a normalized `num` so cross-datatype comparison is one decimal compare
+    * (the reference's inline numeric IV promotion, DTE.java:92-226 covers
+    * the same derived types).
+    */
+  val numericDatatypes: Set[String] =
+    Set("integer", "decimal", "double", "float", "int", "long", "short",
+        "byte", "nonNegativeInteger", "nonPositiveInteger",
+        "negativeInteger", "positiveInteger", "unsignedLong", "unsignedInt",
+        "unsignedShort", "unsignedByte").map(XsdNs + _)
 
   val numType: DecimalType = DecimalType(38, 18)
 
@@ -67,9 +79,25 @@ object Term {
   def langStr(lex: Column, lang: Column): Column =
     mk(KindLiteral, lex, nullS, lang, nullN)
 
-  /** Numeric literal: canonical lexical form + normalized numeric value. */
+  /** Numeric literal: canonical lexical form + normalized numeric value.
+    * Canonicalization strips a decimal cast's trailing fractional zeros
+    * ("5.000000000000000000" → "5") so computed numbers render in XSD
+    * canonical form.
+    */
   def num(value: Column, dt: String = XsdDecimal): Column =
-    mk(KindLiteral, value.cast(StringType), lit(dt), nullS, value.cast(numType))
+    numDt(value, lit(dt))
+
+  /** Numeric literal whose datatype is itself computed (aggregate type
+    * promotion: SUM over integers is xsd:integer, over decimals decimal).
+    */
+  def numDt(value: Column, dt: Column): Column =
+    mk(KindLiteral, canonLexCol(value), dt, nullS, value.cast(numType))
+
+  /** Canonical numeric lexical form of a numeric column ("5.000…0" → "5"). */
+  private def canonLexCol(value: Column): Column = {
+    val raw = value.cast(StringType)
+    regexp_replace(regexp_replace(raw, "(\\.\\d*?)0+$", "$1"), "\\.$", "")
+  }
 
   /** Boolean literal. */
   def bool(value: Column): Column =
@@ -79,8 +107,22 @@ object Term {
   /** Typed literal with an arbitrary datatype IRI (no numeric view). */
   def typed(lex: Column, dt: Column): Column = mk(KindLiteral, lex, dt, nullS, nullN)
 
+  /** Numeric-typed literal keeping its ORIGINAL lexical form (SPARQL keeps
+    * lexical forms; only the `num` view is normalized).
+    */
+  def numTyped(lex: Column, dt: Column, num: Column): Column =
+    mk(KindLiteral, lex, dt, nullS, num.cast(numType))
+
   /** A null (unbound) term of the right struct type. */
   def unbound: Column = lit(null).cast(schema)
+
+  /** Parse-side canonical numeric lexical form ("3.0" → "3", "0.50" →
+    * "0.5") — the reference's inline numeric IVs canonicalize at load
+    * (its own golden fixtures note "Sesame expects 3.0, but we deliver 3").
+    */
+  def canonicalNumLex(lex: String): String =
+    try new java.math.BigDecimal(lex).stripTrailingZeros.toPlainString
+    catch { case _: NumberFormatException => lex }
 
   // ---- accessors ----
   def kind(t: Column): Column = t.getField("kind")

@@ -55,13 +55,13 @@ object Turtle {
   private def bnodeRow(label: String) = Row(1.toByte, label, null, null, null)
 
   private def litRow(lex: String, dt: String, lang: String) = {
-    val numericDts = Set(Term.XsdInteger, Term.XsdDecimal, Term.XsdDouble)
     val num =
-      if (dt != null && numericDts(dt))
+      if (dt != null && Term.numericDatatypes(dt))
         try new java.math.BigDecimal(lex).setScale(18, java.math.RoundingMode.HALF_UP)
         catch { case _: Exception => null }
       else null
-    Row(2.toByte, lex, dt, lang, num)
+    val lex2 = if (num != null) Term.canonicalNumLex(lex) else lex
+    Row(2.toByte, lex2, dt, lang, num)
   }
 
   /** Parse one Turtle document into statements. */
@@ -82,6 +82,7 @@ object Turtle {
     private var prefixes = Map.empty[String, String]
     private var bnodeId = 0
     private var graph: T = null
+    private var inBlock = false
     private val out = Vector.newBuilder[(T, T, T, T)]
 
     private def ws(): Unit = {
@@ -141,6 +142,7 @@ object Turtle {
       require(peekCh == '{', s"expected '{' at $i")
       i += 1
       graph = g
+      inBlock = true
       ws()
       while (peekCh != '}' && i < n) {
         statement()
@@ -149,6 +151,7 @@ object Turtle {
       require(peekCh == '}', s"unterminated graph block at $i")
       i += 1
       graph = null
+      inBlock = false
       ws()
       if (peekCh == '.') i += 1 // optional terminator after a block
     }
@@ -159,7 +162,7 @@ object Turtle {
       ws()
       // inside a graph block the last statement's '.' is optional
       if (peekCh == '.') i += 1
-      else require(graph != null && peekCh == '}',
+      else require(inBlock && peekCh == '}',
         s"expected '.' at offset $i: ...${s.substring(math.max(0, i - 20), math.min(n, i + 5))}")
     }
 

@@ -32,10 +32,19 @@ object Aggs {
     * non-numeric.
     */
   def sumVar(v: String): AggExpr = r => {
-    val poisoned = max(when(r(v).isNotNull && Term.numVal(r(v)).isNull, 1).otherwise(0))
-    val s = sum(Term.numVal(r(v)))
+    val t = r(v)
+    val poisoned = max(when(t.isNotNull && Term.numVal(t).isNull, 1).otherwise(0))
+    val s = sum(Term.numVal(t))
+    // numeric type promotion (op:numeric-add): any double/float input →
+    // double; else any decimal → decimal; else integer. SUM({}) = 0 integer.
+    val rank = max(
+      when(Term.dt(t).isin(Term.XsdDouble, Term.XsdNs + "float"), 2)
+        .when(Term.dt(t) === Term.XsdDecimal, 1).otherwise(0))
+    val dt = when(rank === 2, Term.XsdDouble)
+      .when(rank === 1, Term.XsdDecimal)
+      .otherwise(Term.XsdInteger)
     when(poisoned === 1, Term.unbound)
-      .otherwise(Term.num(coalesce(s, lit(0).cast(Term.numType))))
+      .otherwise(Term.numDt(coalesce(s, lit(0).cast(Term.numType)), dt))
   }
 
   /** AVG with sticky type errors. */

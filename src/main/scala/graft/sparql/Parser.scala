@@ -31,25 +31,66 @@ object Parser {
       node: Node,
       projection: Seq[String],           // empty = SELECT *
       distinct: Boolean,
-      template: Seq[(QueryForms.TPos, QueryForms.TPos, QueryForms.TPos)])
+      template: Seq[(QueryForms.TPos, QueryForms.TPos, QueryForms.TPos)],
+      fromDefault: Seq[String] = Nil,    // FROM <g> dataset clauses
+      fromNamed: Seq[String] = Nil)      // FROM NAMED <g> dataset clauses
 
   /** Parse and evaluate a SELECT query; returns the solution DataFrame
     * (term-struct columns).
     */
-  def select(spark: SparkSession, quads: DataFrame, text: String): DataFrame = {
+  def select(spark: SparkSession, quads: DataFrame, text: String,
+             unionDefaultGraph: Boolean = false): DataFrame = {
     val q = parse(spark, text)
     require(q.form == SelectForm, s"not a SELECT query: ${q.form}")
-    Translator.translate(quads, q.node).df
+    Translator.translate(datasetQuads(quads, q, unionDefaultGraph), q.node).df
   }
 
-  def ask(spark: SparkSession, quads: DataFrame, text: String): Boolean = {
+  def ask(spark: SparkSession, quads: DataFrame, text: String,
+          unionDefaultGraph: Boolean = false): Boolean = {
     val q = parse(spark, text)
-    QueryForms.ask(quads, q.node)
+    QueryForms.ask(datasetQuads(quads, q, unionDefaultGraph), q.node)
   }
 
-  def construct(spark: SparkSession, quads: DataFrame, text: String): DataFrame = {
+  def construct(spark: SparkSession, quads: DataFrame, text: String,
+                unionDefaultGraph: Boolean = false): DataFrame = {
     val q = parse(spark, text)
-    QueryForms.construct(quads, q.node, q.template)
+    QueryForms.construct(datasetQuads(quads, q, unionDefaultGraph), q.node, q.template)
+  }
+
+  /** Realize the query's dataset description (FROM / FROM NAMED) as a quad
+    * store rewrite, so the translator's conventions — default graph = NULL
+    * context, named graphs = non-NULL — see exactly the described dataset
+    * (reference: DatasetNode + the DataSetSummary handling in
+    * AST2BOpContext; ASTDatasetOptimizer).
+    *
+    * With no dataset clause, `unionDefaultGraph` selects the reference's
+    * quads-mode default (AbstractTripleStore.Options.UNION_DEFAULT_GRAPH
+    * analogue): the default graph is the RDF *merge* (set union) of all
+    * graphs. FROM graphs likewise merge with DISTINCT — duplicates across
+    * source graphs collapse, which is what makes a non-DISTINCT join over
+    * the merged default graph return set results.
+    */
+  def datasetQuads(quads: DataFrame, q: Query, unionDefaultGraph: Boolean): DataFrame = {
+    import graft.rdf.Term
+    val base = quads.select("s", "p", "o", "c")
+    if (q.fromDefault.isEmpty && q.fromNamed.isEmpty) {
+      if (!unionDefaultGraph) quads
+      else
+        base.select("s", "p", "o").dropDuplicates()
+          .withColumn("c", Term.unbound)
+          .unionByName(base.filter(col("c").isNotNull))
+    } else {
+      val cLex = Term.lex(col("c"))
+      val dflt =
+        if (q.fromDefault.isEmpty) base.limit(0)
+        else base.filter(col("c").isNotNull && cLex.isin(q.fromDefault: _*))
+          .select("s", "p", "o").dropDuplicates()
+          .withColumn("c", Term.unbound)
+      val named =
+        if (q.fromNamed.isEmpty) base.limit(0)
+        else base.filter(col("c").isNotNull && cLex.isin(q.fromNamed: _*))
+      dflt.unionByName(named)
+    }
   }
 
   /** DESCRIBE: resolve the target nodes (constants, or the projected vars'
@@ -162,6 +203,8 @@ object Parser {
     // pre-group binds for aggregates over expressions (SUM(?a * 2))
     private var preAggBinds = Vector.empty[(String, Expr)]
     private var bnodeCounter = 0
+    // WITH {...} AS %name named subqueries, consumed by INCLUDE %name
+    private var namedSubqueries = Map.empty[String, Node]
 
     private def peek: String = if (pos < toks.length) toks(pos) else ""
     private def peekIs(s: String): Boolean = peek.equalsIgnoreCase(s)
@@ -203,7 +246,8 @@ object Parser {
       var proj = Vector.empty[String]
       var binds = Vector.empty[(String, Expr)]
       var star = false
-      while (!peekIs("WHERE") && peek != "{") {
+      while (!peekIs("WHERE") && peek != "{" &&
+             !peekIs("FROM") && !peekIs("WITH")) {
         if (peek == "*") { next(); star = true }
         else if (peek.startsWith("?")) proj :+= next().substring(1)
         else if (peek == "(") { // (expr AS ?v)
@@ -211,6 +255,25 @@ object Parser {
           val v = next().substring(1); expect(")")
           proj :+= v; binds :+= (v -> e)
         } else throw new IllegalArgumentException(s"bad SELECT item: $peek")
+      }
+      // dataset clauses (FROM / FROM NAMED) and named subqueries
+      // (WITH {...} AS %name — the reference's NamedSubqueryRoot /
+      // INCLUDE surface, NamedSubqueryRoot.java)
+      var fromDefault = Vector.empty[String]
+      var fromNamed = Vector.empty[String]
+      while (peekIs("FROM") || peekIs("WITH")) {
+        if (peekIs("FROM")) {
+          next()
+          if (peekIs("NAMED")) { next(); fromNamed :+= iriToken() }
+          else fromDefault :+= iriToken()
+        } else {
+          next(); expect("{")
+          val sub = if (peekIs("SELECT")) selectQuery().node else groupGraphPattern()
+          expect("}"); expect("AS")
+          val name = next()
+          require(name.startsWith("%"), s"named subquery name must start with %: '$name'")
+          namedSubqueries += name -> sub
+        }
       }
       if (peekIs("WHERE")) next()
       expect("{")
@@ -229,7 +292,8 @@ object Parser {
           val t = toks(i)
           if (t == "{" || t == "(") depth += 1
           else if (t == "}" || t == ")") depth -= 1
-          else if (depth == 0 && t.equalsIgnoreCase("VALUES")) valuesAt = i
+          else if (depth == 0 && (t.equalsIgnoreCase("VALUES") ||
+                                  t.equalsIgnoreCase("BINDINGS"))) valuesAt = i
           i += 1
         }
         if (valuesAt >= 0) {
@@ -310,13 +374,21 @@ object Parser {
         if (peekIs("LIMIT")) { next(); limit = next().toLong }
         else { next(); offset = next().toLong }
       }
-      if (offset != 0 || limit >= 0) node = Slice(offset, limit, node)
+      if (offset != 0 || limit >= 0) {
+        // LIMIT without ORDER BY is implementation-defined; pick the
+        // term-order-smallest solutions — deterministic (replay-safe) and
+        // the reference's effective behavior (its slices ride SPO index
+        // order). Catalyst plans sort+limit as TakeOrderedAndProject.
+        if (orderKeys.isEmpty && proj.nonEmpty)
+          node = OrderBy(proj.map(_ -> true), node)
+        node = Slice(offset, limit, node)
+      }
       // the trailing VALUES block was consumed out of order above
       if (valuesAt >= 0) {
         require(pos == valuesAt, s"unexpected tokens before trailing VALUES at $pos")
         pos = valuesEnd
       }
-      Query(SelectForm, node, proj, distinct, Nil)
+      Query(SelectForm, node, proj, distinct, Nil, fromDefault, fromNamed)
     }
 
     private def describeQuery(): Query = {
@@ -395,6 +467,9 @@ object Parser {
       * would see outer variables as unbound).
       */
     private def groupGraphPatternParts(): (Node, Seq[Expr]) = {
+      // GroupGraphPattern := '{' ( SubSelect | GroupGraphPatternSub ) '}':
+      // a group whose content starts with SELECT is directly a sub-select
+      if (peekIs("SELECT")) return (selectQuery().node, Vector.empty)
       var cur: Option[Node] = None
       var filters = Vector.empty[Expr]
       var existsFilters = Vector.empty[(Node, Boolean)]
@@ -413,17 +488,33 @@ object Parser {
           cur = Some(Minus(cur.getOrElse(emptyNode), r))
         } else if (peekIs("FILTER")) {
           next()
+          // EXISTS may appear bare (FILTER EXISTS {...}) or parenthesized
+          // (FILTER ( EXISTS {...} )) — both are the grammar's BrackettedExpression
+          val paren = if (peek == "(" &&
+            (toks.lift(pos + 1).exists(_.equalsIgnoreCase("EXISTS")) ||
+             (toks.lift(pos + 1).exists(_.equalsIgnoreCase("NOT")) &&
+              toks.lift(pos + 2).exists(_.equalsIgnoreCase("EXISTS")))))
+            { next(); true } else false
           if (peekIs("EXISTS")) { next(); expect("{"); val sub = groupGraphPattern(); expect("}")
+            if (paren) expect(")")
             existsFilters :+= (sub -> false) }
           else if (peekIs("NOT")) { next(); expect("EXISTS"); expect("{")
             val sub = groupGraphPattern(); expect("}")
+            if (paren) expect(")")
             existsFilters :+= (sub -> true) }
           else { expect("("); filters :+= expression(); expect(")") }
+        } else if (peekIs("INCLUDE")) {
+          // INCLUDE %name joins the named subquery's solution set
+          // (reference: NamedSubqueryInclude → SolutionSetHashJoinOp)
+          next()
+          val name = next()
+          add(namedSubqueries.getOrElse(name,
+            throw new IllegalArgumentException(s"unknown named subquery '$name'")))
         } else if (peekIs("BIND")) {
           next(); expect("(")
           val e = expression(); expect("AS"); val v = next().substring(1); expect(")")
           cur = Some(Extend(v, e, cur.getOrElse(emptyNode)))
-        } else if (peekIs("VALUES")) {
+        } else if (peekIs("VALUES") || peekIs("BINDINGS")) {
           add(valuesClause())
         } else if (peekIs("GRAPH")) {
           next()
@@ -465,7 +556,7 @@ object Parser {
           add(u)
         } else if (peek == ".") { next() }
         else {
-          add(triplesBlock())
+          triplesBlock().foreach(add)
         }
       }
       var node = cur.getOrElse(emptyNode)
@@ -516,10 +607,14 @@ object Parser {
     }
 
     private def valuesClause(): Node = {
-      expect("VALUES")
+      // VALUES, or its SPARQL 1.1 working-draft spelling BINDINGS (the
+      // reference grammar accepts both; BINDINGS lists vars without parens)
+      val kw = next()
+      require(kw.equalsIgnoreCase("VALUES") || kw.equalsIgnoreCase("BINDINGS"),
+        s"expected VALUES/BINDINGS, found '$kw'")
       var vars = Vector.empty[String]
       if (peek == "(") { next(); while (peek != ")") vars :+= next().substring(1); next() }
-      else vars :+= next().substring(1)
+      else while (peek.startsWith("?")) vars :+= next().substring(1)
       expect("{")
       var rows = Vector.empty[Seq[Option[Column]]]
       while (peek != "}") {
@@ -546,7 +641,8 @@ object Parser {
       if (peekIs("UNDEF")) { next(); None } else Some(termConst())
 
     // TriplesBlock: s p o (',' o)* (';' p o ...)* '.'
-    private def triplesBlock(): Node = {
+    // None when the block held only query-hint statements.
+    private def triplesBlock(): Option[Node] = {
       var tps = Vector.empty[TriplePattern]
       var magic = Vector.empty[TriplePattern]
       var paths = Vector.empty[(Pat, Path, Pat)]
@@ -563,6 +659,11 @@ object Parser {
               // BDS.java:94) route to the search service instead of the BGP
               if (iriOpt.exists(_.startsWith(Services.SearchIri + "#")))
                 magic :+= TriplePattern(s, p, o)
+              // query-hint statements (hint:Query hint:x val — QueryHints
+              // .java:74) are planner directives, not data patterns; parse
+              // and drop them (Catalyst owns physical planning here)
+              else if (iriOpt.exists(_.startsWith(HintNs)))
+                ()
               else tps :+= TriplePattern(s, p, o)
             case Right(p) => paths :+= ((s, p, o))
           }
@@ -576,7 +677,10 @@ object Parser {
       val pathNodes = paths.map { case (a, p, b) => PathPattern(a, p, b): Node }
       val svc: Option[Node] =
         if (magic.nonEmpty) Some(ServiceNode(Services.SearchIri, magic)) else None
-      (bgp.toSeq ++ pathNodes ++ svc.toSeq).reduce((l, r) => Join(l, r))
+      val parts = bgp.toSeq ++ pathNodes ++ svc.toSeq
+      // a block that was ONLY query hints contributes nothing
+      if (parts.isEmpty) None
+      else Some(parts.reduce((l, r) => Join(l, r)))
     }
 
     /** Returns Left(predicate Pat, constant IRI if known) for a plain
@@ -665,8 +769,12 @@ object Parser {
         val dt = if (rest.charAt(2) == '<') rest.substring(3, rest.length - 1)
                  else expandPname(rest.substring(2))
         dt match {
-          case Term.XsdInteger | Term.XsdDecimal | Term.XsdDouble =>
-            Term.num(lit(new java.math.BigDecimal(lex)), dt)
+          case d if Term.numericDatatypes(d) =>
+            // canonical lexical form, matching load-time canonicalization.
+            // INF/NaN double/float lexicals have no decimal value — typed.
+            try Term.numTyped(lit(Term.canonicalNumLex(lex)), lit(d),
+                              lit(new java.math.BigDecimal(lex)))
+            catch { case _: NumberFormatException => Term.typed(lit(lex), lit(d)) }
           case Term.XsdBoolean => Term.bool(lit(lex == "true" || lex == "1"))
           case other => Term.typed(lit(lex), lit(other))
         }
@@ -935,7 +1043,7 @@ object Parser {
       val idx = t.indexOf(':')
       require(idx >= 0, s"not an IRI or prefixed name: '$t'")
       val (p, local) = (t.substring(0, idx), t.substring(idx + 1))
-      prefixes.get(p) match {
+      prefixes.get(p).orElse(ImplicitPrefixes.get(p)) match {
         case Some(ns) => ns + local
         case None => throw new IllegalArgumentException(s"unknown prefix '$p:'")
       }
@@ -943,6 +1051,28 @@ object Parser {
   }
 
   private val RdfTypeIri = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+  /** Query-hint namespace: statements in it parse and are dropped
+    * (reference: QueryHints.java:74 — planner directives, which Catalyst
+    * owns in this engine).
+    */
+  private val HintNs = "http://www.bigdata.com/queryHints#"
+
+  /** Prefixes auto-declared for every query, matching the reference's
+    * PrefixDeclProcessor.java:196-214 (bd/bds/hint/rdf/rdfs/xsd/foaf/fn/
+    * owl/sesame + dc for the draft-era fixtures).
+    */
+  private val ImplicitPrefixes: Map[String, String] = Map(
+    "rdf" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs" -> "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd" -> "http://www.w3.org/2001/XMLSchema#",
+    "owl" -> "http://www.w3.org/2002/07/owl#",
+    "foaf" -> "http://xmlns.com/foaf/0.1/",
+    "fn" -> "http://www.w3.org/2005/xpath-functions#",
+    "dc" -> "http://purl.org/dc/elements/1.1/",
+    "hint" -> HintNs,
+    "bd" -> "http://www.bigdata.com/rdf#",
+    "bds" -> "http://www.bigdata.com/rdf/search#")
 
   /** The built-in function registry (exposed for the guard test that keeps
     * this set and the implementation in lockstep).

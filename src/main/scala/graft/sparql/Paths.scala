@@ -52,11 +52,13 @@ object Paths {
     case Alt(a, b) =>
       compileFlat(scoped, a).unionByName(compileFlat(scoped, b)).distinct()
     case ZeroOrOne(p) =>
-      compileFlat(scoped, p).unionByName(identityPairs(scoped)).distinct()
+      val pairs = compileFlat(scoped, p)
+      pairs.unionByName(endpointIdentity(pairs)).distinct()
     case OneOrMore(p) =>
       transitiveClosure(compileFlat(scoped, p))
     case ZeroOrMore(p) =>
-      transitiveClosure(compileFlat(scoped, p)).unionByName(identityPairs(scoped)).distinct()
+      val pairs = compileFlat(scoped, p)
+      transitiveClosure(pairs).unionByName(endpointIdentity(pairs)).distinct()
     case NegatedSet(iris) =>
       val excluded = iris.foldLeft(lit(false))((acc, i) => acc || col("p") === Term.iri(i))
       scoped.filter(!excluded)
@@ -83,35 +85,49 @@ object Paths {
     case Alt(a, b) =>
       compilePerGraph(scoped, a).unionByName(compilePerGraph(scoped, b)).distinct()
     case ZeroOrOne(p) =>
-      compilePerGraph(scoped, p).unionByName(identityPairsPerGraph(scoped)).distinct()
+      val pairs = compilePerGraph(scoped, p)
+      pairs.unionByName(endpointIdentityPerGraph(pairs)).distinct()
     case OneOrMore(p) =>
       closureLoop(compilePerGraph(scoped, p), keyed = true, 64)
     case ZeroOrMore(p) =>
-      closureLoop(compilePerGraph(scoped, p), keyed = true, 64)
-        .unionByName(identityPairsPerGraph(scoped)).distinct()
+      val pairs = compilePerGraph(scoped, p)
+      closureLoop(pairs, keyed = true, 64)
+        .unionByName(endpointIdentityPerGraph(pairs)).distinct()
     case NegatedSet(iris) =>
       val excluded = iris.foldLeft(lit(false))((acc, i) => acc || col("p") === Term.iri(i))
       scoped.filter(!excluded)
         .select(col("c").as("g"), col("s").as("src"), col("o").as("dst")).distinct()
   }
 
-  /** All graph nodes paired with themselves (zero-length path endpoints:
-    * ZeroLengthPathOp.java:53 binds right = left over the node domain).
-    * `scoped` is already filtered to the graph context.
+  /** Zero-length path endpoints: each vertex OF THE PATH'S OWN edge
+    * relation paired with itself. The reference's ALP/ZeroLengthPathOp
+    * binds right = left over the vertices the path expression reaches
+    * (ZeroLengthPathOp.java:53), NOT over every term in the graph — its
+    * golden fixtures (e.g. property-paths-6) encode that choice. A bound
+    * endpoint outside the relation is supplemented at bind time
+    * (Translator.bindEnds zero-length handling).
     */
-  private def identityPairs(scoped: DataFrame): DataFrame = {
-    val nodes = scoped.select(col("s").as("n"))
-      .unionByName(scoped.select(col("o").as("n")))
+  private def endpointIdentity(pairs: DataFrame): DataFrame = {
+    val nodes = pairs.select(col("src").as("n"))
+      .unionByName(pairs.select(col("dst").as("n")))
       .distinct()
     nodes.select(col("n").as("src"), col("n").as("dst"))
   }
 
-  /** Per-graph node domain: each node paired with itself within its graph. */
-  private def identityPairsPerGraph(scoped: DataFrame): DataFrame = {
-    val nodes = scoped.select(col("c").as("g"), col("s").as("n"))
-      .unionByName(scoped.select(col("c").as("g"), col("o").as("n")))
+  /** Per-graph vertex domain of the path's edge relation. */
+  private def endpointIdentityPerGraph(pairs: DataFrame): DataFrame = {
+    val nodes = pairs.select(col("g"), col("src").as("n"))
+      .unionByName(pairs.select(col("g"), col("dst").as("n")))
       .distinct()
     nodes.select(col("g"), col("n").as("src"), col("n").as("dst"))
+  }
+
+  /** Can a zero-length match arise at the top of this path? */
+  def admitsZeroLength(path: Path): Boolean = path match {
+    case _: ZeroOrMore | _: ZeroOrOne => true
+    case Alt(a, b) => admitsZeroLength(a) || admitsZeroLength(b)
+    case Inv(p) => admitsZeroLength(p)
+    case _ => false
   }
 
   import graft.util.Fixpoint.materialize

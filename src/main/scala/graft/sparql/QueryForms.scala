@@ -36,7 +36,11 @@ object QueryForms {
   def construct(quads: DataFrame, node: Node,
                 template: Seq[(TPos, TPos, TPos)]): DataFrame = {
     val res = Translator.translate(quads, node)
-    val solutionKey = md5(to_json(struct(res.df.columns.sorted.toIndexedSeq.map(col): _*)))
+    // an empty WHERE {} yields one zero-column solution — struct() of no
+    // fields is invalid, so key on a constant
+    val solutionKey =
+      if (res.df.columns.isEmpty) md5(lit(""))
+      else md5(to_json(struct(res.df.columns.sorted.toIndexedSeq.map(col): _*)))
     def materialize(p: TPos): Column = p match {
       case TVar(n) => if (res.vars(n)) col(n) else Term.unbound
       case TConst(t) => t

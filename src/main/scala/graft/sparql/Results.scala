@@ -101,7 +101,7 @@ object Results {
       while (it.hasNext) b += it.next().asText()
       b.result()
     }
-    val numericDts = Set(Term.XsdInteger, Term.XsdDecimal, Term.XsdDouble)
+    val numericDts = Term.numericDatatypes
     def term(n: JsonNode): Row = {
       if (n == null || n.isMissingNode) return null
       val v = n.path("value").asText()
@@ -134,6 +134,57 @@ object Results {
       vars.map(v => org.apache.spark.sql.types.StructField(v, Term.schema)))
     (vars, spark.createDataFrame(
       java.util.Arrays.asList(bindings: _*), schema))
+  }
+
+  /** Parse SPARQL Query Results XML (the .srx format) into (vars,
+    * term-struct DataFrame) — the inverse of `toXml`; JDK DOM, no added
+    * dependency. The result-sink counterpart used by the data-driven
+    * conformance harness and XML-speaking SERVICE endpoints.
+    */
+  def fromXml(spark: org.apache.spark.sql.SparkSession,
+              body: String): (Seq[String], DataFrame) = {
+    import javax.xml.parsers.DocumentBuilderFactory
+    import org.w3c.dom.Element
+    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(body.getBytes("UTF-8")))
+    def elems(parent: Element, name: String): Seq[Element] = {
+      val nl = parent.getElementsByTagName(name)
+      (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
+    }
+    val root = doc.getDocumentElement
+    val vars = elems(root, "variable").map(_.getAttribute("name"))
+    def term(b: Element): Row = {
+      val kids = b.getChildNodes
+      val el = (0 until kids.getLength).map(kids.item)
+        .collectFirst { case e: Element => e }
+        .getOrElse(return null)
+      val v = el.getTextContent
+      el.getTagName match {
+        case "uri" => Row(0.toByte, v, null, null, null)
+        case "bnode" => Row(1.toByte, v, null, null, null)
+        case _ =>
+          val lang = Option(el.getAttribute("xml:lang")).filter(_.nonEmpty).orNull
+          val dt0 = Option(el.getAttribute("datatype")).filter(_.nonEmpty).orNull
+          val dt = if (lang == null && dt0 == null) Term.XsdString else dt0
+          val num =
+            if (dt != null && Term.numericDatatypes(dt))
+              try new java.math.BigDecimal(v)
+                .setScale(18, java.math.RoundingMode.HALF_UP)
+              catch { case _: Exception => null }
+            else null
+          val lex = if (num != null) Term.canonicalNumLex(v) else v
+          Row(2.toByte, lex, dt, lang, num)
+      }
+    }
+    val rows = elems(root, "result").map { res =>
+      val bound = elems(res, "binding")
+        .map(b => b.getAttribute("name") -> term(b)).toMap
+      Row(vars.map(v => bound.get(v).orNull): _*)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      vars.map(v => org.apache.spark.sql.types.StructField(v, Term.schema)))
+    (vars, spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema))
   }
 
   /** SPARQL 1.1 Query Results TSV: header of ?var names, N-Triples term

@@ -42,7 +42,18 @@ object Translator {
         .reduce((l, r) => join(l, r, "inner", None))
 
     case PathPattern(s, path, o, g) =>
-      val pairs = Paths.compile(quads, path, g) // (src, dst[, g]) term structs
+      var pairs = Paths.compile(quads, path, g) // (src, dst[, g]) term structs
+      // a zero-length-capable path from a BOUND endpoint always matches the
+      // endpoint itself, even if it never occurs in the path's relation —
+      // supplement the pair set with the constant's identity pair
+      if (Paths.admitsZeroLength(path) && !g.exists(_.isInstanceOf[V])) {
+        val consts = Seq(s, o).collect { case C(t) => t }
+        consts.foreach { t =>
+          val idRow = quads.sparkSession.range(1)
+            .select(t.as("src"), t.as("dst"))
+          pairs = pairs.unionByName(idRow).distinct()
+        }
+      }
       bindEnds(pairs, s, o, g)
 
     case Filter(cond, child) =>
@@ -91,16 +102,32 @@ object Translator {
 
     case ExistsFilter(child, sub, negated) =>
       val c = translate(quads, child)
-      val s = translate(quads, sub)
+      // EXISTS is *correlated*: filters at the top of the inner group see
+      // the outer solution's bindings (SPARQL §8.1.1 substitution; the
+      // reference evaluates EXISTS as a hash join feeding the outer
+      // bindings in). Peel them off and evaluate over the merged row.
+      def peel(n: Node, acc: Vector[Expr]): (Node, Vector[Expr]) = n match {
+        case Filter(cond, ch) => peel(ch, acc :+ cond)
+        case other => (other, acc)
+      }
+      val (core, innerFilters) = peel(sub, Vector.empty)
+      val s = translate(quads, core)
       val shared = (c.vars intersect s.vars).toSeq.sorted
       val sdf = renameAll(s.df)
       // same equi-key split as MINUS: certain-both vars hash-join
-      val cond =
-        if (shared.isEmpty) lit(true)
-        else shared.map { v =>
-          if (c.certain(v) && s.certain(v)) col(v) === col(ren(v))
-          else compatCond(col(v), col(ren(v)))
-        }.reduce(_ && _)
+      val eqs = shared.map { v =>
+        if (c.certain(v) && s.certain(v)) col(v) === col(ren(v))
+        else compatCond(col(v), col(ren(v)))
+      }
+      // inner vars resolve to the (renamed) inner side, outer-only vars to
+      // the outer row — the correlated-filter environment
+      val mergedResolver: String => Column = v =>
+        if (s.vars(v)) col(ren(v))
+        else if (c.vars(v)) col(v)
+        else graft.rdf.Term.unbound
+      val fconds = innerFilters.map(f => coalesce(f(mergedResolver), lit(false)))
+      val all = eqs ++ fconds
+      val cond = if (all.isEmpty) lit(true) else all.reduce(_ && _)
       c.copy(df = c.df.join(sdf, cond, if (negated) "left_anti" else "left_semi"))
 
     case Extend(v, expr, child) =>
