@@ -200,6 +200,14 @@ object Dedup {
     */
   def simhashPairsFromSigs(sketch: DataFrame, maxHamming: Int,
                            bits: Int = 32): DataFrame = {
+    // degenerate layouts silently void the pigeonhole guarantee: more
+    // chunks than bits gives zero-width chunks whose mask is 0 (cv = 0 for
+    // every doc — the all-pairs cross product again), and a 64-bit single
+    // chunk overflows (1L << 64). Results would still verify correct, but
+    // the scale contract is the point — fail fast instead.
+    require(maxHamming >= 0 && maxHamming + 1 <= bits && bits < 64,
+      s"pigeonhole blocking needs 0 <= maxHamming < bits < 64, " +
+        s"got maxHamming=$maxHamming bits=$bits")
     val nChunks = maxHamming + 1
     val bounds = (0 to nChunks).map(c => c * bits / nChunks)
     val chunkStructs = (0 until nChunks).map { c =>

@@ -114,6 +114,14 @@ object Parser {
   def parse(spark: SparkSession, text: String): Query =
     new P(tokenize(text), spark).query()
 
+  /** When set, NOW() binds this instant instead of the wall clock — replay
+    * determinism for tests/pipelines. The per-query-constant contract
+    * (SPARQL 17.4.5.1; the reference evaluates Now once per request,
+    * FunctionRegistry.java:140-147) holds either way: the instant is
+    * captured ONCE at parse time.
+    */
+  @volatile var fixedNowForReplay: Option[java.time.Instant] = None
+
   // ---------------- tokenizer ----------------
 
   private def tokenize(s: String): Vector[String] = {
@@ -205,6 +213,22 @@ object Parser {
     private var bnodeCounter = 0
     // WITH {...} AS %name named subqueries, consumed by INCLUDE %name
     private var namedSubqueries = Map.empty[String, Node]
+    // NOW() is constant per query: captured once at parse time
+    private lazy val queryNow: java.time.Instant =
+      Parser.fixedNowForReplay.getOrElse(java.time.Instant.now())
+    // RAND()/UUID() seed: a pure function of the query text, so an
+    // identical replay draws the identical stream
+    private lazy val querySeed: Long =
+      java.util.Arrays.hashCode(toks.mkString(" ").getBytes("UTF-8")).toLong
+    // deterministic per-row UUID hex: seeded hash of the row's position
+    // (partition-stable; the reference's UUIDBOp draws from an RNG and is
+    // not even replay-stable — this is strictly stronger)
+    private var uuidCalls = 0
+    private def uuidHex(): Column = {
+      uuidCalls += 1
+      md5(concat(lit(s"$querySeed/$uuidCalls/"),
+                 monotonically_increasing_id().cast("string")))
+    }
 
     private def peek: String = if (pos < toks.length) toks(pos) else ""
     private def peekIs(s: String): Boolean = peek.equalsIgnoreCase(s)
@@ -1021,10 +1045,27 @@ object Parser {
             if (range == "*") length(tag) > 0
             else tag === range || tag.startsWith(range + "-"))
         }
+        // NOW(): the instant captured at parse time, xsd:dateTime
+        case "NOW" => _ =>
+          Term.typed(lit(queryNow.toString), lit(Term.XsdDateTime))
+        // RAND(): xsd:double in [0,1), seeded by the query text
+        case "RAND" => _ => Term.num(rand(querySeed), Term.XsdDouble)
+        case "UUID" =>
+          val hex = uuidHex()
+          _ => Term.iri(concat(lit("urn:uuid:"), uuidShape(hex)))
+        case "STRUUID" =>
+          val hex = uuidHex()
+          _ => Term.str(uuidShape(hex))
         case other => throw new IllegalArgumentException(s"unsupported function $other")
       }
       f
     }
+
+    /** Format 32 hex chars into the 8-4-4-4-12 UUID shape. */
+    private def uuidShape(h: Column): Column = concat(
+      substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-"),
+      substring(h, 13, 4), lit("-"), substring(h, 17, 4), lit("-"),
+      substring(h, 21, 12))
 
 
     private def numFn(t: Column, f: Column => Column): Column =
@@ -1084,5 +1125,6 @@ object Parser {
     "CONCAT", "SUBSTR", "ABS", "CEIL", "FLOOR", "ROUND", "YEAR", "MONTH",
     "DAY", "HOURS", "MINUTES", "SECONDS", "MD5", "SHA1", "SHA256", "SHA512",
     "ENCODE_FOR_URI", "LANGMATCHES", "STRBEFORE", "STRAFTER", "REPLACE",
-    "IRI", "URI", "STRDT", "STRLANG", "BNODE", "TZ")
+    "IRI", "URI", "STRDT", "STRLANG", "BNODE", "TZ",
+    "NOW", "RAND", "UUID", "STRUUID")
 }

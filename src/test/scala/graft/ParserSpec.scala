@@ -365,4 +365,40 @@ class ParserSpec extends SparkSpecBase {
       """SELECT ?y WHERE { ex:a ex:k+ ?y }""")
     assert(lexSeq(dflt, "y") == Seq(EX + "z"))
   }
+
+  test("NOW() is query-constant; fixed clock makes it replay-deterministic") {
+    Parser.fixedNowForReplay = Some(java.time.Instant.parse("2026-01-02T03:04:05Z"))
+    try {
+      val df = q(P + "SELECT ?x (NOW() AS ?t) WHERE { ?x ex:worksFor ?o }")
+      val ts = df.select(Term.lex(col("t"))).collect().map(_.getString(0)).toSet
+      assert(ts == Set("2026-01-02T03:04:05Z")) // one value across all rows
+      val dts = df.select(Term.dt(col("t"))).head().getString(0)
+      assert(dts == Term.XsdDateTime)
+    } finally Parser.fixedNowForReplay = None
+  }
+
+  test("RAND() draws doubles in [0,1), identically on replay") {
+    val text = P + "SELECT ?x (RAND() AS ?r) WHERE { ?x ex:age ?a } ORDER BY ?x"
+    def draw() = q(text).select(Term.numVal(col("r")))
+      .collect().map(_.getDecimal(0)).toSeq
+    val (a, b) = (draw(), draw())
+    assert(a == b, "same query must draw the same stream")
+    assert(a.forall(v => v.doubleValue >= 0.0 && v.doubleValue < 1.0))
+  }
+
+  test("UUID()/STRUUID() are row-distinct, well-formed, replay-stable") {
+    val text = P + "SELECT ?x (UUID() AS ?u) (STRUUID() AS ?s) WHERE { ?x ex:age ?a }"
+    val rows = q(text)
+      .select(Term.lex(col("u")).as("u"), Term.lex(col("s")).as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows.map(_._1).distinct.size == rows.size, "UUIDs must differ per row")
+    assert(rows.forall(_._1.matches(
+      "urn:uuid:[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")))
+    assert(rows.forall(_._2.matches(
+      "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")))
+    assert(rows.map(_._1) != rows.map(r => "urn:uuid:" + r._2),
+      "UUID and STRUUID draw independent values")
+    val replay = q(text).select(Term.lex(col("u"))).collect().map(_.getString(0)).toSeq
+    assert(replay.sorted == rows.map(_._1).sorted)
+  }
 }
