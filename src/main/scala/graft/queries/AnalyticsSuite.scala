@@ -131,6 +131,48 @@ object AnalyticsSuite {
         .orderBy("region")
     }),
 
+    "owl_equivalence_merge" -> ((s, d) => {
+      // owl:equivalentClass / equivalentProperty / hasValue over the store:
+      //  - regions typed g:Region0, axiom Region0 eqc Zone → regions typed Zone
+      //  - axiom locatedIn eqp hasSeat → every locatedIn fact doubled
+      //  - restriction InRegion0 (onProperty locatedIn, hasValue r0) with
+      //    customers typed InRegion0 → each customer gains locatedIn r0
+      // Closure is a load-time Catalog artifact like the other rule stores.
+      val closed = Catalog.table(s, d, "owl_equiv_closed") {
+        val base = RdfSuite.buildQuads(s, d)
+        val reg = Tables.load(s, d, "region")
+        val cust = Tables.load(s, d, "customer")
+        val one = reg.limit(1)
+        val regT = QuadStore.tripleize(reg,
+          Term.iri(concat(lit(G + "r"), col("r_regionkey"))),
+          Seq(RDFS.RdfType -> Term.iri(G + "Region0")))
+        val custT = QuadStore.tripleize(cust,
+          Term.iri(concat(lit(G + "c"), col("c_custkey"))),
+          Seq(RDFS.RdfType -> Term.iri(G + "InRegion0")))
+        val ax = Seq(
+          QuadStore.tripleize(one, Term.iri(G + "Region0"),
+            Seq(graft.rules.Owl.EquivalentClass -> Term.iri(G + "Zone"))),
+          QuadStore.tripleize(one, Term.iri(G + "locatedIn"),
+            Seq(graft.rules.Owl.EquivalentProperty -> Term.iri(G + "hasSeat"))),
+          QuadStore.tripleize(one, Term.iri(G + "InRegion0"), Seq(
+            RDFS.RdfType -> Term.iri(graft.rules.Owl.Restriction),
+            graft.rules.Owl.OnProperty -> Term.iri(G + "locatedIn"),
+            graft.rules.Owl.HasValue -> Term.iri(G + "r0")))
+        ).reduce(_ unionByName _)
+        graft.rules.Owl.closure(
+          base.unionByName(regT).unionByName(custT).unionByName(ax))
+      }
+      def kindCount(name: String, cond: org.apache.spark.sql.Column) =
+        closed.filter(cond).agg(count(lit(1)).as("n"))
+          .select(lit(name).as("kind"), col("n"))
+      kindCount("has_seat", col("p") === Term.iri(G + "hasSeat"))
+        .unionByName(kindCount("located_r0",
+          col("p") === Term.iri(G + "locatedIn") && col("o") === Term.iri(G + "r0")))
+        .unionByName(kindCount("zone_members",
+          col("p") === Term.iri(RDFS.RdfType) && col("o") === Term.iri(G + "Zone")))
+        .orderBy("kind")
+    }),
+
     "graph_bfs" -> ((s, d) => {
       val src = s.range(1).select(lit(1L).as("node"))
       Graphs.bfs(psEdges(s, d), src, maxDepth = 3).orderBy("node")
@@ -230,6 +272,19 @@ object AnalyticsSuite {
                JOIN region r ON n.n_regionkey = r.r_regionkey)
            GROUP BY 1)
          ORDER BY region""",
+
+    "owl_equivalence_merge" ->
+      """SELECT kind, n FROM (
+           SELECT 'has_seat' AS kind,
+             (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM nation)
+             + (SELECT COUNT(*) FROM customer) AS n
+           UNION ALL
+           SELECT 'located_r0',
+             (SELECT COUNT(*) FROM customer)
+             + (SELECT COUNT(*) FROM nation WHERE n_regionkey = 0)
+           UNION ALL
+           SELECT 'zone_members', (SELECT COUNT(*) FROM region))
+         ORDER BY kind""",
 
     "fts_search" ->
       """WITH tok AS (SELECT doc_id AS doc,

@@ -34,6 +34,11 @@ object Owl {
   val SymmetricProperty = OwlNs + "SymmetricProperty"
   val FunctionalProperty = OwlNs + "FunctionalProperty"
   val InverseFunctionalProperty = OwlNs + "InverseFunctionalProperty"
+  val EquivalentClass = OwlNs + "equivalentClass"
+  val EquivalentProperty = OwlNs + "equivalentProperty"
+  val Restriction = OwlNs + "Restriction"
+  val OnProperty = OwlNs + "onProperty"
+  val HasValue = OwlNs + "hasValue"
 
   private def p(name: String) = Term.iri(name)
 
@@ -106,12 +111,68 @@ object Owl {
     ).reduce(_ unionByName _)
   }
 
+  /** owl:equivalentClass / owl:equivalentProperty round: symmetry (the
+    * reference's RuleOwlEquivalentClass/Property heads) plus membership /
+    * statement propagation (OWL-RL cax-eqc1/2, prp-eqp1/2 — what makes the
+    * axioms observable in query answers):
+    *
+    *   (a eqc b) → (b eqc a);  (x type a), (a eqc b) → (x type b)
+    *   (p eqp q) → (q eqp p);  (s p o), (p eqp q) → (s q o)
+    */
+  private def equivRound(all: DataFrame, delta: DataFrame): DataFrame = {
+    def symm(facts: DataFrame, pred: String) =
+      sel(facts, pred).select(col("o").as("s"), col("p"), col("s").as("o"))
+    def member(facts: DataFrame, schema: DataFrame) = {
+      val eq = sel(schema, EquivalentClass)
+        .select(col("s").as("c1"), col("o").as("c2"))
+      facts.filter(col("p") === p(RDFS.RdfType)).as("f")
+        .join(broadcast(eq), col("f.o") === col("c1"))
+        .select(col("f.s").as("s"), p(RDFS.RdfType).as("p"), col("c2").as("o"))
+    }
+    def stmt(facts: DataFrame, schema: DataFrame) = {
+      val eq = sel(schema, EquivalentProperty)
+        .select(col("s").as("p1"), col("o").as("p2"))
+      facts.as("f")
+        .join(broadcast(eq), col("f.p") === col("p1"))
+        .select(col("f.s").as("s"), col("p2").as("p"), col("f.o").as("o"))
+    }
+    Seq(symm(delta, EquivalentClass), symm(delta, EquivalentProperty),
+        member(delta, all), member(all, delta),
+        stmt(delta, all), stmt(all, delta))
+      .reduce(_ unionByName _)
+  }
+
+  /** owl:hasValue round (the reference's RuleOwlHasValue direction):
+    *   (x type a), (a type Restriction), (a onProperty p'), (a hasValue v)
+    *   → (x p' v)
+    */
+  private def hasValueRound(all: DataFrame, delta: DataFrame): DataFrame = {
+    def restr(onProp: DataFrame, hasVal: DataFrame, typeR: DataFrame) = {
+      val r1 = sel(onProp, OnProperty).select(col("s").as("r"), col("o").as("rp"))
+      val r2 = sel(hasVal, HasValue).select(col("s").as("r2"), col("o").as("rv"))
+      val r3 = typeR.filter(col("p") === p(RDFS.RdfType) && col("o") === p(Restriction))
+        .select(col("s").as("r3"))
+      r1.join(r2, col("r") === col("r2")).join(r3, col("r") === col("r3"))
+        .select(col("r"), col("rp"), col("rv"))
+    }
+    def fwd(facts: DataFrame, schema: DataFrame) =
+      facts.filter(col("p") === p(RDFS.RdfType)).as("f")
+        .join(broadcast(schema), col("f.o") === col("r"))
+        .select(col("f.s").as("s"), col("rp").as("p"), col("rv").as("o"))
+    Seq(
+      fwd(delta, restr(all, all, all)),
+      fwd(all, restr(delta, all, all)),
+      fwd(all, restr(all, delta, all)),
+      fwd(all, restr(all, all, delta))
+    ).reduce(_ unionByName _)
+  }
+
   private val SameAsIri = OwlSameAs.SameAs
 
   /** One OWL rule round: consequences with ≥1 premise in `delta`. */
   private[rules] def round(all: DataFrame, delta: DataFrame): DataFrame =
     Seq(invRound(all, delta), symRound(all, delta), transRound(all, delta),
-        funcRound(all, delta))
+        funcRound(all, delta), equivRound(all, delta), hasValueRound(all, delta))
       .reduce(_ unionByName _).distinct()
 
   /** Combined RDFS + OWL-property closure of the default graph.
@@ -134,14 +195,19 @@ object Owl {
       cnt(col("p") === p(RDFS.SubPropertyOf) || col("p") === p(RDFS.SubClassOf) ||
           col("p") === p(RDFS.Domain) || col("p") === p(RDFS.Range)).as("rdfs"),
       cnt(isType && (col("o") === p(FunctionalProperty) ||
-                     col("o") === p(InverseFunctionalProperty))).as("func")
+                     col("o") === p(InverseFunctionalProperty))).as("func"),
+      cnt(col("p") === p(EquivalentClass) ||
+          col("p") === p(EquivalentProperty)).as("equiv"),
+      cnt(col("p") === p(HasValue)).as("hasval")
     ).head()
     val rounds: Seq[(DataFrame, DataFrame) => DataFrame] =
       (if (present.getLong(3) > 0) Seq(RDFS.round _) else Nil) ++
       (if (present.getLong(0) > 0) Seq(invRound _) else Nil) ++
       (if (present.getLong(1) > 0) Seq(symRound _) else Nil) ++
       (if (present.getLong(2) > 0) Seq(transRound _) else Nil) ++
-      (if (present.getLong(4) > 0) Seq(funcRound _) else Nil)
+      (if (present.getLong(4) > 0) Seq(funcRound _) else Nil) ++
+      (if (present.getLong(5) > 0) Seq(equivRound _) else Nil) ++
+      (if (present.getLong(6) > 0) Seq(hasValueRound _) else Nil)
     if (rounds.isEmpty) return triples.withColumn("c", Term.unbound)
     Fixpoint.semiNaive(triples, maxIters) { (all, delta) =>
       rounds.map(r => r(all, delta)).reduce(_ unionByName _).distinct()

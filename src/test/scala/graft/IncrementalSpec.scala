@@ -69,6 +69,41 @@ class IncrementalSpec extends SparkSpecBase {
     assert(again.except(closed).isEmpty && closed.except(again).isEmpty)
   }
 
+  test("OWL equivalence + hasValue rules interplay with the fixpoint") {
+    import graft.rules.Owl
+    val base = parse(Seq(
+      // equivalentClass chain feeding through symmetry: typing propagates
+      s"<${EX}Dog> <${Owl.EquivalentClass}> <${EX}Canine> .",
+      s"<${EX}rex> <${RDFS.RdfType}> <${EX}Dog> .",
+      // equivalentProperty: statements propagate BOTH ways (via symmetry)
+      s"<${EX}title> <${Owl.EquivalentProperty}> <${EX}label> .",
+      s"""<${EX}d1> <${EX}title> "Intro" .""",
+      s"""<${EX}d2> <${EX}label> "Guide" .""",
+      // hasValue restriction: typed members gain the (onProperty, value)
+      s"<${EX}Insider> <${RDFS.RdfType}> <${Owl.Restriction}> .",
+      s"<${EX}Insider> <${Owl.OnProperty}> <${EX}memberOf> .",
+      s"<${EX}Insider> <${Owl.HasValue}> <${EX}club> .",
+      s"<${EX}eve> <${RDFS.RdfType}> <${EX}Insider> .",
+      // interplay: memberOf is transitive, club is within parent
+      s"<${EX}memberOf> <${RDFS.RdfType}> <${Owl.TransitiveProperty}> .",
+      s"<${EX}club> <${EX}memberOf> <${EX}federation> ."))
+    val closed = Owl.closure(base)
+    def has(s: String, p: String, o: String) =
+      !closed.filter(col("s") === Term.iri(s) && col("p") === Term.iri(p) &&
+                     col("o") === Term.iri(o)).isEmpty
+    assert(has(EX + "rex", RDFS.RdfType, EX + "Canine")) // eqc member fwd
+    assert(has(EX + "Canine", Owl.EquivalentClass, EX + "Dog")) // symmetry
+    assert(!closed.filter(col("s") === Term.iri(EX + "d1") &&
+      col("p") === Term.iri(EX + "label")).isEmpty) // eqp fwd
+    assert(!closed.filter(col("s") === Term.iri(EX + "d2") &&
+      col("p") === Term.iri(EX + "title")).isEmpty) // eqp bwd via symmetry
+    assert(has(EX + "eve", EX + "memberOf", EX + "club")) // hasValue
+    // the hasValue-derived fact feeds the transitive rule
+    assert(has(EX + "eve", EX + "memberOf", EX + "federation"))
+    val again = Owl.closure(closed)
+    assert(again.except(closed).isEmpty && closed.except(again).isEmpty)
+  }
+
   test("OWL functional properties derive sameAs; canonicalization merges") {
     import graft.rules.{Owl, OwlSameAs}
     val base = parse(Seq(
