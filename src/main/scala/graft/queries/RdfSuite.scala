@@ -172,6 +172,26 @@ object RdfSuite {
         .select(Term.lex(col("cn")).as("cn"), Term.lex(col("b")).as("b"))
     }),
 
+    "rdf_star_provenance" -> ((s, d) => {
+      // SIDs / RDF-star: provenance statements about statements. Every
+      // customer locatedIn statement gets (sid g:assertedBy g:census);
+      // the query matches the quoted-triple pattern and joins on the SID.
+      val base = buildQuads(s, d)
+      val located = base.filter(col("p") === Term.iri(G + "locatedIn") &&
+        Term.lex(col("s")).startsWith(G + "c"))
+      val meta = located.select(
+        QuadStore.sidOf(col("s"), col("p"), col("o")).as("s"),
+        Term.iri(G + "assertedBy").as("p"),
+        Term.iri(G + "census").as("o"),
+        Term.unbound.as("c"))
+      val store = base.unionByName(meta)
+      Parser.select(s, store,
+        s"""PREFIX g: <$G>
+           SELECT ?c ?src WHERE { <<?c g:locatedIn ?n>> g:assertedBy ?src }""")
+        .select(Term.lex(col("c")).as("c"), Term.lex(col("src")).as("src"))
+        .orderBy("c")
+    }),
+
     "rdf_path_plus" -> ((s, d) => {
       val q = PathPattern(V("x"), OneOrMore(Link(G + "locatedIn")), V("y"))
       run(s, d, q).df
@@ -315,6 +335,10 @@ object RdfSuite {
              '(\.\d*?)0+$', '\1'), '\.$', '') AS b
          FROM customer
          ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_name LIMIT 10""",
+
+    "rdf_star_provenance" ->
+      """SELECT 'http://g/c' || c_custkey AS c, 'http://g/census' AS src
+         FROM customer ORDER BY c""",
 
     "rdf_path_plus" ->
       """SELECT x, y FROM (

@@ -33,6 +33,24 @@ object QuadStore {
     }.reduce(_ unionByName _)
   }
 
+  /** Statement identifier (SID) of an asserted triple — the reference's
+    * statement-identifiers database mode (AbstractTripleStore.java:787
+    * STATEMENT_IDENTIFIERS; SPO.java sid handling) reified as a
+    * content-addressed blank node: same triple, same SID, across
+    * executors/replays — no mutable counter, which is what makes the mode
+    * distributable. Statements ABOUT a statement use its SID as subject.
+    */
+  def sidOf(s: Column, p: Column, o: Column): Column =
+    Term.bnode(concat(lit("sid-"), md5(concat_ws("",
+      NTriples.termToString(s), NTriples.termToString(p),
+      NTriples.termToString(o)))))
+
+  /** The store's statements with their SIDs materialized (the `sid`
+    * column reserved in SURVEY.md §1.2).
+    */
+  def withSids(store: DataFrame): DataFrame =
+    store.withColumn("sid", sidOf(col("s"), col("p"), col("o")))
+
   // ---- SPARQL UPDATE data operations (InsertStatementsOp /
   //      RemoveStatementsOp analogues) ----
 

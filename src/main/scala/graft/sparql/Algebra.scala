@@ -76,6 +76,13 @@ object Algebra {
   final case class Values(df: DataFrame, certain: Set[String]) extends Node
   /** GRAPH ?g / GRAPH <iri> group: rewrites child patterns' graph position. */
   final case class GraphNode(g: Pat, child: Node) extends Node
+
+  /** RDF-star / SIDs-mode quoted-triple pattern `<< s p o >>`: matches the
+    * ASSERTED statement (s,p,o) and binds `sidVar` to its statement
+    * identifier, so meta-statements join on the SID (reference:
+    * STATEMENT_IDENTIFIERS mode, AbstractTripleStore.java:787).
+    */
+  final case class SidPattern(s: Pat, p: Pat, o: Pat, sidVar: String) extends Node
   /** SERVICE <iri> { config BGP }: evaluated by a registered internal
     * service (Services.scala), result joined into the group. */
   /** SERVICE group: `config` feeds internal (graft://) services; for

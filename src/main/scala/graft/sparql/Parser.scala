@@ -133,7 +133,12 @@ object Parser {
       val c = s.charAt(i)
       if (isWs(c)) i += 1
       else if (c == '#') { while (i < n && s.charAt(i) != '\n') i += 1 }
-      else if (c == '<' && i + 1 < n && s.charAt(i + 1) != '=' && !isWs(s.charAt(i + 1))) {
+      else if (c == '<' && i + 1 < n && s.charAt(i + 1) == '<') {
+        // RDF-star quoted-triple delimiters
+        out += "<<"; i += 2
+      } else if (c == '>' && i + 1 < n && s.charAt(i + 1) == '>') {
+        out += ">>"; i += 2
+      } else if (c == '<' && i + 1 < n && s.charAt(i + 1) != '=' && !isWs(s.charAt(i + 1))) {
         // IRI ref
         val j = s.indexOf('>', i)
         if (j < 0) throw new IllegalArgumentException(s"unterminated IRI at $i")
@@ -701,7 +706,9 @@ object Parser {
       val pathNodes = paths.map { case (a, p, b) => PathPattern(a, p, b): Node }
       val svc: Option[Node] =
         if (magic.nonEmpty) Some(ServiceNode(Services.SearchIri, magic)) else None
-      val parts = bgp.toSeq ++ pathNodes ++ svc.toSeq
+      val sidNodes = pendingSids.map(n => n: Node)
+      pendingSids = Vector.empty
+      val parts = bgp.toSeq ++ pathNodes ++ svc.toSeq ++ sidNodes
       // a block that was ONLY query hints contributes nothing
       if (parts.isEmpty) None
       else Some(parts.reduce((l, r) => Join(l, r)))
@@ -762,11 +769,29 @@ object Parser {
     }
 
     private def varOrTerm(): Pat = {
-      if (peek.startsWith("?")) V(next().substring(1))
+      if (peek == "<<") quotedTriple()
+      else if (peek.startsWith("?")) V(next().substring(1))
       // a blank node in a query pattern is an existential = a fresh
       // non-projectable variable, NOT a constant term (SPARQL §4.1.4)
       else if (peek.startsWith("_:")) { val t = next(); V("__bn_" + t.substring(2)) }
       else C(termConst())
+    }
+
+    // RDF-star: `<< s p o >>` in a subject/object position matches the
+    // asserted statement and stands for its SID (the reference's
+    // statement-identifiers mode). The pattern itself joins the block.
+    private var sidCounter = 0
+    private var pendingSids = Vector.empty[SidPattern]
+    private def quotedTriple(): Pat = {
+      expect("<<")
+      val s = varOrTerm()
+      val p = if (peek.startsWith("?")) V(next().substring(1)) else C(termConst())
+      val o = varOrTerm()
+      expect(">>")
+      sidCounter += 1
+      val sv = s"__sid_$sidCounter"
+      pendingSids :+= SidPattern(s, p, o, sv)
+      V(sv)
     }
 
     private def termConst(): Column = {

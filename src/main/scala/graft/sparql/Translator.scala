@@ -171,6 +171,30 @@ object Translator {
     case GraphNode(g, child) =>
       translate(quads, rewriteGraph(child, g))
 
+    case SidPattern(s, p, o, sidVar) =>
+      // like a triple pattern, but the statement's SID is also bound —
+      // computed from the full (s,p,o) before projection, so meta-statement
+      // joins on the SID are plain equi-joins over the same store
+      var df = quads
+      if (df.columns.contains("p_bucket")) df = df.drop("p_bucket")
+      df = df.filter(col("c").isNull)
+      val positions = Seq("s" -> s, "p" -> p, "o" -> o)
+      positions.foreach {
+        case (pos, C(term)) => df = df.filter(col(pos) === term)
+        case _ =>
+      }
+      val varPos = positions.collect { case (pos, V(n)) => (pos, n) }
+      varPos.groupBy(_._2).values.filter(_.size > 1).foreach { dup =>
+        dup.map(_._1).sliding(2).foreach {
+          case Seq(p1, p2) => df = df.filter(col(p1) === col(p2))
+          case _ =>
+        }
+      }
+      val sid = graft.rdf.QuadStore.sidOf(col("s"), col("p"), col("o"))
+      val proj = varPos.distinctBy(_._2).map { case (pos, n) => col(pos).as(n) } :+
+        sid.as(sidVar)
+      Result(df.select(proj: _*), varPos.map(_._2).toSet + sidVar, Set.empty)
+
     case ServiceNode(iri, config, remote) =>
       // http(s) endpoints federate over the SPARQL protocol; graft:// IRIs
       // dispatch to the internal service registry

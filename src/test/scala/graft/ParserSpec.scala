@@ -366,6 +366,29 @@ class ParserSpec extends SparkSpecBase {
     assert(lexSeq(dflt, "y") == Seq(EX + "z"))
   }
 
+  test("RDF-star quoted-triple patterns bind statement identifiers") {
+    import graft.rdf.QuadStore
+    val base = parse(Seq(
+      s"""<${EX}alice> <${EX}worksFor> <${EX}acme> .""",
+      s"""<${EX}bob> <${EX}worksFor> <${EX}acme> ."""))
+    // meta: only alice's statement has provenance
+    val meta = base.filter(Term.lex(col("s")) === (EX + "alice"))
+      .select(QuadStore.sidOf(col("s"), col("p"), col("o")).as("s"),
+              Term.iri(EX + "saidBy").as("p"), Term.str("hr").as("o"),
+              Term.unbound.as("c"))
+    val store = base.unionByName(meta)
+    val df = Parser.select(spark, store,
+      s"""PREFIX ex: <$EX>
+         SELECT ?x ?w WHERE { <<?x ex:worksFor ?o>> ex:saidBy ?w }""")
+    assert(lexSeq(df, "x") == Seq(EX + "alice"))
+    assert(lexSeq(df, "w") == Seq("hr"))
+    // constant quoted triple also matches (all positions bound)
+    val df2 = Parser.select(spark, store,
+      s"""PREFIX ex: <$EX>
+         SELECT ?w WHERE { <<ex:alice ex:worksFor ex:acme>> ex:saidBy ?w }""")
+    assert(lexSeq(df2, "w") == Seq("hr"))
+  }
+
   test("NOW() is query-constant; fixed clock makes it replay-deterministic") {
     Parser.fixedNowForReplay = Some(java.time.Instant.parse("2026-01-02T03:04:05Z"))
     try {
