@@ -172,6 +172,50 @@ object RdfSuite {
         .select(Term.lex(col("cn")).as("cn"), Term.lex(col("b")).as("b"))
     }),
 
+    // ---- dict-store (id-space) algebra twins: same semantics as their
+    // struct-space counterparts, evaluated by Dict.translate with joins /
+    // OPTIONAL / UNION / aggregation on 8-byte ids and lazy lexicon decode
+    "rdf_optional_dict" -> ((s, d) => {
+      import graft.rdf.Dict._
+      val store = dictStore(s, d)
+      val q = DLeftJoin(
+        DBgp(Seq(tp(V("c"), "name", V("cn")))),
+        DFilter("p", p => graft.sparql.TermOps.gt(p, Term.num(lit(400000))),
+          DBgp(Seq(tp(V("o"), "by", V("c")), tp(V("o"), "price", V("p"))))))
+      graft.rdf.Dict.run(store, q, Seq("cn", "p"))
+        .select(Term.lex(col("cn")).as("cn"), Term.lex(col("p")).as("p"))
+        .orderBy("cn", "p")
+    }),
+
+    "rdf_union_dict" -> ((s, d) => {
+      import graft.rdf.Dict._
+      val store = dictStore(s, d)
+      val q = DGroup(Seq("nm"), Seq("n" -> DCountStar),
+        DUnion(
+          DBgp(Seq(tp(V("x"), "segment", V("seg")), tp(V("x"), "name", V("nm")))),
+          DBgp(Seq(tp(V("x"), "locatedIn", V("r")),
+                   tp(V("r"), "name", V("rn")), tp(V("x"), "name", V("nm"))))))
+      graft.rdf.Dict.run(store, q, Seq("nm", "n"))
+        .select(Term.lex(col("nm")).as("nm"),
+                Term.numVal(col("n")).cast(LongType).as("n"))
+        .orderBy("nm")
+    }),
+
+    "rdf_agg_group_dict" -> ((s, d) => {
+      import graft.rdf.Dict._
+      val store = dictStore(s, d)
+      val q = DGroup(Seq("nname"),
+        Seq("ncust" -> DCountVar("c"), "bal" -> DSumNum("b")),
+        DBgp(Seq(
+          tp(V("c"), "locatedIn", V("n")), tp(V("n"), "name", V("nname")),
+          tp(V("c"), "acctbal", V("b")))))
+      graft.rdf.Dict.run(store, q, Seq("nname", "ncust", "bal"))
+        .select(Term.lex(col("nname")).as("nname"),
+                Term.numVal(col("ncust")).cast(LongType).as("ncust"),
+                Term.numVal(col("bal")).cast(DecimalType(18, 2)).cast(StringType).as("bal"))
+        .orderBy("nname")
+    }),
+
     "rdf_star_provenance" -> ((s, d) => {
       // SIDs / RDF-star: provenance statements about statements. Every
       // customer locatedIn statement gets (sid g:assertedBy g:census);
@@ -268,7 +312,7 @@ object RdfSuite {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "rdf_bgp_join" ->
       """SELECT c_name AS cname, n_name AS nname
          FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -379,4 +423,12 @@ object RdfSuite {
            SELECT 'http://g/g_reg', COUNT(*) FROM region)
          ORDER BY g"""
   )
+
+  /** The dict-store twins share their struct-space counterparts' oracles
+    * (identical semantics, different evaluation space).
+    */
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    "rdf_optional_dict" -> oraclesBase("rdf_optional"),
+    "rdf_union_dict" -> oraclesBase("rdf_union"),
+    "rdf_agg_group_dict" -> oraclesBase("rdf_agg_group"))
 }
