@@ -79,9 +79,16 @@ object Graphs {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     var labels = materialize(nodes.withColumn("component", col("node")))
-    // labels are monotonically non-increasing, so an unchanged sum is an
-    // exact convergence test — one cheap aggregate instead of an except()
-    var sum0 = labels.agg(sum(col("component"))).head().getLong(0)
+    // convergence: XOR of per-row (node, component) hashes — one cheap
+    // aggregate instead of an except(). Unlike sum(component) it cannot
+    // overflow at billions of 64-bit hashed node ids (an int64 sum can
+    // wrap and, improbably, false-converge); with the row count fixed, an
+    // unchanged fingerprint means no label changed (2^-64 collision odds)
+    def checksum(df: DataFrame): Long = {
+      val row = df.agg(bit_xor(xxhash64(col("node"), col("component")))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    var sum0 = checksum(labels)
     var i = 0
     var done = false
     while (i < maxIters && !done) {
@@ -93,7 +100,7 @@ object Graphs {
       val next = materialize(
         labels.unionByName(fromNbr).unionByName(jump)
           .groupBy("node").agg(min(col("component")).as("component")))
-      val sum1 = next.agg(sum(col("component"))).head().getLong(0)
+      val sum1 = checksum(next)
       if (sum1 == sum0) done = true
       sum0 = sum1
       labels = next

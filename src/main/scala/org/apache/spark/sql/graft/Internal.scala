@@ -15,8 +15,25 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object Internal {
 
+  /** Conf switch: `spark.graft.reliableCheckpoints=true` routes fixpoint
+    * materialization through RELIABLE checkpoints (replicated to the
+    * configured checkpoint dir) instead of executor-local ones. Local
+    * checkpoints are faster but non-replicated: on a real cluster, one
+    * lost executor kills a 30-round closure. Set
+    * `sparkContext.setCheckpointDir` (HDFS/S3 path) for cluster runs.
+    */
+  val ReliableCheckpointsConf = "spark.graft.reliableCheckpoints"
+
   def freshIdCheckpoint(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint(eager = true)
+    val spark0 = df.sparkSession
+    val reliable =
+      spark0.conf.getOption(ReliableCheckpointsConf).exists(_.toBoolean)
+    val cp =
+      if (reliable) {
+        require(spark0.sparkContext.getCheckpointDir.isDefined,
+          s"$ReliableCheckpointsConf=true needs sparkContext.setCheckpointDir")
+        df.checkpoint(eager = true)
+      } else df.localCheckpoint(eager = true)
     val classicDf =
       cp.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val spark = classicDf.sparkSession

@@ -130,6 +130,23 @@ class IncrementalSpec extends SparkSpecBase {
     assert(aliceSubjects.count() == 1)
   }
 
+  test("reliable-checkpoint fixpoints equal the localCheckpoint path") {
+    val base = parse(Seq(
+      s"<${EX}Dog> <${RDFS.SubClassOf}> <${EX}Mammal> .",
+      s"<${EX}Mammal> <${RDFS.SubClassOf}> <${EX}Animal> .",
+      s"<${EX}rex> <${RDFS.RdfType}> <${EX}Dog> ."))
+    val local = RDFS.closure(base)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(org.apache.spark.sql.graft.Internal.ReliableCheckpointsConf, "true")
+    try {
+      val reliable = RDFS.closure(base)
+      assert(reliable.except(local).isEmpty && local.except(reliable).isEmpty)
+    } finally {
+      spark.conf.unset(org.apache.spark.sql.graft.Internal.ReliableCheckpointsConf)
+    }
+  }
+
   test("DRed retraction equals full recompute, rederives survivors") {
     val base = parse(Seq(
       s"<${EX}Dog> <${RDFS.SubClassOf}> <${EX}Mammal> .",
