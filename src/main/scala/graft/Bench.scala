@@ -33,6 +33,7 @@ object Bench {
       queries.Pipeline.simhashSketch(spark, sfDir).count()
       queries.Pipeline.shingleIndex(spark, sfDir).count()
       SparkEntry.queries("owl_transitive_locatedin")(spark, sfDir).count()
+      SparkEntry.queries("owl_equivalence_merge")(spark, sfDir).count()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] load phase failed: ${e.getMessage}")
     }

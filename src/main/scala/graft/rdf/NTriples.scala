@@ -143,7 +143,10 @@ object NTriples {
                     .setScale(18, java.math.RoundingMode.HALF_UP)
                   catch { case _: Exception => null }
                 else null
-              val lex = if (num != null) Term.canonicalNumLex(t._2) else t._2
+              val lex =
+                if (num != null) Term.canonicalNumLex(t._2)
+                else if (t._3 == Term.XsdDateTime) Term.canonicalDateTimeLex(t._2)
+                else t._2
               org.apache.spark.sql.Row(t._1, lex, t._3, t._4, num)
             }
             val s = toRow(parseTerm(toks(0)))

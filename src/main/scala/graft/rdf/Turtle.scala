@@ -60,7 +60,10 @@ object Turtle {
         try new java.math.BigDecimal(lex).setScale(18, java.math.RoundingMode.HALF_UP)
         catch { case _: Exception => null }
       else null
-    val lex2 = if (num != null) Term.canonicalNumLex(lex) else lex
+    val lex2 =
+      if (num != null) Term.canonicalNumLex(lex)
+      else if (dt == Term.XsdDateTime) Term.canonicalDateTimeLex(lex)
+      else lex
     Row(2.toByte, lex2, dt, lang, num)
   }
 
@@ -277,7 +280,8 @@ object Turtle {
 
     private def pnameToken(): String = {
       val st = i
-      while (i < n && !" \t\n\r<>\"'.,;[]()#".contains(s.charAt(i))) i += 1
+      // '{'/'}' end a token too: TriG graph names may abut their block
+      while (i < n && !" \t\n\r<>\"'.,;[](){}#".contains(s.charAt(i))) i += 1
       s.substring(st, i)
     }
 

@@ -23,17 +23,70 @@ import org.apache.spark.sql.types._
   */
 object FullText {
 
-  /** Tokenize: lowercase, split on non-alphanumerics, drop empties. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+  /** Configurable analyzer — the reference's language-aware tokenization
+    * surface (DefaultAnalyzerFactory.java: per-language Lucene analyzers)
+    * as a pure Column pipeline: split pattern, case folding, stopwords,
+    * minimum token length, and CJK bigram shingling (the CJKAnalyzer
+    * strategy: Han runs have no word boundaries, so overlapping bigrams
+    * stand in for words).
+    */
+  final case class Analyzer(
+      splitPattern: String = "[^a-z0-9]+",
+      foldCase: Boolean = true,
+      stopwords: Set[String] = Set.empty,
+      minTokenLen: Int = 1,
+      cjkBigrams: Boolean = false)
+
+  object Analyzer {
+    /** ASCII default — byte-compatible with the original index. */
+    val default: Analyzer = Analyzer()
+
+    /** Unicode letters/digits: non-Latin scripts tokenize correctly. */
+    val unicode: Analyzer = Analyzer(splitPattern = "[^\\p{L}\\p{N}]+")
+
+    /** English with a minimal stopword list. */
+    val english: Analyzer = Analyzer(stopwords = Set(
+      "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+      "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+      "that", "the", "their", "then", "there", "these", "they", "this",
+      "to", "was", "will", "with"))
+
+    /** CJK: unicode split + Han-run bigram shingles. */
+    val cjk: Analyzer = unicode.copy(cjkBigrams = true)
+  }
+
+  /** Tokenize with the default analyzer (lowercase, split on
+    * non-alphanumerics, drop empties).
+    */
+  def tokens(text: Column): Column = tokens(text, Analyzer.default)
+
+  /** Tokenize per the analyzer config. */
+  def tokens(text: Column, a: Analyzer): Column = {
+    val folded = if (a.foldCase) lower(text) else text
+    var toks = filter(split(folded, a.splitPattern),
+                      t => length(t) >= math.max(1, a.minTokenLen))
+    if (a.cjkBigrams) {
+      // a Han-script run of length n becomes its n-1 overlapping bigrams
+      // (a single Han char stays itself); other tokens pass through
+      toks = flatten(transform(toks, t =>
+        when(t.rlike("^\\p{IsHan}{2,}$"),
+             transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
+          .otherwise(array(t))))
+    }
+    if (a.stopwords.nonEmpty)
+      toks = filter(toks, t => !t.isInCollection(a.stopwords))
+    toks
+  }
 
   /** Build the inverted index: (term, doc, tf, w) + per-doc norm.
     * `docs` needs columns (doc, text).
     */
-  def buildIndex(docs: DataFrame): DataFrame = {
+  def buildIndex(docs: DataFrame): DataFrame = buildIndex(docs, Analyzer.default)
+
+  def buildIndex(docs: DataFrame, analyzer: Analyzer): DataFrame = {
     val n = docs.count()
     val tf = docs
-      .select(col("doc"), explode(tokens(col("text"))).as("term"))
+      .select(col("doc"), explode(tokens(col("text"), analyzer)).as("term"))
       .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("term").agg(count_distinct(col("doc")).as("df"))
     tf.join(df_, "term")

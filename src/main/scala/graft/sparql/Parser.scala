@@ -33,7 +33,9 @@ object Parser {
       distinct: Boolean,
       template: Seq[(QueryForms.TPos, QueryForms.TPos, QueryForms.TPos)],
       fromDefault: Seq[String] = Nil,    // FROM <g> dataset clauses
-      fromNamed: Seq[String] = Nil)      // FROM NAMED <g> dataset clauses
+      fromNamed: Seq[String] = Nil,      // FROM NAMED <g> dataset clauses
+      describeTerms: Seq[Column] = Nil,  // DESCRIBE's constant nodes
+      describeMode: Option[String] = None) // hint:describeMode
 
   /** Parse and evaluate a SELECT query; returns the solution DataFrame
     * (term-struct columns).
@@ -100,15 +102,31 @@ object Parser {
     val q = parse(spark, text)
     require(q.form == DescribeForm, s"not a DESCRIBE query: ${q.form}")
     import org.apache.spark.sql.functions.col
-    val nodes: DataFrame = q.node match {
-      case Values(df, _) if q.projection.isEmpty =>
-        df.select(col(df.columns.head).as("n"))
-      case n =>
+    val varNodes: Option[DataFrame] = q.node match {
+      case Values(df, _) if q.projection.isEmpty && df.columns.nonEmpty =>
+        Some(df.select(col(df.columns.head).as("n")))
+      case n if q.projection.nonEmpty =>
         val res = Translator.translate(quads, n)
-        q.projection.map(v => res.df.select(col(v).as("n"))).reduce(_ unionByName _)
-          .distinct()
+        Some(q.projection.map(v => res.df.select(col(v).as("n")))
+          .reduce(_ unionByName _).distinct())
+      case _ => None // WHERE present but no ?vars listed — constants only
     }
-    QueryForms.describe(quads, nodes)
+    val constNodes: Option[DataFrame] =
+      if (q.describeTerms.isEmpty) None
+      else Some(q.describeTerms.map(c => spark.range(1).select(c.as("n")))
+        .reduce(_ unionByName _))
+    val nodes = (varNodes.toSeq ++ constNodes.toSeq)
+      .reduceOption(_ unionByName _)
+      .getOrElse(throw new IllegalArgumentException("DESCRIBE names no nodes"))
+      .distinct()
+    // hint:describeMode — the reference's DescribeModeEnum (CBD default;
+    // ForwardOneStep = outgoing statements only; SymmetricOneStep = one
+    // step both directions, no blank-node closure)
+    q.describeMode match {
+      case Some("ForwardOneStep") => QueryForms.describeForward(quads, nodes)
+      case Some("SymmetricOneStep") => QueryForms.describe(quads, nodes, maxSteps = 1)
+      case _ => QueryForms.describe(quads, nodes)
+    }
   }
 
   def parse(spark: SparkSession, text: String): Query =
@@ -186,7 +204,7 @@ object Parser {
         var tok = s.substring(st, i)
         if (tok.endsWith(".") ) { tok = tok.dropRight(1); i -= 1 }
         out += tok
-      } else if ("{}(),;".contains(c)) { out += c.toString; i += 1 }
+      } else if ("{}(),;[]".contains(c)) { out += c.toString; i += 1 }
       else if (c == '.') { out += "."; i += 1 }
       else if (c == '|' && i + 1 < n && s.charAt(i + 1) == '|') { out += "||"; i += 2 }
       else if (c == '&' && i + 1 < n && s.charAt(i + 1) == '&') { out += "&&"; i += 2 }
@@ -195,10 +213,20 @@ object Parser {
       else if (c == '>' && i + 1 < n && s.charAt(i + 1) == '=') { out += ">="; i += 2 }
       else if ("=<>!+-*/^|".contains(c)) { out += c.toString; i += 1 }
       else {
-        // pname / keyword / 'a'
+        // pname / keyword / 'a'. A '.' continues the token when it sits
+        // between name characters of a prefixed name (PN_LOCAL allows
+        // interior dots: hint:com.bigdata.x) — a statement-terminator dot
+        // is always followed by whitespace or a delimiter.
         val st = i
-        while (i < n && !isWs(s.charAt(i)) &&
-               !"{}(),;.=<>!+-*/^|\"'?".contains(s.charAt(i))) i += 1
+        var go = true
+        while (go && i < n) {
+          val ch = s.charAt(i)
+          if (!isWs(ch) && !"{}(),;[]=<>!+-*/^|\"'?".contains(ch) && ch != '.') i += 1
+          else if (ch == '.' && i > st && i + 1 < n &&
+                   (s.charAt(i + 1).isLetterOrDigit || s.charAt(i + 1) == '_') &&
+                   s.substring(st, i).contains(':')) i += 1
+          else go = false
+        }
         out += s.substring(st, i)
       }
     }
@@ -218,6 +246,8 @@ object Parser {
     private var bnodeCounter = 0
     // WITH {...} AS %name named subqueries, consumed by INCLUDE %name
     private var namedSubqueries = Map.empty[String, Node]
+    // hint:describeMode, captured when hint statements are dropped
+    private var describeModeHint: Option[String] = None
     // NOW() is constant per query: captured once at parse time
     private lazy val queryNow: java.time.Instant =
       Parser.fixedNowForReplay.getOrElse(java.time.Instant.now())
@@ -306,12 +336,20 @@ object Parser {
       }
       if (peekIs("WHERE")) next()
       expect("{")
+      // snapshot parser state in case a trailing BINDINGS forces a seeded
+      // re-parse of the group (see below)
+      val groupStart = pos
+      val (snapAggs, snapKeys, snapPre) = (aggs, aggKeys, preAggBinds)
       var node = groupGraphPattern()
       expect("}")
       // query-level trailing VALUES (18.2.4.3): textually after the
       // solution modifiers, but it joins the PATTERN result before them —
       // look ahead for a top-level VALUES, parse it out of order, and have
-      // the modifier loop stop at its position
+      // the modifier loop stop at its position.
+      // BINDINGS (the SPARQL 1.1 draft spelling the reference retains) has
+      // INITIAL-BINDING semantics instead: the solution set feeds INTO the
+      // evaluation (it seeds OPTIONAL etc.), so the group re-parses with
+      // the values node as its leftmost operand.
       var valuesAt = -1
       var valuesEnd = -1
       locally {
@@ -327,51 +365,54 @@ object Parser {
         }
         if (valuesAt >= 0) {
           val saved = pos
+          val isBindings = toks(valuesAt).equalsIgnoreCase("BINDINGS")
           pos = valuesAt
-          node = Join(node, valuesClause())
+          val vnode = valuesClause()
           valuesEnd = pos
+          if (isBindings) {
+            aggs = snapAggs; aggKeys = snapKeys; preAggBinds = snapPre
+            pos = groupStart
+            node = groupGraphPattern(Some(vnode))
+            expect("}")
+          } else node = Join(node, vnode)
           pos = saved
         }
       }
-      // GROUP BY / HAVING
+      // GROUP BY / HAVING. A key may be a bare ?var or `( expr AS ?v )`
+      // (the expression binds pre-group, like aggregate arguments)
       var groupKeys = Vector.empty[String]
+      var groupKeyBinds = Vector.empty[(String, Expr)]
       var having = Vector.empty[Expr]
       if (peekIs("GROUP")) {
         next(); expect("BY")
-        while (peek.startsWith("?")) groupKeys :+= next().substring(1)
+        var go = true
+        while (go) {
+          if (peek.startsWith("?")) groupKeys :+= next().substring(1)
+          else if (peek == "(") {
+            next(); val e = expression()
+            val v =
+              if (peekIs("AS")) { next(); next().substring(1) }
+              else s"__gk_${groupKeyBinds.size}"
+            expect(")")
+            groupKeyBinds :+= (v -> e)
+            groupKeys :+= v
+          } else go = false
+        }
       }
-      if (peekIs("HAVING")) { next(); expect("("); having :+= expression(); expect(")") }
-      val grouped = aggs.nonEmpty || groupKeys.nonEmpty
-      if (grouped) {
-        // expression-argument aggregates bind their internal vars pre-group
-        preAggBinds.foreach { case (v, e) => node = Extend(v, e, node) }
-        node = Group(groupKeys, aggs, node)
-        having.foreach(h => node = Filter(r => TermOps.ebv(h(r)), node))
-        // select expressions (which may reference the internal agg vars)
-        // become post-group binds
-        binds.foreach { case (v, e) => node = Extend(v, e, node) }
-      } else {
-        binds.foreach { case (v, e) => node = Extend(v, e, node) }
-      }
-      // ORDER BY / LIMIT / OFFSET (applied after projection per SPARQL,
-      // but our sort needs the columns: order before project)
-      var orderKeys = Vector.empty[(String, Boolean)]
-      var ordIvs = Vector.empty[String]
-      var orderBindIdx = 0
+      if (peekIs("HAVING")) { next(); expect("("); having :+= boolExpression(); expect(")") }
+      // ORDER BY parses BEFORE the Group node is built: its keys may
+      // contain aggregates (ORDER BY DESC(COUNT(?x))), which must register
+      // in `aggs` like any other aggregate. The internal-column Extends
+      // are applied after grouping below.
+      var orderSpecs = Vector.empty[(Either[String, Expr], Boolean)]
       def orderKey(asc: Boolean): Unit = {
-        // every key parses as an expression; non-trivial ones bind an
-        // internal column (Project later drops it). A bare ?v stays direct.
         val start = pos
         if (peek.startsWith("?")) {
           val v = next().substring(1)
-          if (!"+-*/".contains(peek)) { orderKeys :+= (v -> asc); return }
+          if (!"+-*/".contains(peek)) { orderSpecs :+= (Left(v) -> asc); return }
           pos = start
         }
-        val e = expression()
-        val iv = s"__ord_$orderBindIdx"; orderBindIdx += 1
-        node = Extend(iv, e, node)
-        ordIvs :+= iv
-        orderKeys :+= (iv -> asc)
+        orderSpecs :+= (Right(expression()) -> asc)
       }
       if (peekIs("ORDER")) {
         next(); expect("BY")
@@ -380,6 +421,31 @@ object Parser {
           else if (peekIs("DESC")) { next(); expect("("); orderKey(asc = false); expect(")") }
           else orderKey(asc = true)
         }
+      }
+      val grouped = aggs.nonEmpty || groupKeys.nonEmpty
+      if (grouped) {
+        // expression-argument aggregates + computed group keys bind their
+        // internal vars pre-group
+        (preAggBinds ++ groupKeyBinds).foreach { case (v, e) => node = Extend(v, e, node) }
+        node = Group(groupKeys, aggs, node)
+        having.foreach(h => node = Filter(h, node))
+        // select expressions (which may reference the internal agg vars)
+        // become post-group binds
+        binds.foreach { case (v, e) => node = Extend(v, e, node) }
+      } else {
+        binds.foreach { case (v, e) => node = Extend(v, e, node) }
+      }
+      // materialize ORDER BY keys: non-trivial expressions bind an
+      // internal column over the (possibly grouped) node
+      var orderKeys = Vector.empty[(String, Boolean)]
+      var ordIvs = Vector.empty[String]
+      orderSpecs.zipWithIndex.foreach {
+        case ((Left(v), asc), _) => orderKeys :+= (v -> asc)
+        case ((Right(e), asc), i) =>
+          val iv = s"__ord_$i"
+          node = Extend(iv, e, node)
+          ordIvs :+= iv
+          orderKeys :+= (iv -> asc)
       }
       if (distinct) {
         // DISTINCT dedups the *projection* but must not destroy ORDER BY's
@@ -404,12 +470,20 @@ object Parser {
         else { next(); offset = next().toLong }
       }
       if (offset != 0 || limit >= 0) {
-        // LIMIT without ORDER BY is implementation-defined; pick the
-        // term-order-smallest solutions — deterministic (replay-safe) and
-        // the reference's effective behavior (its slices ride SPO index
-        // order). Catalyst plans sort+limit as TakeOrderedAndProject.
-        if (orderKeys.isEmpty && proj.nonEmpty)
-          node = OrderBy(proj.map(_ -> true), node)
+        // A slice must be deterministic (replay safety; the reference's
+        // slices ride its index order): no ORDER BY → sort by the
+        // projection; a partial ORDER BY → break ties with the remaining
+        // projected vars. Catalyst plans sort+limit as TakeOrderedAndProject.
+        if (proj.nonEmpty) {
+          val keyed = orderKeys.map(_._1).toSet
+          val tiebreak = proj.filterNot(keyed)
+          if (orderKeys.isEmpty)
+            node = OrderBy(tiebreak.map(_ -> true), node)
+          else if (tiebreak.nonEmpty && orderKeys.forall(k => proj.contains(k._1)))
+            node = OrderBy(orderKeys ++ tiebreak.map(_ -> true), node)
+          // else: internal expression keys were projected away — the
+          // explicit ORDER BY already ran, keep its order
+        }
         node = Slice(offset, limit, node)
       }
       // the trailing VALUES block was consumed out of order above
@@ -433,13 +507,15 @@ object Parser {
         expect("{")
         val n = groupGraphPattern()
         expect("}")
-        Query(DescribeForm, n, vars, distinct = false, Nil)
+        Query(DescribeForm, n, vars, distinct = false, Nil,
+              describeTerms = consts, describeMode = describeModeHint)
       } else {
         // constant-only DESCRIBE: node list as an inline VALUES frame
         val df = consts.zipWithIndex
           .map { case (c, i) => spark.range(1).select(c.as("n")) }
           .reduce(_ unionByName _)
-        Query(DescribeForm, Values(df, Set("n")), Nil, distinct = false, Nil)
+        Query(DescribeForm, Values(df, Set("n")), Nil, distinct = false, Nil,
+              describeMode = describeModeHint)
       }
     }
 
@@ -462,9 +538,35 @@ object Parser {
       }
       expect("{")
       var tmpl = Vector.empty[(QueryForms.TPos, QueryForms.TPos, QueryForms.TPos)]
+      var tmplBnodeCounter = 0
+      // template triples with ';'/',' abbreviations and bracketed
+      // blank-node property lists ([ p o ; ... ] — fresh per solution)
+      def templateNode(): QueryForms.TPos =
+        if (peek == "[") {
+          next()
+          tmplBnodeCounter += 1
+          val bn = QueryForms.TBnode(s"tmpl$tmplBnodeCounter")
+          if (peek != "]") propertyList(bn)
+          expect("]")
+          bn
+        } else templatePos()
+      def propertyList(subj: QueryForms.TPos): Unit = {
+        var go = true
+        while (go) {
+          val p = templatePos()
+          var more = true
+          while (more) {
+            val o = templateNode()
+            tmpl :+= ((subj, p, o))
+            if (peek == ",") next() else more = false
+          }
+          if (peek == ";") { next(); if (peek == "." || peek == "}" || peek == "]") go = false }
+          else go = false
+        }
+      }
       while (peek != "}") {
-        val s = templatePos(); val p = templatePos(); val o = templatePos()
-        tmpl :+= ((s, p, o))
+        val s = templateNode()
+        if (peek != "." && peek != "}") propertyList(s)
         if (peek == ".") next()
       }
       expect("}")
@@ -483,9 +585,10 @@ object Parser {
     }
 
     // GroupGraphPattern := sequence of triples blocks / keyword clauses
-    private def groupGraphPattern(): Node = {
-      val (node, filters) = groupGraphPatternParts()
-      filters.foldLeft(node)((n, f) => Filter(r => TermOps.ebv(f(r)), n))
+    private def groupGraphPattern(init: Option[Node] = None): Node = {
+      val (node, filters) = groupGraphPatternParts(init)
+      // filters are boolean-valued Exprs (see PExpr)
+      filters.foldLeft(node)((n, f) => Filter(f, n))
     }
 
     /** Parse a group, returning the node with top-level plain FILTERs
@@ -495,11 +598,14 @@ object Parser {
       * over the merged solution — wrapping it inside the right operand
       * would see outer variables as unbound).
       */
-    private def groupGraphPatternParts(): (Node, Seq[Expr]) = {
+    private def groupGraphPatternParts(init: Option[Node] = None): (Node, Seq[Expr]) = {
       // GroupGraphPattern := '{' ( SubSelect | GroupGraphPatternSub ) '}':
       // a group whose content starts with SELECT is directly a sub-select
-      if (peekIs("SELECT")) return (selectQuery().node, Vector.empty)
-      var cur: Option[Node] = None
+      if (peekIs("SELECT")) {
+        val sub = selectQuery().node
+        return (init.fold(sub)(i => Join(i, sub)), Vector.empty)
+      }
+      var cur: Option[Node] = init
       var filters = Vector.empty[Expr]
       var existsFilters = Vector.empty[(Node, Boolean)]
       def add(n: Node): Unit = cur = Some(cur.fold(n)(c => Join(c, n)))
@@ -509,7 +615,7 @@ object Parser {
           val (r, rFilters) = groupGraphPatternParts(); expect("}")
           val cond: Option[Expr] =
             if (rFilters.isEmpty) None
-            else Some(r2 => rFilters.map(f => TermOps.ebv(f(r2))).reduce(_ && _))
+            else Some(r2 => rFilters.map(_(r2)).reduce(_ && _))
           cur = Some(LeftJoin(cur.getOrElse(emptyNode), r, cond))
         } else if (peekIs("MINUS")) {
           next(); expect("{")
@@ -531,7 +637,9 @@ object Parser {
             val sub = groupGraphPattern(); expect("}")
             if (paren) expect(")")
             existsFilters :+= (sub -> true) }
-          else { expect("("); filters :+= expression(); expect(")") }
+          else if (peek == "(") { next(); filters :+= boolExpression(); expect(")") }
+          // FILTER FunctionCall — the grammar's unparenthesized constraint
+          else filters :+= boolExpression()
         } else if (peekIs("INCLUDE")) {
           // INCLUDE %name joins the named subquery's solution set
           // (reference: NamedSubqueryInclude → SolutionSetHashJoinOp)
@@ -542,6 +650,14 @@ object Parser {
         } else if (peekIs("BIND")) {
           next(); expect("(")
           val e = expression(); expect("AS"); val v = next().substring(1); expect(")")
+          cur = Some(Extend(v, e, cur.getOrElse(emptyNode)))
+        } else if (peekIs("LET")) {
+          // bigdata extension: LET ( ?v := expr ) ≡ BIND(expr AS ?v)
+          // (BigdataExprBuilder LET handling)
+          next(); expect("(")
+          val v = next().substring(1)
+          expect(":"); expect("=")
+          val e = expression(); expect(")")
           cur = Some(Extend(v, e, cur.getOrElse(emptyNode)))
         } else if (peekIs("VALUES") || peekIs("BINDINGS")) {
           add(valuesClause())
@@ -681,6 +797,7 @@ object Parser {
         val (isPath, linkOrPath) = pathExpr()
         var more = true
         while (more) {
+          val rawObj = peek
           val o = varOrTerm()
           linkOrPath match {
             case Left((p, iriOpt)) =>
@@ -690,9 +807,12 @@ object Parser {
                 magic :+= TriplePattern(s, p, o)
               // query-hint statements (hint:Query hint:x val — QueryHints
               // .java:74) are planner directives, not data patterns; parse
-              // and drop them (Catalyst owns physical planning here)
-              else if (iriOpt.exists(_.startsWith(HintNs)))
-                ()
+              // and drop them (Catalyst owns physical planning here).
+              // describeMode is the one hint we honor (it changes RESULTS).
+              else if (iriOpt.exists(_.startsWith(HintNs))) {
+                if (iriOpt.contains(HintNs + "describeMode") && rawObj.startsWith("\""))
+                  describeModeHint = Some(rawObj.substring(1, rawObj.lastIndexOf('"')))
+              }
               else tps :+= TriplePattern(s, p, o)
             case Right(p) => paths :+= ((s, p, o))
           }
@@ -702,6 +822,9 @@ object Parser {
         else done = true
       }
       if (peek == ".") next()
+      // patterns contributed by bracketed blank-node property lists
+      tps ++= pendingBnodeTps; pendingBnodeTps = Vector.empty
+      paths ++= pendingBnodePaths; pendingBnodePaths = Vector.empty
       val bgp: Option[Node] = if (tps.nonEmpty) Some(Bgp(tps)) else None
       val pathNodes = paths.map { case (a, p, b) => PathPattern(a, p, b): Node }
       val svc: Option[Node] =
@@ -770,11 +893,39 @@ object Parser {
 
     private def varOrTerm(): Pat = {
       if (peek == "<<") quotedTriple()
+      else if (peek == "[") { next(); anonBnodePattern() }
       else if (peek.startsWith("?")) V(next().substring(1))
       // a blank node in a query pattern is an existential = a fresh
       // non-projectable variable, NOT a constant term (SPARQL §4.1.4)
       else if (peek.startsWith("_:")) { val t = next(); V("__bn_" + t.substring(2)) }
       else C(termConst())
+    }
+
+    // `[]` / `[ p o ; ... ]` in a pattern: a fresh existential variable;
+    // the bracketed property list contributes patterns to the enclosing
+    // triples block (collected like SID patterns)
+    private var anonCounter = 0
+    private var pendingBnodeTps = Vector.empty[TriplePattern]
+    private var pendingBnodePaths = Vector.empty[(Pat, Path, Pat)]
+    private def anonBnodePattern(): Pat = {
+      anonCounter += 1
+      val v = V(s"__anon_$anonCounter")
+      var go = peek != "]"
+      while (go) {
+        val (_, linkOrPath) = pathExpr()
+        var more = true
+        while (more) {
+          val o = varOrTerm()
+          linkOrPath match {
+            case Left((p, _)) => pendingBnodeTps :+= TriplePattern(v, p, o)
+            case Right(path) => pendingBnodePaths :+= ((v: Pat, path, o))
+          }
+          if (peek == ",") next() else more = false
+        }
+        if (peek == ";") { next(); if (peek == "]") go = false } else go = false
+      }
+      expect("]")
+      v
     }
 
     // RDF-star: `<< s p o >>` in a subject/object position matches the
@@ -825,6 +976,8 @@ object Parser {
                               lit(new java.math.BigDecimal(lex)))
             catch { case _: NumberFormatException => Term.typed(lit(lex), lit(d)) }
           case Term.XsdBoolean => Term.bool(lit(lex == "true" || lex == "1"))
+          case Term.XsdDateTime =>
+            Term.typed(lit(Term.canonicalDateTimeLex(lex)), lit(Term.XsdDateTime))
           case other => Term.typed(lit(lex), lit(other))
         }
       } else Term.str(lit(lex))
@@ -836,87 +989,103 @@ object Parser {
 
     // ---------------- expressions ----------------
 
-    private def expression(): Expr = orExpr()
+    /** Boolean-aware expression: `term` is the term-struct column; `bool`
+      * is a PLAIN boolean column (Kleene 3VL rides Spark's null
+      * semantics). Logical connectives compose `bool` directly — composing
+      * through the struct (ebv(boolTerm(x))) multiplies the Column tree
+      * ~16x PER NESTING LEVEL, which made deeply nested FILTER
+      * (a||b)&&(c||d) chains exponential to even *analyze*.
+      */
+    private final case class PExpr(term: Expr, boolOpt: Option[Expr] = None) {
+      def bool: Expr = boolOpt.getOrElse(r => TermOps.ebv(term(r)))
+    }
+    private def bexpr(b: Expr): PExpr = PExpr(r => boolTerm(b(r)), Some(b))
+
+    private def expression(): Expr = orExpr().term
+
+    /** FILTER/HAVING surface: the boolean column, no struct round-trip. */
+    private def boolExpression(): Expr = orExpr().bool
 
     private def boolTerm(c: Column): Column =
       when(c.isNull, Term.unbound).otherwise(Term.bool(c))
 
-    private def orExpr(): Expr = {
+    private def orExpr(): PExpr = {
       var a = andExpr()
       while (peek == "||") { next(); val b = andExpr()
-        val (x, y) = (a, b); a = r => boolTerm(TermOps.ebv(x(r)) || TermOps.ebv(y(r))) }
+        val (x, y) = (a.bool, b.bool); a = bexpr(r => x(r) || y(r)) }
       a
     }
 
-    private def andExpr(): Expr = {
+    private def andExpr(): PExpr = {
       var a = relExpr()
       while (peek == "&&") { next(); val b = relExpr()
-        val (x, y) = (a, b); a = r => boolTerm(TermOps.ebv(x(r)) && TermOps.ebv(y(r))) }
+        val (x, y) = (a.bool, b.bool); a = bexpr(r => x(r) && y(r)) }
       a
     }
 
-    private def relExpr(): Expr = {
-      val a = addExpr()
+    private def relExpr(): PExpr = {
+      val p = addExpr()
+      val a = p.term
       peek match {
-        case "=" => next(); val b = addExpr(); r => boolTerm(TermOps.valueEq(a(r), b(r)))
-        case "!=" => next(); val b = addExpr(); r => boolTerm(!TermOps.valueEq(a(r), b(r)))
-        case "<" => next(); val b = addExpr(); r => boolTerm(TermOps.lt(a(r), b(r)))
-        case ">" => next(); val b = addExpr(); r => boolTerm(TermOps.gt(a(r), b(r)))
-        case "<=" => next(); val b = addExpr(); r => boolTerm(TermOps.le(a(r), b(r)))
-        case ">=" => next(); val b = addExpr(); r => boolTerm(TermOps.ge(a(r), b(r)))
+        case "=" => next(); val b = addExpr().term; bexpr(r => TermOps.valueEq(a(r), b(r)))
+        case "!=" => next(); val b = addExpr().term; bexpr(r => !TermOps.valueEq(a(r), b(r)))
+        case "<" => next(); val b = addExpr().term; bexpr(r => TermOps.lt(a(r), b(r)))
+        case ">" => next(); val b = addExpr().term; bexpr(r => TermOps.gt(a(r), b(r)))
+        case "<=" => next(); val b = addExpr().term; bexpr(r => TermOps.le(a(r), b(r)))
+        case ">=" => next(); val b = addExpr().term; bexpr(r => TermOps.ge(a(r), b(r)))
         case "IN" | "in" | "In" => next(); inList(a, negated = false)
         case _ if peekIs("NOT") => next(); expect("IN"); inList(a, negated = true)
-        case _ => a
+        case _ => p
       }
     }
 
-    private def inList(a: Expr, negated: Boolean): Expr = {
+    private def inList(a: Expr, negated: Boolean): PExpr = {
       expect("(")
       var items = Vector.empty[Column]
       while (peek != ")") { items :+= termConst(); if (peek == ",") next() }
       expect(")")
-      r => {
+      bexpr { r =>
         val eqs = items.map(t => TermOps.valueEq(a(r), t))
         val any = eqs.reduce(_ || _)
-        boolTerm(if (negated) !any else any)
+        if (negated) !any else any
       }
     }
 
-    private def addExpr(): Expr = {
+    private def addExpr(): PExpr = {
       var a = mulExpr()
       while (peek == "+" || peek == "-") {
-        val op = next(); val b = mulExpr(); val (x, y) = (a, b)
-        a = if (op == "+") r => TermOps.arith(x(r), y(r), _ + _)
-            else r => TermOps.arith(x(r), y(r), _ - _)
+        val op = next(); val b = mulExpr(); val (x, y) = (a.term, b.term)
+        a = PExpr(if (op == "+") r => TermOps.arith(x(r), y(r), _ + _)
+                  else r => TermOps.arith(x(r), y(r), _ - _))
       }
       a
     }
 
-    private def mulExpr(): Expr = {
+    private def mulExpr(): PExpr = {
       var a = unaryExpr()
       while (peek == "*" || peek == "/") {
-        val op = next(); val b = unaryExpr(); val (x, y) = (a, b)
-        a = if (op == "*") r => TermOps.arith(x(r), y(r), _ * _)
-            else r => TermOps.arith(x(r), y(r), _ / _)
+        val op = next(); val b = unaryExpr(); val (x, y) = (a.term, b.term)
+        a = PExpr(if (op == "*") r => TermOps.arith(x(r), y(r), _ * _)
+                  else r => TermOps.arith(x(r), y(r), _ / _, divide = true))
       }
       a
     }
 
-    private def unaryExpr(): Expr = {
-      if (peek == "!") { next(); val e = unaryExpr(); r => boolTerm(!TermOps.ebv(e(r))) }
-      else if (peek == "-") { next(); val e = unaryExpr()
-        r => TermOps.arith(Term.num(lit(0)), e(r), _ - _) }
+    private def unaryExpr(): PExpr = {
+      if (peek == "!") { next(); val e = unaryExpr().bool; bexpr(r => !e(r)) }
+      else if (peek == "-") { next(); val e = unaryExpr().term
+        PExpr(r => TermOps.arith(Term.num(lit(0)), e(r), _ - _)) }
       else if (peek == "+") { next(); unaryExpr() }
       else primaryExpr()
     }
 
-    private def primaryExpr(): Expr = {
+    private def primaryExpr(): PExpr = {
       val t = peek
-      if (t == "(") { next(); val e = expression(); expect(")"); e }
-      else if (t.startsWith("?")) { next(); val v = t.substring(1); r => r(v) }
-      else if (isAggregate(t)) aggregateCall()
-      else if (isFunction(t)) functionCall()
-      else { val c = termConst(); _ => c }
+      if (t == "(") { next(); val e = orExpr(); expect(")"); e }
+      else if (t.startsWith("?")) { next(); val v = t.substring(1); PExpr(r => r(v)) }
+      else if (isAggregate(t)) PExpr(aggregateCall())
+      else if (isFunction(t)) PExpr(functionCall())
+      else { val c = termConst(); PExpr(_ => c) }
     }
 
     private val aggregateNames =

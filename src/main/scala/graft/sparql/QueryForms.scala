@@ -53,6 +53,15 @@ object QueryForms {
     }.reduce(_ unionByName _).distinct()
   }
 
+  /** DESCRIBE ForwardOneStep (the reference's DescribeModeEnum option):
+    * only the nodes' OUTGOING statements, one step, no bnode closure.
+    */
+  def describeForward(quads: DataFrame, nodes: DataFrame): DataFrame = {
+    val dflt = quads.filter(col("c").isNull).select("s", "p", "o")
+    dflt.join(nodes.select(col("n")).distinct(), dflt("s") === col("n"))
+      .select("s", "p", "o").distinct()
+  }
+
   /** DESCRIBE via symmetric Concise Bounded Description: statements where
     * the node is subject or object, expanding through blank nodes up to
     * `maxSteps` (CBD.java semantics, simplified: bnode closure).

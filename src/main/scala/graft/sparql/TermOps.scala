@@ -42,9 +42,17 @@ object TermOps {
     when(a.isNull || b.isNull, lit(null).cast(BooleanType))
       .when(Term.numVal(a).isNotNull && Term.numVal(b).isNotNull, Term.numVal(a) === Term.numVal(b))
       .when(Term.isIri(a) || Term.isBnode(a) || Term.isIri(b) || Term.isBnode(b), a === b)
-      // literals: same dt/lang → lexical compare; else error (conservative)
-      .when(Term.dt(a) <=> Term.dt(b) && Term.lang(a) <=> Term.lang(b),
-            Term.lex(a) === Term.lex(b))
+      // language-tagged literals are DECIDABLY (un)equal: tags compare
+      // case-insensitively (BCP47), and a tagged literal never equals an
+      // untagged one (the reference's open-eq fixtures encode this; strict
+      // minimal-conformance would error instead)
+      .when(Term.lang(a).isNotNull && Term.lang(b).isNotNull,
+            lower(Term.lang(a)) === lower(Term.lang(b)) &&
+              Term.lex(a) === Term.lex(b))
+      .when(Term.lang(a).isNotNull || Term.lang(b).isNotNull, lit(false))
+      // literals: same dt → lexical compare; else error (unknown datatypes
+      // might canonicalize equal — open-world)
+      .when(Term.dt(a) <=> Term.dt(b), Term.lex(a) === Term.lex(b))
       .otherwise(lit(null).cast(BooleanType))
 
   /** SPARQL `<`-family comparison; returns -1/0/1 or NULL on type error. */
@@ -65,10 +73,20 @@ object TermOps {
   /** Numeric arithmetic with XPath promotion collapsed onto the decimal
     * `num` view (MathBOp.java:58); non-numeric operand → NULL result term.
     */
-  def arith(a: Column, b: Column, op: (Column, Column) => Column): Column = {
+  def arith(a: Column, b: Column, op: (Column, Column) => Column,
+            divide: Boolean = false): Column = {
     val r = op(Term.numVal(a), Term.numVal(b)).cast(Term.numType)
+    // XPath numeric promotion: any double/float → double; any decimal →
+    // decimal; else integer. op:numeric-divide on integers is decimal.
+    def rank(t: Column) =
+      when(Term.dt(t).isin(Term.XsdDouble, Term.XsdNs + "float"), 2)
+        .when(Term.dt(t) === Term.XsdDecimal, 1).otherwise(0)
+    val rk = greatest(rank(a), rank(b))
+    val dt = when(rk === 2, Term.XsdDouble)
+      .when(rk === 1 || lit(divide), Term.XsdDecimal)
+      .otherwise(Term.XsdInteger)
     when(Term.numVal(a).isNotNull && Term.numVal(b).isNotNull && r.isNotNull,
-         Term.num(r)).otherwise(Term.unbound)
+         Term.numDt(r, dt)).otherwise(Term.unbound)
   }
 
   /** SPARQL ORDER BY total-order sort keys (ascending). Use all four columns

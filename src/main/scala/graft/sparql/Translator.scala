@@ -61,6 +61,51 @@ object Translator {
       // SPARQL: filter error (NULL) counts as false
       c.copy(df = c.df.filter(coalesce(cond(resolver(c)), lit(false))))
 
+    // gearing (ALP-style): a zero-length-capable path whose endpoint vars
+    // the join partner binds must also match values OUTSIDE the path's own
+    // relation — the partner-bound value paired with itself. The regular
+    // pair set covers in-relation identities; supplement the rest.
+    case Join(p @ PathPattern(V(_), path, V(_), None), r)
+        if Paths.admitsZeroLength(path) && !r.isInstanceOf[PathPattern] =>
+      translate(quads, Join(r, p)) // inner join commutes; put the path right
+
+    case Join(l, p @ PathPattern(V(a), path, V(b), None))
+        if Paths.admitsZeroLength(path) =>
+      val lr = translate(quads, l)
+      if (!lr.vars(a) && !lr.vars(b))
+        join(lr, translate(quads, p), "inner", None)
+      else {
+        val regular = join(lr, translate(quads, p), "inner", None)
+        // an UNBOUND endpoint contributes no zero-length identity (the
+        // regular compat join already covers unbound rows)
+        val zl: Result =
+          if (lr.vars(a) && lr.vars(b))
+            lr.copy(df = lr.df.filter(col(a) === col(b)))
+          else if (lr.vars(a))
+            Result(lr.df.filter(col(a).isNotNull).withColumn(b, col(a)),
+                   lr.certain, lr.maybe + b)
+          else
+            Result(lr.df.filter(col(b).isNotNull).withColumn(a, col(b)),
+                   lr.certain, lr.maybe + a)
+        // only values outside the relation's vertex domain (in-domain
+        // identity pairs already joined above — avoids double counting)
+        val pairs = Paths.compile(quads, path, None)
+        val nodes = pairs.select(col("src").as("__pn"))
+          .unionByName(pairs.select(col("dst").as("__pn"))).distinct()
+        val probe = if (lr.vars(a)) a else b
+        val zlOut = zl.df.join(nodes, col(probe) === col("__pn"), "left_anti")
+        val allVars = (regular.vars ++ zl.vars).toSeq.sorted
+        def pad(df: DataFrame, vars: Set[String]) =
+          allVars.foldLeft(df)((d, v) =>
+            if (vars(v)) d else d.withColumn(v, Term.unbound))
+        Result(
+          pad(regular.df, regular.vars).select(allVars.map(col): _*)
+            .unionByName(pad(zlOut, zl.vars).select(allVars.map(col): _*)),
+          regular.certain intersect (zl.certain ++ Seq(a, b)),
+          (regular.vars ++ zl.vars) --
+            (regular.certain intersect (zl.certain ++ Seq(a, b))))
+      }
+
     case Join(l, r) =>
       join(translate(quads, l), translate(quads, r), "inner", None)
 
@@ -161,12 +206,25 @@ object Translator {
       val res = resolver(c)
       val aggCols = aggs.map { case (name, a) => a(res).as(name) }
       val grouped =
-        if (keys.isEmpty) c.df.agg(aggCols.head, aggCols.tail: _*)
+        if (aggs.isEmpty) c.df.select(keys.map(col): _*).dropDuplicates()
+        else if (keys.isEmpty) c.df.agg(aggCols.head, aggCols.tail: _*)
         else c.df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
       Result(grouped, keys.toSet ++ aggs.map(_._1), Set.empty)
 
     case Values(df, certain) =>
       Result(df, certain, df.columns.toSet -- certain)
+
+    // GRAPH g {} — empty group: enumerate/probe the named-graph set
+    // (the reference's GRAPH-with-empty-group conformance behavior)
+    case GraphNode(g, Values(df, _)) if df.columns.isEmpty =>
+      g match {
+        case V(n) =>
+          Result(quads.filter(col("c").isNotNull)
+                   .select(col("c").as(n)).distinct(),
+                 Set(n), Set.empty)
+        case C(t) =>
+          Result(quads.filter(col("c") === t).limit(1).select(), Set.empty, Set.empty)
+      }
 
     case GraphNode(g, child) =>
       translate(quads, rewriteGraph(child, g))

@@ -187,6 +187,33 @@ class IncrementalSpec extends SparkSpecBase {
     assert(hits.length == 1 && hits(0).getString(0) == EX + "doc1")
   }
 
+  test("full-text analyzers: stopwords, unicode scripts, CJK bigrams") {
+    import graft.search.FullText
+    import org.apache.spark.sql.Encoders
+    val df = spark.createDataset(Seq(
+      ("d1", "The spark of an engine"),
+      ("d2", "молния и гроза"),       // cyrillic survives unicode analyzer
+      ("d3", "数据处理 spark")        // han run bigrams + latin token
+    ))(Encoders.product[(String, String)]).toDF("doc", "text")
+    def toks(a: FullText.Analyzer) = df
+      .select(col("doc"), FullText.tokens(col("text"), a).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // english: stopwords dropped
+    val en = toks(FullText.Analyzer.english)
+    assert(en("d1") == Seq("spark", "engine"))
+    // ascii default: non-latin text dissolves entirely
+    assert(toks(FullText.Analyzer.default)("d2").isEmpty)
+    // unicode: cyrillic tokens survive
+    assert(toks(FullText.Analyzer.unicode)("d2") == Seq("молния", "и", "гроза"))
+    // cjk: han run becomes overlapping bigrams, latin token passes through
+    assert(toks(FullText.Analyzer.cjk)("d3") == Seq("数据", "据处", "处理", "spark"))
+    // an index built with a custom analyzer searches consistently
+    val idx = FullText.buildIndex(df, FullText.Analyzer.unicode)
+    val hits = FullText.search(idx, Seq("гроза"))
+      .select("doc").collect().map(_.getString(0)).toSeq
+    assert(hits == Seq("d2"))
+  }
+
   test("frame sampling: stride windows with deterministic features") {
     val docs = Tables.load(spark, sfDir, "documents").limit(5)
     val frames = graft.pipeline.Multimodal.sampleFrames(spark, docs, 16, 4)

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.rdf.{NTriples, Term, Turtle}
-import graft.sparql.{Parser, Results}
+import graft.sparql.{Parser, QueryForms, Results, Translator}
 import scala.jdk.CollectionConverters._
 
 /** Conformance runner over golden tests ported from the reference's
@@ -24,7 +24,12 @@ import scala.jdk.CollectionConverters._
   * Queries run with the reference's quads-mode dataset default: no dataset
   * clause → the default graph is the union of all graphs.
   */
-class RefSparqlSpec extends SparkSpecBase {
+class RefSparqlSpec extends SparkSpecBase
+    with org.scalatest.concurrent.TimeLimitedTests {
+
+  // one stuck case must not stall the whole conformance suite; plan
+  // construction is driver-side and interruptible
+  override val timeLimit = org.scalatest.time.Span(120, org.scalatest.time.Seconds)
 
   private val dir = Paths.get(getClass.getResource("/refsparql").toURI)
 
@@ -66,20 +71,34 @@ class RefSparqlSpec extends SparkSpecBase {
     test(s"refsparql: ${c.name}") {
       val quads = loadData(c.data)
       val text = Files.readString(dir.resolve(c.rq))
-      if (c.expected.endsWith(".srx")) {
-        val (vars, expDf) =
-          Results.fromXml(spark, Files.readString(dir.resolve(c.expected)))
-        val got = Parser.select(spark, quads, text, unionDefaultGraph = true)
-        val (gotR, expR) = (render(got, vars), render(expDf, vars))
-        assert(gotR == expR,
-          s"\nvars: ${vars.mkString(",")}\ngot:\n${gotR.mkString("\n")}\nwant:\n${expR.mkString("\n")}")
-      } else {
-        val expDf = Turtle.readTrig(spark, dir.resolve(c.expected).toString)
-        val got = Parser.construct(spark, quads, text, unionDefaultGraph = true)
-        val spo = Seq("s", "p", "o")
-        val (gotR, expR) = (render(got, spo), render(expDf, spo))
-        assert(gotR == expR,
-          s"\ngot:\n${gotR.mkString("\n")}\nwant:\n${expR.mkString("\n")}")
+      val q = Parser.parse(spark, text)
+      val store = Parser.datasetQuads(quads, q, unionDefaultGraph = true)
+      q.form match {
+        case Parser.AskForm =>
+          val want = "<boolean>\\s*(true|false)\\s*</boolean>".r
+            .findFirstMatchIn(Files.readString(dir.resolve(c.expected)))
+            .map(_.group(1).toBoolean)
+            .getOrElse(fail(s"no <boolean> in ${c.expected}"))
+          assert(QueryForms.ask(store, q.node) == want)
+        case Parser.SelectForm =>
+          val (vars, expDf) =
+            Results.fromXml(spark, Files.readString(dir.resolve(c.expected)))
+          val got = Translator.translate(store, q.node).df
+          val (gotR, expR) = (render(got, vars), render(expDf, vars))
+          assert(gotR == expR,
+            s"\nvars: ${vars.mkString(",")}\ngot:\n${gotR.mkString("\n")}\nwant:\n${expR.mkString("\n")}")
+        case Parser.ConstructForm | Parser.DescribeForm =>
+          val expDf =
+            if (c.expected.endsWith(".ttl")) Turtle.read(spark, dir.resolve(c.expected).toString)
+            else Turtle.readTrig(spark, dir.resolve(c.expected).toString)
+          val got =
+            if (q.form == Parser.ConstructForm)
+              QueryForms.construct(store, q.node, q.template)
+            else Parser.describe(spark, store, text)
+          val spo = Seq("s", "p", "o")
+          val (gotR, expR) = (render(got, spo), render(expDf, spo))
+          assert(gotR == expR,
+            s"\ngot:\n${gotR.mkString("\n")}\nwant:\n${expR.mkString("\n")}")
       }
     }
   }
