@@ -147,6 +147,49 @@ object RDFS {
       .withColumn("c", Term.unbound)
   }
 
+  /** The axiomatic RDFS rules the reference treats as optional/backchained
+    * (rdf1, rdfs4a/4b, rdfs6, rdfs8, rdfs10, rdfs12, rdfs13 — rules/
+    * RuleRdf01.java, RuleRdfs04a.java …): every predicate is a
+    * rdf:Property, every term a rdfs:Resource, reflexive sub-axioms, etc.
+    * Materialized only on request — they inflate the store (one triple per
+    * distinct term) without changing join results, which is why the
+    * reference backchains rdfs4 instead of storing it.
+    */
+  def axiomaticClosure(closed: DataFrame): DataFrame = {
+    val RdfProperty = RdfNs + "Property"
+    val RdfsResource = RdfsNs + "Resource"
+    val RdfsClass = RdfsNs + "Class"
+    val RdfsLiteral = RdfsNs + "Literal"
+    val RdfsDatatype = RdfsNs + "Datatype"
+    val RdfsCMP = RdfsNs + "ContainerMembershipProperty"
+    val RdfsMember = RdfsNs + "member"
+    val t = closed.select("s", "p", "o")
+    def tri(s: Column, pred: String, o: Column) =
+      Seq(s.as("s"), p(pred).as("p"), o.as("o"))
+    // rdf1: (s p o) → (p a rdf:Property)
+    val rdf1 = t.select(tri(col("p"), RdfType, p(RdfProperty)): _*).distinct()
+    // rdfs4a/4b: every subject/object is a rdfs:Resource
+    val res = t.select(col("s").as("n")).unionByName(t.select(col("o").as("n")))
+      .distinct().select(tri(col("n"), RdfType, p(RdfsResource)): _*)
+    // rdfs6: (p a Property) → (p subPropertyOf p)
+    val rdfs6 = rdf1.select(tri(col("s"), SubPropertyOf, col("s")): _*)
+    // rdfs8 + rdfs10: (c a Class) → (c subClassOf Resource), (c subClassOf c)
+    val classes = t.filter(col("p") === p(RdfType) && col("o") === p(RdfsClass))
+      .select(col("s").as("n")).distinct()
+    val rdfs8 = classes.select(tri(col("n"), SubClassOf, p(RdfsResource)): _*)
+    val rdfs10 = classes.select(tri(col("n"), SubClassOf, col("n")): _*)
+    // rdfs12: (p a ContainerMembershipProperty) → (p subPropertyOf member)
+    val rdfs12 = t.filter(col("p") === p(RdfType) && col("o") === p(RdfsCMP))
+      .select(tri(col("s"), SubPropertyOf, p(RdfsMember)): _*)
+    // rdfs13: (d a Datatype) → (d subClassOf Literal)
+    val rdfs13 = t.filter(col("p") === p(RdfType) && col("o") === p(RdfsDatatype))
+      .select(tri(col("s"), SubClassOf, p(RdfsLiteral)): _*)
+    val axioms = Seq(rdf1, res, rdfs6, rdfs8, rdfs10, rdfs12, rdfs13)
+      .reduce(_ unionByName _).withColumn("c", Term.unbound)
+    // new subPropertyOf/subClassOf axioms can fire the core rules once more
+    closure(closed.unionByName(axioms))
+  }
+
   /** General fixpoint closure (FullClosure analogue) — for rule sets whose
     * derivations feed each other in cycles the ordered pass can't cover.
     */

@@ -130,6 +130,31 @@ class IncrementalSpec extends SparkSpecBase {
     assert(aliceSubjects.count() == 1)
   }
 
+  test("axiomatic RDFS closure: rdf1/rdfs4/6/8/10/12/13 on request") {
+    val base = parse(Seq(
+      s"<${EX}Dog> <${RDFS.SubClassOf}> <${EX}Mammal> .",
+      s"<${EX}rex> <${RDFS.RdfType}> <${EX}Dog> .",
+      s"<${EX}Dog> <${RDFS.RdfType}> <${RDFS.RdfsNs}Class> .",
+      s"<${EX}li> <${RDFS.RdfType}> <${RDFS.RdfsNs}ContainerMembershipProperty> .",
+      s"<${EX}a> <${EX}li> <${EX}b> ."))
+    val closed = RDFS.axiomaticClosure(RDFS.closure(base))
+    def has(s: String, pp: String, o: String) =
+      !closed.filter(col("s") === Term.iri(s) && col("p") === Term.iri(pp) &&
+                     col("o") === Term.iri(o)).isEmpty
+    // rdf1: predicates are Properties
+    assert(has(RDFS.SubClassOf, RDFS.RdfType, RDFS.RdfNs + "Property"))
+    // rdfs4: terms are Resources
+    assert(has(EX + "rex", RDFS.RdfType, RDFS.RdfsNs + "Resource"))
+    // rdfs6 reflexivity
+    assert(has(EX + "li", RDFS.SubPropertyOf, EX + "li"))
+    // rdfs8/10 for declared classes
+    assert(has(EX + "Dog", RDFS.SubClassOf, RDFS.RdfsNs + "Resource"))
+    assert(has(EX + "Dog", RDFS.SubClassOf, EX + "Dog"))
+    // rdfs12 + property inheritance: li edge implies member edge
+    assert(has(EX + "li", RDFS.SubPropertyOf, RDFS.RdfsNs + "member"))
+    assert(has(EX + "a", RDFS.RdfsNs + "member", EX + "b"))
+  }
+
   test("reliable-checkpoint fixpoints equal the localCheckpoint path") {
     val base = parse(Seq(
       s"<${EX}Dog> <${RDFS.SubClassOf}> <${EX}Mammal> .",

@@ -53,6 +53,29 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("RDF-star SID meta-join and dict-algebra joins stay hash joins") {
+    // the quoted-triple pattern joins its SID with the meta statement's
+    // subject — a struct equi-join Catalyst must hash, and the dict-store
+    // algebra joins 8-byte ids — a long equi-join; neither may degrade to
+    // the O(|L|*|R|) nested-loop shape
+    for (name <- Seq("rdf_star_provenance", "rdf_optional_dict",
+                     "rdf_agg_group_dict")) {
+      val df = graft.queries.RdfSuite.queries(name)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+             s"$name degraded to a non-equi join:\n$p")
+    }
+  }
+
+  test("full-text ranking is top-k, never a global unpartitioned window") {
+    val df = graft.queries.AnalyticsSuite.queries("fts_search")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+           s"fts_search lost its top-k plan:\n$p")
+  }
+
   test("quad-store scans push struct predicate equality into parquet") {
     // the catalog quads table is parquet; a constant-predicate pattern
     // must reach the scan as a pushed struct-equality filter (choosing
