@@ -51,6 +51,42 @@ object QuadStore {
   def withSids(store: DataFrame): DataFrame =
     store.withColumn("sid", sidOf(col("s"), col("p"), col("o")))
 
+  /** SIDs-mode load transform: classic reification collapses into
+    * statement identifiers (the reference's StatementBuffer SIDs handling
+    * — reified statement models convert to SIDs at load,
+    * AbstractTripleStore.java:787). A bnode carrying rdf:subject/
+    * rdf:predicate/rdf:object (+ rdf:type rdf:Statement) is replaced by
+    * the inner triple's SID everywhere it appears; the four reification
+    * triples are dropped. Reification DESCRIBES a statement, it does not
+    * assert it (the reference's rdr fixtures: metadata about an
+    * unasserted statement matches no quoted-triple pattern) — so the
+    * inner triple is NOT added.
+    */
+  def fromReified(store: DataFrame): DataFrame = {
+    val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    def pIs(name: String) = col("p") === Term.iri(RdfNs + name)
+    val isReifTriple = pIs("subject") || pIs("predicate") || pIs("object") ||
+      (pIs("type") && col("o") === Term.iri(RdfNs + "Statement"))
+    val stmts = store.filter(pIs("subject"))
+      .select(col("s").as("rn"), col("o").as("rs"))
+      .join(store.filter(pIs("predicate"))
+        .select(col("s").as("rn2"), col("o").as("rp")), col("rn") === col("rn2"))
+      .join(store.filter(pIs("object"))
+        .select(col("s").as("rn3"), col("o").as("ro")), col("rn") === col("rn3"))
+      .select(col("rn"), col("rs"), col("rp"), col("ro"),
+              sidOf(col("rs"), col("rp"), col("ro")).as("rsid"))
+    val mapping = stmts.select(col("rn"), col("rsid"))
+    val rest = store.filter(!isReifTriple)
+    // statements ABOUT a reified node move to its SID (subject position;
+    // object position likewise, for completeness)
+    val subjMapped = rest.join(mapping, rest("s") === mapping("rn"), "left")
+      .select(coalesce(col("rsid"), col("s")).as("s"), col("p"), col("o"), col("c"))
+    val objMapped = subjMapped.join(mapping.select(col("rn").as("rn4"), col("rsid").as("rsid4")),
+        subjMapped("o") === col("rn4"), "left")
+      .select(col("s"), col("p"), coalesce(col("rsid4"), col("o")).as("o"), col("c"))
+    objMapped.distinct()
+  }
+
   // ---- SPARQL UPDATE data operations (InsertStatementsOp /
   //      RemoveStatementsOp analogues) ----
 

@@ -124,23 +124,20 @@ object Term {
     try new java.math.BigDecimal(lex).stripTrailingZeros.toPlainString
     catch { case _: NumberFormatException => lex }
 
-  /** Canonical xsd:dateTime lexical form: full ISO-8601 instant with
-    * milliseconds in UTC ("1996-05-30" → "1996-05-30T00:00:00.000Z") —
-    * the reference's DateTimeExtension normalizes datetimes to UTC millis
-    * at load, so its results render this shape. Unparseable → unchanged.
+  /** Repair INVALID xsd:dateTime lexical forms the reference's
+    * DateTimeExtension accepts and normalizes — a bare date becomes the
+    * UTC midnight instant ("1996-05-30" → "1996-05-30T00:00:00.000Z").
+    * Valid dateTime lexicals (with or without zone, any sub-second
+    * precision) pass through untouched, matching the reference's own
+    * fixture renderings.
     */
   def canonicalDateTimeLex(lex: String): String = {
     import java.time._
-    try {
-      val instant: Instant =
-        if (lex.matches("\\d{4}-\\d{2}-\\d{2}"))
-          LocalDate.parse(lex).atStartOfDay(ZoneOffset.UTC).toInstant
-        else
-          try OffsetDateTime.parse(lex).toInstant
-          catch { case _: Exception =>
-            LocalDateTime.parse(lex).toInstant(ZoneOffset.UTC) }
+    if (!lex.matches("\\d{4}-\\d{2}-\\d{2}")) lex
+    else try {
       format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
-        .withZone(ZoneOffset.UTC).format(instant)
+        .withZone(ZoneOffset.UTC)
+        .format(LocalDate.parse(lex).atStartOfDay(ZoneOffset.UTC).toInstant)
     } catch { case _: Exception => lex }
   }
 

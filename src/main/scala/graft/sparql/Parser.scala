@@ -649,8 +649,20 @@ object Parser {
             throw new IllegalArgumentException(s"unknown named subquery '$name'")))
         } else if (peekIs("BIND")) {
           next(); expect("(")
-          val e = expression(); expect("AS"); val v = next().substring(1); expect(")")
-          cur = Some(Extend(v, e, cur.getOrElse(emptyNode)))
+          // BIND( <<s p o>> AS ?sid ) — the RDR surface: the quoted
+          // pattern IS a SidPattern binding ?sid directly
+          if (peek == "<<") {
+            next()
+            val s = varOrTerm()
+            val p = if (peek.startsWith("?")) V(next().substring(1)) else C(termConst())
+            val o = varOrTerm()
+            expect(">>"); expect("AS")
+            val v = next().substring(1); expect(")")
+            add(SidPattern(s, p, o, v))
+          } else {
+            val e = expression(); expect("AS"); val v = next().substring(1); expect(")")
+            cur = Some(Extend(v, e, cur.getOrElse(emptyNode)))
+          }
         } else if (peekIs("LET")) {
           // bigdata extension: LET ( ?v := expr ) ≡ BIND(expr AS ?v)
           // (BigdataExprBuilder LET handling)

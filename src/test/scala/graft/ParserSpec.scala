@@ -327,14 +327,13 @@ class ParserSpec extends SparkSpecBase {
     // same BNODE argument gives the same label (content-addressed)
     val b2 = q(P + """SELECT ?b WHERE { ?c ex:name "Acme" . BIND(BNODE("seed") AS ?b) }""")
     assert(b2.head().getStruct(0).getString(1) == r.getStruct(3).getString(1))
-    // TZ: dateTime lexicals canonicalize to UTC at parse (the reference's
-    // DateTimeExtension stores UTC millis), so both yield "Z"; a
-    // non-dateTime argument has no zone
+    // TZ over a zoned and unzoned dateTime (valid lexicals keep their
+    // form; only bare dates normalize to a full UTC instant)
     val tz = q(P + """SELECT ?z ?u WHERE { ?c ex:name "Acme" .
         BIND(TZ("2026-01-01T10:00:00Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>) AS ?z)
         BIND(TZ("2026-01-01T10:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>) AS ?u) }""")
     val t = tz.head()
-    assert(t.getStruct(0).getString(1) == "Z" && t.getStruct(1).getString(1) == "Z")
+    assert(t.getStruct(0).getString(1) == "Z" && t.getStruct(1).getString(1) == "")
   }
 
   test("CONSTRUCT WHERE shorthand uses the pattern as template") {
