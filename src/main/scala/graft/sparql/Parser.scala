@@ -222,9 +222,14 @@ object Parser {
         while (go && i < n) {
           val ch = s.charAt(i)
           if (!isWs(ch) && !"{}(),;[]=<>!+-*/^|\"'?".contains(ch) && ch != '.') i += 1
+          // interior '.' continues a prefixed-name local (PN_LOCAL allows
+          // dots: hint:com.bigdata.x); interior '-' continues any name
+          // (PN_CHARS includes '-': bsbm-inst). Binary minus needs space.
           else if (ch == '.' && i > st && i + 1 < n &&
                    (s.charAt(i + 1).isLetterOrDigit || s.charAt(i + 1) == '_') &&
                    s.substring(st, i).contains(':')) i += 1
+          else if (ch == '-' && i > st && i + 1 < n &&
+                   (s.charAt(i + 1).isLetterOrDigit || s.charAt(i + 1) == '_')) i += 1
           else go = false
         }
         out += s.substring(st, i)
@@ -1097,7 +1102,43 @@ object Parser {
       else if (t.startsWith("?")) { next(); val v = t.substring(1); PExpr(r => r(v)) }
       else if (isAggregate(t)) PExpr(aggregateCall())
       else if (isFunction(t)) PExpr(functionCall())
+      // XSD constructor casts: xsd:float(?x), xsd:string(?x), … (SPARQL
+      // 17.5; the reference routes them through its datatype handlers)
+      else if (t.contains(':') && !t.startsWith("<") &&
+               toks.lift(pos + 1).contains("(") &&
+               scala.util.Try(expandPname(t)).toOption.exists(_.startsWith(Term.XsdNs))) {
+        val dt = expandPname(next())
+        expect("(")
+        val arg = expression()
+        expect(")")
+        PExpr(r => xsdCast(arg(r), dt))
+      }
       else { val c = termConst(); PExpr(_ => c) }
+    }
+
+    /** Cast a term to an XSD datatype (17.5 XPath constructor semantics,
+      * collapsed onto the decimal num view for numeric types). Uncastable
+      * → unbound (type error).
+      */
+    private def xsdCast(t: Column, dt: String): Column = dt match {
+      case d if Term.numericDatatypes(d) =>
+        val v = coalesce(Term.numVal(t),
+          when(Term.dt(t) === Term.XsdBoolean,
+               when(Term.lex(t) === "true" || Term.lex(t) === "1", 1).otherwise(0)
+                 .cast(Term.numType))
+            .otherwise(Term.lex(t).cast(Term.numType)))
+        when(v.isNotNull, Term.numDt(v, lit(d))).otherwise(Term.unbound)
+      case Term.XsdString =>
+        when(t.isNotNull, Term.str(Term.lex(t))).otherwise(Term.unbound)
+      case Term.XsdBoolean =>
+        when(TermOps.ebv(t).isNotNull, Term.bool(TermOps.ebv(t)))
+          .otherwise(Term.unbound)
+      case Term.XsdDateTime =>
+        when(t.isNotNull, Term.typed(Term.lex(t), lit(Term.XsdDateTime)))
+          .otherwise(Term.unbound)
+      case other =>
+        when(t.isNotNull, Term.typed(Term.lex(t), lit(other)))
+          .otherwise(Term.unbound)
     }
 
     private val aggregateNames =
