@@ -161,6 +161,23 @@ object NTriples {
     spark.createDataFrame(rdd, rowSchema)
   }
 
+  /** JVM-side mirror of `termToString` for driver/parse-time rendering —
+    * MUST stay bit-identical with the Column version (SID content
+    * addressing hashes this rendering on both sides).
+    */
+  def termToStringJvm(kind: Byte, lex: String, dt: String, lang: String): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    kind match {
+      case 0 => s"<$lex>"
+      case 1 => s"_:$lex"
+      case _ =>
+        if (lang != null) "\"" + esc(lex) + "\"@" + lang
+        else if (dt != null && dt != Term.XsdString) "\"" + esc(lex) + "\"^^<" + dt + ">"
+        else "\"" + esc(lex) + "\""
+    }
+  }
+
   /** Serialize a term struct column back to N-Triples token syntax.
     * Literal lexical forms escape backslash, quote, and line controls so
     * the line-based format survives arbitrary content.

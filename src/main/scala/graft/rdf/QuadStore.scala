@@ -212,4 +212,34 @@ object QuadStore {
     require(v >= 0, s"no committed version under $root")
     load(spark, versionDir(root, v))
   }
+
+  /** Committed versions present under the root, ascending. */
+  def versions(root: String): Seq[Long] = {
+    val dir = new java.io.File(root)
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.substring(1).toLong).sorted
+  }
+
+  /** Compact the commit log: drop snapshot directories older than the
+    * newest `keepLast` versions (the reference's journal compaction /
+    * history-retention analogue — full-snapshot versioning is unbounded
+    * storage growth without it). The CURRENT version is never dropped;
+    * time travel below the watermark becomes unavailable. Returns the
+    * versions removed.
+    */
+  def compact(root: String, keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val vs = versions(root)
+    val current = currentVersion(root)
+    val cutoff = vs.filter(_ <= current).takeRight(keepLast).headOption.getOrElse(return Nil)
+    val drop = vs.filter(v => v < cutoff && v != current)
+    drop.foreach { v =>
+      val dir = java.nio.file.Paths.get(versionDir(root, v))
+      // delete children first (parquet part files + _SUCCESS)
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    drop
+  }
 }

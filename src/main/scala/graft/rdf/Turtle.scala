@@ -190,12 +190,35 @@ object Turtle {
     private def subjectTerm(): T = {
       ws()
       peekCh match {
+        case '<' if i + 1 < n && s.charAt(i + 1) == '<' => quotedTriple()
         case '<' => iri()
         case '_' => bnodeLabel()
         case '[' => anonBnode()
         case '(' => collection()
         case _ => iriRow(pname())
       }
+    }
+
+    /** RDF-star terse syntax `<< s p o >>`: the quoted statement's SID (a
+      * content-addressed bnode, same addressing as QuadStore.sidOf). Per
+      * the reference's RDR fixtures, quoting DESCRIBES the statement — it
+      * does not assert it.
+      */
+    private def quotedTriple(): T = {
+      i += 2 // '<<'
+      val qs = subjectTerm(); ws()
+      val qp = predicateTerm(); ws()
+      val qo = objectTerm(); ws()
+      require(i + 1 < n && s.charAt(i) == '>' && s.charAt(i + 1) == '>',
+        s"unterminated quoted triple at $i")
+      i += 2
+      def render(t: T) = NTriples.termToStringJvm(
+        t.getByte(0), t.getString(1), t.getString(2), t.getString(3))
+      // join with \u0001 exactly like QuadStore.sidOf's concat_ws
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(Seq(render(qs), render(qp), render(qo))
+          .mkString("\u0001").getBytes("UTF-8"))
+      bnodeRow("sid-" + md.map("%02x".format(_)).mkString)
     }
 
     private def predicateTerm(): T = {
@@ -212,6 +235,7 @@ object Turtle {
     private def objectTerm(): T = {
       ws()
       peekCh match {
+        case '<' if i + 1 < n && s.charAt(i + 1) == '<' => quotedTriple()
         case '<' => iri()
         case '_' => bnodeLabel()
         case '[' => anonBnode()

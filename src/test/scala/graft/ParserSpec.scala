@@ -390,6 +390,39 @@ class ParserSpec extends SparkSpecBase {
     assert(lexSeq(df2, "w") == Seq("hr"))
   }
 
+  test("RDF-star terse Turtle data equals expanded reification via SIDs") {
+    import graft.rdf.{QuadStore, Turtle}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rdr")
+    val terseFile = tmp.resolve("terse.ttl")
+    java.nio.file.Files.writeString(terseFile,
+      """@prefix : <http://example.com/> .
+        |:SAP :bought :sybase .
+        |<<:SAP :bought :sybase>> :src :news .
+        |""".stripMargin)
+    val expandedFile = tmp.resolve("expanded.ttl")
+    java.nio.file.Files.writeString(expandedFile,
+      """@prefix : <http://example.com/> .
+        |@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+        |:SAP :bought :sybase .
+        |_:s1 rdf:subject :SAP .
+        |_:s1 rdf:predicate :bought .
+        |_:s1 rdf:object :sybase .
+        |_:s1 rdf:type rdf:Statement .
+        |_:s1 :src :news .
+        |""".stripMargin)
+    val terse = Turtle.read(spark, terseFile.toString)
+    val expanded = QuadStore.fromReified(Turtle.read(spark, expandedFile.toString))
+    val query = """PREFIX : <http://example.com/>
+                  |SELECT ?who ?src WHERE { <<?who :bought :sybase>> :src ?src }""".stripMargin
+    def run(store: org.apache.spark.sql.DataFrame) =
+      Parser.select(spark, store, query)
+        .select(Term.lex(col("who")), Term.lex(col("src")))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val (a, b) = (run(terse), run(expanded))
+    assert(a == Seq(("http://example.com/SAP", "http://example.com/news")))
+    assert(a == b, "terse and expanded reification must address the same SID")
+  }
+
   test("NOW() is query-constant; fixed clock makes it replay-deterministic") {
     Parser.fixedNowForReplay = Some(java.time.Instant.parse("2026-01-02T03:04:05Z"))
     try {

@@ -119,6 +119,15 @@ class StreamingSpec extends SparkSpecBase {
       val full = RDFS.closure(all).select("s", "p", "o")
       val got = s2.drop("p_bucket").select("s", "p", "o")
       assert(got.except(full).isEmpty && full.except(got).isEmpty)
+
+      // compaction: retain only the newest snapshot; the current version
+      // stays readable, the old one is gone, the pointer is untouched
+      val dropped = QuadStore.compact(root, keepLast = 1)
+      assert(dropped == Seq(v1), s"expected to drop v$v1, dropped $dropped")
+      assert(QuadStore.versions(root) == Seq(v2))
+      assert(QuadStore.currentVersion(root) == v2)
+      assert(!QuadStore.open(spark, root).isEmpty)
+      intercept[Exception](QuadStore.open(spark, root, v1).collect())
     } finally q.stop()
   }
 
