@@ -108,6 +108,42 @@ object FullText {
     buildIndex(docs)
   }
 
+  /** Raw term-frequency postings (term, doc, tf) — the INCREMENTALLY
+    * MAINTAINABLE index form: tf facts never change once written, so new
+    * documents are a pure append (`appendDocs`), unlike the weighted
+    * index where a shifting corpus size and df re-touch every posting.
+    * Weights derive at query time (`searchTf`) from the handful of query
+    * terms' postings — the maintenance story the reference gets from its
+    * B+Tree postings + read-time relevance (FullTextIndex.java:892-897).
+    */
+  def buildTfIndex(docs: DataFrame, analyzer: Analyzer = Analyzer.default): DataFrame =
+    docs.select(col("doc"), explode(tokens(col("text"), analyzer)).as("term"))
+      .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
+
+  /** Merge new documents into a tf index (docs must be NEW ids; a re-fed
+    * doc id would double-count — delete-then-append for updates).
+    */
+  def appendDocs(tfIndex: DataFrame, newDocs: DataFrame,
+                 analyzer: Analyzer = Analyzer.default): DataFrame =
+    tfIndex.unionByName(buildTfIndex(newDocs, analyzer))
+
+  /** Search a tf index with query-time weighting: identical scoring to
+    * `search` over `buildIndex` (w = (1+ln tf)·ln(N/df)), deriving df/N
+    * per query run instead of storing weights — so the stored index never
+    * needs rewriting as the corpus grows (the weighted form would
+    * re-touch EVERY posting whenever N or any df moves).
+    */
+  def searchTf(tfIndex: DataFrame, query: Seq[String], minCosine: Double = 0.0,
+               maxRank: Int = Int.MaxValue): DataFrame = {
+    val n = tfIndex.select(col("doc")).distinct().count()
+    val weighted = tfIndex
+      .join(tfIndex.groupBy("term").agg(count_distinct(col("doc")).as("df")),
+            "term")
+      .withColumn("w", (lit(1.0) + log(col("tf"))) * log(lit(n.toDouble) / col("df")))
+      .select("term", "doc", "tf", "w")
+    search(weighted, query, minCosine, maxRank)
+  }
+
   /** Search the index: cosine(query, doc) with minCosine/maxRank slicing
     * (Hiterator semantics). Query term weights are 1·idf (tf=1 per term).
     */

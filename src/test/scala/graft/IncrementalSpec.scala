@@ -212,6 +212,26 @@ class IncrementalSpec extends SparkSpecBase {
     assert(hits.length == 1 && hits(0).getString(0) == EX + "doc1")
   }
 
+  test("incremental full-text: tf index appends; scores match the batch index") {
+    import graft.search.FullText
+    import org.apache.spark.sql.Encoders
+    def docs(rows: (String, String)*) =
+      spark.createDataset(rows)(Encoders.product[(String, String)]).toDF("doc", "text")
+    val batch1 = docs("d1" -> "spark joins data fast", "d2" -> "slow tortoise walks")
+    val batch2 = docs("d3" -> "fast spark query engine")
+    // incremental: build from batch1, append batch2
+    val tf = FullText.appendDocs(FullText.buildTfIndex(batch1), batch2)
+    // oracle: batch index over the union
+    val all = batch1.unionByName(batch2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc", "score", "rank")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq.sorted
+    val inc = rows(FullText.searchTf(tf, Seq("spark", "fast")))
+    val bat = rows(FullText.search(FullText.buildIndex(all), Seq("spark", "fast")))
+    assert(inc == bat, s"incremental $inc != batch $bat")
+    assert(inc.map(_._1).toSet == Set("d1", "d3"))
+  }
+
   test("full-text analyzers: stopwords, unicode scripts, CJK bigrams") {
     import graft.search.FullText
     import org.apache.spark.sql.Encoders
