@@ -34,6 +34,7 @@ object Bench {
       queries.Pipeline.shingleIndex(spark, sfDir).count()
       SparkEntry.queries("owl_transitive_locatedin")(spark, sfDir).count()
       SparkEntry.queries("owl_equivalence_merge")(spark, sfDir).count()
+      SparkEntry.queries("fts_search_tf")(spark, sfDir).count()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] load phase failed: ${e.getMessage}")
     }

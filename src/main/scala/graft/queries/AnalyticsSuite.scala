@@ -109,6 +109,18 @@ object AnalyticsSuite {
         .orderBy("rank")
     }),
 
+    "fts_search_tf" -> ((s, d) => {
+      // the incrementally-maintainable index form: raw tf postings with
+      // query-time weighting — must score identically to fts_search
+      val tf = Catalog.table(s, d, "fts_tf_index") {
+        FullText.buildTfIndex(
+          Tables.load(s, d, "documents").select(col("doc_id").as("doc"), col("text")))
+      }
+      FullText.searchTf(tf, Seq("spark", "join", "fast"),
+                        minCosine = 0.0, maxRank = 20)
+        .orderBy("rank")
+    }),
+
     "owl_transitive_locatedin" -> ((s, d) => {
       // declare locatedIn transitive; the OWL closure derives
       // customer→region hops through nations. Output: entities located
@@ -239,7 +251,7 @@ object AnalyticsSuite {
        SELECT node, CAST(rank AS BIGINT) AS rank FROM pr$iters ORDER BY node"""
   }
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "rdfs_closure_types" ->
       """SELECT cls, n FROM (
            SELECT 'http://g/seg_' || c_mktsegment AS cls, COUNT(*) AS n
@@ -352,4 +364,10 @@ object AnalyticsSuite {
          SELECT node, CAST(MIN(d) AS BIGINT) AS depth FROM bfs
          GROUP BY node ORDER BY node"""
   )
+
+  /** The incremental tf-postings path must score identically to the
+    * batch-weighted index, so it shares fts_search's oracle.
+    */
+  val oracles: Map[String, String] =
+    oraclesBase + ("fts_search_tf" -> oraclesBase("fts_search"))
 }
