@@ -58,10 +58,18 @@ object Bench {
       }
       name -> (1 to runsPerQuery).map(_ => once()).min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the last ~2000 chars of output and parses the
+    // JSON line out of that window (BENCH_r{1,2,3}.json all show parsed:null
+    // because the full-precision line overflowed it). Round to 3 decimals and
+    // strip trailing zeros so the whole line fits in the tail buffer.
+    def fmt(v: Double): String = {
+      val s = f"$v%.3f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","load":$loadSec,"runs":$runsPerQuery,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","load":${fmt(loadSec)},"runs":$runsPerQuery,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

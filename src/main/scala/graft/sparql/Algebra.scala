@@ -45,7 +45,13 @@ object Algebra {
   final case class NegatedSet(iris: Seq[String]) extends Path
 
   sealed trait Node
-  final case class Bgp(tps: Seq[TriplePattern]) extends Node
+  /** `fixedOrder` pins the written pattern order (the reference's
+    * `hint:Query hint:optimizer "None"` — QueryHints.java:92,
+    * QueryOptimizerEnum.None): the translator skips its static/sampled
+    * join-order heuristics and evaluates patterns exactly as authored.
+    */
+  final case class Bgp(tps: Seq[TriplePattern],
+                       fixedOrder: Boolean = false) extends Node
   /** Arbitrary-length path pattern (ArbitraryLengthPathOp.java:87).
     * `g` is the enclosing GRAPH context (None = default graph); a variable
     * context evaluates the path per named graph and binds the variable.
@@ -91,4 +97,27 @@ object Algebra {
     */
   final case class ServiceNode(iri: String, config: Seq[TriplePattern],
                                remoteQuery: Option[String] = None) extends Node
+
+  /** Structural map over every Bgp in the tree (query-hint application:
+    * the parser rewrites Bgps when `hint:optimizer "None"` pins order).
+    * Values/ServiceNode/SidPattern/PathPattern are leaves here.
+    */
+  def transformBgps(n: Node)(f: Bgp => Bgp): Node = n match {
+    case b: Bgp => f(b)
+    case Filter(c, ch) => Filter(c, transformBgps(ch)(f))
+    case Join(l, r) => Join(transformBgps(l)(f), transformBgps(r)(f))
+    case LeftJoin(l, r, c) => LeftJoin(transformBgps(l)(f), transformBgps(r)(f), c)
+    case Union(l, r) => Union(transformBgps(l)(f), transformBgps(r)(f))
+    case Minus(l, r) => Minus(transformBgps(l)(f), transformBgps(r)(f))
+    case ExistsFilter(ch, s, neg) =>
+      ExistsFilter(transformBgps(ch)(f), transformBgps(s)(f), neg)
+    case Extend(v, e, ch) => Extend(v, e, transformBgps(ch)(f))
+    case Project(vs, ch) => Project(vs, transformBgps(ch)(f))
+    case Distinct(ch) => Distinct(transformBgps(ch)(f))
+    case OrderBy(ks, ch) => OrderBy(ks, transformBgps(ch)(f))
+    case Slice(o, l, ch) => Slice(o, l, transformBgps(ch)(f))
+    case Group(ks, as, ch) => Group(ks, as, transformBgps(ch)(f))
+    case GraphNode(g, ch) => GraphNode(g, transformBgps(ch)(f))
+    case leaf => leaf
+  }
 }

@@ -11,33 +11,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Explain {
 
   final case class Explanation(algebra: String, certainVars: Set[String],
-                               maybeVars: Set[String], physicalPlan: String) {
-    def render: String =
+                               maybeVars: Set[String], physicalPlan: String,
+                               hints: Map[String, String] = Map.empty) {
+    def render: String = {
+      val hintSection =
+        if (hints.isEmpty) ""
+        else hints.toSeq.sorted
+          .map { case (k, v) => s"$k = $v" }
+          .mkString("== query hints ==\n", "\n", "\n")
       s"""== SPARQL algebra ==
          |$algebra
-         |== variable scope ==
+         |$hintSection== variable scope ==
          |certain: ${certainVars.toSeq.sorted.mkString(", ")}
          |maybe:   ${maybeVars.toSeq.sorted.mkString(", ")}
          |== physical plan (Catalyst) ==
          |$physicalPlan""".stripMargin
+    }
   }
 
   def explain(spark: SparkSession, quads: DataFrame, queryText: String): Explanation = {
     val q = Parser.parse(spark, queryText)
-    val res = Translator.translate(quads, q.node)
+    val res =
+      if (q.hints.get("optimizer").contains("Runtime"))
+        Translator.translateSampled(quads, q.node)
+      else Translator.translate(quads, q.node)
     Explanation(
       algebra = pretty(q.node, 0),
       certainVars = res.certain,
       maybeVars = res.maybe,
       physicalPlan = res.df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
+      hints = q.hints)
   }
 
   private def pretty(n: Algebra.Node, depth: Int): String = {
     import Algebra._
     val pad = "  " * depth
     n match {
-      case Bgp(tps) => s"${pad}BGP(${tps.size} patterns)"
+      case Bgp(tps, fixed) =>
+        s"${pad}BGP(${tps.size} patterns${if (fixed) ", fixedOrder" else ""})"
       case PathPattern(_, p, _, g) =>
         s"${pad}Path(${p.getClass.getSimpleName}${g.map(x => s", graph=$x").getOrElse("")})"
       case Filter(_, c) => s"${pad}Filter\n${pretty(c, depth + 1)}"
@@ -59,6 +71,7 @@ object Explain {
       case Values(_, _) => s"${pad}Values"
       case GraphNode(_, c) => s"${pad}Graph\n${pretty(c, depth + 1)}"
       case ServiceNode(iri, _, _) => s"${pad}Service<$iri>"
+      case SidPattern(_, _, _, v) => s"${pad}SidPattern(?$v)"
     }
   }
 }

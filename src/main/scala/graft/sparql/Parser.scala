@@ -35,7 +35,14 @@ object Parser {
       fromDefault: Seq[String] = Nil,    // FROM <g> dataset clauses
       fromNamed: Seq[String] = Nil,      // FROM NAMED <g> dataset clauses
       describeTerms: Seq[Column] = Nil,  // DESCRIBE's constant nodes
-      describeMode: Option[String] = None) // hint:describeMode
+      describeMode: Option[String] = None, // hint:describeMode
+      // all hint: statements, local-name -> value (QueryHints.java:74).
+      // Two get plan effect here: optimizer "None" pins written join order
+      // (Bgp.fixedOrder), optimizer "Runtime" routes through the sampled
+      // RTO (Translator.translateSampled). The rest are recorded and
+      // surfaced by EXPLAIN — Catalyst owns the physical planning they
+      // steered in the reference (analytic/chunkSize/maxParallel).
+      hints: Map[String, String] = Map.empty)
 
   /** Parse and evaluate a SELECT query; returns the solution DataFrame
     * (term-struct columns).
@@ -44,20 +51,33 @@ object Parser {
              unionDefaultGraph: Boolean = false): DataFrame = {
     val q = parse(spark, text)
     require(q.form == SelectForm, s"not a SELECT query: ${q.form}")
-    Translator.translate(datasetQuads(quads, q, unionDefaultGraph), q.node).df
+    val ds = datasetQuads(quads, q, unionDefaultGraph)
+    inHintScope(ds, q) { Translator.translate(ds, q.node).df }
   }
 
   def ask(spark: SparkSession, quads: DataFrame, text: String,
           unionDefaultGraph: Boolean = false): Boolean = {
     val q = parse(spark, text)
-    QueryForms.ask(datasetQuads(quads, q, unionDefaultGraph), q.node)
+    val ds = datasetQuads(quads, q, unionDefaultGraph)
+    inHintScope(ds, q) { QueryForms.ask(ds, q.node) }
   }
 
   def construct(spark: SparkSession, quads: DataFrame, text: String,
                 unionDefaultGraph: Boolean = false): DataFrame = {
     val q = parse(spark, text)
-    QueryForms.construct(datasetQuads(quads, q, unionDefaultGraph), q.node, q.template)
+    val ds = datasetQuads(quads, q, unionDefaultGraph)
+    inHintScope(ds, q) { QueryForms.construct(ds, q.node, q.template) }
   }
+
+  /** `hint:Query hint:optimizer "Runtime"` activates the sampled runtime
+    * optimizer for every BGP evaluated under this query (the reference's
+    * RTO enable hint, QueryHints.java:108-145). "None" was already applied
+    * structurally at parse time (Bgp.fixedOrder).
+    */
+  private def inHintScope[T](quads: DataFrame, q: Query)(body: => T): T =
+    if (q.hints.get("optimizer").contains("Runtime"))
+      Translator.withRuntimeSampling(quads)(body)
+    else body
 
   /** Realize the query's dataset description (FROM / FROM NAMED) as a quad
     * store rewrite, so the translator's conventions — default graph = NULL
@@ -102,6 +122,7 @@ object Parser {
     val q = parse(spark, text)
     require(q.form == DescribeForm, s"not a DESCRIBE query: ${q.form}")
     import org.apache.spark.sql.functions.col
+    inHintScope(quads, q) {
     val varNodes: Option[DataFrame] = q.node match {
       case Values(df, _) if q.projection.isEmpty && df.columns.nonEmpty =>
         Some(df.select(col(df.columns.head).as("n")))
@@ -126,6 +147,7 @@ object Parser {
       case Some("ForwardOneStep") => QueryForms.describeForward(quads, nodes)
       case Some("SymmetricOneStep") => QueryForms.describe(quads, nodes, maxSteps = 1)
       case _ => QueryForms.describe(quads, nodes)
+    }
     }
   }
 
@@ -253,6 +275,10 @@ object Parser {
     private var namedSubqueries = Map.empty[String, Node]
     // hint:describeMode, captured when hint statements are dropped
     private var describeModeHint: Option[String] = None
+    // every hint: statement seen, local-name -> value (scope-insensitive:
+    // Query/Group/SubQuery scopes all record; Prior additionally recorded
+    // as "runFirst"/"runLast" pass-throughs)
+    private var queryHints = Map.empty[String, String]
     // NOW() is constant per query: captured once at parse time
     private lazy val queryNow: java.time.Instant =
       Parser.fixedNowForReplay.getOrElse(java.time.Instant.now())
@@ -283,13 +309,21 @@ object Parser {
         if (peekIs("BASE")) { next(); next() }
         else { next(); val p = next(); val iri = stripIri(next()); prefixes += p.dropRight(1) -> iri }
       }
-      if (peekIs("SELECT")) selectQuery()
-      else if (peekIs("ASK")) { next(); if (peekIs("WHERE")) next(); expect("{")
-        val n = groupGraphPattern(); expect("}")
-        Query(AskForm, n, Nil, distinct = false, Nil) }
-      else if (peekIs("CONSTRUCT")) constructQuery()
-      else if (peekIs("DESCRIBE")) describeQuery()
-      else throw new IllegalArgumentException(s"unsupported query form: $peek")
+      val q =
+        if (peekIs("SELECT")) selectQuery()
+        else if (peekIs("ASK")) { next(); if (peekIs("WHERE")) next(); expect("{")
+          val n = groupGraphPattern(); expect("}")
+          Query(AskForm, n, Nil, distinct = false, Nil) }
+        else if (peekIs("CONSTRUCT")) constructQuery()
+        else if (peekIs("DESCRIBE")) describeQuery()
+        else throw new IllegalArgumentException(s"unsupported query form: $peek")
+      // hint:Query hint:optimizer "None" (QueryOptimizerEnum.None): evaluate
+      // every BGP in its written order — no static or sampled reordering
+      val node =
+        if (queryHints.get("optimizer").contains("None"))
+          Algebra.transformBgps(q.node)(b => b.copy(fixedOrder = true))
+        else q.node
+      q.copy(node = node, hints = queryHints)
     }
 
     private def selectQuery(): Query = {
@@ -756,7 +790,7 @@ object Parser {
       * a nested ServiceNode — unwrap them back to their triples.
       */
     private def collectBgp(n: Node): Seq[TriplePattern] = n match {
-      case Bgp(tps) => tps
+      case Bgp(tps, _) => tps
       case ServiceNode(Services.SearchIri, tps, _) => tps
       case Join(l, r) => collectBgp(l) ++ collectBgp(r)
       case other => throw new IllegalArgumentException(
@@ -823,12 +857,20 @@ object Parser {
               if (iriOpt.exists(_.startsWith(Services.SearchIri + "#")))
                 magic :+= TriplePattern(s, p, o)
               // query-hint statements (hint:Query hint:x val — QueryHints
-              // .java:74) are planner directives, not data patterns; parse
-              // and drop them (Catalyst owns physical planning here).
-              // describeMode is the one hint we honor (it changes RESULTS).
+              // .java:74) are planner directives, not data patterns: record
+              // them on the Query (scope from the subject — hint:Query /
+              // hint:Group / hint:SubQuery / hint:Prior, ASTQueryHintOptimizer
+              // .java:180 scoping) and drop them from the pattern. optimizer
+              // and describeMode get plan/result effect; the rest pass
+              // through to EXPLAIN.
               else if (iriOpt.exists(_.startsWith(HintNs))) {
-                if (iriOpt.contains(HintNs + "describeMode") && rawObj.startsWith("\""))
-                  describeModeHint = Some(rawObj.substring(1, rawObj.lastIndexOf('"')))
+                val name = iriOpt.get.substring(HintNs.length)
+                val value =
+                  if (rawObj.startsWith("\"")) rawObj.substring(1, rawObj.lastIndexOf('"'))
+                  else rawObj
+                if (name == "describeMode" && rawObj.startsWith("\""))
+                  describeModeHint = Some(value)
+                queryHints += name -> value
               }
               else tps :+= TriplePattern(s, p, o)
             case Right(p) => paths :+= ((s, p, o))

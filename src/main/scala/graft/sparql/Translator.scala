@@ -36,9 +36,10 @@ object Translator {
     */
   def translate(quads: DataFrame, node: Node): Result = node match {
 
-    case Bgp(tps) =>
+    case Bgp(tps, fixedOrder) =>
       require(tps.nonEmpty, "empty BGP")
-      orderPatterns(tps).map(tp => translateTp(quads, tp))
+      val ordered = if (fixedOrder) tps else orderPatterns(tps)
+      ordered.map(tp => translateTp(quads, tp))
         .reduce((l, r) => join(l, r, "inner", None))
 
     case PathPattern(s, path, o, g) =>
@@ -294,6 +295,14 @@ object Translator {
       translate(quads, node)
     }
 
+  /** Evaluate `body` with the sampled runtime optimizer active for every
+    * BGP translated inside it — the `hint:Query hint:optimizer "Runtime"`
+    * surface (QueryHints.java:108-145, the RTO enable switch), usable
+    * around whole query forms (ASK/CONSTRUCT/DESCRIBE), not just SELECT.
+    */
+  def withRuntimeSampling[T](quads: DataFrame, fraction: Double = 0.01)(body: => T): T =
+    rtoContext.withValue(Some((quads, fraction)))(body)
+
   /** Estimate per-pattern cardinalities in ONE pass over a seeded sample:
     * sum(when(pattern-predicate, 1)) per pattern, then greedy cheapest-
     * first ordering that keeps each next pattern connected to bound vars.
@@ -480,7 +489,8 @@ object Translator {
     * graph scope by definition.
     */
   private def rewriteGraph(n: Node, g: Pat): Node = n match {
-    case Bgp(tps) => Bgp(tps.map(tp => if (tp.g.isEmpty) tp.copy(g = Some(g)) else tp))
+    case Bgp(tps, fixed) =>
+      Bgp(tps.map(tp => if (tp.g.isEmpty) tp.copy(g = Some(g)) else tp), fixed)
     case p: PathPattern => if (p.g.isEmpty) p.copy(g = Some(g)) else p
     case Filter(c, ch) => Filter(c, rewriteGraph(ch, g))
     case Join(l, r) => Join(rewriteGraph(l, g), rewriteGraph(r, g))

@@ -222,7 +222,7 @@ object Update {
     flat(Parser.parse(spark, s"$prefixes SELECT * WHERE { $tmpl }").node)
 
   private def flat(n: Node): Seq[TriplePattern] = n match {
-    case Bgp(tps) => tps
+    case Bgp(tps, _) => tps
     case Join(l, r) => flat(l) ++ flat(r)
     case GraphNode(g, ch) => flat(ch).map(tp =>
       if (tp.g.isEmpty) tp.copy(g = Some(g)) else tp)
