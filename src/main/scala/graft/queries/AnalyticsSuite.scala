@@ -109,6 +109,18 @@ object AnalyticsSuite {
         .orderBy("rank")
     }),
 
+    "fts_lang_postings" -> ((s, d) => {
+      // language-aware analysis (DefaultAnalyzerFactory): each doc
+      // tokenizes with the analyzer its lang tag selects — en gets
+      // stopwords + minimal plural stemming, de/fr/es their stopword
+      // lists over the unicode splitter, zh the CJK-bigram form — in ONE
+      // pass (a when-chain column, no per-language splits or shuffles)
+      FullText.tfPostingsByLang(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id").as("doc"), col("text"), col("lang")))
+        .orderBy("term", "doc")
+    }),
+
     "fts_search_tf" -> ((s, d) => {
       // the incrementally-maintainable index form: raw tf postings with
       // query-time weighting — must score identically to fts_search
@@ -297,6 +309,37 @@ object AnalyticsSuite {
            UNION ALL
            SELECT 'zone_members', (SELECT COUNT(*) FROM region))
          ORDER BY kind""",
+
+    "fts_lang_postings" -> {
+      def inList(ws: Set[String]) = ws.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+      val en = graft.search.FullText.Analyzer.english.stopwords
+      val de = graft.search.FullText.Analyzer.german.stopwords
+      val fr = graft.search.FullText.Analyzer.french.stopwords
+      val es = graft.search.FullText.Analyzer.spanish.stopwords
+      s"""WITH en_tok AS (
+           SELECT doc, CASE WHEN len(t) >= 4 AND t LIKE '%s'
+                             AND NOT (t LIKE '%ss' OR t LIKE '%us' OR t LIKE '%is')
+                       THEN substr(t, 1, len(t) - 1) ELSE t END AS term
+           FROM (SELECT doc_id AS doc,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+                 FROM documents WHERE lang = 'en')
+           WHERE len(t) > 0 AND t NOT IN (${inList(en)})),
+         uni AS (
+           SELECT doc, lang, t FROM (
+             SELECT doc_id AS doc, lang,
+               unnest(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+')) AS t
+             FROM documents WHERE lang <> 'en')
+           WHERE len(t) > 0),
+         other_tok AS (
+           SELECT doc, t AS term FROM uni
+           WHERE NOT (lang = 'de' AND t IN (${inList(de)}))
+             AND NOT (lang = 'fr' AND t IN (${inList(fr)}))
+             AND NOT (lang = 'es' AND t IN (${inList(es)}))),
+         allt AS (SELECT doc, term FROM en_tok
+                  UNION ALL SELECT doc, term FROM other_tok)
+         SELECT term, doc, COUNT(*) AS tf FROM allt
+         GROUP BY 1, 2 ORDER BY term, doc"""
+    },
 
     "fts_search" ->
       """WITH tok AS (SELECT doc_id AS doc,

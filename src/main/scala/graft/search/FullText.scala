@@ -35,7 +35,11 @@ object FullText {
       foldCase: Boolean = true,
       stopwords: Set[String] = Set.empty,
       minTokenLen: Int = 1,
-      cjkBigrams: Boolean = false)
+      cjkBigrams: Boolean = false,
+      // minimal English plural stemmer (Lucene EnglishMinimalStemFilter):
+      // strip a final 's' from tokens of length ≥4 unless they end in
+      // 'ss'/'us'/'is' — cheap, no dictionary, catches the common plural
+      stem: Boolean = false)
 
   object Analyzer {
     /** ASCII default — byte-compatible with the original index. */
@@ -53,6 +57,46 @@ object FullText {
 
     /** CJK: unicode split + Han-run bigram shingles. */
     val cjk: Analyzer = unicode.copy(cjkBigrams = true)
+
+    // heads of the standard per-language stopword lists (the reference
+    // serves Lucene's GermanAnalyzer/FrenchAnalyzer/SpanishAnalyzer etc.,
+    // DefaultAnalyzerFactory.java:186-360)
+    val german: Analyzer = unicode.copy(stopwords = Set(
+      "der", "die", "das", "und", "oder", "ein", "eine", "ist", "nicht",
+      "mit", "von", "zu", "im", "den", "auf", "für", "des", "dem"))
+    val french: Analyzer = unicode.copy(stopwords = Set(
+      "le", "la", "les", "un", "une", "des", "et", "ou", "est", "ne",
+      "pas", "dans", "sur", "avec", "du", "de", "ce", "que", "qui"))
+    val spanish: Analyzer = unicode.copy(stopwords = Set(
+      "el", "la", "los", "las", "un", "una", "y", "o", "es", "no", "en",
+      "con", "de", "del", "por", "para", "que", "se"))
+
+    /** Language-code → analyzer registry (DefaultAnalyzerFactory
+      * .getAnalyzers:186 keyed by ISO code; the reference registers per-
+      * language Lucene analyzers, we register Column-pipeline configs).
+      */
+    val byLang: Map[String, Analyzer] = Map(
+      "en" -> english.copy(stem = true),
+      "de" -> german, "fr" -> french, "es" -> spanish,
+      "zh" -> cjk, "ja" -> cjk, "ko" -> cjk)
+
+    // ISO 639-2/3 → 639-1 fallback (getAnalyzer:105-123 tries the 3-letter
+    // code, then the 2-letter code)
+    private[search] val iso3to2: Map[String, String] = Map(
+      "eng" -> "en", "deu" -> "de", "ger" -> "de", "fra" -> "fr",
+      "fre" -> "fr", "spa" -> "es", "zho" -> "zh", "chi" -> "zh",
+      "jpn" -> "ja", "kor" -> "ko")
+
+    /** Select the analyzer for a language tag: strip the region subtag
+      * ("en-US" → "en"), map 3-letter codes down, fall back to the unicode
+      * analyzer (the reference's StandardAnalyzer default,
+      * DefaultAnalyzerFactory.getAnalyzer:75-123).
+      */
+    def forLang(langTag: String): Analyzer = {
+      if (langTag == null || langTag.isEmpty) return unicode
+      val primary = langTag.toLowerCase.takeWhile(c => c != '-' && c != '_')
+      byLang.getOrElse(iso3to2.getOrElse(primary, primary), unicode)
+    }
   }
 
   /** Tokenize with the default analyzer (lowercase, split on
@@ -75,7 +119,34 @@ object FullText {
     }
     if (a.stopwords.nonEmpty)
       toks = filter(toks, t => !t.isInCollection(a.stopwords))
+    if (a.stem)
+      toks = transform(toks, t =>
+        when(length(t) >= 4 && t.endsWith("s") &&
+             !t.endsWith("ss") && !t.endsWith("us") && !t.endsWith("is"),
+             t.substr(lit(1), length(t) - 1)).otherwise(t))
     toks
+  }
+
+  /** Tokenize with the analyzer selected per row by its language tag — the
+    * data-parallel form of Analyzer.forLang: one when-chain over the
+    * registered languages, so a mixed-language corpus analyzes in a single
+    * pass with no per-language splits or shuffles.
+    */
+  def tokensByLang(text: Column, lang: Column): Column = {
+    val primary = lower(split(lang, "[-_]").getItem(0))
+    // group registry codes by analyzer so each distinct analyzer appears
+    // once in the chain, matched by all of its 2- and 3-letter codes
+    val grouped = Analyzer.byLang.toSeq.groupBy(_._2).toSeq.map {
+      case (a, entries) =>
+        val codes = entries.map(_._1) ++
+          Analyzer.iso3to2.collect { case (c3, c2) if entries.exists(_._1 == c2) => c3 }
+        (a, codes.distinct)
+    }
+    grouped.foldLeft(lit(null).cast(ArrayType(StringType))) { case (acc, (a, codes)) =>
+      when(primary.isin(codes: _*), tokens(text, a)).otherwise(acc)
+    } match {
+      case chain => coalesce(chain, tokens(text, Analyzer.unicode))
+    }
   }
 
   /** Build the inverted index: (term, doc, tf, w) + per-doc norm.
@@ -83,11 +154,26 @@ object FullText {
     */
   def buildIndex(docs: DataFrame): DataFrame = buildIndex(docs, Analyzer.default)
 
-  def buildIndex(docs: DataFrame, analyzer: Analyzer): DataFrame = {
-    val n = docs.count()
-    val tf = docs
+  def buildIndex(docs: DataFrame, analyzer: Analyzer): DataFrame =
+    weigh(docs
       .select(col("doc"), explode(tokens(col("text"), analyzer)).as("term"))
+      .groupBy("term", "doc").agg(count(lit(1)).as("tf")), docs.count())
+
+  /** Inverted index over a mixed-language corpus: each document tokenizes
+    * with the analyzer its `lang` column selects (the reference indexes
+    * per-language-code fields the same way, FullTextIndex.java:240 +
+    * DefaultAnalyzerFactory). `docs` needs (doc, text, lang).
+    */
+  def buildIndexByLang(docs: DataFrame): DataFrame =
+    weigh(tfPostingsByLang(docs), docs.count())
+
+  /** Raw (term, doc, tf) postings with per-language analysis. */
+  def tfPostingsByLang(docs: DataFrame): DataFrame =
+    docs.select(col("doc"),
+                explode(tokensByLang(col("text"), col("lang"))).as("term"))
       .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
+
+  private def weigh(tf: DataFrame, n: Long): DataFrame = {
     val df_ = tf.groupBy("term").agg(count_distinct(col("doc")).as("df"))
     tf.join(df_, "term")
       .withColumn("w", (lit(1.0) + log(col("tf"))) * log(lit(n.toDouble) / col("df")))

@@ -259,6 +259,37 @@ class IncrementalSpec extends SparkSpecBase {
     assert(hits == Seq("d2"))
   }
 
+  test("per-language analyzer selection: forLang registry + tokensByLang chain") {
+    import graft.search.FullText
+    import org.apache.spark.sql.Encoders
+    // registry selection with region/ISO-639-3 normalization
+    assert(FullText.Analyzer.forLang("en") == FullText.Analyzer.byLang("en"))
+    assert(FullText.Analyzer.forLang("en-US") == FullText.Analyzer.byLang("en"))
+    assert(FullText.Analyzer.forLang("eng") == FullText.Analyzer.byLang("en"))
+    assert(FullText.Analyzer.forLang("zho") == FullText.Analyzer.cjk)
+    assert(FullText.Analyzer.forLang("ru") == FullText.Analyzer.unicode)
+    assert(FullText.Analyzer.forLang(null) == FullText.Analyzer.unicode)
+    // one corpus, three languages, one pass: each row analyzed per its tag
+    val df = spark.createDataset(Seq(
+      ("d1", "en", "the sparks of engines"),   // stopword + plural stem
+      ("d2", "de", "der Funke und die Maschine"),
+      ("d3", "zh", "数据处理 engine"),
+      ("d4", "ru", "молния и гроза")           // unregistered → unicode
+    ))(Encoders.product[(String, String, String)]).toDF("doc", "lang", "text")
+    val toks = df.select(col("doc"),
+        FullText.tokensByLang(col("text"), col("lang")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(toks("d1") == Seq("spark", "engine"))          // stemmed, stopped
+    assert(toks("d2") == Seq("funke", "maschine"))        // german stopwords
+    assert(toks("d3") == Seq("数据", "据处", "处理", "engine")) // bigrams
+    assert(toks("d4") == Seq("молния", "и", "гроза"))     // unicode fallback
+    // the by-lang index searches across languages with one posting store
+    val idx = FullText.buildIndexByLang(df)
+    val hits = FullText.search(idx, Seq("engine"))
+      .select("doc").collect().map(_.getString(0)).toSeq.sorted
+    assert(hits == Seq("d1", "d3"))
+  }
+
   test("frame sampling: stride windows with deterministic features") {
     val docs = Tables.load(spark, sfDir, "documents").limit(5)
     val frames = graft.pipeline.Multimodal.sampleFrames(spark, docs, 16, 4)
