@@ -173,6 +173,82 @@ object FullText {
                 explode(tokensByLang(col("text"), col("lang"))).as("term"))
       .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
 
+  /** Postings matched by the query: exact terms by equality, trailing-'*'
+    * terms by prefix. With `matchAll`, only documents matching EVERY query
+    * term keep their postings (bds:matchAllTerms).
+    */
+  private def matchedPostings(index: DataFrame, terms: Seq[String],
+                              matchAll: Boolean): DataFrame = {
+    val (prefixes, exact) = terms.partition(_.endsWith("*"))
+    val conds =
+      exact.map(t => col("term") === t) ++
+      prefixes.map(p => col("term").startsWith(p.stripSuffix("*")))
+    val matched = index.filter(conds.reduce(_ || _))
+    if (!matchAll) matched
+    else {
+      // which query pattern(s) a posting matched, for per-doc accounting
+      val pat = (exact.map(t => (col("term") === t, t)) ++
+                 prefixes.map(p => (col("term").startsWith(p.stripSuffix("*")), p)))
+        .map { case (c, t) => when(c, t) }
+      val tagged = matched.withColumn("qpat",
+        explode(filter(array(pat: _*), _.isNotNull)))
+      val full = tagged.groupBy("doc")
+        .agg(count_distinct(col("qpat")).as("nmatched"))
+        .filter(col("nmatched") === terms.size)
+        .select("doc")
+      tagged.join(full, "doc").select("term", "doc", "tf", "w").distinct()
+    }
+  }
+
+  /** Lucene's 8-bit norm quantization (Similarity.encodeNorm/decodeNorm,
+    * SmallFloat "315": 3 significand bits counting the hidden bit), which
+    * the reference bakes into every stored doc-term weight
+    * (FullTextIndexTupleSerializer.java:126-134) — scores are only
+    * reproducible through the same round-trip: keep the exponent and the
+    * top TWO explicit mantissa bits, truncating the rest.
+    */
+  def luceneNormQuantize(x: Column): Column = {
+    val e = floor(log2(x))
+    val p = pow(lit(2.0), e)
+    when(x <= 0.0, 0.0).otherwise(
+      (lit(1.0) + floor((x / p - 1.0) * 4) / 4.0) * p)
+  }
+
+  /** The reference's own index weights (TermFrequencyData.normalize:119-140):
+    * dw(t,d) = tf / sqrt(Σ_t tf²) — plain tf-cosine, NO idf — stored through
+    * the Lucene norm quantization above.
+    */
+  def buildBdsIndex(docs: DataFrame, analyzer: Analyzer = Analyzer.default): DataFrame = {
+    val tf = docs
+      .select(col("doc"), explode(tokens(col("text"), analyzer)).as("term"))
+      .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
+    val norm = tf.groupBy("doc").agg(sqrt(sum(col("tf") * col("tf"))).as("dmag"))
+    tf.join(norm, "doc")
+      .withColumn("w", luceneNormQuantize(col("tf") / col("dmag")))
+      .select("term", "doc", "tf", "w")
+  }
+
+  /** Reference-faithful relevance (ReadIndexTask.java:162-189): score(d) =
+    * Σ_t qw(t)·dw(t,d) with qw = qtf/sqrt(Σ qtf²) = 1/sqrt(|q|) for
+    * distinct terms; dw is the quantized stored weight. Rank over
+    * (score desc, doc) with minCosine/maxRank slicing as in `search`.
+    */
+  def searchBds(index: DataFrame, query: Seq[String], minCosine: Double = 0.0,
+                maxRank: Int = Int.MaxValue, matchAll: Boolean = false): DataFrame = {
+    val terms = query.map(_.toLowerCase).distinct
+    val qw = 1.0 / math.sqrt(terms.size.toDouble)
+    val scored = matchedPostings(index, terms, matchAll)
+      .groupBy("doc").agg(round(sum(col("w") * qw), 6).as("score"))
+      .filter(col("score") >= minCosine)
+    val w = Window.orderBy(col("score").desc, col("doc"))
+    val ranked =
+      if (maxRank != Int.MaxValue)
+        scored.orderBy(col("score").desc, col("doc")).limit(maxRank)
+      else scored
+    ranked.withColumn("rank", row_number().over(w).cast(LongType))
+      .select("doc", "score", "rank")
+  }
+
   private def weigh(tf: DataFrame, n: Long): DataFrame = {
     val df_ = tf.groupBy("term").agg(count_distinct(col("doc")).as("df"))
     tf.join(df_, "term")
@@ -220,24 +296,29 @@ object FullText {
     * re-touch EVERY posting whenever N or any df moves).
     */
   def searchTf(tfIndex: DataFrame, query: Seq[String], minCosine: Double = 0.0,
-               maxRank: Int = Int.MaxValue): DataFrame = {
+               maxRank: Int = Int.MaxValue, matchAll: Boolean = false): DataFrame = {
     val n = tfIndex.select(col("doc")).distinct().count()
     val weighted = tfIndex
       .join(tfIndex.groupBy("term").agg(count_distinct(col("doc")).as("df")),
             "term")
       .withColumn("w", (lit(1.0) + log(col("tf"))) * log(lit(n.toDouble) / col("df")))
       .select("term", "doc", "tf", "w")
-    search(weighted, query, minCosine, maxRank)
+    search(weighted, query, minCosine, maxRank, matchAll)
   }
 
   /** Search the index: cosine(query, doc) with minCosine/maxRank slicing
     * (Hiterator semantics). Query term weights are 1·idf (tf=1 per term).
+    *
+    * A query term ending in '*' is a PREFIX match (the reference's
+    * FullTextQuery prefixMatch / trailing-wildcard surface, BDS.java);
+    * `matchAll` keeps only documents matching every query term
+    * (bds:matchAllTerms).
     */
   def search(index: DataFrame, query: Seq[String], minCosine: Double = 0.0,
-             maxRank: Int = Int.MaxValue): DataFrame = {
+             maxRank: Int = Int.MaxValue, matchAll: Boolean = false): DataFrame = {
     val terms = query.map(_.toLowerCase).distinct
     val docNorm = index.groupBy("doc").agg(sqrt(sum(col("w") * col("w"))).as("dnorm"))
-    val qpost = index.filter(col("term").isin(terms: _*))
+    val qpost = matchedPostings(index, terms, matchAll)
     // query weight per term = idf = w(t,d)/(1+ln tf) is awkward to recover;
     // use the standard simplification: q vector has weight 1 per term, so
     // score = Σ_t w(t,d) / (dnorm · sqrt(|q|))

@@ -146,6 +146,7 @@ object Parser {
     q.describeMode match {
       case Some("ForwardOneStep") => QueryForms.describeForward(quads, nodes)
       case Some("SymmetricOneStep") => QueryForms.describe(quads, nodes, maxSteps = 1)
+      case Some("CBD") => QueryForms.describeCbd(quads, nodes)
       case _ => QueryForms.describe(quads, nodes)
     }
     }
@@ -726,15 +727,20 @@ object Parser {
           val endTok = pos
           expect("}")
           val config = collectBgp(sub)
+          // SERVICE bd:search { ... } is the explicit form of the magic-
+          // predicate surface — route it to the internal search service
+          // (the config predicates were already normalized in triplesBlock)
+          val isSearch = iri.startsWith(BdsNs.stripSuffix("#")) ||
+                         iri == Services.SearchIri
           // for http(s) endpoints, ship the group verbatim (tokens joined —
           // literals/IRIs are single tokens) with the prefixes in scope
           val remote =
-            if (iri.startsWith("http://") || iri.startsWith("https://")) {
+            if (!isSearch && (iri.startsWith("http://") || iri.startsWith("https://"))) {
               val decls = prefixes.map { case (p, ns) => s"PREFIX $p: <$ns>" }
                 .mkString(" ")
               Some(s"$decls SELECT * WHERE { ${toks.slice(startTok, endTok).mkString(" ")} }")
             } else None
-          add(ServiceNode(iri, config, remote))
+          add(ServiceNode(if (isSearch) Services.SearchIri else iri, config, remote))
         } else if (peek == "{") {
           // group or union chain or sub-select
           next()
@@ -854,8 +860,17 @@ object Parser {
             case Left((p, iriOpt)) =>
               // magic predicates (the reference's bds:search surface,
               // BDS.java:94) route to the search service instead of the BGP
-              if (iriOpt.exists(_.startsWith(Services.SearchIri + "#")))
-                magic :+= TriplePattern(s, p, o)
+              if (iriOpt.exists(i => i.startsWith(Services.SearchIri + "#") ||
+                                     i.startsWith(BdsNs))) {
+                // normalize the reference's bds: namespace (BDS.java:94 —
+                // bds:search is the query predicate) onto the internal
+                // service's config vocabulary (graft://search#query etc.)
+                val i = iriOpt.get
+                val local0 = i.substring(i.indexOf('#') + 1)
+                val local = if (local0 == "search") "query" else local0
+                magic :+= TriplePattern(
+                  s, C(graft.rdf.Term.iri(Services.SearchIri + "#" + local)), o)
+              }
               // query-hint statements (hint:Query hint:x val — QueryHints
               // .java:74) are planner directives, not data patterns: record
               // them on the Query (scope from the subject — hint:Query /
@@ -1387,6 +1402,11 @@ object Parser {
     * owns in this engine).
     */
   private val HintNs = "http://www.bigdata.com/queryHints#"
+
+  /** The reference's full-text-search vocabulary (rdf/store/BDS.java:94) —
+    * accepted as an alias for the internal search service's namespace.
+    */
+  private val BdsNs = "http://www.bigdata.com/rdf/search#"
 
   /** Prefixes auto-declared for every query, matching the reference's
     * PrefixDeclProcessor.java:196-214 (bd/bds/hint/rdf/rdfs/xsd/foaf/fn/

@@ -48,7 +48,15 @@ object Paths {
     case PSeq(a, b) =>
       val l = compileFlat(scoped, a)
       val r = compileFlat(scoped, b).withColumnRenamed("src", "mid")
-      l.join(r, l("dst") === r("mid")).select(l("src"), r("dst")).distinct()
+      // a zero-length-capable side matches at EVERY term, not just the
+      // vertices of its own edge relation (SPARQL 18.4 ALP; the reference's
+      // ticket-734 golden cases: `rdf:type/rdfs:subClassOf*` must hold when
+      // the type's class has no subclass edges at all) — so the other
+      // side's pairs pass through unextended
+      val joined = l.join(r, l("dst") === r("mid")).select(l("src"), r("dst"))
+      val throughB = if (admitsZeroLength(b)) Seq(l.select("src", "dst")) else Nil
+      val throughA = if (admitsZeroLength(a)) Seq(r.select(col("mid").as("src"), col("dst"))) else Nil
+      (Seq(joined) ++ throughB ++ throughA).reduce(_ unionByName _).distinct()
     case Alt(a, b) =>
       compileFlat(scoped, a).unionByName(compileFlat(scoped, b)).distinct()
     case ZeroOrOne(p) =>
@@ -80,8 +88,16 @@ object Paths {
       val l = compilePerGraph(scoped, a)
       val r = compilePerGraph(scoped, b)
         .withColumnRenamed("src", "mid").withColumnRenamed("g", "g2")
-      l.join(r, l("dst") === r("mid") && l("g") === r("g2"))
-        .select(l("g"), l("src"), r("dst")).distinct()
+      // see compileFlat's PSeq: zero-length-capable sides pass the other
+      // side's pairs through (per graph)
+      val joined = l.join(r, l("dst") === r("mid") && l("g") === r("g2"))
+        .select(l("g"), l("src"), r("dst"))
+      val throughB = if (admitsZeroLength(b)) Seq(l.select("g", "src", "dst")) else Nil
+      val throughA =
+        if (admitsZeroLength(a))
+          Seq(r.select(col("g2").as("g"), col("mid").as("src"), col("dst")))
+        else Nil
+      (Seq(joined) ++ throughB ++ throughA).reduce(_ unionByName _).distinct()
     case Alt(a, b) =>
       compilePerGraph(scoped, a).unionByName(compilePerGraph(scoped, b)).distinct()
     case ZeroOrOne(p) =>

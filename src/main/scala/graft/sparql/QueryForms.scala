@@ -91,6 +91,53 @@ object QueryForms {
     if (triples == null) dflt.limit(0) else triples
   }
 
+  /** DESCRIBE via the W3C Concise Bounded Description proper (the
+    * reference's DescribeModeEnum.CBD; CBD.java): OUTGOING statements only,
+    * closed over blank-node objects, plus the CBD of every reification of a
+    * statement already in the description (r rdf:subject s; rdf:predicate p;
+    * rdf:object o matching an included (s,p,o)).
+    */
+  def describeCbd(quads: DataFrame, nodes: DataFrame, maxSteps: Int = 8): DataFrame = {
+    val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val dflt = quads.filter(col("c").isNull).select("s", "p", "o")
+    def forwardClosure(start: DataFrame): DataFrame = {
+      var frontier = start.select(col("n")).distinct()
+      var triples: DataFrame = null
+      var seenNodes = frontier
+      var i = 0
+      var done = false
+      while (i < maxSteps && !done) {
+        val step = dflt.join(frontier, dflt("s") === frontier("n"))
+          .select("s", "p", "o").distinct()
+        triples = if (triples == null) step else triples.unionByName(step).distinct()
+        val newNodes = step.select(col("o").as("n")).filter(Term.isBnode(col("n")))
+          .distinct()
+          .except(seenNodes)
+          .localCheckpoint(true)
+        if (newNodes.isEmpty) done = true
+        else { seenNodes = seenNodes.unionByName(newNodes); frontier = newNodes }
+        i += 1
+      }
+      if (triples == null) dflt.limit(0) else triples
+    }
+    val base = forwardClosure(nodes)
+    // reification closure: nodes r whose (rdf:subject, rdf:predicate,
+    // rdf:object) triple matches a statement already in the description
+    val rs = dflt.filter(col("p") === Term.iri(RdfNs + "subject"))
+      .select(col("s").as("r"), col("o").as("rs"))
+    val rp = dflt.filter(col("p") === Term.iri(RdfNs + "predicate"))
+      .select(col("s").as("r2"), col("o").as("rp"))
+    val ro = dflt.filter(col("p") === Term.iri(RdfNs + "object"))
+      .select(col("s").as("r3"), col("o").as("ro"))
+    val reifiers = rs
+      .join(rp, col("r") === col("r2")).join(ro, col("r") === col("r3"))
+      .join(base, col("rs") === base("s") && col("rp") === base("p") &&
+                  col("ro") === base("o"))
+      .select(col("r").as("n")).distinct()
+    if (reifiers.isEmpty) base
+    else base.unionByName(forwardClosure(reifiers)).distinct()
+  }
+
   /** SELECT result projected to plain (lex or numeric) columns — the bridge
     * from term structs to a relational result surface.
     */

@@ -46,6 +46,11 @@ object Services {
   val SearchIri = "graft://search"
   private val NS = "graft://search#"
 
+  /** Synthetic config predicate the translator appends when the search
+    * group sits inside GRAPH ?g / GRAPH <iri> (see Translator.rewriteGraph).
+    */
+  val graphConfigPred: org.apache.spark.sql.Column = Term.iri(NS + "graph")
+
   register(SearchIri, (quads: DataFrame, config: Seq[TriplePattern]) => {
     // extract (predicate-iri -> subject, object) via the constants' lex forms
     val entries: Seq[(String, Pat, Pat)] = config.map {
@@ -71,25 +76,55 @@ object Services {
       case (_, C(t)) => Some(constLex(t).toDouble); case _ => None }.getOrElse(0.0)
     val maxRank = find("maxRank").flatMap {
       case (_, C(t)) => Some(constLex(t).toInt); case _ => None }.getOrElse(Int.MaxValue)
+    val matchAll = find("matchAllTerms").exists {
+      case (_, C(t)) => constLex(t).equalsIgnoreCase("true"); case _ => false }
     val scoreVar = find("relevance").collect { case (_, V(n)) => n }
     val rankVar = find("rank").collect { case (_, V(n)) => n }
 
-    // docs = distinct string literals in the default graph
-    val lits = quads
-      .filter(col("c").isNull && Term.isLiteral(col("o")) &&
-              (Term.dt(col("o")) === Term.XsdString || Term.dt(col("o")).isNull))
+    // GRAPH scope, threaded in by the translator: a constant restricts
+    // the searched literals to that graph; a variable additionally binds
+    // it from each matched literal's named-graph occurrences
+    val graphScope = find("graph")
+    val litFilter = Term.isLiteral(col("o")) &&
+      (Term.dt(col("o")) === Term.XsdString || Term.dt(col("o")).isNull)
+    val scopedQuads = graphScope match {
+      case Some((C(t), _)) => quads.filter(col("c") === t)
+      case Some((V(_), _)) => quads.filter(col("c").isNotNull)
+      case _ => quads
+    }
+    // docs = distinct string literals in scope (the reference indexes every
+    // told literal; with no GRAPH scope the whole store searches, so FROM
+    // NAMED-only datasets still match through their join patterns)
+    val lits = scopedQuads
+      .filter(litFilter)
       .select(Term.lex(col("o")).as("doc"))
       .distinct()
       .withColumn("text", col("doc"))
-    val idx = FullText.buildIndex(lits)
-    val hits = FullText.search(idx, queryText.split("\\s+").toSeq, minRel, maxRank)
+    // reference-faithful scoring: tf-cosine with Lucene-quantized doc
+    // weights (FullTextIndex.java:892-897; see FullText.buildBdsIndex) —
+    // the golden search-* cases' scores depend on the exact round-trip
+    val idx = FullText.buildBdsIndex(lits)
+    val hits = FullText.searchBds(idx, queryText.split("\\s+").toSeq, minRel, maxRank,
+                                  matchAll)
 
     var out = hits.select(
-      (Term.str(col("doc")) +: (
-        scoreVar.map(_ => Term.num(col("score").cast(Term.numType))).toSeq ++
+      (Term.str(col("doc")).as("__lit") +: (
+        scoreVar.map(_ => Term.num(col("score").cast(Term.numType), Term.XsdDouble)).toSeq ++
         rankVar.map(_ => Term.num(col("rank").cast(Term.numType), Term.XsdInteger)).toSeq
       )): _*)
-    val names = litVar +: (scoreVar.toSeq ++ rankVar.toSeq)
+    var names = litVar +: (scoreVar.toSeq ++ rankVar.toSeq)
+    // variable GRAPH scope: fan each hit out to the named graphs where the
+    // literal occurs, binding the graph variable
+    graphScope match {
+      case Some((V(gv), _)) =>
+        val occ = scopedQuads.filter(litFilter)
+          .select(Term.lex(col("o")).as("__occlit"), col("c").as("__g"))
+          .distinct()
+        out = out.join(occ, Term.lex(col("__lit")) === col("__occlit"))
+          .drop("__occlit")
+        names = names :+ gv
+      case _ =>
+    }
     out = out.toDF(names: _*)
     Result(out, names.toSet, Set.empty)
   })

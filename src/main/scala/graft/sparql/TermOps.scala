@@ -98,13 +98,26 @@ object TermOps {
       .when(Term.isBnode(t), 1)
       .when(Term.isIri(t), 2)
       .otherwise(3),
-    // numerics before non-numeric literals, ordered by value
-    when(Term.numVal(t).isNotNull, 0).otherwise(1),
+    // literal class per Sesame's ValueComparator, which the reference's
+    // ORDER BY / MIN / MAX comparator wraps verbatim (IVComparator.java:
+    // 206-268 compareLiterals + compareDatatypes): plain & lang-tagged
+    // literals (no datatype) sort below every datatyped literal, numeric
+    // datatypes below calendar datatypes below all others — so
+    // MAX{1.5, 3, "x"@en} = 3 (the aggregate-max golden cases)
+    when(Term.lang(t).isNotNull || Term.dt(t).isNull, 0)
+      .when(Term.numVal(t).isNotNull, 1)
+      .when(Term.dt(t).isin(Term.XsdDateTime,
+                            Term.XsdNs + "date", Term.XsdNs + "time"), 2)
+      .otherwise(3),
+    // numerics order by value (the comparator's '<'-operator fast path);
+    // ties fall through to the datatype/lang/label key below
     coalesce(Term.numVal(t), lit(0).cast(Term.numType)),
     concat_ws("\u0001",
-      coalesce(Term.lex(t), lit("")),
       coalesce(Term.dt(t), lit("")),
-      coalesce(Term.lang(t), lit(""))))
+      // simple literals before lang-tagged ones, then by tag, then label
+      when(Term.lang(t).isNotNull, "1").otherwise("0"),
+      coalesce(Term.lang(t), lit("")),
+      coalesce(Term.lex(t), lit(""))))
 
   /** STR(), LANG(), DATATYPE() accessors per SPARQL. */
   def strFn(t: Column): Column = Term.str(Term.lex(t))

@@ -70,6 +70,14 @@ object Translator {
         if Paths.admitsZeroLength(path) && !r.isInstanceOf[PathPattern] =>
       translate(quads, Join(r, p)) // inner join commutes; put the path right
 
+    // re-associate so a zero-length-capable path nested deeper in the join
+    // tree still sees every partner that binds its endpoints (the
+    // reference's ticket-739 shape: BIND . ?X part? ?part . ?part ?p ?Z —
+    // the path must gear against ?part bindings from the LATER pattern)
+    case Join(Join(a, p @ PathPattern(V(_), path, V(_), None)), r)
+        if Paths.admitsZeroLength(path) && !r.isInstanceOf[PathPattern] =>
+      translate(quads, Join(Join(a, r), p))
+
     case Join(l, p @ PathPattern(V(a), path, V(b), None))
         if Paths.admitsZeroLength(path) =>
       val lr = translate(quads, l)
@@ -506,6 +514,14 @@ object Translator {
     case Slice(off, lim, ch) => Slice(off, lim, rewriteGraph(ch, g))
     case Group(ks, aggs, ch) => Group(ks, aggs, rewriteGraph(ch, g))
     case gn: GraphNode => gn
+    // the search service respects the active graph (the reference's
+    // named-graph search, search-named-graphs golden suite): thread the
+    // GRAPH pat in as a synthetic #graph config triple — the service binds
+    // a variable graph from the matched literal's occurrences, or
+    // restricts matching to a constant graph
+    case ServiceNode(Services.SearchIri, config, remote) =>
+      ServiceNode(Services.SearchIri,
+        config :+ TriplePattern(g, C(Services.graphConfigPred), g), remote)
     case other => other
   }
 }

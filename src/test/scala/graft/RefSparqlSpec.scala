@@ -51,6 +51,7 @@ class RefSparqlSpec extends SparkSpecBase
     val raw =
       if (file.endsWith(".nt") || file.endsWith(".nq")) NTriples.read(spark, p)
       else if (file.endsWith(".trig")) Turtle.readTrig(spark, p)
+      else if (file.endsWith(".rdf")) graft.rdf.RdfXml.read(spark, p)
       else Turtle.read(spark, p)
     // the RDR suite runs in statement-identifiers mode: classic
     // reification in the data collapses to SIDs at load
@@ -67,8 +68,44 @@ class RefSparqlSpec extends SparkSpecBase
     }
     df.select(concat_ws("\t", cols: _*).as("line"))
       .collect().map(_.getString(0))
-      .map(_.replaceAll("_:[A-Za-z0-9_-]+", "_:b"))
+      .map(_.replaceAll("_:[A-Za-z0-9_:.-]+", "_:b"))
       .sorted.toSeq
+  }
+
+  /** Expected SELECT results stored as a DAWG rs:ResultSet graph (.ttl or
+    * .rdf — the W3C test-vocabulary form several TestTCK fixtures use):
+    * load the graph, pivot solution → one row per rs:solution with a
+    * column per rs:resultVariable.
+    */
+  private def dawgResultSet(file: String): (Seq[String], DataFrame) = {
+    val rs = "http://www.w3.org/2001/sw/DataAccess/tests/result-set#"
+    val p = dir.resolve(file).toString
+    val g =
+      if (file.endsWith(".rdf")) graft.rdf.RdfXml.read(spark, p)
+      else Turtle.read(spark, p)
+    def byPred(pred: String) = g.filter(col("p") === Term.iri(rs + pred))
+    val vars = byPred("resultVariable")
+      .select(Term.lex(col("o"))).collect().map(_.getString(0)).toSeq.distinct
+    val sols = byPred("solution").select(col("o").as("sol"))
+    val bindings = byPred("binding")
+      .select(col("s").as("sol2"), col("o").as("b"))
+    val bvar = byPred("variable").select(col("s").as("b1"), Term.lex(col("o")).as("v"))
+    val bval = byPred("value").select(col("s").as("b2"), col("o").as("value"))
+    val long = sols
+      .join(bindings, col("sol") === col("sol2"))
+      .join(bvar, col("b") === col("b1"))
+      .join(bval, col("b") === col("b2"))
+      .select(col("sol"), col("v"), col("value"))
+    val wide = long.groupBy("sol").pivot("v", vars).agg(first(col("value")))
+      .drop("sol")
+    // solutions with NO bindings at all (all-unbound rows) drop out of the
+    // join; re-add them as all-null rows
+    val nEmpty = sols.count() - long.select("sol").distinct().count()
+    val expDf =
+      if (nEmpty == 0) wide
+      else (1L to nEmpty).foldLeft(wide)((d, _) =>
+        d.unionByName(spark.range(1).select(vars.map(v => Term.unbound.as(v)): _*)))
+    (vars, expDf)
   }
 
   cases.foreach { c =>
@@ -85,8 +122,18 @@ class RefSparqlSpec extends SparkSpecBase
             .getOrElse(fail(s"no <boolean> in ${c.expected}"))
           assert(QueryForms.ask(store, q.node) == want)
         case Parser.SelectForm =>
-          val (vars, expDf) =
-            Results.fromXml(spark, Files.readString(dir.resolve(c.expected)))
+          val (headVars, expDf) =
+            if (c.expected.endsWith(".srx"))
+              Results.fromXml(spark, Files.readString(dir.resolve(c.expected)))
+            else dawgResultSet(c.expected)
+          // some reference fixtures over-declare head vars (sparql11-order-02's
+          // srx carries ?cnt though its query projects only ?type — the srx
+          // was captured from an engine that projected the ORDER BY
+          // aggregate); compare on the query's explicit projection when given
+          val vars =
+            if (q.projection.nonEmpty && headVars.exists(q.projection.contains))
+              headVars.filter(q.projection.contains)
+            else headVars
           val got = Translator.translate(store, q.node).df
           val (gotR, expR) = (render(got, vars), render(expDf, vars))
           assert(gotR == expR,
@@ -94,6 +141,8 @@ class RefSparqlSpec extends SparkSpecBase
         case Parser.ConstructForm | Parser.DescribeForm =>
           val expDf =
             if (c.expected.endsWith(".ttl")) Turtle.read(spark, dir.resolve(c.expected).toString)
+            else if (c.expected.endsWith(".rdf"))
+              graft.rdf.RdfXml.read(spark, dir.resolve(c.expected).toString)
             else Turtle.readTrig(spark, dir.resolve(c.expected).toString)
           val got =
             if (q.form == Parser.ConstructForm)
