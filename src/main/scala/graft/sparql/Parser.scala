@@ -32,6 +32,11 @@ object Parser {
       projection: Seq[String],           // empty = SELECT *
       distinct: Boolean,
       template: Seq[(QueryForms.TPos, QueryForms.TPos, QueryForms.TPos)],
+      // per-template-triple graph position for TriG-style quads templates
+      // (CONSTRUCT { GRAPH ?g { ... } } — the reference's construct-quads
+      // extension, ASTConstructIterator quads handling); empty = all triples
+      // in the default graph. Parallel to `template`.
+      templateGraphs: Seq[Option[QueryForms.TPos]] = Nil,
       fromDefault: Seq[String] = Nil,    // FROM <g> dataset clauses
       fromNamed: Seq[String] = Nil,      // FROM NAMED <g> dataset clauses
       describeTerms: Seq[Column] = Nil,  // DESCRIBE's constant nodes
@@ -66,7 +71,11 @@ object Parser {
                 unionDefaultGraph: Boolean = false): DataFrame = {
     val q = parse(spark, text)
     val ds = datasetQuads(quads, q, unionDefaultGraph)
-    inHintScope(ds, q) { QueryForms.construct(ds, q.node, q.template) }
+    inHintScope(ds, q) {
+      if (q.templateGraphs.exists(_.isDefined))
+        QueryForms.constructQuads(ds, q.node, q.template, q.templateGraphs)
+      else QueryForms.construct(ds, q.node, q.template)
+    }
   }
 
   /** `hint:Query hint:optimizer "Runtime"` activates the sampled runtime
@@ -531,7 +540,8 @@ object Parser {
         require(pos == valuesAt, s"unexpected tokens before trailing VALUES at $pos")
         pos = valuesEnd
       }
-      Query(SelectForm, node, proj, distinct, Nil, fromDefault, fromNamed)
+      Query(SelectForm, node, proj, distinct, Nil,
+            fromDefault = fromDefault, fromNamed = fromNamed)
     }
 
     private def describeQuery(): Query = {
@@ -578,6 +588,11 @@ object Parser {
       }
       expect("{")
       var tmpl = Vector.empty[(QueryForms.TPos, QueryForms.TPos, QueryForms.TPos)]
+      var tmplGraphs = Vector.empty[Option[QueryForms.TPos]]
+      // current GRAPH block scope — the reference's quads-template
+      // extension (CONSTRUCT { GRAPH ?g { ... } }, used by its govtrack
+      // CI CONSTRUCT queries)
+      var curGraph: Option[QueryForms.TPos] = None
       var tmplBnodeCounter = 0
       // template triples with ';'/',' abbreviations and bracketed
       // blank-node property lists ([ p o ; ... ] — fresh per solution)
@@ -598,23 +613,36 @@ object Parser {
           while (more) {
             val o = templateNode()
             tmpl :+= ((subj, p, o))
+            tmplGraphs :+= curGraph
             if (peek == ",") next() else more = false
           }
           if (peek == ";") { next(); if (peek == "." || peek == "}" || peek == "]") go = false }
           else go = false
         }
       }
-      while (peek != "}") {
-        val s = templateNode()
-        if (peek != "." && peek != "}") propertyList(s)
-        if (peek == ".") next()
-      }
+      def templateBlock(): Unit =
+        while (peek != "}") {
+          if (peekIs("GRAPH") && curGraph.isEmpty) {
+            next()
+            curGraph = Some(templatePos())
+            expect("{")
+            templateBlock()
+            expect("}")
+            curGraph = None
+            if (peek == ".") next()
+          } else {
+            val s = templateNode()
+            if (peek != "." && peek != "}") propertyList(s)
+            if (peek == ".") next()
+          }
+        }
+      templateBlock()
       expect("}")
       if (peekIs("WHERE")) next()
       expect("{")
       val node = groupGraphPattern()
       expect("}")
-      Query(ConstructForm, node, Nil, distinct = false, tmpl)
+      Query(ConstructForm, node, Nil, distinct = false, tmpl, tmplGraphs)
     }
 
     private def templatePos(): QueryForms.TPos = {
@@ -682,11 +710,16 @@ object Parser {
           else filters :+= boolExpression()
         } else if (peekIs("INCLUDE")) {
           // INCLUDE %name joins the named subquery's solution set
-          // (reference: NamedSubqueryInclude → SolutionSetHashJoinOp)
+          // (reference: NamedSubqueryInclude → SolutionSetHashJoinOp).
+          // Falls back to the durable solution-set registry — the
+          // ISolutionSetManager surface (TestInclude.java:140) — joined
+          // like an inline VALUES block.
           next()
           val name = next()
           add(namedSubqueries.getOrElse(name,
-            throw new IllegalArgumentException(s"unknown named subquery '$name'")))
+            SolutionSets.get(name).map(df => Values(df, Set.empty))
+              .getOrElse(throw new IllegalArgumentException(
+                s"unknown named subquery or solution set '$name'"))))
         } else if (peekIs("BIND")) {
           next(); expect("(")
           // BIND( <<s p o>> AS ?sid ) — the RDR surface: the quoted
@@ -1170,8 +1203,30 @@ object Parser {
         expect(")")
         PExpr(r => xsdCast(arg(r), dt))
       }
+      // custom IRI function call — <iri>(args) or pname(args) resolved
+      // against the user scalar registry (FunctionRegistry.add analogue,
+      // TestCustomFunction.java:84). Checked after built-ins and xsd
+      // casts so registrations cannot shadow the SPARQL grammar.
+      else if (toks.lift(pos + 1).contains("(") &&
+               iriFnTarget(t).exists(Functions.contains)) {
+        val iri = iriFnTarget(next()).get
+        expect("(")
+        var as = Vector.empty[Expr]
+        if (peek != ")") {
+          as :+= expression()
+          while (peek == ",") { next(); as :+= expression() }
+        }
+        expect(")")
+        val args = as
+        PExpr(r => Functions(iri)(args.map(a => a(r))))
+      }
       else { val c = termConst(); PExpr(_ => c) }
     }
+
+    private def iriFnTarget(t: String): Option[String] =
+      if (t.startsWith("<") && t.endsWith(">")) Some(t.substring(1, t.length - 1))
+      else if (t.contains(':')) scala.util.Try(expandPname(t)).toOption
+      else None
 
     /** Cast a term to an XSD datatype (17.5 XPath constructor semantics,
       * collapsed onto the decimal num view for numeric types). Uncastable

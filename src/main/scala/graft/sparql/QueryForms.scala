@@ -34,7 +34,17 @@ object QueryForms {
     * addition for replay safety).
     */
   def construct(quads: DataFrame, node: Node,
-                template: Seq[(TPos, TPos, TPos)]): DataFrame = {
+                template: Seq[(TPos, TPos, TPos)]): DataFrame =
+    constructQuads(quads, node, template, template.map(_ => None)).drop("c")
+
+  /** Quads-template CONSTRUCT — the reference's TriG-style template
+    * extension (`CONSTRUCT { GRAPH ?g { ... } }`, ASTConstructIterator's
+    * quads handling, exercised by its govtrack CI queries). `graphs` is
+    * parallel to `template`; None = default graph (c null).
+    */
+  def constructQuads(quads: DataFrame, node: Node,
+                     template: Seq[(TPos, TPos, TPos)],
+                     graphs: Seq[Option[TPos]]): DataFrame = {
     val res = Translator.translate(quads, node)
     // an empty WHERE {} yields one zero-column solution — struct() of no
     // fields is invalid, so key on a constant
@@ -46,10 +56,13 @@ object QueryForms {
       case TConst(t) => t
       case TBnode(l) => Term.bnode(concat(lit(l), lit("-"), solutionKey))
     }
-    template.map { case (s, p, o) =>
+    template.zip(graphs).map { case ((s, p, o), g) =>
       res.df.select(materialize(s).as("s"), materialize(p).as("p"),
-                    materialize(o).as("o"))
-        .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+                    materialize(o).as("o"),
+                    g.map(materialize).getOrElse(Term.unbound).as("c"))
+        .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull &&
+                // a GRAPH-templated triple with unbound graph is dropped
+                (if (g.isDefined) col("c").isNotNull else lit(true)))
     }.reduce(_ unionByName _).distinct()
   }
 

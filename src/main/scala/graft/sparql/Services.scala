@@ -37,6 +37,8 @@ object Services {
     registry += iri -> fn
   }
 
+  def isRegistered(iri: String): Boolean = registry.contains(iri)
+
   def lookup(iri: String): ServiceFn =
     registry.getOrElse(iri,
       throw new IllegalArgumentException(s"unknown SERVICE <$iri>"))

@@ -263,9 +263,13 @@ object Translator {
       Result(df.select(proj: _*), varPos.map(_._2).toSet + sidVar, Set.empty)
 
     case ServiceNode(iri, config, remote) =>
-      // http(s) endpoints federate over the SPARQL protocol; graft:// IRIs
-      // dispatch to the internal service registry
-      if (iri.startsWith("http://") || iri.startsWith("https://"))
+      // internally-registered services win regardless of scheme (the
+      // reference's ServiceRegistry also resolves registered http IRIs to
+      // in-process ServiceFactories — ServiceRegistry.java toServiceCall);
+      // unregistered http(s) endpoints federate over the SPARQL protocol
+      if (Services.isRegistered(iri))
+        Services.lookup(iri)(quads, config)
+      else if (iri.startsWith("http://") || iri.startsWith("https://"))
         Services.callRemote(quads.sparkSession, iri,
           remote.getOrElse(throw new IllegalArgumentException(
             s"SERVICE <$iri> has no remote query text")))
