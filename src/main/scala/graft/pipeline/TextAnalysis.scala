@@ -89,6 +89,51 @@ object TextAnalysis {
         .as("quality"))
   }
 
+  /** One-pass corpus curation — the end-to-end shape of a training-data
+    * cleanup run, as a single declarative plan: exact-dedup survivors
+    * (content-key hash aggregation + equi-join back on doc_id), then
+    * language-ID, quality scoring and token accounting computed over ONE
+    * shared token array in one projection (no per-analysis re-scan), then
+    * a map-side-combined per-language aggregate. At 100 TB this is two
+    * shuffles total (dedup keys, final language rollup); everything else
+    * is embarrassingly parallel and whole-stage-codegen'd.
+    */
+  def curate(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    val keep = docs
+      .groupBy(md5(substring(col("text"), 1, 50)).as("ck"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val d = docs.join(keep, "doc_id")
+      .withColumn("ws", words(lower(col("text"))))
+    val ws = col("ws")
+    val nTok = size(ws).cast(DoubleType)
+    val alphaRatio =
+      length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast(DoubleType) /
+        greatest(length(col("text")), lit(1)).cast(DoubleType)
+    val ttr = size(array_distinct(ws)).cast(DoubleType) / greatest(size(ws), lit(1))
+    val meanLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast(DoubleType) /
+      greatest(size(ws), lit(1))
+    val lenScore = when(nTok >= 20 && nTok <= 1000, 1.0)
+      .when(nTok >= 5, 0.5).otherwise(0.0)
+    val wordLenScore = when(meanLen >= 3 && meanLen <= 10, 1.0).otherwise(0.5)
+    val quality =
+      round(lenScore * 0.3 + alphaRatio * 0.3 + ttr * 0.2 + wordLenScore * 0.2, 6)
+    val scores: Seq[(String, Column)] = stopwords.toSeq.sortBy(_._1).map {
+      case (lang, sw) => lang -> size(filter(ws, w => w.isin(sw: _*)))
+    }
+    val best = scores.foldLeft((lit("und"), lit(0))) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    d.select(best._1.as("lang"), quality.as("quality"),
+             size(ws).cast(LongType).as("n_tokens"))
+      .filter(col("quality") >= minQuality)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tokens").as("total_tokens"),
+           round(avg("quality"), 6).as("avg_quality"))
+  }
+
   /** Content fingerprints: md5 of the whitespace-normalized lowercase text,
     * plus a 64-bit order-sensitive polynomial word hash (so reordered words
     * produce different fingerprints, unlike a bag hash).

@@ -131,6 +131,7 @@ object Pipeline {
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
+    "pipeline_curation" -> ((s, d) => TextAnalysis.curate(docs(s, d)).orderBy("lang")),
 
     // ---- multimodal ----
     "multimodal_meta" -> ((s, d) => Multimodal.blobMeta(docs(s, d)).orderBy("doc_id")),
@@ -388,6 +389,52 @@ object Pipeline {
              i -> (CAST('0x' || substr(md5(ws[i]), 1, 15) AS BIGINT) % 1000003) * i)), 0)
              AS BIGINT) AS fp_poly
          FROM lw ORDER BY doc_id""",
+
+    // end-to-end curation: exact-dedup survivors -> lowered-token langid +
+    // quality + token counts -> per-language rollup (mirrors
+    // TextAnalysis.curate's one-pass contract: all analyses over the SAME
+    // lowercased token array, quality >= 0.5)
+    "pipeline_curation" -> {
+      val lex = TextAnalysis.stopwords.toSeq.sortBy(_._1).flatMap {
+        case (lang, sw) => sw.map(w => s"('$lang', '$w')")
+      }.mkString(", ")
+      raw"""WITH lex(lang, word) AS (VALUES $lex),
+         keep AS (SELECT MIN(doc_id) AS doc_id
+                  FROM documents GROUP BY md5(substr(text, 1, 50))),
+         d AS (SELECT doc.doc_id, doc.text
+               FROM documents doc JOIN keep ON doc.doc_id = keep.doc_id),
+         w AS (SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             x -> len(x) > 0) AS ws
+               FROM d),
+         m AS (SELECT doc_id, ws,
+                 CAST(len(ws) AS DOUBLE) AS n_tok,
+                 CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                   / greatest(len(text), 1) AS alpha_ratio,
+                 CAST(len(list_distinct(ws)) AS DOUBLE) / greatest(len(ws), 1) AS ttr,
+                 CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+                   / greatest(len(ws), 1) AS mean_len
+               FROM w),
+         votes AS (SELECT t.doc_id, l.lang, COUNT(*) AS votes
+                   FROM (SELECT doc_id, unnest(ws) AS tok FROM w) t
+                   JOIN lex l ON t.tok = l.word GROUP BY 1, 2),
+         best AS (SELECT doc_id, lang,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY votes DESC, lang) AS rn
+                  FROM votes),
+         q AS (SELECT m.doc_id, COALESCE(b.lang, 'und') AS lang,
+                 ROUND((CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 1.0
+                             WHEN n_tok >= 5 THEN 0.5 ELSE 0.0 END) * 0.3
+                       + alpha_ratio * 0.3 + ttr * 0.2
+                       + (CASE WHEN mean_len >= 3 AND mean_len <= 10
+                               THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
+                 CAST(len(m.ws) AS BIGINT) AS n_tokens
+               FROM m LEFT JOIN best b ON b.doc_id = m.doc_id AND b.rn = 1)
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(quality), 6) AS avg_quality
+         FROM q WHERE quality >= 0.5 GROUP BY 1 ORDER BY lang"""
+    },
 
     "multimodal_meta" ->
       """SELECT doc_id,

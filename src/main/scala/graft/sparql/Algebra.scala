@@ -96,7 +96,8 @@ object Algebra {
     * (prefixes + SELECT * over the group) shipped to the remote server.
     */
   final case class ServiceNode(iri: String, config: Seq[TriplePattern],
-                               remoteQuery: Option[String] = None) extends Node
+                               remoteQuery: Option[String] = None,
+                               silent: Boolean = false) extends Node
 
   /** Structural map over every Bgp in the tree (query-hint application:
     * the parser rewrites Bgps when `hint:optimizer "None"` pins order).

@@ -70,7 +70,7 @@ object Explain {
         s"${pad}Group(keys=${ks.map("?" + _).mkString(",")}; aggs=${aggs.map("?" + _._1).mkString(",")})\n${pretty(c, depth + 1)}"
       case Values(_, _) => s"${pad}Values"
       case GraphNode(_, c) => s"${pad}Graph\n${pretty(c, depth + 1)}"
-      case ServiceNode(iri, _, _) => s"${pad}Service<$iri>"
+      case ServiceNode(iri, _, _, _) => s"${pad}Service<$iri>"
       case SidPattern(_, _, _, v) => s"${pad}SidPattern(?$v)"
     }
   }

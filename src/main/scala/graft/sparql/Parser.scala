@@ -418,6 +418,14 @@ object Parser {
           pos = valuesAt
           val vnode = valuesClause()
           valuesEnd = pos
+          // BINDINGS always seeds, even across OPTIONAL — deliberately
+          // matching the reference, which evaluates BINDINGS as initial
+          // bindings and diverges from W3C's join-after semantics there:
+          // its own sparql11-bindings-04 golden keeps the seed-merged row
+          // an unmatched OPTIONAL produces, and it excludes the W3C
+          // federation case that disagrees (service04 commented out at
+          // bigdata-sails .../webapp/TestFederatedQuery.java:441-444).
+          // Spec-strict final-VALUES behavior remains available as VALUES.
           if (isBindings) {
             aggs = snapAggs; aggKeys = snapKeys; preAggBinds = snapPre
             pos = groupStart
@@ -753,13 +761,22 @@ object Parser {
           add(GraphNode(g, sub))
         } else if (peekIs("SERVICE")) {
           next()
+          // SERVICE SILENT <iri>: endpoint failure yields one empty
+          // solution instead of a query error (SPARQL 1.1 Federation §4)
+          val silent = peekIs("SILENT")
+          if (silent) next()
           val iri = iriToken()
           expect("{")
           val startTok = pos
           val sub = groupGraphPattern()
           val endTok = pos
           expect("}")
-          val config = collectBgp(sub)
+          // search services need the config BGP; remote/registered services
+          // evaluate the shipped text or their own logic, and their groups
+          // may legally contain OPTIONAL/FILTER/nested SERVICE — collect
+          // best-effort there
+          val config =
+            scala.util.Try(collectBgp(sub)).getOrElse(Nil)
           // SERVICE bd:search { ... } is the explicit form of the magic-
           // predicate surface — route it to the internal search service
           // (the config predicates were already normalized in triplesBlock)
@@ -773,7 +790,8 @@ object Parser {
                 .mkString(" ")
               Some(s"$decls SELECT * WHERE { ${toks.slice(startTok, endTok).mkString(" ")} }")
             } else None
-          add(ServiceNode(if (isSearch) Services.SearchIri else iri, config, remote))
+          add(ServiceNode(if (isSearch) Services.SearchIri else iri, config,
+                          remote, silent))
         } else if (peek == "{") {
           // group or union chain or sub-select
           next()
@@ -808,7 +826,7 @@ object Parser {
     private def mergeMagicSearch(n0: Node): Node = {
       var magicAcc = Vector.empty[TriplePattern]
       def strip(n: Node): Option[Node] = n match {
-        case ServiceNode(Services.SearchIri, tps, _) =>
+        case ServiceNode(Services.SearchIri, tps, _, _) =>
           magicAcc ++= tps; None
         case Join(l, r) => (strip(l), strip(r)) match {
           case (Some(a), Some(b)) => Some(Join(a, b))
@@ -830,7 +848,7 @@ object Parser {
       */
     private def collectBgp(n: Node): Seq[TriplePattern] = n match {
       case Bgp(tps, _) => tps
-      case ServiceNode(Services.SearchIri, tps, _) => tps
+      case ServiceNode(Services.SearchIri, tps, _, _) => tps
       case Join(l, r) => collectBgp(l) ++ collectBgp(r)
       case other => throw new IllegalArgumentException(
         s"SERVICE group must be a plain BGP, found: ${other.getClass.getSimpleName}")
@@ -1227,6 +1245,7 @@ object Parser {
       if (t.startsWith("<") && t.endsWith(">")) Some(t.substring(1, t.length - 1))
       else if (t.contains(':')) scala.util.Try(expandPname(t)).toOption
       else None
+
 
     /** Cast a term to an XSD datatype (17.5 XPath constructor semantics,
       * collapsed onto the decimal num view for numeric types). Uncastable

@@ -162,7 +162,13 @@ object Services {
       throw new IllegalStateException(s"SERVICE <$endpoint> returned HTTP $code")
     val text = new String(conn.getInputStream.readAllBytes(), "UTF-8")
     val (vars, df) = Results.fromJson(spark, text)
+    // the shipped SELECT * also projects the group's anonymous-[]
+    // variables under their generated names; the remote server generates
+    // the SAME names for its own anonymous nodes, so keeping them would
+    // fabricate a shared join variable (and remote bnode labels are
+    // endpoint-scoped anyway — W3C federation service10). Drop them.
+    val visible = vars.filterNot(_.startsWith("__anon_"))
     // remote bindings may leave any var unbound in any row → all maybe
-    Result(df, Set.empty, vars.toSet)
+    Result(df.select(visible.map(col): _*), Set.empty, visible.toSet)
   }
 }

@@ -262,18 +262,29 @@ object Translator {
         sid.as(sidVar)
       Result(df.select(proj: _*), varPos.map(_._2).toSet + sidVar, Set.empty)
 
-    case ServiceNode(iri, config, remote) =>
+    case ServiceNode(iri, config, remote, silent) =>
       // internally-registered services win regardless of scheme (the
       // reference's ServiceRegistry also resolves registered http IRIs to
       // in-process ServiceFactories — ServiceRegistry.java toServiceCall);
-      // unregistered http(s) endpoints federate over the SPARQL protocol
-      if (Services.isRegistered(iri))
-        Services.lookup(iri)(quads, config)
-      else if (iri.startsWith("http://") || iri.startsWith("https://"))
-        Services.callRemote(quads.sparkSession, iri,
-          remote.getOrElse(throw new IllegalArgumentException(
-            s"SERVICE <$iri> has no remote query text")))
-      else Services.lookup(iri)(quads, config)
+      // unregistered http(s) endpoints federate over the SPARQL protocol.
+      // SILENT: a failing endpoint contributes exactly one empty solution
+      // (SPARQL 1.1 Federation §4), so the enclosing join is a no-op.
+      def run(): Result =
+        if (Services.isRegistered(iri))
+          Services.lookup(iri)(quads, config)
+        else if (iri.startsWith("http://") || iri.startsWith("https://"))
+          Services.callRemote(quads.sparkSession, iri,
+            remote.getOrElse(throw new IllegalArgumentException(
+              s"SERVICE <$iri> has no remote query text")))
+        else Services.lookup(iri)(quads, config)
+      if (!silent) run()
+      else
+        try run()
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            Result(quads.sparkSession.range(1).toDF("__unit").drop("__unit"),
+                   Set.empty, Set.empty)
+        }
   }
 
   // ---- helpers ----
@@ -523,7 +534,7 @@ object Translator {
     // GRAPH pat in as a synthetic #graph config triple — the service binds
     // a variable graph from the matched literal's occurrences, or
     // restricts matching to a constant graph
-    case ServiceNode(Services.SearchIri, config, remote) =>
+    case ServiceNode(Services.SearchIri, config, remote, _) =>
       ServiceNode(Services.SearchIri,
         config :+ TriplePattern(g, C(Services.graphConfigPred), g), remote)
     case other => other

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.rdf.{NTriples, Term, Turtle}
+import graft.server.SparqlServer
+import graft.sparql.{Parser, Results}
+
+/** W3C SPARQL 1.1 Federation test suite (the `service01..14` cases the
+  * reference vendors at bigdata-sails/src/test/com/bigdata/rdf/sail/webapp/
+  * openrdf-service/ and runs through its NanoSparqlServer TCK harness).
+  *
+  * Run END TO END over real HTTP: each test's endpoint datasets are served
+  * by our own [[SparqlServer]] on ephemeral ports, the query's
+  * `http://localhost:18080/openrdf/repositories/endpointN` IRIs are
+  * rewritten to the live ports, and federation happens over the SPARQL
+  * protocol — so this exercises the remote-SERVICE client, the REST
+  * server, SERVICE SILENT failure semantics, and nested federation
+  * (service03 ships a SERVICE-inside-SERVICE query to endpoint1, which
+  * then federates to endpoint2 itself).
+  *
+  * Skipped: service05/09 (variable endpoints — `SERVICE ?var` dispatch is
+  * not implemented), service12 (live dbpedia.org), and service04 — the
+  * reference itself excludes it (commented out,
+  * bigdata-sails/src/test/com/bigdata/rdf/sail/webapp/
+  * TestFederatedQuery.java:441-444) because its BINDINGS keyword
+  * deliberately has initial-binding semantics, which this engine matches
+  * (see the reference's own sparql11-bindings-04 golden).
+  */
+class W3cFederationSpec extends SparkSpecBase {
+
+  private val dir = Paths.get(getClass.getResource("/w3cfed").toURI)
+
+  private final case class Fed(name: String, local: Option[String],
+                               endpoints: Seq[String])
+
+  private val tests = Seq(
+    Fed("service01", Some("data01.ttl"), Seq("data01endpoint.ttl")),
+    Fed("service02", None, Seq("data02endpoint1.ttl", "data02endpoint2.ttl")),
+    Fed("service03", None, Seq("data03endpoint1.ttl", "data03endpoint2.ttl")),
+    Fed("service06", None, Seq("data06endpoint1.ttl")),
+    Fed("service07", Some("data07.ttl"), Seq.empty),
+    Fed("service08", Some("data08.ttl"), Seq("data08endpoint.ttl")),
+    Fed("service10", Some("data10.ttl"), Seq("data10endpoint.ttl")),
+    Fed("service11", Some("data11.ttl"), Seq("data11endpoint.ttl")),
+    Fed("service13", None, Seq("data13.ttl")),
+    Fed("service14", None, Seq("data13.ttl")))
+
+  private def load(file: String): DataFrame =
+    Turtle.read(spark, dir.resolve(file).toString)
+
+  private def emptyStore: DataFrame =
+    NTriples.parseLines(spark,
+      spark.emptyDataFrame.sparkSession
+        .createDataFrame(java.util.List.of[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.StringType)))))
+
+  private def render(df: DataFrame, vars: Seq[String]): Seq[String] = {
+    val cols = vars.map { v =>
+      val c = if (df.columns.contains(v)) col(v) else Term.unbound
+      coalesce(NTriples.termToString(c), lit(""))
+    }
+    df.select(concat_ws("\t", cols: _*).as("line"))
+      .collect().map(_.getString(0))
+      .map(_.replaceAll("_:[A-Za-z0-9_:.-]+", "_:b"))
+      .sorted.toSeq
+  }
+
+  tests.foreach { t =>
+    test(s"w3c federation: ${t.name}") {
+      val servers = t.endpoints.map(f => new SparqlServer(spark, load(f)).start())
+      try {
+        var text = Files.readString(dir.resolve(s"${t.name}.rq"))
+        servers.zipWithIndex.foreach { case (srv, i) =>
+          text = text.replace(
+            s"http://localhost:18080/openrdf/repositories/endpoint${i + 1}",
+            s"http://127.0.0.1:${srv.boundPort}/sparql")
+        }
+        val local = t.local.map(load).getOrElse(emptyStore)
+        val got = Parser.select(spark, local, text)
+        val (vars, expDf) = Results.fromXml(spark,
+          Files.readString(dir.resolve(s"${t.name}.srx")))
+        val (gotR, expR) = (render(got, vars), render(expDf, vars))
+        assert(gotR == expR,
+          s"\nvars: ${vars.mkString(",")}\ngot:\n${gotR.mkString("\n")}\nwant:\n${expR.mkString("\n")}")
+      } finally servers.foreach(_.stop())
+    }
+  }
+}
