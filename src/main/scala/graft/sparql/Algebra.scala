@@ -99,6 +99,15 @@ object Algebra {
                                remoteQuery: Option[String] = None,
                                silent: Boolean = false) extends Node
 
+  /** `SERVICE ?v { ... }` — endpoint bound at runtime by sibling patterns
+    * (the reference's ServiceCallJoin with a variable service ref,
+    * bigdata/src/java/com/bigdata/bop/controller/ServiceCallJoin.java:103).
+    * Translated by the enclosing Join: distinct IRI bindings of `v` from
+    * the partner side select the endpoints to contact.
+    */
+  final case class ServiceVarNode(v: String, remoteQuery: String,
+                                  silent: Boolean = false) extends Node
+
   /** Structural map over every Bgp in the tree (query-hint application:
     * the parser rewrites Bgps when `hint:optimizer "None"` pins order).
     * Values/ServiceNode/SidPattern/PathPattern are leaves here.

@@ -71,6 +71,7 @@ object Explain {
       case Values(_, _) => s"${pad}Values"
       case GraphNode(_, c) => s"${pad}Graph\n${pretty(c, depth + 1)}"
       case ServiceNode(iri, _, _, _) => s"${pad}Service<$iri>"
+      case ServiceVarNode(v, _, _) => s"${pad}Service(?$v)"
       case SidPattern(_, _, _, v) => s"${pad}SidPattern(?$v)"
     }
   }

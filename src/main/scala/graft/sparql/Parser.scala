@@ -765,6 +765,21 @@ object Parser {
           // solution instead of a query error (SPARQL 1.1 Federation §4)
           val silent = peekIs("SILENT")
           if (silent) next()
+          // SERVICE ?v: endpoint chosen by runtime bindings of ?v
+          if (peek.startsWith("?")) {
+            val v = next().substring(1)
+            expect("{")
+            val startTok = pos
+            groupGraphPattern()
+            val endTok = pos
+            expect("}")
+            val decls = prefixes.map { case (p, ns) => s"PREFIX $p: <$ns>" }
+              .mkString(" ")
+            add(ServiceVarNode(v,
+              s"$decls SELECT * WHERE { ${toks.slice(startTok, endTok).mkString(" ")} }",
+              silent))
+            // continue the surrounding group loop
+          } else {
           val iri = iriToken()
           expect("{")
           val startTok = pos
@@ -792,6 +807,7 @@ object Parser {
             } else None
           add(ServiceNode(if (isSearch) Services.SearchIri else iri, config,
                           remote, silent))
+          }
         } else if (peek == "{") {
           // group or union chain or sub-select
           next()

@@ -115,6 +115,20 @@ object Translator {
             (regular.certain intersect (zl.certain ++ Seq(a, b))))
       }
 
+    // SERVICE ?v: endpoints come from the partner side's bindings of ?v —
+    // evaluate the partner first, contact each distinct endpoint IRI, and
+    // join the union of their solutions (tagged with ?v) back in. The
+    // endpoint list is collected on the driver: it is a set of service
+    // URLs, inherently small, and each contact is a driver-side protocol
+    // call anyway (ServiceCallJoin does the same vectored dispatch).
+    case Join(l, s: ServiceVarNode) =>
+      serviceVarJoin(quads, translate(quads, l), s)
+    case Join(s: ServiceVarNode, r) =>
+      serviceVarJoin(quads, translate(quads, r), s)
+    case s: ServiceVarNode =>
+      throw new IllegalArgumentException(
+        s"SERVICE ?${s.v} has no sibling patterns binding the endpoint")
+
     case Join(l, r) =>
       join(translate(quads, l), translate(quads, r), "inner", None)
 
@@ -288,6 +302,44 @@ object Translator {
   }
 
   // ---- helpers ----
+
+  /** Vectored dispatch for `SERVICE ?v`: the partner result's distinct IRI
+    * bindings of `v` name the endpoints; each is contacted once (internal
+    * registry first, then the SPARQL protocol) and the union of their
+    * solutions — tagged with the endpoint under `v` — joins back in.
+    */
+  private def serviceVarJoin(quads: DataFrame, lr: Result,
+                             s: ServiceVarNode): Result = {
+    val ServiceVarNode(v, remoteText, silent) = s
+    require(lr.vars(v),
+      s"SERVICE ?$v has no sibling patterns binding the endpoint")
+    val spark = quads.sparkSession
+    val endpoints = lr.df
+      .filter(col(v).isNotNull && Term.isIri(col(v)))
+      .select(Term.lex(col(v)).as("__ep")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    def call(ep: String): Result =
+      if (Services.isRegistered(ep)) Services.lookup(ep)(quads, Nil)
+      else Services.callRemote(spark, ep, remoteText)
+    val calls: Seq[(String, Result)] = endpoints.flatMap { ep =>
+      if (silent) scala.util.Try(call(ep)).toOption.map(ep -> _)
+      else Some(ep -> call(ep))
+    }
+    if (calls.isEmpty) lr.copy(df = lr.df.limit(0))
+    else {
+      val allVars = (calls.flatMap(_._2.vars).toSet + v).toSeq.sorted
+      def pad(df: DataFrame, vars: Set[String]) =
+        allVars.foldLeft(df)((d, x) =>
+          if (vars(x)) d else d.withColumn(x, Term.unbound))
+      val unioned = calls.map { case (ep, r) =>
+        pad(r.df.withColumn(v, Term.iri(ep)), r.vars + v)
+          .select(allVars.map(col): _*)
+      }.reduce(_ unionByName _)
+      val certain = calls.map(_._2.certain).reduce(_ intersect _) + v
+      join(lr, Result(unioned, certain, allVars.toSet -- certain),
+           "inner", None)
+    }
+  }
 
   /** Greedy BGP join ordering (ASTStaticJoinOptimizer's heuristic,
     * /root/reference/bigdata-rdf/src/java/com/bigdata/rdf/sparql/ast/

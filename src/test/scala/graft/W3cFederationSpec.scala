@@ -39,9 +39,14 @@ class W3cFederationSpec extends SparkSpecBase {
     Fed("service01", Some("data01.ttl"), Seq("data01endpoint.ttl")),
     Fed("service02", None, Seq("data02endpoint1.ttl", "data02endpoint2.ttl")),
     Fed("service03", None, Seq("data03endpoint1.ttl", "data03endpoint2.ttl")),
+    // service05/09: VARIABLE endpoints — ?service bound from the local
+    // void:sparqlEndpoint data (05) or a BIND (09)
+    Fed("service05", Some("data05.ttl"),
+        Seq("data05endpoint1.ttl", "data05endpoint2.ttl")),
     Fed("service06", None, Seq("data06endpoint1.ttl")),
     Fed("service07", Some("data07.ttl"), Seq.empty),
     Fed("service08", Some("data08.ttl"), Seq("data08endpoint.ttl")),
+    Fed("service09", None, Seq("data09endpoint.ttl")),
     Fed("service10", Some("data10.ttl"), Seq("data10endpoint.ttl")),
     Fed("service11", Some("data11.ttl"), Seq("data11endpoint.ttl")),
     Fed("service13", None, Seq("data13.ttl")),
@@ -73,16 +78,28 @@ class W3cFederationSpec extends SparkSpecBase {
     test(s"w3c federation: ${t.name}") {
       val servers = t.endpoints.map(f => new SparqlServer(spark, load(f)).start())
       try {
-        var text = Files.readString(dir.resolve(s"${t.name}.rq"))
-        servers.zipWithIndex.foreach { case (srv, i) =>
-          text = text.replace(
-            s"http://localhost:18080/openrdf/repositories/endpoint${i + 1}",
-            s"http://127.0.0.1:${srv.boundPort}/sparql")
-        }
-        val local = t.local.map(load).getOrElse(emptyStore)
+        // rewrite the fixtures' fixed endpoint URLs to the live ports —
+        // in the query, in the expected results (service05 projects
+        // ?service), and in the local data (service05 binds endpoints
+        // from void:sparqlEndpoint statements)
+        def rewrite(s: String): String =
+          servers.zipWithIndex.foldLeft(s) { case (acc, (srv, i)) =>
+            acc.replace(
+              s"http://localhost:18080/openrdf/repositories/endpoint${i + 1}",
+              s"http://127.0.0.1:${srv.boundPort}/sparql")
+          }
+        val text = rewrite(Files.readString(dir.resolve(s"${t.name}.rq")))
+        val local = t.local.map { f =>
+          val ttl = rewrite(Files.readString(dir.resolve(f)))
+          val tmp = Files.createTempFile("w3cfed", ".ttl")
+          Files.writeString(tmp, ttl)
+          try Turtle.read(spark, tmp.toString).cache()
+          finally () // file read eagerly via wholeTextFiles at action time
+        }.getOrElse(emptyStore)
+        local.count() // materialize before the temp file could vanish
         val got = Parser.select(spark, local, text)
         val (vars, expDf) = Results.fromXml(spark,
-          Files.readString(dir.resolve(s"${t.name}.srx")))
+          rewrite(Files.readString(dir.resolve(s"${t.name}.srx"))))
         val (gotR, expR) = (render(got, vars), render(expDf, vars))
         assert(gotR == expR,
           s"\nvars: ${vars.mkString(",")}\ngot:\n${gotR.mkString("\n")}\nwant:\n${expR.mkString("\n")}")
