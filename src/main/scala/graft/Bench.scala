@@ -23,21 +23,26 @@ object Bench {
     // full-text index, graph projections) — a deployed store builds these
     // at bulk-load/commit time, and queries measure querying, not loading
     val tLoad = System.nanoTime()
-    try {
-      queries.RdfSuite.buildQuads(spark, sfDir).count()
-      queries.RdfSuite.buildNamedQuads(spark, sfDir).count()
-      queries.RdfSuite.dictStore(spark, sfDir)
-      queries.AnalyticsSuite.closedStore(spark, sfDir).count()
-      queries.AnalyticsSuite.ftsIndex(spark, sfDir).count()
-      queries.Pipeline.minhashSketch(spark, sfDir).count()
-      queries.Pipeline.simhashSketch(spark, sfDir).count()
-      queries.Pipeline.shingleIndex(spark, sfDir).count()
-      SparkEntry.queries("owl_transitive_locatedin")(spark, sfDir).count()
-      SparkEntry.queries("owl_equivalence_merge")(spark, sfDir).count()
-      SparkEntry.queries("fts_search_tf")(spark, sfDir).count()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] load phase failed: ${e.getMessage}")
+    // per-step timings go to stderr for diagnosis; the driver's stdout
+    // tail only carries the aggregate
+    def step(label: String)(body: => Any): Unit = {
+      val t0 = System.nanoTime()
+      try { body } catch { case e: Throwable =>
+        System.err.println(s"[bench] load step $label failed: ${e.getMessage}")
+      }
+      System.err.println(f"[bench] load $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
+    step("quads")(queries.RdfSuite.buildQuads(spark, sfDir).count())
+    step("namedQuads")(queries.RdfSuite.buildNamedQuads(spark, sfDir).count())
+    step("dictStore")(queries.RdfSuite.dictStore(spark, sfDir))
+    step("closedStore")(queries.AnalyticsSuite.closedStore(spark, sfDir).count())
+    step("ftsIndex")(queries.AnalyticsSuite.ftsIndex(spark, sfDir).count())
+    step("minhash")(queries.Pipeline.minhashSketch(spark, sfDir).count())
+    step("simhash")(queries.Pipeline.simhashSketch(spark, sfDir).count())
+    step("shingles")(queries.Pipeline.shingleIndex(spark, sfDir).count())
+    step("owlTransitive")(SparkEntry.queries("owl_transitive_locatedin")(spark, sfDir).count())
+    step("owlEquivalence")(SparkEntry.queries("owl_equivalence_merge")(spark, sfDir).count())
+    step("ftsTf")(SparkEntry.queries("fts_search_tf")(spark, sfDir).count())
     val loadSec = (System.nanoTime() - tLoad) / 1e9
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     // min of 2 timed runs per query: this host shows 10-30x swings on
@@ -45,7 +50,12 @@ object Bench {
     // the standard way benchmarks (BSBM's warm runs, JMH) report a machine-
     // noise-resistant number; "runs" declares the protocol in the output
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated query filter for clean-room re-measurement
+    // of individual queries (this host's timings are contention-sensitive)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

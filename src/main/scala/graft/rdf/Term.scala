@@ -124,21 +124,28 @@ object Term {
     try new java.math.BigDecimal(lex).stripTrailingZeros.toPlainString
     catch { case _: NumberFormatException => lex }
 
-  /** Repair INVALID xsd:dateTime lexical forms the reference's
-    * DateTimeExtension accepts and normalizes — a bare date becomes the
-    * UTC midnight instant ("1996-05-30" → "1996-05-30T00:00:00.000Z").
-    * Valid dateTime lexicals (with or without zone, any sub-second
-    * precision) pass through untouched, matching the reference's own
-    * fixture renderings.
+  /** Normalize xsd:dateTime lexical forms the way the reference's
+    * DateTimeExtension does (it stores dateTime as UTC epoch millis and
+    * re-renders in UTC):
+    *   - a bare date becomes the UTC midnight instant
+    *     ("1996-05-30" → "1996-05-30T00:00:00.000Z");
+    *   - an explicit non-Z zone offset converts to the UTC instant
+    *     ("2008-07-28T08:53:25-04:00" → "2008-07-28T12:53:25.000Z",
+    *     the reference's materialization-extensions golden rendering).
+    * Zoneless and already-Z lexicals pass through untouched, matching the
+    * reference's other fixture renderings.
     */
   def canonicalDateTimeLex(lex: String): String = {
     import java.time._
-    if (!lex.matches("\\d{4}-\\d{2}-\\d{2}")) lex
-    else try {
-      format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
-        .withZone(ZoneOffset.UTC)
-        .format(LocalDate.parse(lex).atStartOfDay(ZoneOffset.UTC).toInstant)
-    } catch { case _: Exception => lex }
+    val utc = format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+      .withZone(ZoneOffset.UTC)
+    if (lex.matches("\\d{4}-\\d{2}-\\d{2}"))
+      try utc.format(LocalDate.parse(lex).atStartOfDay(ZoneOffset.UTC).toInstant)
+      catch { case _: Exception => lex }
+    else if (lex.matches(".*T.*[+-]\\d{2}:\\d{2}"))
+      try utc.format(OffsetDateTime.parse(lex).toInstant)
+      catch { case _: Exception => lex }
+    else lex
   }
 
   // ---- accessors ----

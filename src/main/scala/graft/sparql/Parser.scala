@@ -39,6 +39,10 @@ object Parser {
       templateGraphs: Seq[Option[QueryForms.TPos]] = Nil,
       fromDefault: Seq[String] = Nil,    // FROM <g> dataset clauses
       fromNamed: Seq[String] = Nil,      // FROM NAMED <g> dataset clauses
+      // FROM [NAMED] VIRTUAL GRAPH <vg>: graph sets declared in-data via
+      // `<vg> bd:virtualGraph <member>` (reference TestVirtualGraphs.java:80)
+      fromVirtualDefault: Seq[String] = Nil,
+      fromVirtualNamed: Seq[String] = Nil,
       describeTerms: Seq[Column] = Nil,  // DESCRIBE's constant nodes
       describeMode: Option[String] = None, // hint:describeMode
       // all hint: statements, local-name -> value (QueryHints.java:74).
@@ -101,8 +105,22 @@ object Parser {
     * source graphs collapse, which is what makes a non-DISTINCT join over
     * the merged default graph return set results.
     */
-  def datasetQuads(quads: DataFrame, q: Query, unionDefaultGraph: Boolean): DataFrame = {
+  def datasetQuads(quads: DataFrame, q0: Query, unionDefaultGraph: Boolean): DataFrame = {
     import graft.rdf.Term
+    // expand virtual graphs to their declared members (a driver-side
+    // lookup over the membership statements — the member list is small
+    // by construction, like a FROM list)
+    val q =
+      if (q0.fromVirtualDefault.isEmpty && q0.fromVirtualNamed.isEmpty) q0
+      else {
+        def members(vg: String): Seq[String] = quads
+          .filter(col("p") === Term.iri("http://www.bigdata.com/rdf#virtualGraph") &&
+                  Term.lex(col("s")) === vg)
+          .select(Term.lex(col("o"))).collect().map(_.getString(0)).toSeq
+        q0.copy(
+          fromDefault = q0.fromDefault ++ q0.fromVirtualDefault.flatMap(members),
+          fromNamed = q0.fromNamed ++ q0.fromVirtualNamed.flatMap(members))
+      }
     val base = quads.select("s", "p", "o", "c")
     if (q.fromDefault.isEmpty && q.fromNamed.isEmpty) {
       if (!unionDefaultGraph) quads
@@ -369,10 +387,23 @@ object Parser {
       // INCLUDE surface, NamedSubqueryRoot.java)
       var fromDefault = Vector.empty[String]
       var fromNamed = Vector.empty[String]
+      var fromVirtualDefault = Vector.empty[String]
+      var fromVirtualNamed = Vector.empty[String]
       while (peekIs("FROM") || peekIs("WITH")) {
         if (peekIs("FROM")) {
           next()
-          if (peekIs("NAMED")) { next(); fromNamed :+= iriToken() }
+          // FROM [NAMED] VIRTUAL GRAPH <vg> — the reference's virtual-graph
+          // extension (TestVirtualGraphs.java:80): <vg> names a graph SET
+          // declared in the data as `<vg> bd:virtualGraph <member>`
+          // statements; members resolve at dataset-construction time
+          val named = peekIs("NAMED")
+          if (named) next()
+          if (peekIs("VIRTUAL")) {
+            next(); expect("GRAPH")
+            if (named) fromVirtualNamed :+= iriToken()
+            else fromVirtualDefault :+= iriToken()
+          }
+          else if (named) fromNamed :+= iriToken()
           else fromDefault :+= iriToken()
         } else {
           next(); expect("{")
@@ -549,7 +580,9 @@ object Parser {
         pos = valuesEnd
       }
       Query(SelectForm, node, proj, distinct, Nil,
-            fromDefault = fromDefault, fromNamed = fromNamed)
+            fromDefault = fromDefault, fromNamed = fromNamed,
+            fromVirtualDefault = fromVirtualDefault,
+            fromVirtualNamed = fromVirtualNamed)
     }
 
     private def describeQuery(): Query = {

@@ -144,6 +144,19 @@ class PlanQualitySpec extends SparkSpecBase {
            s"simhash candidate join degraded to all-pairs:\n$p")
   }
 
+  test("curation pipeline: two shuffles, no window, no nested loops") {
+    // the one-pass curation contract: a hash aggregation for the dedup
+    // keys, an equi-join back on doc_id, one projection for ALL analyses,
+    // and a final language rollup — nothing quadratic, nothing windowed
+    val df = graft.queries.Pipeline.queries("pipeline_curation")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+           s"curation degraded to a nested-loop join:\n$p")
+    assert(!p.contains("Window"), s"curation plan grew a window:\n$p")
+    assert(p.contains("HashAggregate"), s"curation lost hash aggregation:\n$p")
+  }
+
   test("salted join equals plain join and spreads hot keys") {
     import spark.implicits._
     // hot key: 10k rows of key=1 against a 3-row dimension

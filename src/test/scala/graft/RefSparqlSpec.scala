@@ -51,9 +51,12 @@ class RefSparqlSpec extends SparkSpecBase
 
   private def loadOne(file: String): DataFrame = {
     val p = dir.resolve(file).toString
-    if (file.endsWith(".nt") || file.endsWith(".nq")) NTriples.read(spark, p)
-    else if (file.endsWith(".trig")) Turtle.readTrig(spark, p)
-    else if (file.endsWith(".rdf")) graft.rdf.RdfXml.read(spark, p)
+    // .gz fixtures (LUBM-U1.rdf.gz, barData.trig.gz) decompress
+    // transparently in wholeTextFiles; detect the format on the inner name
+    val f = file.stripSuffix(".gz")
+    if (f.endsWith(".nt") || f.endsWith(".nq")) NTriples.read(spark, p)
+    else if (f.endsWith(".trig")) Turtle.readTrig(spark, p)
+    else if (f.endsWith(".rdf")) graft.rdf.RdfXml.read(spark, p)
     else Turtle.read(spark, p)
   }
 
@@ -96,6 +99,16 @@ class RefSparqlSpec extends SparkSpecBase
         Functions.register("http://www.bigdata.com/myFunction2", args =>
           when(args(0).isNotNull, Term.bool(Term.lex(args(0)) === "Mike"))
             .otherwise(Term.unbound))
+      case n if n.startsWith("query-hints-08") =>
+        // TestQueryHints.java:1283 — mock service returns {x=Mike},{x=Bryan};
+        // the hint:Prior hint:atOnce annotation must not change results
+        Services.register("http://www.bigdata.com/mockService",
+          (_, _) => Translator.Result(
+            spark.range(1).select(
+                Term.iri("http://www.bigdata.com/Mike").as("x"))
+              .unionByName(spark.range(1).select(
+                Term.iri("http://www.bigdata.com/Bryan").as("x"))),
+            Set("x"), Set.empty))
       case n if n.startsWith("sparql11-service-001") =>
         Services.register("http://www.bigdata.com/mockService/test_service_001",
           (_, _) => Translator.Result(
