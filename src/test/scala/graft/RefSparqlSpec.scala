@@ -46,7 +46,7 @@ class RefSparqlSpec extends SparkSpecBase
     }.toSeq
 
   test("refsparql case discovery") {
-    assert(cases.size >= 65, s"expected >= 65 manifest rows, found ${cases.size}")
+    assert(cases.size >= 267, s"expected >= 267 manifest rows, found ${cases.size}")
   }
 
   private def loadOne(file: String): DataFrame = {
