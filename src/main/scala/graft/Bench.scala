@@ -77,17 +77,17 @@ object Bench {
     // sf, and the line printed after spark.stop() so no shutdown-hook WARN
     // can land between it and the tail. Full precision goes to a local file.
     def fmt(v: Double, dec: Int): String = {
-      val s = if (dec == 2) f"$v%.2f" else f"$v%.6f"
+      val s = String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
       if (s.contains('.')) {
         val t = s.reverse.dropWhile(_ == '0').reverse
         if (t.endsWith(".")) t + "0" else t
       } else s
     }
-    def jsonLine(dec: Int, sfField: String): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
+    def jsonLine(qDec: Int, sfField: String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, qDec) }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","load":${fmt(loadSec, dec)},"runs":$runsPerQuery,"queries":$qs,"sf":$sfField}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","load":${fmt(loadSec, 2)},"runs":$runsPerQuery,"queries":$qs,"sf":$sfField}"""
     }
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     try java.nio.file.Files.write(
@@ -95,6 +95,13 @@ object Bench {
       jsonLine(6, "\"" + sfDir + "\"").getBytes("UTF-8"))
     catch { case _: Throwable => }
     spark.stop()
-    println(jsonLine(2, sfNum))
+    // A noisy run can push many per-query values to 2-3 integer digits,
+    // which at ~90 queries overflows the ~1928 usable chars of the tail
+    // window — degrade per-query precision (2 -> 1 -> 0 decimals) until the
+    // line is guaranteed to fit; full precision is always in BENCH_LOCAL.
+    val line = Iterator(2, 1, 0).map(jsonLine(_, sfNum))
+      .find(_.length <= 1880)
+      .getOrElse(jsonLine(0, sfNum))
+    println(line)
   }
 }
