@@ -123,13 +123,20 @@ object AnalyticsSuite {
 
     "fts_search_tf" -> ((s, d) => {
       // the incrementally-maintainable index form: raw tf postings with
-      // query-time weighting — must score identically to fts_search
+      // query-time weighting — must score identically to fts_search. The
+      // corpus stats (N, df) are load-time side tables like the index
+      // itself: a query touches postings only through the term filter and
+      // the matched docs' norm rows, never a full-index aggregation.
       val tf = Catalog.table(s, d, "fts_tf_index") {
         FullText.buildTfIndex(
           Tables.load(s, d, "documents").select(col("doc_id").as("doc"), col("text")))
       }
+      val stats = FullText.TfStats(
+        Catalog.table(s, d, "fts_tf_df") {
+          tf.groupBy("term").agg(count_distinct(col("doc")).as("df")) },
+        Catalog.table(s, d, "fts_tf_docs") { tf.select("doc").distinct() })
       FullText.searchTf(tf, Seq("spark", "join", "fast"),
-                        minCosine = 0.0, maxRank = 20)
+                        minCosine = 0.0, maxRank = 20, stats = Some(stats))
         .orderBy("rank")
     }),
 

@@ -196,7 +196,7 @@ object FullText {
         .agg(count_distinct(col("qpat")).as("nmatched"))
         .filter(col("nmatched") === terms.size)
         .select("doc")
-      tagged.join(full, "doc").select("term", "doc", "tf", "w").distinct()
+      tagged.join(full, "doc").select(index.columns.map(col): _*).distinct()
     }
   }
 
@@ -249,11 +249,20 @@ object FullText {
       .select("doc", "score", "rank")
   }
 
+  /** Weight tf postings and ATTACH the per-doc cosine norm to every posting
+    * row. Computing dnorm here — at BUILD time, once — is what lets
+    * `search` score a query from the matched postings alone: the old
+    * query-time `index.groupBy("doc")` norm pass re-aggregated the ENTIRE
+    * index on every search (at a 100 TB postings table, an O(index) scan
+    * per query). The per-row redundancy is free in parquet (dictionary/RLE
+    * on a per-doc constant).
+    */
   private def weigh(tf: DataFrame, n: Long): DataFrame = {
     val df_ = tf.groupBy("term").agg(count_distinct(col("doc")).as("df"))
-    tf.join(df_, "term")
+    val weighted = tf.join(df_, "term")
       .withColumn("w", (lit(1.0) + log(col("tf"))) * log(lit(n.toDouble) / col("df")))
-      .select("term", "doc", "tf", "w")
+    val norms = weighted.groupBy("doc").agg(sqrt(sum(col("w") * col("w"))).as("dnorm"))
+    weighted.join(norms, "doc").select("term", "doc", "tf", "w", "dnorm")
   }
 
   /** Subject-centric index over an RDF store (reference:
@@ -289,21 +298,70 @@ object FullText {
                  analyzer: Analyzer = Analyzer.default): DataFrame =
     tfIndex.unionByName(buildTfIndex(newDocs, analyzer))
 
+  /** Incrementally-maintained statistics for the tf path: the pieces of
+    * the tf-idf weight that depend on the WHOLE corpus — N (doc count, as
+    * a distinct-doc table whose count is parquet metadata when persisted)
+    * and per-term df — kept as small additive side tables so `searchTf`
+    * never aggregates the full postings table to re-derive them per query.
+    * Both are pure-additive under `appendDocs`' new-ids contract:
+    * docs' = docs ∪ new ids; df' = df ⊎ new postings' df (summed).
+    */
+  final case class TfStats(df: DataFrame, docs: DataFrame)
+
+  def buildTfStats(tfIndex: DataFrame): TfStats = TfStats(
+    tfIndex.groupBy("term").agg(count_distinct(col("doc")).as("df")),
+    tfIndex.select("doc").distinct())
+
+  /** Fold a batch of NEW documents into the stats (same new-ids contract
+    * as `appendDocs`): no posting is ever re-read — the increment derives
+    * from the new batch alone.
+    */
+  def appendTfStats(stats: TfStats, newDocs: DataFrame,
+                    analyzer: Analyzer = Analyzer.default): TfStats = {
+    val newDf = buildTfIndex(newDocs, analyzer)
+      .groupBy("term").agg(count_distinct(col("doc")).as("df"))
+    TfStats(
+      stats.df.unionByName(newDf).groupBy("term").agg(sum(col("df")).as("df")),
+      stats.docs.unionByName(newDocs.select("doc")))
+  }
+
   /** Search a tf index with query-time weighting: identical scoring to
     * `search` over `buildIndex` (w = (1+ln tf)·ln(N/df)), deriving df/N
-    * per query run instead of storing weights — so the stored index never
+    * at query time instead of storing weights — so the stored index never
     * needs rewriting as the corpus grows (the weighted form would
     * re-touch EVERY posting whenever N or any df moves).
+    *
+    * Every aggregation here is bounded by the MATCHED docs: postings are
+    * term-filtered, the doc norm aggregates only the matched docs' rows
+    * (a doc-keyed semi-join, not a full-index pass), and N/df come from
+    * `stats` (pass the persisted tables; omitted, they derive inline —
+    * correct but full-scan, for throwaway indexes only).
     */
   def searchTf(tfIndex: DataFrame, query: Seq[String], minCosine: Double = 0.0,
-               maxRank: Int = Int.MaxValue, matchAll: Boolean = false): DataFrame = {
-    val n = tfIndex.select(col("doc")).distinct().count()
-    val weighted = tfIndex
-      .join(tfIndex.groupBy("term").agg(count_distinct(col("doc")).as("df")),
-            "term")
-      .withColumn("w", (lit(1.0) + log(col("tf"))) * log(lit(n.toDouble) / col("df")))
-      .select("term", "doc", "tf", "w")
-    search(weighted, query, minCosine, maxRank, matchAll)
+               maxRank: Int = Int.MaxValue, matchAll: Boolean = false,
+               stats: Option[TfStats] = None): DataFrame = {
+    val st = stats.getOrElse(buildTfStats(tfIndex))
+    val terms = query.map(_.toLowerCase).distinct
+    val n = st.docs.count()
+    val matched = matchedPostings(tfIndex, terms, matchAll)
+    val docsMatched = matched.select("doc").distinct()
+    // full posting rows of ONLY the matched docs (dnorm needs every term
+    // of a matched doc, nothing of unmatched docs), weighted via the df
+    // side table — vocabulary-sized, never the postings
+    val rows = tfIndex.join(docsMatched, "doc")
+      .join(st.df, "term")
+      .withColumn("w",
+        (lit(1.0) + log(col("tf"))) * log(lit(n.toDouble) / col("df")))
+    val (prefixes, exact) = terms.partition(_.endsWith("*"))
+    val isMatch = (exact.map(t => col("term") === t) ++
+      prefixes.map(p => col("term").startsWith(p.stripSuffix("*")))).reduce(_ || _)
+    val qnorm = math.sqrt(terms.size.toDouble)
+    val scored = rows.groupBy("doc").agg(
+        sum(when(isMatch, col("w")).otherwise(lit(0.0))).as("dot"),
+        sqrt(sum(col("w") * col("w"))).as("dnorm"))
+      .withColumn("score", round(col("dot") / (col("dnorm") * qnorm), 6))
+      .filter(col("score") >= minCosine)
+    rankSlice(scored, maxRank)
   }
 
   /** Search the index: cosine(query, doc) with minCosine/maxRank slicing
@@ -317,33 +375,43 @@ object FullText {
   def search(index: DataFrame, query: Seq[String], minCosine: Double = 0.0,
              maxRank: Int = Int.MaxValue, matchAll: Boolean = false): DataFrame = {
     val terms = query.map(_.toLowerCase).distinct
-    val docNorm = index.groupBy("doc").agg(sqrt(sum(col("w") * col("w"))).as("dnorm"))
     val qpost = matchedPostings(index, terms, matchAll)
     // query weight per term = idf = w(t,d)/(1+ln tf) is awkward to recover;
     // use the standard simplification: q vector has weight 1 per term, so
     // score = Σ_t w(t,d) / (dnorm · sqrt(|q|))
     val qnorm = math.sqrt(terms.size.toDouble)
-    val scored = qpost.groupBy("doc").agg(sum(col("w")).as("dot"))
-      .join(docNorm, "doc")
+    // dnorm comes straight off the matched postings when the index stores
+    // it (buildIndex does, since round 5) — scoring then touches ONLY the
+    // query terms' posting lists. The groupBy fallback (full-index norm
+    // pass) remains for externally-built (term, doc, tf, w) indexes.
+    val scored = (if (index.columns.contains("dnorm"))
+      qpost.groupBy("doc").agg(sum(col("w")).as("dot"),
+                               first(col("dnorm")).as("dnorm"))
+    else {
+      val docNorm = index.groupBy("doc")
+        .agg(sqrt(sum(col("w") * col("w"))).as("dnorm"))
+      qpost.groupBy("doc").agg(sum(col("w")).as("dot")).join(docNorm, "doc")
+    })
       .withColumn("score", round(col("dot") / (col("dnorm") * qnorm), 6))
       .filter(col("score") >= minCosine)
+    rankSlice(scored, maxRank)
+  }
+
+  /** Rank (score desc, doc) with maxRank slicing. Finite maxRank: global
+    * top-k via orderBy+limit, which Spark executes as
+    * TakeOrderedAndProject — each partition keeps its own k best and only
+    * k rows ever reach the driver-side merge. The row_number window then
+    * runs over ≤ maxRank rows, not the whole scored corpus (a global
+    * unpartitioned window would funnel every scored document through one
+    * task — the classic single-core rank bottleneck at scale).
+    */
+  private def rankSlice(scored: DataFrame, maxRank: Int): DataFrame = {
     val w = Window.orderBy(col("score").desc, col("doc"))
-    if (maxRank != Int.MaxValue) {
-      // Finite maxRank: global top-k via orderBy+limit, which Spark executes
-      // as TakeOrderedAndProject — each partition keeps its own k best and
-      // only k rows ever reach the driver-side merge. The row_number window
-      // then runs over ≤ maxRank rows, not the whole scored corpus (a global
-      // unpartitioned window would funnel every scored document through one
-      // task — the classic single-core rank bottleneck at scale).
-      scored
-        .orderBy(col("score").desc, col("doc"))
-        .limit(maxRank)
-        .withColumn("rank", row_number().over(w).cast(LongType))
-        .select("doc", "score", "rank")
-    } else {
-      scored
-        .withColumn("rank", row_number().over(w).cast(LongType))
-        .select("doc", "score", "rank")
-    }
+    val sliced =
+      if (maxRank != Int.MaxValue)
+        scored.orderBy(col("score").desc, col("doc")).limit(maxRank)
+      else scored
+    sliced.withColumn("rank", row_number().over(w).cast(LongType))
+      .select("doc", "score", "rank")
   }
 }

@@ -53,6 +53,49 @@ object Services {
     */
   val graphConfigPred: org.apache.spark.sql.Column = Term.iri(NS + "graph")
 
+  /** The bds index is a LOAD-TIME artifact, not a per-query derivation —
+    * the reference builds its full-text index once, as statements load
+    * (FullTextIndex.java:240: a persistent B+Tree populated by the
+    * LexiconRelation), and every `bds:search` query only READS it. Keyed
+    * by the store's canonicalized logical plan (structural identity — the
+    * functional-store analogue of the server's store generation: an
+    * updated store is a different plan, so it gets a fresh index), then
+    * materialized to parquet via the Catalog exactly like the oracle fts
+    * artifacts. Per store we keep TWO tables:
+    *   bds_index — (term, doc, tf, w) over EVERY distinct string literal
+    *               in the store (all graphs + default), Lucene-quantized
+    *               tf-cosine weights. Doc weights are doc-local (no idf),
+    *               so one store-wide index serves every GRAPH scope.
+    *   bds_occ   — (doc, g) literal→graph occurrences (g null for the
+    *               default graph): GRAPH-scoped queries FILTER postings
+    *               by a semi-join on in-scope docs instead of rebuilding.
+    */
+  private val storeKeys = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String]
+  private val keyCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def litFilter: org.apache.spark.sql.Column =
+    Term.isLiteral(col("o")) &&
+      (Term.dt(col("o")) === Term.XsdString || Term.dt(col("o")).isNull)
+
+  private def bdsArtifacts(quads: DataFrame): (DataFrame, DataFrame) = {
+    val spark = quads.sparkSession
+    val key = storeKeys.getOrElseUpdate(
+      quads.queryExecution.analyzed.canonicalized,
+      s"bds-store-${keyCounter.incrementAndGet()}")
+    val idx = graft.queries.Catalog.table(spark, key, "bds_index") {
+      val lits = quads.filter(litFilter)
+        .select(Term.lex(col("o")).as("doc")).distinct()
+        .withColumn("text", col("doc"))
+      FullText.buildBdsIndex(lits)
+    }
+    val occ = graft.queries.Catalog.table(spark, key, "bds_occ") {
+      quads.filter(litFilter)
+        .select(Term.lex(col("o")).as("doc"), col("c").as("g")).distinct()
+    }
+    (idx, occ)
+  }
+
   register(SearchIri, (quads: DataFrame, config: Seq[TriplePattern]) => {
     // extract (predicate-iri -> subject, object) via the constants' lex forms
     val entries: Seq[(String, Pat, Pat)] = config.map {
@@ -85,29 +128,25 @@ object Services {
 
     // GRAPH scope, threaded in by the translator: a constant restricts
     // the searched literals to that graph; a variable additionally binds
-    // it from each matched literal's named-graph occurrences
+    // it from each matched literal's named-graph occurrences. The index is
+    // the store-wide load-time artifact; scoping is a semi-join on the
+    // occurrence table — doc weights are doc-local (plain tf-cosine, no
+    // idf), so filtering docs yields byte-identical scores to an index
+    // built over only the in-scope literals.
     val graphScope = find("graph")
-    val litFilter = Term.isLiteral(col("o")) &&
-      (Term.dt(col("o")) === Term.XsdString || Term.dt(col("o")).isNull)
-    val scopedQuads = graphScope match {
-      case Some((C(t), _)) => quads.filter(col("c") === t)
-      case Some((V(_), _)) => quads.filter(col("c").isNotNull)
-      case _ => quads
+    val (idx, occ) = bdsArtifacts(quads)
+    val scopedIdx = graphScope match {
+      case Some((C(t), _)) =>
+        idx.join(occ.filter(col("g") === t).select("doc").distinct(), "doc")
+      case Some((V(_), _)) =>
+        idx.join(occ.filter(col("g").isNotNull).select("doc").distinct(), "doc")
+      case _ => idx
     }
-    // docs = distinct string literals in scope (the reference indexes every
-    // told literal; with no GRAPH scope the whole store searches, so FROM
-    // NAMED-only datasets still match through their join patterns)
-    val lits = scopedQuads
-      .filter(litFilter)
-      .select(Term.lex(col("o")).as("doc"))
-      .distinct()
-      .withColumn("text", col("doc"))
     // reference-faithful scoring: tf-cosine with Lucene-quantized doc
     // weights (FullTextIndex.java:892-897; see FullText.buildBdsIndex) —
     // the golden search-* cases' scores depend on the exact round-trip
-    val idx = FullText.buildBdsIndex(lits)
-    val hits = FullText.searchBds(idx, queryText.split("\\s+").toSeq, minRel, maxRank,
-                                  matchAll)
+    val hits = FullText.searchBds(scopedIdx, queryText.split("\\s+").toSeq,
+                                  minRel, maxRank, matchAll)
 
     var out = hits.select(
       (Term.str(col("doc")).as("__lit") +: (
@@ -119,10 +158,9 @@ object Services {
     // literal occurs, binding the graph variable
     graphScope match {
       case Some((V(gv), _)) =>
-        val occ = scopedQuads.filter(litFilter)
-          .select(Term.lex(col("o")).as("__occlit"), col("c").as("__g"))
-          .distinct()
-        out = out.join(occ, Term.lex(col("__lit")) === col("__occlit"))
+        val namedOcc = occ.filter(col("g").isNotNull)
+          .select(col("doc").as("__occlit"), col("g").as("__g"))
+        out = out.join(namedOcc, Term.lex(col("__lit")) === col("__occlit"))
           .drop("__occlit")
         names = names :+ gv
       case _ =>
