@@ -819,17 +819,19 @@ object Parser {
           val sub = groupGraphPattern()
           val endTok = pos
           expect("}")
-          // search services need the config BGP; remote/registered services
-          // evaluate the shipped text or their own logic, and their groups
-          // may legally contain OPTIONAL/FILTER/nested SERVICE — collect
-          // best-effort there
-          val config =
-            scala.util.Try(collectBgp(sub)).getOrElse(Nil)
           // SERVICE bd:search { ... } is the explicit form of the magic-
           // predicate surface — route it to the internal search service
           // (the config predicates were already normalized in triplesBlock)
           val isSearch = iri.startsWith(BdsNs.stripSuffix("#")) ||
                          iri == Services.SearchIri
+          // search (and other internal) services need the config BGP and a
+          // non-BGP group is a user error — keep that loud. Remote
+          // endpoints evaluate the shipped text, and their groups may
+          // legally contain OPTIONAL/FILTER/nested SERVICE — collect
+          // best-effort there only.
+          val config =
+            if (isSearch || Services.isRegistered(iri)) collectBgp(sub)
+            else scala.util.Try(collectBgp(sub)).getOrElse(Nil)
           // for http(s) endpoints, ship the group verbatim (tokens joined —
           // literals/IRIs are single tokens) with the prefixes in scope
           val remote =

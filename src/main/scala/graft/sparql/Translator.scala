@@ -303,10 +303,25 @@ object Translator {
 
   // ---- helpers ----
 
+  /** Endpoint-count cap for `SERVICE ?v` vectored dispatch: the endpoint
+    * set is collected on the driver and each endpoint is one HTTP call, so
+    * an unbounded binding set would serialize the query behind thousands
+    * of protocol round-trips. Endpoint sets are small by construction
+    * (they name servers, not data); anything larger is almost certainly a
+    * query bug — fail loudly instead of grinding.
+    */
+  val MaxServiceEndpoints = 64
+
   /** Vectored dispatch for `SERVICE ?v`: the partner result's distinct IRI
     * bindings of `v` name the endpoints; each is contacted once (internal
-    * registry first, then the SPARQL protocol) and the union of their
-    * solutions — tagged with the endpoint under `v` — joins back in.
+    * registry first, then the SPARQL protocol, concurrently across
+    * endpoints) and the union of their solutions — tagged with the
+    * endpoint under `v` — joins back in.
+    *
+    * SILENT (SPARQL 1.1 Federation §4): a FAILED endpoint contributes one
+    * empty solution — the join is an identity for partner rows bound to
+    * it — rather than vanishing from the union (which would inner-join
+    * away its partner rows). All endpoints failing leaves `lr` unchanged.
     */
   private def serviceVarJoin(quads: DataFrame, lr: Result,
                              s: ServiceVarNode): Result = {
@@ -318,24 +333,52 @@ object Translator {
       .filter(col(v).isNotNull && Term.isIri(col(v)))
       .select(Term.lex(col(v)).as("__ep")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
+    require(endpoints.size <= MaxServiceEndpoints,
+      s"SERVICE ?$v binds ${endpoints.size} distinct endpoints " +
+        s"(cap $MaxServiceEndpoints): refusing the serialized dispatch")
     def call(ep: String): Result =
       if (Services.isRegistered(ep)) Services.lookup(ep)(quads, Nil)
       else Services.callRemote(spark, ep, remoteText)
-    val calls: Seq[(String, Result)] = endpoints.flatMap { ep =>
-      if (silent) scala.util.Try(call(ep)).toOption.map(ep -> _)
-      else Some(ep -> call(ep))
+    // contact endpoints concurrently — each call is driver-side protocol
+    // latency, not compute, so they overlap freely
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val attempts: Seq[(String, scala.util.Try[Result])] =
+      Await.result(
+        Future.sequence(endpoints.map(ep =>
+          Future(ep -> scala.util.Try(call(ep))))),
+        Duration.Inf)
+    attempts.collectFirst {
+      case (ep, scala.util.Failure(e)) if !silent =>
+        throw new IllegalStateException(s"SERVICE <$ep> failed", e)
     }
-    if (calls.isEmpty) lr.copy(df = lr.df.limit(0))
+    val ok = attempts.collect { case (ep, scala.util.Success(r)) => ep -> r }
+    val failed = attempts.collect { case (ep, scala.util.Failure(_)) => ep }
+    // no IRI endpoints at all: every solution's call errors — SILENT turns
+    // each error into the identity (lr unchanged), loud drops every row
+    if (ok.isEmpty && failed.isEmpty)
+      if (silent) lr else lr.copy(df = lr.df.limit(0))
+    else if (ok.isEmpty) lr // SILENT, every endpoint failed: identity
     else {
-      val allVars = (calls.flatMap(_._2.vars).toSet + v).toSeq.sorted
+      val allVars = (ok.flatMap(_._2.vars).toSet + v).toSeq.sorted
       def pad(df: DataFrame, vars: Set[String]) =
         allVars.foldLeft(df)((d, x) =>
           if (vars(x)) d else d.withColumn(x, Term.unbound))
-      val unioned = calls.map { case (ep, r) =>
-        pad(r.df.withColumn(v, Term.iri(ep)), r.vars + v)
-          .select(allVars.map(col): _*)
-      }.reduce(_ unionByName _)
-      val certain = calls.map(_._2.certain).reduce(_ intersect _) + v
+      val unioned = (
+        ok.map { case (ep, r) =>
+          pad(r.df.withColumn(v, Term.iri(ep)), r.vars + v)
+            .select(allVars.map(col): _*)
+        } ++
+        // SILENT failures: one all-unbound solution tagged with the
+        // endpoint, so its partner rows survive the join untouched
+        failed.map { ep =>
+          pad(spark.range(1).select(Term.iri(ep).as(v)), Set(v))
+            .select(allVars.map(col): _*)
+        }
+      ).reduce(_ unionByName _)
+      val okCertain = ok.map(_._2.certain).reduce(_ intersect _)
+      val certain = (if (failed.isEmpty) okCertain else Set.empty[String]) + v
       join(lr, Result(unioned, certain, allVars.toSet -- certain),
            "inner", None)
     }

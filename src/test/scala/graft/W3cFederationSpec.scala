@@ -20,8 +20,7 @@ import graft.sparql.{Parser, Results}
   * (service03 ships a SERVICE-inside-SERVICE query to endpoint1, which
   * then federates to endpoint2 itself).
   *
-  * Skipped: service05/09 (variable endpoints — `SERVICE ?var` dispatch is
-  * not implemented), service12 (live dbpedia.org), and service04 — the
+  * Skipped: service12 (live dbpedia.org — zero egress) and service04 — the
   * reference itself excludes it (commented out,
   * bigdata-sails/src/test/com/bigdata/rdf/sail/webapp/
   * TestFederatedQuery.java:441-444) because its BINDINGS keyword
@@ -105,5 +104,43 @@ class W3cFederationSpec extends SparkSpecBase {
           s"\nvars: ${vars.mkString(",")}\ngot:\n${gotR.mkString("\n")}\nwant:\n${expR.mkString("\n")}")
       } finally servers.foreach(_.stop())
     }
+  }
+
+  test("SERVICE ?var SILENT: a failed endpoint is a join identity, not a row killer") {
+    // SPARQL 1.1 Federation §4: under SILENT a failing endpoint behaves
+    // as one empty solution — partner rows bound to it pass through with
+    // the service vars unbound. One live endpoint + one dead port.
+    val live = new SparqlServer(spark,
+      NTriples.parseLines(spark, {
+        import org.apache.spark.sql.Encoders
+        spark.createDataset(Seq(
+          "<http://ex/s> <http://ex/p> <http://ex/o1> ."))(Encoders.STRING)
+          .toDF("value")
+      })).start()
+    try {
+      val liveUrl = s"http://127.0.0.1:${live.boundPort}/sparql"
+      val deadUrl = "http://127.0.0.1:9/sparql" // discard port: refuses
+      val q =
+        s"""SELECT ?ep ?o WHERE {
+           |  VALUES ?ep { <$liveUrl> <$deadUrl> }
+           |  SERVICE SILENT ?ep { ?s <http://ex/p> ?o } }""".stripMargin
+      val rows = Parser.select(spark, emptyStore, q)
+        .select(Term.lex(col("ep")), Term.lex(col("o")))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows == Set((deadUrl, null), (liveUrl, "http://ex/o1")),
+             s"got $rows")
+    } finally live.stop()
+  }
+
+  test("SERVICE ?var: endpoint sets beyond the cap fail loudly") {
+    import graft.sparql.Translator
+    val eps = (1 to Translator.MaxServiceEndpoints + 1)
+      .map(i => s"<http://ex/ep$i>").mkString(" ")
+    val q = s"""SELECT ?x WHERE {
+               |  VALUES ?ep { $eps }
+               |  SERVICE SILENT ?ep { ?s ?p ?x } }""".stripMargin
+    val e = intercept[Exception] { Parser.select(spark, emptyStore, q).collect() }
+    assert(e.getMessage != null && e.getMessage.contains("cap"),
+           s"expected endpoint-cap error, got: ${e.getMessage}")
   }
 }
