@@ -17,9 +17,13 @@ object NTriples {
 
   private val NumericDts = Term.numericDatatypes
 
-  /** Parse one RDF term in N-Triples syntax. Returns (kind, lex, dt, lang). */
+  /** Parse one RDF term in N-Triples syntax. Returns (kind, lex, dt, lang).
+    * IRIs decode their \\u escapes (UCHAR is the only way N-Triples can
+    * carry non-ASCII IRI characters).
+    */
   private[rdf] def parseTerm(tok: String): (Byte, String, String, String) = {
-    if (tok.startsWith("<")) (0.toByte, tok.substring(1, tok.length - 1), null, null)
+    if (tok.startsWith("<"))
+      (0.toByte, Iri.decodeUchar(tok.substring(1, tok.length - 1)), null, null)
     else if (tok.startsWith("_:")) (1.toByte, tok.substring(2), null, null)
     else {
       // literal: "lex"(@lang | ^^<dt>)?
@@ -61,6 +65,9 @@ object NTriples {
           case '\\' => sb.append('\\'); i += 2
           case 'u' =>
             sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case 'U' =>
+            sb.appendAll(Character.toChars(
+              Integer.parseInt(s.substring(i + 2, i + 10), 16))); i += 10
           case other => sb.append(other); i += 2
         }
       } else { sb.append(c); i += 1 }
@@ -125,6 +132,23 @@ object NTriples {
     parseLines(spark, lines)
   }
 
+  /** Term tuple → struct Row with the canonical lex/num treatment (scale
+    * must match DecimalType(38,18) for createDataFrame).
+    */
+  private def termRow(t: (Byte, String, String, String)): org.apache.spark.sql.Row = {
+    val num =
+      if (t._3 != null && NumericDts(t._3))
+        try new java.math.BigDecimal(t._2)
+          .setScale(18, java.math.RoundingMode.HALF_UP)
+        catch { case _: Exception => null }
+      else null
+    val lex =
+      if (num != null) Term.canonicalNumLex(t._2)
+      else if (t._3 == Term.XsdDateTime) Term.canonicalDateTimeLex(t._2)
+      else t._2
+    org.apache.spark.sql.Row(t._1, lex, t._3, t._4, num)
+  }
+
   /** Parse a DataFrame of lines (column `value`) into quads. */
   def parseLines(spark: SparkSession, lines: DataFrame): DataFrame = {
     val rdd = lines.rdd.mapPartitions { it =>
@@ -135,24 +159,10 @@ object NTriples {
           val toks = tokenize(line)
           if (toks.size < 3) None
           else {
-            def toRow(t: (Byte, String, String, String)) = {
-              // scale must match DecimalType(38,18) for createDataFrame
-              val num =
-                if (t._3 != null && NumericDts(t._3))
-                  try new java.math.BigDecimal(t._2)
-                    .setScale(18, java.math.RoundingMode.HALF_UP)
-                  catch { case _: Exception => null }
-                else null
-              val lex =
-                if (num != null) Term.canonicalNumLex(t._2)
-                else if (t._3 == Term.XsdDateTime) Term.canonicalDateTimeLex(t._2)
-                else t._2
-              org.apache.spark.sql.Row(t._1, lex, t._3, t._4, num)
-            }
-            val s = toRow(parseTerm(toks(0)))
-            val p = toRow(parseTerm(toks(1)))
-            val o = toRow(parseTerm(toks(2)))
-            val c = if (toks.size > 3) toRow(parseTerm(toks(3))) else null
+            val s = termRow(parseTerm(toks(0)))
+            val p = termRow(parseTerm(toks(1)))
+            val o = termRow(parseTerm(toks(2)))
+            val c = if (toks.size > 3) termRow(parseTerm(toks(3))) else null
             Some(org.apache.spark.sql.Row(s, p, o, c))
           }
         }
@@ -160,6 +170,22 @@ object NTriples {
     }
     spark.createDataFrame(rdd, rowSchema)
   }
+
+  /** Driver-side N-Triples parse of one document — the conformance
+    * harnesses' expected-results path (small files, no Spark job); same
+    * tokenizer and canonicalization as `parseLines`.
+    */
+  def parseDocJvm(content: String): Seq[(org.apache.spark.sql.Row,
+                                         org.apache.spark.sql.Row,
+                                         org.apache.spark.sql.Row)] =
+    content.linesIterator.map(_.trim)
+      .filterNot(l => l.isEmpty || l.startsWith("#"))
+      .map(tokenize)
+      .filter(_.size >= 3)
+      .map(toks => (termRow(parseTerm(toks(0))),
+                    termRow(parseTerm(toks(1))),
+                    termRow(parseTerm(toks(2)))))
+      .toSeq
 
   /** JVM-side mirror of `termToString` for driver/parse-time rendering —
     * MUST stay bit-identical with the Column version (SID content

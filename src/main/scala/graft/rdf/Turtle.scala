@@ -3,11 +3,14 @@ package graft.rdf
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-/** Turtle reader (subset): @prefix/PREFIX, IRIs, prefixed names, `a`,
-  * literals with language tags / datatypes, numeric + boolean shorthand,
-  * `;` and `,` abbreviations, labelled and anonymous (`[...]`) blank nodes,
-  * collections `(...)` (expanded to rdf:first/rdf:rest/rdf:nil cells),
-  * comments.
+/** Turtle reader: @prefix/PREFIX, @base/BASE with RFC 3986 relative-IRI
+  * resolution, IRIs (with \u escapes), prefixed names, `a`, literals with
+  * language tags / datatypes, short and long (`\"\"\"`) string forms with the
+  * full ECHAR + UCHAR escape set, numeric (integer/decimal/double) +
+  * boolean shorthand, `;` and `,` abbreviations, labelled and anonymous
+  * (`[...]`) blank nodes, collections `(...)` (expanded to
+  * rdf:first/rdf:rest/rdf:nil cells), comments. Plain-Turtle mode rejects
+  * TriG graph blocks (N3 `{}` formulae are not Turtle).
   *
   * Reference: the RIO Turtle parser wired through StatementBuffer
   * (/root/reference/bigdata-rdf/src/java/com/bigdata/rdf/rio/turtle/,
@@ -24,9 +27,9 @@ object Turtle {
     StructField("s", Term.schema), StructField("p", Term.schema),
     StructField("o", Term.schema), StructField("c", Term.schema)))
 
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String, base: String = ""): DataFrame = {
     val rdd = spark.sparkContext.wholeTextFiles(path)
-      .flatMap { case (_, content) => parseDoc(content) }
+      .flatMap { case (_, content) => parseDoc(content, base) }
       .map { case (s, p, o) => Row(s, p, o, null) }
     spark.createDataFrame(rdd, rowSchema)
   }
@@ -36,9 +39,9 @@ object Turtle {
     * TriGParser through the same StatementBuffer). Statements outside a
     * block land in the default graph (c = null).
     */
-  def readTrig(spark: SparkSession, path: String): DataFrame = {
+  def readTrig(spark: SparkSession, path: String, base: String = ""): DataFrame = {
     val rdd = spark.sparkContext.wholeTextFiles(path)
-      .flatMap { case (_, content) => parseQuads(content) }
+      .flatMap { case (_, content) => parseQuads(content, base) }
       .map { case (s, p, o, c) => Row(s, p, o, c) }
     spark.createDataFrame(rdd, rowSchema)
   }
@@ -67,22 +70,24 @@ object Turtle {
     Row(2.toByte, lex2, dt, lang, num)
   }
 
-  /** Parse one Turtle document into statements. */
-  def parseDoc(content: String): Iterator[(T, T, T)] =
-    parseQuads(content).map { case (s, p, o, _) => (s, p, o) }
+  /** Parse one Turtle document into statements (strict Turtle — TriG
+    * graph blocks are a syntax error here).
+    */
+  def parseDoc(content: String, base: String = ""): Iterator[(T, T, T)] =
+    new TtlParser(content, base, trig = false).document()
+      .map { case (s, p, o, _) => (s, p, o) }
 
   /** Parse one TriG (or plain Turtle) document into quads; c is null for
     * default-graph statements.
     */
-  def parseQuads(content: String): Iterator[(T, T, T, T)] = {
-    val p = new TtlParser(content)
-    p.document()
-  }
+  def parseQuads(content: String, base: String = ""): Iterator[(T, T, T, T)] =
+    new TtlParser(content, base, trig = true).document()
 
-  private class TtlParser(s: String) {
+  private class TtlParser(s: String, initialBase: String, trig: Boolean) {
     private var i = 0
     private val n = s.length
     private var prefixes = Map.empty[String, String]
+    private var base: String = initialBase
     private var bnodeId = 0
     private var graph: T = null
     private var inBlock = false
@@ -100,6 +105,14 @@ object Turtle {
 
     private def peekCh: Char = if (i < n) s.charAt(i) else '\u0000'
 
+    /** `:-` graph-assignment connector (original TriG spec) -- only when
+      * followed by whitespace or the block brace, so prefixed names with a
+      * '-' local part are unaffected.
+      */
+    private def graphAssignAt(p: Int): Boolean =
+      s.startsWith(":-", p) &&
+        (p + 2 >= n || s.charAt(p + 2).isWhitespace || s.charAt(p + 2) == '{')
+
     def document(): Iterator[(T, T, T, T)] = {
       ws()
       while (i < n) {
@@ -108,26 +121,52 @@ object Turtle {
           i += (if (atForm) 7 else 6)
           ws()
           val colon = s.indexOf(':', i)
+          require(colon >= 0 && s.substring(i, colon).indexWhere(
+                    c => c.isWhitespace || c == '<') < 0,
+                  s"prefix name must end in ':' at $i")
           val pfx = s.substring(i, colon).trim
           i = colon + 1
           ws()
           require(peekCh == '<', s"expected IRI in prefix decl at $i")
           val end = s.indexOf('>', i)
-          prefixes += pfx -> s.substring(i + 1, end)
+          // the namespace resolves against the current base (spec §6.3)
+          prefixes += pfx -> Iri.resolve(
+            Iri.decodeUchar(s.substring(i + 1, end)), base)
+          i = end + 1
+          ws()
+          if (peekCh == '.') { i += 1; ws() }
+        } else if (s.startsWith("@base", i) ||
+                   (s.regionMatches(true, i, "BASE", 0, 4) &&
+                    i + 4 < n && (s.charAt(i + 4).isWhitespace || s.charAt(i + 4) == '<'))) {
+          val atForm = s.charAt(i) == '@'
+          i += (if (atForm) 5 else 4)
+          ws()
+          require(peekCh == '<', s"expected IRI in base decl at $i")
+          val end = s.indexOf('>', i)
+          // a new @base resolves against the one in force before it
+          base = Iri.resolve(Iri.decodeUchar(s.substring(i + 1, end)), base)
           i = end + 1
           ws()
           if (peekCh == '.') { i += 1; ws() }
         } else if (peekCh == '{') {
+          require(trig, s"graph blocks are TriG, not Turtle (offset $i)")
           graphBlock(null) // TriG default-graph block
+        } else if (trig && graphAssignAt(i)) {
+          // old-TriG `:- { ... }` with no name: the default graph
+          i += 2
+          graphBlock(null)
         } else {
           // TriG: an optional GRAPH keyword, then a node followed by '{'
           // opens a named-graph block; otherwise the node is a subject.
-          val hadGraphKw = s.regionMatches(true, i, "GRAPH", 0, 5) &&
+          val hadGraphKw = trig && s.regionMatches(true, i, "GRAPH", 0, 5) &&
             i + 5 < n && (s.charAt(i + 5).isWhitespace || s.charAt(i + 5) == '<')
           if (hadGraphKw) { i += 5; ws() }
           val node = subjectTerm()
           ws()
-          if (hadGraphKw || peekCh == '{') graphBlock(node)
+          // `<g> :- { ... }` is the original TriG spec's optional graph-
+          // assignment connector (kept by Sesame's TriG suite)
+          if (trig && graphAssignAt(i)) { i += 2; ws() }
+          if (hadGraphKw || (trig && peekCh == '{')) graphBlock(node)
           else {
             predicateObjectList(node)
             ws()
@@ -254,16 +293,21 @@ object Turtle {
 
     private def iri(): T = {
       val end = s.indexOf('>', i)
+      require(end >= 0, s"unterminated IRI at $i")
       val lex = s.substring(i + 1, end)
       i = end + 1
-      iriRow(lex)
+      iriRow(Iri.resolve(Iri.decodeUchar(lex), base))
     }
 
     private def bnodeLabel(): T = {
       require(s.charAt(i + 1) == ':', "bad bnode label")
       i += 2
       val st = i
-      while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+      // PN_CHARS: letters, digits, '_', '-'; '.' only mid-label
+      while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' ||
+             s.charAt(i) == '-' ||
+             (s.charAt(i) == '.' && i + 1 < n &&
+              (s.charAt(i + 1).isLetterOrDigit || s.charAt(i + 1) == '_')))) i += 1
       bnodeRow(s.substring(st, i))
     }
 
@@ -324,36 +368,70 @@ object Turtle {
       val st = i
       if (peekCh == '-' || peekCh == '+') i += 1
       var isDec = false
-      while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) {
-        if (s.charAt(i) == '.') {
-          // trailing '.' is the statement terminator
-          if (i + 1 >= n || !s.charAt(i + 1).isDigit) {
-            val lex = s.substring(st, i)
-            return litRow(lex, if (isDec) Term.XsdDecimal else Term.XsdInteger, null)
-          }
-          isDec = true
+      var isDouble = false
+      var done = false
+      while (!done && i < n && (s.charAt(i).isDigit || s.charAt(i) == '.' ||
+             s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+        s.charAt(i) match {
+          case '.' =>
+            // trailing '.' is the statement terminator
+            if (i + 1 >= n || !s.charAt(i + 1).isDigit) done = true
+            else { isDec = true; i += 1 }
+          case 'e' | 'E' =>
+            // exponent makes it a DOUBLE; sign directly after is legal
+            isDouble = true
+            i += 1
+            if (i < n && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+            require(i < n && s.charAt(i).isDigit, s"malformed double exponent at $i")
+          case _ => i += 1
         }
-        i += 1
       }
-      litRow(s.substring(st, i), if (isDec) Term.XsdDecimal else Term.XsdInteger, null)
+      val dt = if (isDouble) Term.XsdDouble
+               else if (isDec) Term.XsdDecimal else Term.XsdInteger
+      litRow(s.substring(st, i), dt, null)
     }
 
     private def literal(): T = {
       val quote = peekCh
-      i += 1
+      // long string form: """...""" / '''...''' — may span lines and
+      // contain unescaped quotes (fewer than 3 in a row)
+      val long = i + 2 < n && s.charAt(i + 1) == quote && s.charAt(i + 2) == quote
+      i += (if (long) 3 else 1)
       val sb = new StringBuilder
-      while (i < n && s.charAt(i) != quote) {
-        if (s.charAt(i) == '\\' && i + 1 < n) {
+      def atEnd: Boolean =
+        if (long) s.charAt(i) == quote && i + 2 < n &&
+          s.charAt(i + 1) == quote && s.charAt(i + 2) == quote
+        else s.charAt(i) == quote
+      var closed = false
+      while (!closed && i < n) {
+        if (atEnd) closed = true
+        else if (s.charAt(i) == '\\' && i + 1 < n) {
           s.charAt(i + 1) match {
-            case 'n' => sb.append('\n'); case 't' => sb.append('\t')
-            case 'r' => sb.append('\r'); case '"' => sb.append('"')
-            case '\'' => sb.append('\''); case '\\' => sb.append('\\')
-            case other => sb.append(other)
+            case 'n' => sb.append('\n'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case '"' => sb.append('"'); i += 2
+            case '\'' => sb.append('\''); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case 'u' | 'U' =>
+              val width = if (s.charAt(i + 1) == 'u') 4 else 8
+              require(i + 2 + width <= n, s"truncated unicode escape at $i")
+              sb.appendAll(Character.toChars(
+                Integer.parseInt(s.substring(i + 2, i + 2 + width), 16)))
+              i += 2 + width
+            case other =>
+              throw new IllegalArgumentException(
+                s"illegal string escape '\\$other' at $i")
           }
-          i += 2
+        } else if (!long && (s.charAt(i) == '\n' || s.charAt(i) == '\r')) {
+          throw new IllegalArgumentException(
+            s"unescaped newline in short string literal at $i")
         } else { sb.append(s.charAt(i)); i += 1 }
       }
-      i += 1
+      require(closed, s"unterminated string literal at $i")
+      i += (if (long) 3 else 1)
       if (peekCh == '@') {
         i += 1
         val st = i

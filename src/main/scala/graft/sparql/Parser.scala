@@ -182,6 +182,13 @@ object Parser {
   def parse(spark: SparkSession, text: String): Query =
     new P(tokenize(text), spark).query()
 
+  /** Parse with a document base IRI (the W3C TCK supplies each query
+    * file's original URL): relative IRIs in the query — and a BASE
+    * declaration — resolve RFC 3986-style against it.
+    */
+  def parse(spark: SparkSession, text: String, base: String): Query =
+    new P(tokenize(text), spark, base).query()
+
   /** When set, NOW() binds this instant instead of the wall clock — replay
     * determinism for tests/pipelines. The per-query-constant contract
     * (SPARQL 17.4.5.1; the reference evaluates Now once per request,
@@ -290,8 +297,10 @@ object Parser {
 
   // ---------------- parser ----------------
 
-  private class P(toks: Vector[String], spark: SparkSession) {
+  private class P(toks: Vector[String], spark: SparkSession,
+                  initialBase: String = "") {
     private var pos = 0
+    private var base: String = initialBase
     private var prefixes = Map.empty[String, String]
     // aggregate registry (GroupByRewriter analogue): structural key -> (var, agg)
     private var aggs = Vector.empty[(String, AggExpr)]
@@ -334,7 +343,9 @@ object Parser {
 
     def query(): Query = {
       while (peekIs("PREFIX") || peekIs("BASE")) {
-        if (peekIs("BASE")) { next(); next() }
+        // BASE rebinds the base for everything after it (incl. later
+        // PREFIX declarations — stripIri resolves against the current base)
+        if (peekIs("BASE")) { next(); base = stripIri(next()) }
         else { next(); val p = next(); val iri = stripIri(next()); prefixes += p.dropRight(1) -> iri }
       }
       val q =
@@ -1507,7 +1518,8 @@ object Parser {
         .otherwise(Term.unbound)
     }
 
-    private def stripIri(t: String): String = t.substring(1, t.length - 1)
+    private def stripIri(t: String): String =
+      graft.rdf.Iri.resolve(t.substring(1, t.length - 1), base)
 
     private def expandPname(t: String): String = {
       val idx = t.indexOf(':')
