@@ -87,7 +87,9 @@ object Bench {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, qDec) }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","load":${fmt(loadSec, 2)},"runs":$runsPerQuery,"queries":$qs,"sf":$sfField}"""
+      // a filtered subset must not be mistakable for the full benchmark
+      val partial = if (only.isDefined) "\"partial\":true," else ""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$partial"load":${fmt(loadSec, 2)},"runs":$runsPerQuery,"queries":$qs,"sf":$sfField}"""
     }
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     try java.nio.file.Files.write(

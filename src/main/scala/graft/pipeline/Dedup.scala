@@ -291,14 +291,30 @@ object Dedup {
       .select(col("node").as("doc_id"), col("component").as("keep_id"))
   }
 
-  /** Embedding near-duplicate pairs: cosine similarity ≥ threshold within a
-    * blocking key (label). Exact within block; at scale the block comes from
-    * an ANN bucketing pass (Similarity.lshBuckets).
+  /** Embedding near-duplicate pairs: cosine similarity ≥ threshold within
+    * a blocking key — exact within each block, never an all-pairs product.
+    *
+    * With no `blockCol`, the block is derived internally from
+    * random-hyperplane LSH buckets (`Similarity.lshBuckets`) — the default
+    * IS the scale path: candidate pairs come from an equi-join on the
+    * bucket id, so the work is Σ_b |bucket_b|², not |corpus|². A caller-
+    * supplied column (a label, a shard, an IVF list) blocks on that
+    * instead; `planes` trades recall for block size (more planes → smaller
+    * buckets, near-dup pairs must agree on every plane's sign).
     */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
-                            blockCol: String = "label"): DataFrame = {
-    val e = emb.select(col("vec_id"), col(blockCol).as("block"),
-                       col("embedding").cast(ArrayType(DoubleType)).as("v"))
+                            blockCol: Option[String] = None,
+                            planes: Int = 16): DataFrame = {
+    val e = blockCol match {
+      case Some(c) =>
+        emb.select(col("vec_id"), col(c).as("block"),
+                   col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      case None =>
+        emb.select(col("vec_id"),
+                   col("embedding").cast(ArrayType(DoubleType)).as("v"))
+          .join(Similarity.lshBuckets(emb, planes)
+                  .withColumnRenamed("bucket", "block"), "vec_id")
+    }
     e.as("a")
       .join(e.as("b"),
             col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))

@@ -87,7 +87,10 @@ object Pipeline {
     }),
 
     "dedup_embedding_cosine" -> ((s, d) => {
-      Dedup.embeddingNearDupPairs(emb(s, d), threshold = 0.35)
+      // label-blocked so the DuckDB oracle can replicate the blocking
+      // exactly; the no-block default derives LSH buckets internally
+      Dedup.embeddingNearDupPairs(emb(s, d), threshold = 0.35,
+                                  blockCol = Some("label"))
         .orderBy("id_a", "id_b")
     }),
 

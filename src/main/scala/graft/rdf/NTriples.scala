@@ -136,17 +136,12 @@ object NTriples {
     * must match DecimalType(38,18) for createDataFrame).
     */
   private def termRow(t: (Byte, String, String, String)): org.apache.spark.sql.Row = {
-    val num =
-      if (t._3 != null && NumericDts(t._3))
-        try new java.math.BigDecimal(t._2)
-          .setScale(18, java.math.RoundingMode.HALF_UP)
-        catch { case _: Exception => null }
-      else null
+    val num = Term.litNumSlot(t._2, t._3)
     val lex =
-      if (num != null) Term.canonicalNumLex(t._2)
-      else if (t._3 == Term.XsdDateTime) Term.canonicalDateTimeLex(t._2)
+      if (num != null && NumericDts(t._3)) Term.canonicalNumLex(t._2)
       else t._2
-    org.apache.spark.sql.Row(t._1, lex, t._3, t._4, num)
+    org.apache.spark.sql.Row(t._1, lex, t._3,
+      if (t._4 == null) null else t._4.toLowerCase, num)
   }
 
   /** Parse a DataFrame of lines (column `value`) into quads. */

@@ -36,14 +36,12 @@ object RdfXml {
   private def bnodeRow(label: String) = Row(1.toByte, label, null, null, null)
 
   private def litRow(lex: String, dt: String, lang: String) = {
-    val numericDts = Set(Term.XsdInteger, Term.XsdDecimal, Term.XsdDouble)
-    val num =
-      if (dt != null && numericDts(dt))
-        try new java.math.BigDecimal(lex).setScale(18, java.math.RoundingMode.HALF_UP)
-        catch { case _: Exception => null }
-      else null
-    Row(2.toByte, lex, if (dt == null && lang == null) Term.XsdString else dt,
-        lang, num)
+    val num = Term.litNumSlot(lex, dt)
+    val lex2 =
+      if (num != null && Term.numericDatatypes(dt)) Term.canonicalNumLex(lex)
+      else lex
+    Row(2.toByte, lex2, if (dt == null && lang == null) Term.XsdString else dt,
+        if (lang == null) null else lang.toLowerCase, num)
   }
 
   def parseDoc(content: String): Seq[(Row, Row, Row)] = {

@@ -75,9 +75,12 @@ object Term {
   def str(lex: Column): Column = mk(KindLiteral, lex, lit(XsdString), nullS, nullN)
   def str(s: String): Column = str(lit(s))
 
-  /** Language-tagged literal. */
+  /** Language-tagged literal. Tags normalize to lowercase at construction
+    * (RDF 1.1 Concepts §3.3 value space; Sesame's LiteralImpl does the
+    * same, so loaded data and computed terms stay row-identical).
+    */
   def langStr(lex: Column, lang: Column): Column =
-    mk(KindLiteral, lex, nullS, lang, nullN)
+    mk(KindLiteral, lex, nullS, lower(lang), nullN)
 
   /** Numeric literal: canonical lexical form + normalized numeric value.
     * Canonicalization strips a decimal cast's trailing fractional zeros
@@ -99,6 +102,28 @@ object Term {
     regexp_replace(regexp_replace(raw, "(\\.\\d*?)0+$", "$1"), "\\.$", "")
   }
 
+  /** Numeric cast that yields NULL on malformed input instead of an ANSI
+    * runtime error (SPARQL type errors are expression-local).
+    */
+  def safeNum(lex: Column): Column =
+    when(lex.rlike("^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"),
+         lex.cast(numType)).otherwise(lit(null).cast(numType))
+
+  /** Normalized `num` slot for a loaded literal: numeric XSD types carry
+    * their decimal value; xsd:boolean carries 1/0 so loaded booleans are
+    * row-identical to query-constant `Term.bool` terms (BGP matching
+    * compares the full struct).
+    */
+  def litNumSlot(lex: String, dt: String): java.math.BigDecimal =
+    if (dt == null) null
+    else if (numericDatatypes(dt))
+      try new java.math.BigDecimal(lex).setScale(18, java.math.RoundingMode.HALF_UP)
+      catch { case _: Exception => null }
+    else if (dt == XsdBoolean)
+      java.math.BigDecimal.valueOf(if (lex == "true" || lex == "1") 1L else 0L)
+        .setScale(18)
+    else null
+
   /** Boolean literal. */
   def bool(value: Column): Column =
     mk(KindLiteral, value.cast(StringType), lit(XsdBoolean), nullS,
@@ -106,6 +131,21 @@ object Term {
 
   /** Typed literal with an arbitrary datatype IRI (no numeric view). */
   def typed(lex: Column, dt: Column): Column = mk(KindLiteral, lex, dt, nullS, nullN)
+
+  /** Typed literal whose COLUMN-valued datatype may be numeric/boolean:
+    * fills the `num` slot exactly like the loaders do, so an
+    * STRDT-constructed "5"^^xsd:integer is row-identical to a loaded one.
+    */
+  def typedWithNum(lex: Column, dt: Column): Column = {
+    val numDts = numericDatatypes.toSeq
+    val num =
+      when(dt.isin(numDts: _*), safeNum(lex))
+        .when(dt === XsdBoolean,
+              when(lex === "true" || lex === "1", 1)
+                .when(lex === "false" || lex === "0", 0).cast(numType))
+        .otherwise(nullN)
+    mk(KindLiteral, lex, dt, nullS, num)
+  }
 
   /** Numeric-typed literal keeping its ORIGINAL lexical form (SPARQL keeps
     * lexical forms; only the `num` view is normalized).

@@ -58,16 +58,11 @@ object Turtle {
   private def bnodeRow(label: String) = Row(1.toByte, label, null, null, null)
 
   private def litRow(lex: String, dt: String, lang: String) = {
-    val num =
-      if (dt != null && Term.numericDatatypes(dt))
-        try new java.math.BigDecimal(lex).setScale(18, java.math.RoundingMode.HALF_UP)
-        catch { case _: Exception => null }
-      else null
+    val num = Term.litNumSlot(lex, dt)
     val lex2 =
-      if (num != null) Term.canonicalNumLex(lex)
-      else if (dt == Term.XsdDateTime) Term.canonicalDateTimeLex(lex)
+      if (num != null && Term.numericDatatypes(dt)) Term.canonicalNumLex(lex)
       else lex
-    Row(2.toByte, lex2, dt, lang, num)
+    Row(2.toByte, lex2, dt, if (lang == null) null else lang.toLowerCase, num)
   }
 
   /** Parse one Turtle document into statements (strict Turtle — TriG

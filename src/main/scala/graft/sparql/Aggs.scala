@@ -47,12 +47,19 @@ object Aggs {
       .otherwise(Term.numDt(coalesce(s, lit(0).cast(Term.numType)), dt))
   }
 
-  /** AVG with sticky type errors. */
+  /** AVG with sticky type errors and op:numeric promotion: any double or
+    * float input makes the average a double; otherwise it is a decimal
+    * (integer ÷ count divides into decimal).
+    */
   def avgVar(v: String): AggExpr = r => {
-    val poisoned = max(when(r(v).isNotNull && Term.numVal(r(v)).isNull, 1).otherwise(0))
-    val s = avg(Term.numVal(r(v)))
+    val t = r(v)
+    val poisoned = max(when(t.isNotNull && Term.numVal(t).isNull, 1).otherwise(0))
+    val s = avg(Term.numVal(t))
+    val rank = max(
+      when(Term.dt(t).isin(Term.XsdDouble, Term.XsdNs + "float"), 2).otherwise(1))
+    val dt = when(rank === 2, Term.XsdDouble).otherwise(Term.XsdDecimal)
     when(poisoned === 1 || s.isNull, Term.unbound)
-      .otherwise(Term.num(s.cast(Term.numType)))
+      .otherwise(Term.numDt(s.cast(Term.numType), dt))
   }
 
   /** MIN/MAX per the SPARQL ORDER BY total order (IVComparator rules), via

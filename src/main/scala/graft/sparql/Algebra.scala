@@ -41,6 +41,11 @@ object Algebra {
   final case class ZeroOrMore(p: Path) extends Path
   final case class OneOrMore(p: Path) extends Path
   final case class ZeroOrOne(p: Path) extends Path
+  /** Exactly zero steps — `p{0}` (quantifier desugaring); matches every
+    * node of the zero-length domain with itself. `p` only scopes the
+    * reference dialect's vertex domain.
+    */
+  final case class ZeroLength(p: Path) extends Path
   /** Negated property set: any predicate not in `iris`. */
   final case class NegatedSet(iris: Seq[String]) extends Path
 

@@ -219,14 +219,52 @@ object Parser {
         if (j < 0) throw new IllegalArgumentException(s"unterminated IRI at $i")
         out += s.substring(i, j + 1); i = j + 1
       } else if (c == '"' || c == '\'') {
+        // short or long ("""/''') string; decode the full ECHAR+UCHAR set
+        // here, then re-escape canonically so the token is always
+        // `"<content-without-bare-quotes>"` + suffix (parseLiteral's
+        // end-quote scan stays valid for content from long strings)
         val quote = c
-        val sb = new StringBuilder("\"")
-        i += 1
-        while (i < n && s.charAt(i) != quote) {
-          if (s.charAt(i) == '\\' && i + 1 < n) { sb.append(s.charAt(i)).append(s.charAt(i + 1)); i += 2 }
-          else { sb.append(s.charAt(i)); i += 1 }
+        val long = i + 2 < n && s.charAt(i + 1) == quote && s.charAt(i + 2) == quote
+        i += (if (long) 3 else 1)
+        val body = new StringBuilder
+        var closed = false
+        while (!closed && i < n) {
+          val ch = s.charAt(i)
+          if (ch == quote && (!long || (i + 2 < n && s.charAt(i + 1) == quote &&
+                                        s.charAt(i + 2) == quote))) {
+            closed = true; i += (if (long) 3 else 1)
+          } else if (ch == '\\' && i + 1 < n) {
+            s.charAt(i + 1) match {
+              case 'n' => body.append('\n'); i += 2
+              case 't' => body.append('\t'); i += 2
+              case 'r' => body.append('\r'); i += 2
+              case 'b' => body.append('\b'); i += 2
+              case 'f' => body.append('\f'); i += 2
+              case '"' => body.append('"'); i += 2
+              case '\'' => body.append('\''); i += 2
+              case '\\' => body.append('\\'); i += 2
+              case 'u' | 'U' =>
+                val width = if (s.charAt(i + 1) == 'u') 4 else 8
+                require(i + 2 + width <= n, s"truncated unicode escape at $i")
+                body.appendAll(Character.toChars(
+                  Integer.parseInt(s.substring(i + 2, i + 2 + width), 16)))
+                i += 2 + width
+              case other => throw new IllegalArgumentException(
+                s"illegal string escape '\\$other' at $i")
+            }
+          } else if (!long && (ch == '\n' || ch == '\r')) {
+            throw new IllegalArgumentException(
+              s"unescaped newline in short string literal at $i")
+          } else { body.append(ch); i += 1 }
         }
-        i += 1
+        if (!closed) throw new IllegalArgumentException(s"unterminated string at $i")
+        val sb = new StringBuilder("\"")
+        body.foreach {
+          case '\\' => sb.append("\\\\"); case '"' => sb.append("\\\"")
+          case '\n' => sb.append("\\n"); case '\r' => sb.append("\\r")
+          case '\t' => sb.append("\\t"); case '\b' => sb.append("\\b")
+          case '\f' => sb.append("\\f"); case ch => sb.append(ch)
+        }
         sb.append('"')
         // lang tag or datatype suffix
         if (i < n && s.charAt(i) == '@') {
@@ -246,21 +284,32 @@ object Parser {
         out += sb.toString
       } else if (c == '?' || c == '$') {
         val st = i; i += 1
-        while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' ||
+               (s.charAt(i) == '\\' && i + 1 < n &&
+                (s.charAt(i + 1) == 'u' || s.charAt(i + 1) == 'U')))) i += 1
         if (i == st + 1) { out += "?"; } // bare '?' = path modifier
-        else out += "?" + s.substring(st + 1, i)
+        else out += "?" + graft.rdf.Iri.decodeUchar(s.substring(st + 1, i))
       } else if (c.isDigit || (c == '.' && i + 1 < n && s.charAt(i + 1).isDigit) ||
-                 (c == '-' && i + 1 < n && s.charAt(i + 1).isDigit)) {
+                 ((c == '-' || c == '+') && i + 1 < n && s.charAt(i + 1).isDigit)) {
         // '-' glued to a digit lexes as a negative literal ("-5"); the
         // binary-minus reading requires whitespace ("?a - 5"), matching
         // the SPARQL grammar's longest-match tokenization
         val st = i
-        if (c == '-') i += 1
+        if (c == '-' || c == '+') i += 1
         while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
-        // a trailing '.' is the statement terminator, not part of the number
-        var tok = s.substring(st, i)
-        if (tok.endsWith(".") ) { tok = tok.dropRight(1); i -= 1 }
-        out += tok
+        // exponent form ("1e0", "1.0E+6") lexes as one double token
+        if (i < n && (s.charAt(i) == 'e' || s.charAt(i) == 'E') &&
+            (i + 1 < n && (s.charAt(i + 1).isDigit ||
+             ((s.charAt(i + 1) == '+' || s.charAt(i + 1) == '-') &&
+              i + 2 < n && s.charAt(i + 2).isDigit)))) {
+          i += 1
+          if (s.charAt(i) == '+' || s.charAt(i) == '-') i += 1
+          while (i < n && s.charAt(i).isDigit) i += 1
+        }
+        // a dot glued after digits stays with the number ("456." is a
+        // decimal — DAWG-era DECIMAL allows a bare trailing dot; the
+        // separated terminator form is "456 .")
+        out += s.substring(st, i)
       } else if ("{}(),;[]".contains(c)) { out += c.toString; i += 1 }
       else if (c == '.') { out += "."; i += 1 }
       else if (c == '|' && i + 1 < n && s.charAt(i + 1) == '|') { out += "||"; i += 2 }
@@ -284,7 +333,15 @@ object Parser {
           // (PN_CHARS includes '-': bsbm-inst). Binary minus needs space.
           else if (ch == '.' && i > st && i + 1 < n &&
                    (s.charAt(i + 1).isLetterOrDigit || s.charAt(i + 1) == '_') &&
-                   s.substring(st, i).contains(':')) i += 1
+                   (s.substring(st, i).contains(':') || {
+                     // PN_PREFIX also allows interior dots ("x.y:z"): the
+                     // dot continues the token when a ':' is still ahead
+                     // within this name run
+                     var j = i + 1
+                     while (j < n && (s.charAt(j).isLetterOrDigit ||
+                            "._-".contains(s.charAt(j)))) j += 1
+                     j < n && s.charAt(j) == ':'
+                   })) i += 1
           else if (ch == '-' && i > st && i + 1 < n &&
                    (s.charAt(i + 1).isLetterOrDigit || s.charAt(i + 1) == '_')) i += 1
           else go = false
@@ -508,14 +565,29 @@ object Parser {
         val start = pos
         if (peek.startsWith("?")) {
           val v = next().substring(1)
-          if (!"+-*/".contains(peek)) { orderSpecs :+= (Left(v) -> asc); return }
+          // a following operator (or sign-glued numeric, "?o+57") means
+          // the var was the head of an arithmetic sort expression
+          val signGlued = peek.length > 1 && (peek(0) == '+' || peek(0) == '-') &&
+            (peek(1).isDigit || peek(1) == '.')
+          if (!"+-*/".contains(peek) && !signGlued) {
+            orderSpecs :+= (Left(v) -> asc); return
+          }
           pos = start
         }
         orderSpecs :+= (Right(expression()) -> asc)
       }
       if (peekIs("ORDER")) {
         next(); expect("BY")
-        while (peek.startsWith("?") || peekIs("ASC") || peekIs("DESC") || peek == "(") {
+        // a sort key is any BrackettedExpression | Constraint: var, paren
+        // group, builtin/custom function call, or constant
+        def startsOrderKey(t: String): Boolean =
+          t.nonEmpty && !peekIs("LIMIT") && !peekIs("OFFSET") &&
+          !peekIs("VALUES") && t != "}" && t != ";" &&
+          (t.startsWith("?") || t == "(" || t.startsWith("<") ||
+           t.startsWith("\"") || t.head.isDigit || t.head == '+' ||
+           t.head == '-' || isFunction(t) || isAggregate(t) ||
+           t.contains(':'))
+        while (startsOrderKey(peek) || peekIs("ASC") || peekIs("DESC")) {
           if (peekIs("ASC")) { next(); expect("("); orderKey(asc = true); expect(")") }
           else if (peekIs("DESC")) { next(); expect("("); orderKey(asc = false); expect(")") }
           else orderKey(asc = true)
@@ -725,11 +797,20 @@ object Parser {
         val sub = selectQuery().node
         return (init.fold(sub)(i => Join(i, sub)), Vector.empty)
       }
+      bnodeScope += 1
       var cur: Option[Node] = init
       var filters = Vector.empty[Expr]
       var existsFilters = Vector.empty[(Node, Boolean)]
       def add(n: Node): Unit = cur = Some(cur.fold(n)(c => Join(c, n)))
+      // grammar: GGP-sub = TriplesBlock? (GraphPatternNotTriples '.'?
+      // TriplesBlock?)* — one optional '.' after a keyword construct;
+      // adjacent triples blocks REQUIRE the separating '.' (syn-bad-02/03),
+      // and '.' never stands alone (syn-bad-05..13)
+      var allowBareDot = false
+      var needDotBeforeTriples = false
       while (peek != "}" && peek.nonEmpty) {
+        val tokenAtStart = peek
+        if (tokenAtStart != ".") allowBareDot = false
         if (peekIs("OPTIONAL")) {
           next(); expect("{")
           val (r, rFilters) = groupGraphPatternParts(); expect("}")
@@ -758,8 +839,16 @@ object Parser {
             if (paren) expect(")")
             existsFilters :+= (sub -> true) }
           else if (peek == "(") { next(); filters :+= boolExpression(); expect(")") }
-          // FILTER FunctionCall — the grammar's unparenthesized constraint
-          else filters :+= boolExpression()
+          // FILTER Constraint ::= BrackettedExpression | BuiltInCall |
+          // FunctionCall — a bare variable/term is a syntax error
+          // (syn-bad-filter-missing-parens)
+          else {
+            require(isFunction(peek) ||
+                    (iriFnTarget(peek).isDefined &&
+                     toks.lift(pos + 1).contains("(")),
+              s"FILTER needs a bracketted expression or function call, got '$peek'")
+            filters :+= boolExpression()
+          }
         } else if (peekIs("INCLUDE")) {
           // INCLUDE %name joins the named subquery's solution set
           // (reference: NamedSubqueryInclude → SolutionSetHashJoinOp).
@@ -869,9 +958,22 @@ object Parser {
             u = Union(u, r)
           }
           add(u)
-        } else if (peek == ".") { next() }
-        else {
+        } else if (peek == ".") {
+          require(allowBareDot, "stray '.' in group graph pattern")
+          next(); allowBareDot = false; needDotBeforeTriples = false
+        } else {
+          require(!needDotBeforeTriples,
+            "missing '.' between triples blocks")
           triplesBlock().foreach(add)
+          needDotBeforeTriples = !lastTriplesConsumedDot
+        }
+        if (tokenAtStart != "." && peek2KeywordClosed(tokenAtStart)) {
+          // a keyword construct just closed: one '.' may follow, a
+          // following triples block needs no separator, and (except after
+          // FILTER, which does NOT end the BGP — syn-11) any following
+          // blank-node label is a NEW basic graph pattern (syn-bad-37)
+          allowBareDot = true; needDotBeforeTriples = false
+          if (!tokenAtStart.equalsIgnoreCase("FILTER")) bnodeScope += 1
         }
       }
       var node = cur.getOrElse(emptyNode)
@@ -957,12 +1059,31 @@ object Parser {
 
     // TriplesBlock: s p o (',' o)* (';' p o ...)* '.'
     // None when the block held only query-hint statements.
+    // did the group element that started with this token come from a
+    // GraphPatternNotTriples (keyword construct / nested group)?
+    private def peek2KeywordClosed(t: String): Boolean =
+      Seq("OPTIONAL", "MINUS", "FILTER", "BIND", "LET", "VALUES", "BINDINGS",
+          "GRAPH", "SERVICE", "INCLUDE").exists(t.equalsIgnoreCase) || t == "{"
+
+    // can this token start a verb (predicate or path)? keywords like
+    // OPTIONAL/FILTER after a trailing ';' cannot — they end the list
+    private def canStartVerb(t: String): Boolean =
+      t.startsWith("?") || t.startsWith("<") || t == "(" || t == "^" ||
+      t == "!" || t.equalsIgnoreCase("a") ||
+      (t.contains(':') && !t.startsWith("\""))
+
     private def triplesBlock(): Option[Node] = {
       var tps = Vector.empty[TriplePattern]
       var magic = Vector.empty[TriplePattern]
       var paths = Vector.empty[(Pat, Path, Pat)]
+      val sTok = peek
       val s = varOrTerm()
-      var done = false
+      // a collection/bnode TriplesNode subject may stand alone, its
+      // triples coming entirely from the bracketed form — but bare
+      // ANON/nil ("[]"/"()") has none and REQUIRES a property list
+      var done = (sTok == "[" || sTok == "(") && !canStartVerb(peek)
+      if (done) require(lastWasTriplesNode,
+        "bare [] / () subject needs a property list")
       while (!done) {
         val (isPath, linkOrPath) = pathExpr()
         var more = true
@@ -1005,9 +1126,10 @@ object Parser {
           }
           if (peek == ",") next() else more = false
         }
-        if (peek == ";") { next(); if (peek == "." || peek == "}") done = true }
+        if (peek == ";") { next(); if (!canStartVerb(peek)) done = true }
         else done = true
       }
+      lastTriplesConsumedDot = peek == "."
       if (peek == ".") next()
       // patterns contributed by bracketed blank-node property lists
       tps ++= pendingBnodeTps; pendingBnodeTps = Vector.empty
@@ -1037,6 +1159,8 @@ object Parser {
     }
 
     private var pathModified = false
+    // did the last triplesBlock consume its terminating '.'?
+    private var lastTriplesConsumedDot = false
 
     private def pathAlt(): Path = {
       var a = pathSeq()
@@ -1068,6 +1192,31 @@ object Parser {
       if (peek == "*") { next(); pathModified = true; base = ZeroOrMore(base) }
       else if (peek == "+") { next(); pathModified = true; base = OneOrMore(base) }
       else if (peek == "?") { next(); pathModified = true; base = ZeroOrOne(base) }
+      else if (peek == "{") {
+        // path{n}, path{n,m}, path{n,}, path{,m} — the 2011 draft's bounded
+        // quantifiers (kept by Sesame and the reference; dropped from the
+        // final REC). Desugared onto the core combinators.
+        next(); pathModified = true
+        val lo = if (peek == ",") 0 else next().toInt
+        val hi: Option[Int] =
+          if (peek == ",") { next(); if (peek == "}") None else Some(next().toInt) }
+          else Some(lo)
+        expect("}")
+        def seqN(k: Int): Path = (1 until k).foldLeft(base)((a, _) => PSeq(a, base))
+        // bounded forms desugar to a BAG union of fixed-length sequences
+        // (counting semantics for the fixed part — W3C pp26); only the
+        // unbounded tail is a set-based closure
+        base = (lo, hi) match {
+          case (0, None) => ZeroOrMore(base)
+          case (n, None) => PSeq(seqN(n), ZeroOrMore(base))
+          case (0, Some(0)) => ZeroLength(base)
+          case (0, Some(m)) =>
+            (1 to m).map(seqN).foldLeft(ZeroLength(base): Path)(Alt(_, _))
+          case (n, Some(m)) =>
+            require(m >= n, s"bad path quantifier {$n,$m}")
+            (n + 1 to m).map(seqN).foldLeft(seqN(n))(Alt(_, _))
+        }
+      }
       if (inv) Inv(base) else base
     }
 
@@ -1078,15 +1227,49 @@ object Parser {
       else expandPname(t)
     }
 
+    // was the last varOrTerm a TriplesNode with content ([ p o ] or a
+    // non-empty collection)? Only those may stand without a property list
+    private var lastWasTriplesNode = false
+
     private def varOrTerm(): Pat = {
+      lastWasTriplesNode = false
       if (peek == "<<") quotedTriple()
-      else if (peek == "[") { next(); anonBnodePattern() }
+      else if (peek == "[") {
+        next()
+        val hasProps = peek != "]"
+        val p = anonBnodePattern()
+        // set AFTER the recursive parse (nested varOrTerm calls reset it)
+        lastWasTriplesNode = hasProps
+        p
+      }
+      else if (peek == "(") {
+        val wasNil = toks.lift(pos + 1).contains(")")
+        val p = collectionPattern()
+        lastWasTriplesNode = !wasNil
+        p
+      }
       else if (peek.startsWith("?")) V(next().substring(1))
       // a blank node in a query pattern is an existential = a fresh
-      // non-projectable variable, NOT a constant term (SPARQL §4.1.4)
-      else if (peek.startsWith("_:")) { val t = next(); V("__bn_" + t.substring(2)) }
+      // non-projectable variable, NOT a constant term (SPARQL §4.1.4) —
+      // but a LABEL may not recur across BGP boundaries (syn-bad-34..38)
+      else if (peek.startsWith("_:")) {
+        val t = next()
+        val label = t.substring(2)
+        bnodeLabelScopes.get(label) match {
+          case Some(sc) if sc != bnodeScope =>
+            throw new IllegalArgumentException(
+              s"blank node label _:$label reused across basic graph patterns")
+          case _ => bnodeLabelScopes += label -> bnodeScope
+        }
+        V("__bn_" + label)
+      }
       else C(termConst())
     }
+
+    // BGP adjacency scope for blank-node labels: bumped at every
+    // GraphPatternNotTriples boundary and nested group
+    private var bnodeScope = 0
+    private var bnodeLabelScopes = Map.empty[String, Int]
 
     // `[]` / `[ p o ; ... ]` in a pattern: a fresh existential variable;
     // the bracketed property list contributes patterns to the enclosing
@@ -1115,6 +1298,27 @@ object Parser {
       v
     }
 
+    // RDF collection `( e1 e2 ... )` in a term position: rdf:first/rdf:rest
+    // chains over fresh existential variables (SPARQL §4.2.2 collections
+    // desugar exactly like Turtle's); `()` is rdf:nil
+    private def collectionPattern(): Pat = {
+      expect("(")
+      val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      if (peek == ")") { next(); return C(Term.iri(RdfNs + "nil")) }
+      var elems = Vector.empty[Pat]
+      while (peek != ")") elems :+= varOrTerm()
+      expect(")")
+      val cells = elems.map { _ =>
+        anonCounter += 1; V(s"__coll_$anonCounter")
+      }
+      cells.lazyZip(elems).lazyZip(
+        cells.drop(1) :+ C(Term.iri(RdfNs + "nil"))).foreach { (cell, elem, rest) =>
+        pendingBnodeTps :+= TriplePattern(cell, C(Term.iri(RdfNs + "first")), elem)
+        pendingBnodeTps :+= TriplePattern(cell, C(Term.iri(RdfNs + "rest")), rest)
+      }
+      cells.head
+    }
+
     // RDF-star: `<< s p o >>` in a subject/object position matches the
     // asserted statement and stands for its SID (the reference's
     // statement-identifiers mode). The pattern itself joins the block.
@@ -1139,10 +1343,15 @@ object Parser {
       else if (t.equalsIgnoreCase("a")) Term.iri(RdfTypeIri)
       else if (t.equalsIgnoreCase("true")) Term.bool(lit(true))
       else if (t.equalsIgnoreCase("false")) Term.bool(lit(false))
-      else if (t.headOption.exists(c => c.isDigit || c == '-' || c == '.') &&
-               t.exists(_.isDigit) && t.forall(c => c.isDigit || c == '-' || c == '.')) {
-        if (t.contains('.')) Term.num(lit(new java.math.BigDecimal(t)), Term.XsdDecimal)
-        else Term.num(lit(t.toLong), Term.XsdInteger)
+      else if (t.headOption.exists(c => c.isDigit || c == '-' || c == '+' || c == '.') &&
+               t.exists(_.isDigit) &&
+               t.forall(c => c.isDigit || "+-.eE".contains(c))) {
+        val lexNorm = t.stripPrefix("+").stripSuffix(".")
+        if (t.exists(c => c == 'e' || c == 'E'))
+          Term.num(lit(new java.math.BigDecimal(lexNorm)), Term.XsdDouble)
+        else if (t.contains('.'))
+          Term.num(lit(new java.math.BigDecimal(lexNorm)), Term.XsdDecimal)
+        else Term.num(lit(lexNorm.toLong), Term.XsdInteger)
       }
       else Term.iri(expandPname(t))
     }
@@ -1163,16 +1372,35 @@ object Parser {
                               lit(new java.math.BigDecimal(lex)))
             catch { case _: NumberFormatException => Term.typed(lit(lex), lit(d)) }
           case Term.XsdBoolean => Term.bool(lit(lex == "true" || lex == "1"))
-          case Term.XsdDateTime =>
-            Term.typed(lit(Term.canonicalDateTimeLex(lex)), lit(Term.XsdDateTime))
+          // dateTime keeps its ORIGINAL lexical form (terms are lexical;
+          // TZ()/STR() must round-trip) — value comparison parses the
+          // offset at compare time (TermOps.cmp)
           case other => Term.typed(lit(lex), lit(other))
         }
       } else Term.str(lit(lex))
     }
 
-    private def unescape(s: String): String =
-      s.replace("\\n", "\n").replace("\\t", "\t").replace("\\\"", "\"")
-        .replace("\\\\", "\\")
+    // inverse of the tokenizer's canonical re-escape (left-to-right scan;
+    // chained .replace corrupts sequences like backslash-backslash-n)
+    private def unescape(s: String): String = {
+      if (s.indexOf('\\') < 0) return s
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+            case 'r' => sb.append('\r'); case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f'); case '"' => sb.append('"')
+            case '\'' => sb.append('\''); case '\\' => sb.append('\\')
+            case other => sb.append('\\').append(other)
+          }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
 
     // ---------------- expressions ----------------
 
@@ -1228,22 +1456,41 @@ object Parser {
 
     private def inList(a: Expr, negated: Boolean): PExpr = {
       expect("(")
-      var items = Vector.empty[Column]
-      while (peek != ")") { items :+= termConst(); if (peek == ",") next() }
+      // the list holds full expressions (17.4.1.9 — "2/0" is legal and
+      // contributes a type error to the disjunction); empty list is legal
+      // (IN () is false, NOT IN () is true)
+      var items = Vector.empty[Expr]
+      while (peek != ")") { items :+= expression(); if (peek == ",") next() }
       expect(")")
       bexpr { r =>
-        val eqs = items.map(t => TermOps.valueEq(a(r), t))
-        val any = eqs.reduce(_ || _)
-        if (negated) !any else any
+        if (items.isEmpty) lit(!negated) === lit(false)
+        else {
+          val eqs = items.map(t => TermOps.valueEq(a(r), t(r)))
+          // SPARQL IN = OR-chain: TRUE beats error, error beats FALSE
+          val any = eqs.reduce(_ || _)
+          if (negated) !any else any
+        }
       }
     }
 
     private def addExpr(): PExpr = {
       var a = mulExpr()
-      while (peek == "+" || peek == "-") {
-        val op = next(); val b = mulExpr(); val (x, y) = (a.term, b.term)
-        a = PExpr(if (op == "+") r => TermOps.arith(x(r), y(r), _ + _)
-                  else r => TermOps.arith(x(r), y(r), _ - _))
+      def signedNum(t: String): Boolean =
+        t.length > 1 && (t(0) == '+' || t(0) == '-') &&
+          (t(1).isDigit || t(1) == '.')
+      while (peek == "+" || peek == "-" || signedNum(peek)) {
+        // "?o+5" lexes the sign into the literal (longest match); the
+        // grammar's NumericLiteralPositive/Negative alternative makes it
+        // an additive continuation
+        if (signedNum(peek)) {
+          val c = termConst()
+          val x = a.term
+          a = PExpr(r => TermOps.arith(x(r), c, _ + _))
+        } else {
+          val op = next(); val b = mulExpr(); val (x, y) = (a.term, b.term)
+          a = PExpr(if (op == "+") r => TermOps.arith(x(r), y(r), _ + _)
+                    else r => TermOps.arith(x(r), y(r), _ - _))
+        }
       }
       a
     }
@@ -1253,7 +1500,11 @@ object Parser {
       while (peek == "*" || peek == "/") {
         val op = next(); val b = unaryExpr(); val (x, y) = (a.term, b.term)
         a = PExpr(if (op == "*") r => TermOps.arith(x(r), y(r), _ * _)
-                  else r => TermOps.arith(x(r), y(r), _ / _, divide = true))
+                  else r => TermOps.arith(x(r), y(r),
+                    // try_divide: /0 is a SPARQL type error (NULL), not an
+                    // ANSI runtime exception — errors must stay expression-
+                    // local so IF/COALESCE can catch them (17.2)
+                    (a, b) => try_divide(a, b), divide = true))
       }
       a
     }
@@ -1286,9 +1537,10 @@ object Parser {
       // custom IRI function call — <iri>(args) or pname(args) resolved
       // against the user scalar registry (FunctionRegistry.add analogue,
       // TestCustomFunction.java:84). Checked after built-ins and xsd
-      // casts so registrations cannot shadow the SPARQL grammar.
-      else if (toks.lift(pos + 1).contains("(") &&
-               iriFnTarget(t).exists(Functions.contains)) {
+      // casts so registrations cannot shadow the SPARQL grammar. An
+      // UNREGISTERED function still parses (the grammar admits any iri)
+      // and evaluates to a type error per 17.6.
+      else if (toks.lift(pos + 1).contains("(") && iriFnTarget(t).isDefined) {
         val iri = iriFnTarget(next()).get
         expect("(")
         var as = Vector.empty[Expr]
@@ -1298,7 +1550,8 @@ object Parser {
         }
         expect(")")
         val args = as
-        PExpr(r => Functions(iri)(args.map(a => a(r))))
+        if (Functions.contains(iri)) PExpr(r => Functions(iri)(args.map(a => a(r))))
+        else PExpr(_ => Term.unbound)
       }
       else { val c = termConst(); PExpr(_ => c) }
     }
@@ -1315,11 +1568,26 @@ object Parser {
       */
     private def xsdCast(t: Column, dt: String): Column = dt match {
       case d if Term.numericDatatypes(d) =>
-        val v = coalesce(Term.numVal(t),
+        // malformed lexical → NULL (type error), not an ANSI runtime error;
+        // integer-family targets truncate fractionless per XPath casting,
+        // but a fractional STRING is not castable to an integer type
+        val isIntTarget = d == Term.XsdInteger ||
+          (Term.numericDatatypes(d) && !Set(Term.XsdDecimal, Term.XsdDouble,
+            Term.XsdNs + "float").contains(d))
+        val fromStr =
+          if (isIntTarget)
+            when(Term.lex(t).rlike("^[+-]?\\d+$"), Term.lex(t).cast(Term.numType))
+              .otherwise(lit(null).cast(Term.numType))
+          else Term.safeNum(Term.lex(t))
+        val nv = Term.numVal(t)
+        val v = coalesce(
+          if (isIntTarget) // XPath casts truncate toward zero
+            when(nv >= 0, floor(nv)).otherwise(ceil(nv)).cast(Term.numType)
+          else nv,
           when(Term.dt(t) === Term.XsdBoolean,
                when(Term.lex(t) === "true" || Term.lex(t) === "1", 1).otherwise(0)
                  .cast(Term.numType))
-            .otherwise(Term.lex(t).cast(Term.numType)))
+            .otherwise(fromStr))
         when(v.isNotNull, Term.numDt(v, lit(d))).otherwise(Term.unbound)
       case Term.XsdString =>
         when(t.isNotNull, Term.str(Term.lex(t))).otherwise(Term.unbound)
@@ -1407,6 +1675,20 @@ object Parser {
       }
       expect(")")
       def litString(i: Int): String = strs(i)
+      // SPARQL 17.4.3 string-argument discipline: the functions below take
+      // string literals (simple, xsd:string, or language-tagged); anything
+      // else is a type error. Results derived from arg-1 carry its
+      // language tag (SUBSTR("bar"@en,...) = "b"@en).
+      def isStringLit(t: Column): Column =
+        Term.isLiteral(t) && (Term.lang(t).isNotNull ||
+          Term.dt(t).isNull || Term.dt(t) === Term.XsdString)
+      def isSimpleStr(t: Column): Column =
+        Term.isLiteral(t) && Term.lang(t).isNull &&
+          (Term.dt(t).isNull || Term.dt(t) === Term.XsdString)
+      def strDerived(src: Column, lexOut: Column): Column =
+        when(!isStringLit(src), Term.unbound)
+          .when(Term.lang(src).isNotNull, Term.langStr(lexOut, Term.lang(src)))
+          .otherwise(Term.str(lexOut))
       val f: Expr = name match {
         case "BOUND" => r => boolTerm(TermOps.bound(args(0)(r)))
         case "STR" => r => TermOps.strFn(args(0)(r))
@@ -1417,64 +1699,156 @@ object Parser {
         case "ISBLANK" => r => boolTerm(Term.isBnode(args(0)(r)))
         case "ISNUMERIC" => r => boolTerm(Term.isNumeric(args(0)(r)))
         case "SAMETERM" => r => boolTerm(TermOps.sameTerm(args(0)(r), args(1)(r)))
-        case "IF" => r => when(TermOps.ebv(args(0)(r)), args(1)(r)).otherwise(args(2)(r))
+        // an ERROR condition propagates as error — it must not select the
+        // else-branch (17.4.1.2)
+        case "IF" => r => {
+          val c = TermOps.ebv(args(0)(r))
+          when(c.isNotNull && c, args(1)(r))
+            .when(c.isNotNull && !c, args(2)(r))
+            .otherwise(Term.unbound)
+        }
         case "COALESCE" => r => coalesce(args.map(_(r)): _*)
         case "REGEX" => r => boolTerm(Term.lex(args(0)(r)).rlike(litString(0)))
         case "CONTAINS" => r => boolTerm(Term.lex(args(0)(r)).contains(Term.lex(args(1)(r))))
         case "STRSTARTS" => r => boolTerm(Term.lex(args(0)(r)).startsWith(Term.lex(args(1)(r))))
         case "STRENDS" => r => boolTerm(Term.lex(args(0)(r)).endsWith(Term.lex(args(1)(r))))
         case "STRLEN" => r => Term.num(length(Term.lex(args(0)(r))).cast("long"), Term.XsdInteger)
-        case "UCASE" => r => Term.str(upper(Term.lex(args(0)(r))))
-        case "LCASE" => r => Term.str(lower(Term.lex(args(0)(r))))
-        case "CONCAT" => r => Term.str(concat(args.map(a => Term.lex(a(r))): _*))
-        case "SUBSTR" => r =>
-          if (args.size >= 3)
-            Term.str(Term.lex(args(0)(r)).substr(Term.numVal(args(1)(r)).cast("int"),
-                                                 Term.numVal(args(2)(r)).cast("int")))
-          else Term.str(Term.lex(args(0)(r)).substr(
-            Term.numVal(args(1)(r)).cast("int"), length(Term.lex(args(0)(r)))))
+        case "UCASE" => r => {
+          val s = args(0)(r); strDerived(s, upper(Term.lex(s)))
+        }
+        case "LCASE" => r => {
+          val s = args(0)(r); strDerived(s, lower(Term.lex(s)))
+        }
+        case "CONCAT" => r => {
+          // 17.4.3.12: all args must be string literals; the result keeps
+          // a language tag only when EVERY arg carries that same tag
+          val srcs = args.map(a => a(r))
+          val ok = srcs.map(isStringLit).reduce(_ && _)
+          val commonLang = srcs.map(Term.lang)
+            .reduce((a, b) => when(a <=> b, a).otherwise(lit(null).cast("string")))
+          val lexOut = concat(srcs.map(Term.lex): _*)
+          when(!ok, Term.unbound)
+            .when(commonLang.isNotNull, Term.langStr(lexOut, commonLang))
+            .otherwise(Term.str(lexOut))
+        }
+        case "SUBSTR" => r => {
+          val s = args(0)(r)
+          val lexOut =
+            if (args.size >= 3)
+              Term.lex(s).substr(Term.numVal(args(1)(r)).cast("int"),
+                                 Term.numVal(args(2)(r)).cast("int"))
+            else Term.lex(s).substr(Term.numVal(args(1)(r)).cast("int"),
+                                    length(Term.lex(s)))
+          strDerived(s, lexOut)
+        }
+        // STRBEFORE/STRAFTER: the result (match, empty-delimiter, AND
+        // no-match) carries arg-1's language/type — the pre-errata
+        // definition Sesame and the reference implement, pinned by the
+        // vendored strbefore01.srx (s2 no-match → ""@ja)
         case "STRBEFORE" => r => {
-          val (x, d) = (Term.lex(args(0)(r)), litString(0))
-          Term.str(when(x.contains(d), substring_index(x, d, 1)).otherwise(""))
+          val s = args(0)(r)
+          val (x, d) = (Term.lex(s), litString(0))
+          strDerived(s,
+            when(lit(d.isEmpty) || !x.contains(d), lit(""))
+              .otherwise(substring_index(x, d, 1)))
         }
         case "STRAFTER" => r => {
-          val (x, d) = (Term.lex(args(0)(r)), litString(0))
+          val s = args(0)(r)
+          val (x, d) = (Term.lex(s), litString(0))
           // SPARQL 17.4.3.9: substring after the FIRST occurrence (not
           // substring_index's last); empty delimiter yields x (locate=1)
-          Term.str(when(x.contains(d),
-            x.substr(locate(d, x) + lit(d.length), length(x))).otherwise(""))
+          strDerived(s,
+            when(x.contains(d),
+                 x.substr(locate(d, x) + lit(d.length), length(x)))
+              .otherwise(lit("")))
         }
-        case "REPLACE" => r => Term.str(
-          regexp_replace(Term.lex(args(0)(r)), litString(0), litString(1)))
-        case "ABS" => r => numFn(args(0)(r), abs)
-        case "CEIL" => r => numFn(args(0)(r), c => ceil(c).cast(Term.numType))
-        case "FLOOR" => r => numFn(args(0)(r), c => floor(c).cast(Term.numType))
-        case "ROUND" => r => numFn(args(0)(r), c => round(c, 0))
+        case "REPLACE" => r => {
+          val s = args(0)(r)
+          strDerived(s, regexp_replace(Term.lex(s), litString(0), litString(1)))
+        }
+        // 17.4.4: ABS/CEIL/FLOOR/ROUND return the argument's OWN numeric
+        // datatype (CEIL(-1^^integer) is integer, not decimal)
+        case "ABS" => r => numFnSameDt(args(0)(r), abs)
+        case "CEIL" => r => numFnSameDt(args(0)(r), c => ceil(c).cast(Term.numType))
+        case "FLOOR" => r => numFnSameDt(args(0)(r), c => floor(c).cast(Term.numType))
+        case "ROUND" => r => numFnSameDt(args(0)(r), c => round(c, 0))
         case "MD5" => r => Term.str(md5(Term.lex(args(0)(r))))
         case "SHA1" => r => Term.str(sha1(Term.lex(args(0)(r))))
         case "SHA256" => r => Term.str(sha2(Term.lex(args(0)(r)), 256))
         case "SHA512" => r => Term.str(sha2(Term.lex(args(0)(r)), 512))
         case "ENCODE_FOR_URI" => r => Term.str(url_encode(Term.lex(args(0)(r))))
         // term constructors (SPARQL 17.4.2.5-2.8)
-        case "IRI" | "URI" => r => Term.iri(Term.lex(args(0)(r)))
-        case "STRDT" => r => Term.typed(Term.lex(args(0)(r)), Term.lex(args(1)(r)))
-        case "STRLANG" => r => Term.langStr(Term.lex(args(0)(r)), Term.lex(args(1)(r)))
+        case "IRI" | "URI" => r => {
+          val a = args(0)(r)
+          // relative strings resolve against the query BASE (17.4.2.6);
+          // scheme-prefixed strings are already absolute. Columnar RFC 3986
+          // subset: fragment / absolute-path / relative-path references.
+          val lex = Term.lex(a)
+          val resolved =
+            if (base.isEmpty) lex
+            else {
+              val noFrag = base.takeWhile(_ != '#')
+              val root = "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)".r
+                .findFirstMatchIn(base).map(_.group(1)).getOrElse(base)
+              val dir = noFrag.substring(0, noFrag.lastIndexOf('/') + 1)
+              when(lex.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lex)
+                .when(lex.startsWith("#"), concat(lit(noFrag), lex))
+                .when(lex.startsWith("/"), concat(lit(root), lex))
+                .otherwise(concat(lit(dir), lex))
+            }
+          when(Term.isIri(a), a)
+            .when(isSimpleStr(a), Term.iri(resolved))
+            .otherwise(Term.unbound)
+        }
+        // 17.4.2.7/2.8: STRDT/STRLANG require a SIMPLE literal (typed or
+        // tagged input is a type error)
+        case "STRDT" => r => {
+          val (a, d) = (args(0)(r), args(1)(r))
+          when(isSimpleStr(a) && Term.isIri(d),
+               Term.typedWithNum(Term.lex(a), Term.lex(d)))
+            .otherwise(Term.unbound)
+        }
+        case "STRLANG" => r => {
+          val (a, l) = (args(0)(r), args(1)(r))
+          when(isSimpleStr(a) && isSimpleStr(l) && length(Term.lex(l)) > 0,
+               Term.langStr(Term.lex(a), Term.lex(l)))
+            .otherwise(Term.unbound)
+        }
         // BNODE(str): content-addressed label — same argument, same bnode
         // (replay-safe determinism instead of RNG state, like CONSTRUCT's
-        // bnode handling); the zero-arg RNG form is intentionally absent
-        case "BNODE" => r => Term.bnode(concat(lit("fn_"), md5(Term.lex(args(0)(r)))))
+        // bnode handling); BNODE() mints a fresh label per solution
+        case "BNODE" =>
+          if (args.isEmpty)
+            r => Term.bnode(concat(lit("fn0_"),
+              monotonically_increasing_id().cast("string")))
+          else r => Term.bnode(concat(lit("fn_"), md5(Term.lex(args(0)(r)))))
         // TZ returns the zone string ("Z", "+05:00", "" if absent);
         // TIMEZONE's xsd:dayTimeDuration form maps to the same lexical tail
         case "TZ" => r => Term.str(
           coalesce(regexp_extract(Term.lex(args(0)(r)),
                                   "(Z|[+-]\\d{2}:\\d{2})$", 1), lit("")))
         // date/time accessors over xsd:dateTime lexical forms (DateBOp.java:47)
-        case "YEAR" => r => dtPart(args(0)(r), year)
-        case "MONTH" => r => dtPart(args(0)(r), month)
-        case "DAY" => r => dtPart(args(0)(r), dayofmonth)
-        case "HOURS" => r => dtPart(args(0)(r), hour)
-        case "MINUTES" => r => dtPart(args(0)(r), minute)
-        case "SECONDS" => r => dtPart(args(0)(r), second)
+        case "YEAR" => r => dtPart(args(0)(r), "^(-?\\d{4,})-")
+        case "MONTH" => r => dtPart(args(0)(r), "^-?\\d{4,}-(\\d{2})")
+        case "DAY" => r => dtPart(args(0)(r), "^-?\\d{4,}-\\d{2}-(\\d{2})")
+        case "HOURS" => r => dtPart(args(0)(r), "T(\\d{2}):")
+        case "MINUTES" => r => dtPart(args(0)(r), "T\\d{2}:(\\d{2}):")
+        // SECONDS is xsd:decimal (fractional seconds are part of the value)
+        case "SECONDS" => r =>
+          dtPart(args(0)(r), "T\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)", Term.XsdDecimal)
+        // TIMEZONE(): the zone as an xsd:dayTimeDuration; absent → error
+        case "TIMEZONE" => r => {
+          val z = regexp_extract(Term.lex(args(0)(r)),
+                                 "(Z|[+-]\\d{2}:\\d{2})$", 1)
+          val hh = substring(z, 2, 2).cast("int")
+          val mm = substring(z, 5, 2).cast("int")
+          val sign = when(z.startsWith("-"), "-").otherwise("")
+          val dur = when(z === "Z" || (hh === 0 && mm === 0), lit("PT0S"))
+            .otherwise(concat(sign, lit("PT"), hh.cast("string"), lit("H"),
+              when(mm > 0, concat(mm.cast("string"), lit("M"))).otherwise(lit(""))))
+          when(z =!= "", Term.typed(dur, lit(Term.XsdNs + "dayTimeDuration")))
+            .otherwise(Term.unbound)
+        }
         case "LANGMATCHES" => r => {
           // RFC 4647 basic filtering: "*" matches any non-empty tag;
           // otherwise the range matches the tag exactly or as a subtag
@@ -1512,16 +1886,29 @@ object Parser {
       when(Term.numVal(t).isNotNull, Term.num(f(Term.numVal(t)).cast(Term.numType)))
         .otherwise(Term.unbound)
 
-    private def dtPart(t: Column, f: Column => Column): Column = {
-      val ts = to_timestamp(Term.lex(t))
-      when(ts.isNotNull, Term.num(f(ts).cast(Term.numType), Term.XsdInteger))
+    /** Numeric fn that keeps the argument's own datatype (17.4.4). */
+    private def numFnSameDt(t: Column, f: Column => Column): Column =
+      when(Term.numVal(t).isNotNull,
+           Term.numDt(f(Term.numVal(t)).cast(Term.numType), Term.dt(t)))
         .otherwise(Term.unbound)
+
+    /** Date/time component from the LEXICAL form (no zone conversion:
+      * HOURS("…T15:38:02-08:00") is 15; to_timestamp would shift it).
+      */
+    private def dtPart(t: Column, pattern: String,
+                       dt: String = Term.XsdInteger): Column = {
+      val part = regexp_extract(Term.lex(t), pattern, 1)
+      when(Term.isLiteral(t) && part =!= "",
+           Term.num(part.cast(Term.numType), dt)).otherwise(Term.unbound)
     }
 
     private def stripIri(t: String): String =
-      graft.rdf.Iri.resolve(t.substring(1, t.length - 1), base)
+      graft.rdf.Iri.resolve(
+        graft.rdf.Iri.decodeUchar(t.substring(1, t.length - 1)), base)
 
-    private def expandPname(t: String): String = {
+    private def expandPname(t0: String): String = {
+      // DAWG-era queries carry \uXXXX escapes in prefixed names
+      val t = graft.rdf.Iri.decodeUchar(t0)
       val idx = t.indexOf(':')
       require(idx >= 0, s"not an IRI or prefixed name: '$t'")
       val (p, local) = (t.substring(0, idx), t.substring(idx + 1))
@@ -1571,6 +1958,6 @@ object Parser {
     "CONCAT", "SUBSTR", "ABS", "CEIL", "FLOOR", "ROUND", "YEAR", "MONTH",
     "DAY", "HOURS", "MINUTES", "SECONDS", "MD5", "SHA1", "SHA256", "SHA512",
     "ENCODE_FOR_URI", "LANGMATCHES", "STRBEFORE", "STRAFTER", "REPLACE",
-    "IRI", "URI", "STRDT", "STRLANG", "BNODE", "TZ",
+    "IRI", "URI", "STRDT", "STRLANG", "BNODE", "TZ", "TIMEZONE",
     "NOW", "RAND", "UUID", "STRUUID")
 }

@@ -22,6 +22,15 @@ import Algebra._
   */
 object Paths {
 
+  /** Zero-length-path domain dialect. SPARQL 1.1 REC §18.4 evaluates a
+    * zero-length path over ALL nodes of the graph (every subject/object,
+    * literals included — W3C pp05/pp13 pin this); the reference's
+    * ZeroLengthPathOp restricts it to the vertices of the path's own edge
+    * relation (its property-paths-6 fixture pins THAT). Default is the
+    * REC; the reference-compat suite flips this to mirror the reference.
+    */
+  @volatile var zeroLengthOverAllTerms: Boolean = true
+
   /** Compile a path over the quad store into a distinct pair DataFrame of
     * term structs, scoped to a graph context: `None` = default graph
     * (c IS NULL), `Some(C(g))` = one named graph, `Some(V(n))` = every named
@@ -53,24 +62,30 @@ object Paths {
       // ticket-734 golden cases: `rdf:type/rdfs:subClassOf*` must hold when
       // the type's class has no subclass edges at all) — so the other
       // side's pairs pass through unextended
+      // fixed-length connectives keep BAG semantics (a sequence path is
+      // BGP-equivalent: two routes through different mids = two solutions,
+      // W3C pp11/pp20); only the *, +, ? closures are set-based
       val joined = l.join(r, l("dst") === r("mid")).select(l("src"), r("dst"))
       val throughB = if (admitsZeroLength(b)) Seq(l.select("src", "dst")) else Nil
       val throughA = if (admitsZeroLength(a)) Seq(r.select(col("mid").as("src"), col("dst"))) else Nil
-      (Seq(joined) ++ throughB ++ throughA).reduce(_ unionByName _).distinct()
+      (Seq(joined) ++ throughB ++ throughA).reduce(_ unionByName _)
     case Alt(a, b) =>
-      compileFlat(scoped, a).unionByName(compileFlat(scoped, b)).distinct()
+      compileFlat(scoped, a).unionByName(compileFlat(scoped, b))
+    case ZeroLength(p) =>
+      if (zeroLengthOverAllTerms) zeroDomain(scoped, null)
+      else endpointIdentity(compileFlat(scoped, p))
     case ZeroOrOne(p) =>
       val pairs = compileFlat(scoped, p)
-      pairs.unionByName(endpointIdentity(pairs)).distinct()
+      pairs.unionByName(zeroDomain(scoped, pairs)).distinct()
     case OneOrMore(p) =>
       transitiveClosure(compileFlat(scoped, p))
     case ZeroOrMore(p) =>
       val pairs = compileFlat(scoped, p)
-      transitiveClosure(pairs).unionByName(endpointIdentity(pairs)).distinct()
+      transitiveClosure(pairs).unionByName(zeroDomain(scoped, pairs)).distinct()
     case NegatedSet(iris) =>
       val excluded = iris.foldLeft(lit(false))((acc, i) => acc || col("p") === Term.iri(i))
       scoped.filter(!excluded)
-        .select(col("s").as("src"), col("o").as("dst")).distinct()
+        .select(col("s").as("src"), col("o").as("dst"))
   }
 
   /** Variable-graph compilation: pairs are (g, src, dst) and every join /
@@ -97,31 +112,47 @@ object Paths {
         if (admitsZeroLength(a))
           Seq(r.select(col("g2").as("g"), col("mid").as("src"), col("dst")))
         else Nil
-      (Seq(joined) ++ throughB ++ throughA).reduce(_ unionByName _).distinct()
+      (Seq(joined) ++ throughB ++ throughA).reduce(_ unionByName _)
     case Alt(a, b) =>
-      compilePerGraph(scoped, a).unionByName(compilePerGraph(scoped, b)).distinct()
+      compilePerGraph(scoped, a).unionByName(compilePerGraph(scoped, b))
+    case ZeroLength(p) =>
+      if (zeroLengthOverAllTerms) zeroDomainPerGraph(scoped, null)
+      else endpointIdentityPerGraph(compilePerGraph(scoped, p))
     case ZeroOrOne(p) =>
       val pairs = compilePerGraph(scoped, p)
-      pairs.unionByName(endpointIdentityPerGraph(pairs)).distinct()
+      pairs.unionByName(zeroDomainPerGraph(scoped, pairs)).distinct()
     case OneOrMore(p) =>
       closureLoop(compilePerGraph(scoped, p), keyed = true, 64)
     case ZeroOrMore(p) =>
       val pairs = compilePerGraph(scoped, p)
       closureLoop(pairs, keyed = true, 64)
-        .unionByName(endpointIdentityPerGraph(pairs)).distinct()
+        .unionByName(zeroDomainPerGraph(scoped, pairs)).distinct()
     case NegatedSet(iris) =>
       val excluded = iris.foldLeft(lit(false))((acc, i) => acc || col("p") === Term.iri(i))
       scoped.filter(!excluded)
-        .select(col("c").as("g"), col("s").as("src"), col("o").as("dst")).distinct()
+        .select(col("c").as("g"), col("s").as("src"), col("o").as("dst"))
   }
 
-  /** Zero-length path endpoints: each vertex OF THE PATH'S OWN edge
-    * relation paired with itself. The reference's ALP/ZeroLengthPathOp
-    * binds right = left over the vertices the path expression reaches
-    * (ZeroLengthPathOp.java:53), NOT over every term in the graph — its
-    * golden fixtures (e.g. property-paths-6) encode that choice. A bound
-    * endpoint outside the relation is supplemented at bind time
+  /** Zero-length identity pairs in the active dialect (see
+    * zeroLengthOverAllTerms): REC = every node of the scoped graph;
+    * reference dialect = the path's own relation vertices. A bound
+    * endpoint outside the domain is supplemented at bind time
     * (Translator.bindEnds zero-length handling).
+    */
+  private def zeroDomain(scoped: DataFrame, pairs: DataFrame): DataFrame =
+    if (!zeroLengthOverAllTerms) endpointIdentity(pairs)
+    else scoped.select(col("s").as("n"))
+      .unionByName(scoped.select(col("o").as("n"))).distinct()
+      .select(col("n").as("src"), col("n").as("dst"))
+
+  private def zeroDomainPerGraph(scoped: DataFrame, pairs: DataFrame): DataFrame =
+    if (!zeroLengthOverAllTerms) endpointIdentityPerGraph(pairs)
+    else scoped.select(col("c").as("g"), col("s").as("n"))
+      .unionByName(scoped.select(col("c").as("g"), col("o").as("n"))).distinct()
+      .select(col("g"), col("n").as("src"), col("n").as("dst"))
+
+  /** The path's own relation vertices, paired with themselves (the
+    * reference's ZeroLengthPathOp.java:53 domain; property-paths-6).
     */
   private def endpointIdentity(pairs: DataFrame): DataFrame = {
     val nodes = pairs.select(col("src").as("n"))
@@ -140,7 +171,7 @@ object Paths {
 
   /** Can a zero-length match arise at the top of this path? */
   def admitsZeroLength(path: Path): Boolean = path match {
-    case _: ZeroOrMore | _: ZeroOrOne => true
+    case _: ZeroOrMore | _: ZeroOrOne | _: ZeroLength => true
     case Alt(a, b) => admitsZeroLength(a) || admitsZeroLength(b)
     case Inv(p) => admitsZeroLength(p)
     case _ => false

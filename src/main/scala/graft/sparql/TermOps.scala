@@ -50,16 +50,28 @@ object TermOps {
             lower(Term.lang(a)) === lower(Term.lang(b)) &&
               Term.lex(a) === Term.lex(b))
       .when(Term.lang(a).isNotNull || Term.lang(b).isNotNull, lit(false))
+      // dateTimes compare as instants (lexicals keep their original
+      // timezone offset, so lexical equality is NOT value equality)
+      .when(Term.dt(a) === Term.XsdDateTime && Term.dt(b) === Term.XsdDateTime,
+            tsVal(a) === tsVal(b))
       // literals: same dt → lexical compare; else error (unknown datatypes
       // might canonicalize equal — open-world)
       .when(Term.dt(a) <=> Term.dt(b), Term.lex(a) === Term.lex(b))
       .otherwise(lit(null).cast(BooleanType))
+
+  /** The instant value of a dateTime literal (offset-aware; zoneless
+    * lexicals read in the session zone, which this engine pins to UTC).
+    */
+  private def tsVal(t: Column): Column = to_timestamp(Term.lex(t))
 
   /** SPARQL `<`-family comparison; returns -1/0/1 or NULL on type error. */
   private def cmp(a: Column, b: Column): Column =
     when(a.isNull || b.isNull, lit(null).cast(IntegerType))
       .when(Term.numVal(a).isNotNull && Term.numVal(b).isNotNull,
         when(Term.numVal(a) < Term.numVal(b), -1).when(Term.numVal(a) > Term.numVal(b), 1).otherwise(0))
+      .when(Term.dt(a) === Term.XsdDateTime && Term.dt(b) === Term.XsdDateTime,
+        when(tsVal(a) < tsVal(b), -1).when(tsVal(a) > tsVal(b), 1)
+          .when(tsVal(a) === tsVal(b), 0).otherwise(lit(null).cast(IntegerType)))
       .when(Term.isLiteral(a) && Term.isLiteral(b) &&
             (Term.dt(a) <=> Term.dt(b)) && (Term.lang(a) <=> Term.lang(b)),
         when(Term.lex(a) < Term.lex(b), -1).when(Term.lex(a) > Term.lex(b), 1).otherwise(0))
@@ -110,8 +122,12 @@ object TermOps {
                             Term.XsdNs + "date", Term.XsdNs + "time"), 2)
       .otherwise(3),
     // numerics order by value (the comparator's '<'-operator fast path);
-    // ties fall through to the datatype/lang/label key below
-    coalesce(Term.numVal(t), lit(0).cast(Term.numType)),
+    // dateTimes by instant (lexicals keep their offsets); ties fall
+    // through to the datatype/lang/label key below
+    coalesce(Term.numVal(t),
+      when(Term.dt(t) === Term.XsdDateTime,
+           tsVal(t).cast(DoubleType).cast(Term.numType)).otherwise(lit(null)),
+      lit(0).cast(Term.numType)),
     concat_ws("\u0001",
       coalesce(Term.dt(t), lit("")),
       // simple literals before lang-tagged ones, then by tag, then label

@@ -599,7 +599,11 @@ object Translator {
       case _ =>
     }
     val keep = vars.distinct
-    Result(df.select(keep.map(col): _*).distinct(), keep.toSet, Set.empty)
+    // NO row dedup here: fixed-length paths are BGP-equivalent and keep
+    // bag semantics (two routes through different mids = two solutions,
+    // W3C pp11/pp20); the closure forms (*, +, ?) are set-based and their
+    // compile() already returns distinct pairs
+    Result(df.select(keep.map(col): _*), keep.toSet, Set.empty)
   }
 
   /** Push a GRAPH context onto every pattern in scope lacking one. A nested

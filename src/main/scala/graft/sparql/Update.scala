@@ -33,8 +33,41 @@ object Update {
 
   def execute(spark: SparkSession, store: DataFrame, text: String): DataFrame = {
     // reuse the query tokenizer via a dedicated parse pass
-    val ops = splitOps(text)
+    val ops = splitOps(stripComments(text))
     ops.foldLeft(store)((st, op) => executeOne(spark, st, op))
+  }
+
+  /** Parse/validate only — no file reads, no execution side effects (the
+    * W3C Positive/NegativeUpdateSyntaxTest contract: LOAD of an
+    * unreachable IRI is still SYNTACTICALLY valid).
+    */
+  def validate(spark: SparkSession, store: DataFrame, text: String): Unit = {
+    val ops = splitOps(stripComments(text))
+    require(ops.nonEmpty || text.trim.isEmpty ||
+            stripComments(text).trim.isEmpty, s"no operations in: $text")
+    ops.foldLeft(store)((st, op) => executeOne(spark, st, op, parseOnly = true))
+  }
+
+  /** Drop '#' comments (outside string literals and IRI refs). */
+  private def stripComments(text: String): String = {
+    val sb = new StringBuilder(text.length)
+    var i = 0
+    var inStr: Char = 0
+    var inIri = false
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inStr != 0) {
+        sb.append(c)
+        if (c == '\\' && i + 1 < text.length) { sb.append(text.charAt(i + 1)); i += 1 }
+        else if (c == inStr) inStr = 0
+      } else if (inIri) { sb.append(c); if (c == '>') inIri = false }
+      else if (c == '"' || c == '\'') { inStr = c; sb.append(c) }
+      else if (c == '<') { inIri = true; sb.append(c) }
+      else if (c == '#') { while (i < text.length && text.charAt(i) != '\n') i += 1; sb.append('\n') }
+      else sb.append(c)
+      i += 1
+    }
+    sb.toString
   }
 
   /** Split on top-level ';' (outside braces/quotes; escaped quotes inside
@@ -60,69 +93,127 @@ object Update {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
-  private def executeOne(spark: SparkSession, store: DataFrame, op: String): DataFrame = {
+  private def executeOne(spark: SparkSession, store: DataFrame, op: String,
+                         parseOnly: Boolean = false): DataFrame = {
     val u = op.trim
-    val upper = u.toUpperCase
-    if (upper.startsWith("INSERT DATA")) {
-      QuadStore.insert(store, constantTriples(spark, body(u)))
-    } else if (upper.startsWith("DELETE DATA")) {
-      QuadStore.delete(store, constantTriples(spark, body(u)))
-    } else if (upper.startsWith("DELETE WHERE")) {
-      val q = Parser.parse(spark, prefixesOf(u) +
-        s" SELECT * WHERE { ${body(u)} }")
-      val sols = Translator.translate(store, q.node)
-      val tmpl = templateOf(spark, prefixesOf(u), body(u))
-      QuadStore.delete(store, instantiate(sols, tmpl))
-    } else if (upper.startsWith("CLEAR") || upper.startsWith("DROP")) {
-      val last = u.split("\\s+").last.toUpperCase
-      if (last == "DEFAULT") store.filter(col("c").isNotNull)
-      else if (last == "ALL") store.limit(0)
-      else if (last == "NAMED") store.filter(col("c").isNull)
+    // prologue: leading BASE/PREFIX declarations scope the operation; the
+    // dispatch keyword is the first token AFTER them
+    val prologueRe = "(?is)^((?:\\s*(?:BASE\\s+<[^>]*>|PREFIX\\s+\\S+\\s+<[^>]*>))*)\\s*".r
+    val prologue = prologueRe.findFirstMatchIn(u).map(_.group(1)).getOrElse("")
+    val base = "(?i)BASE\\s+<([^>]*)>".r.findFirstMatchIn(prologue)
+      .map(_.group(1)).getOrElse("")
+    val prefixMap: Map[String, String] =
+      "(?i)PREFIX\\s+(\\S+):\\s+<([^>]*)>".r.findAllMatchIn(prologue)
+        .map(m => m.group(1) -> m.group(2)).toMap
+    val core = u.substring(prologueRe.findFirstMatchIn(u).map(_.group(1).length).getOrElse(0)).trim
+    // dispatch over whitespace-normalized text ("INSERT \n DATA" is legal)
+    val upper = core.replaceAll("\\s+", " ").toUpperCase
+    // a graph token: <iri> (BASE-resolved) or prefixed name
+    def graphIri(tok: String): String =
+      if (tok.startsWith("<")) graft.rdf.Iri.resolve(
+        tok.stripPrefix("<").stripSuffix(">"), base)
       else {
-        val g = u.split("\\s+").last.stripPrefix("<").stripSuffix(">")
-        QuadStore.clearGraph(store, Term.iri(g))
+        val i = tok.indexOf(':')
+        require(i >= 0, s"not a graph ref: '$tok'")
+        prefixMap.get(tok.substring(0, i)) match {
+          case Some(ns) => ns + tok.substring(i + 1)
+          case None => throw new IllegalArgumentException(
+            s"unknown prefix in graph ref '$tok'")
+        }
       }
+    if (upper.startsWith("INSERT DATA")) {
+      val data = constantTriples(spark, prologue, body(core), base)
+      if (parseOnly) store else QuadStore.insert(store, data)
+    } else if (upper.startsWith("DELETE DATA")) {
+      // DELETE DATA admits no blank nodes (19.6)
+      val b = body(core)
+      require(!hasBareBnode(b), "blank node in DELETE DATA")
+      val data = constantTriples(spark, prologue, b, base)
+      if (parseOnly) store else QuadStore.delete(store, data)
+    } else if (upper.startsWith("DELETE WHERE")) {
+      val q = Parser.parse(spark, prologue +
+        s" SELECT * WHERE { ${body(core)} }", base)
+      val tmpl = templateOf(spark, prologue, body(core), base,
+                            forbidBnodes = true)
+      if (parseOnly) store
+      else {
+        val sols = Translator.translate(store, q.node)
+        QuadStore.delete(store, instantiate(sols, tmpl))
+      }
+    } else if (upper.startsWith("CLEAR") || upper.startsWith("DROP")) {
+      val toks = core.split("\\s+")
+      require(toks.length >= 2, s"bad ${toks.head} op")
+      val last = toks.last
+      if (parseOnly) {
+        if (!Set("DEFAULT", "ALL", "NAMED").contains(last.toUpperCase)) graphIri(last)
+        store
+      }
+      else if (last.equalsIgnoreCase("DEFAULT")) store.filter(col("c").isNotNull)
+      else if (last.equalsIgnoreCase("ALL")) store.limit(0)
+      else if (last.equalsIgnoreCase("NAMED")) store.filter(col("c").isNull)
+      else QuadStore.clearGraph(store, Term.iri(graphIri(last)))
     } else if (upper.startsWith("CREATE")) {
       store // graphs exist implicitly in the quad model
     } else if (upper.startsWith("ADD") || upper.startsWith("COPY") ||
                upper.startsWith("MOVE")) {
-      val m = "(?i)^(ADD|COPY|MOVE)\\s+(?:GRAPH\\s+)?(DEFAULT|<[^>]*>)\\s+TO\\s+(?:GRAPH\\s+)?(DEFAULT|<[^>]*>)".r
-        .findFirstMatchIn(u)
-        .getOrElse(throw new IllegalArgumentException(s"bad graph op: ${u.take(60)}"))
+      val m = ("(?is)^(ADD|COPY|MOVE)\\s+(?:SILENT\\s+)?(?:GRAPH\\s+)?" +
+               "(DEFAULT|<[^>]*>|\\S+:\\S*)\\s+TO\\s+(?:GRAPH\\s+)?" +
+               "(DEFAULT|<[^>]*>|\\S+:\\S*)").r
+        .findFirstMatchIn(core)
+        .getOrElse(throw new IllegalArgumentException(s"bad graph op: ${core.take(60)}"))
       def gcol(tok: String): Column =
         if (tok.equalsIgnoreCase("DEFAULT")) Term.unbound
-        else Term.iri(tok.stripPrefix("<").stripSuffix(">"))
+        else Term.iri(graphIri(tok))
       val (from, to) = (gcol(m.group(2)), gcol(m.group(3)))
       val kind = m.group(1).toUpperCase
-      // COPY replaces the target graph first; ADD merges into it
-      val base = if (kind == "ADD") store else store.filter(!(col("c") <=> to))
-      val copied = QuadStore.insert(base,
-        store.filter(col("c") <=> from).withColumn("c", to))
-      if (kind == "MOVE") copied.filter(!(col("c") <=> from)) else copied
+      if (parseOnly) store
+      else if (from == to && m.group(2).equalsIgnoreCase(m.group(3))) store
+      else {
+        // COPY/MOVE replace the target graph first; ADD merges into it
+        val base2 = if (kind == "ADD") store else store.filter(!(col("c") <=> to))
+        val copied = QuadStore.insert(base2,
+          store.filter(col("c") <=> from).withColumn("c", to))
+        if (kind == "MOVE") copied.filter(!(col("c") <=> from)) else copied
+      }
     } else if (upper.startsWith("LOAD")) {
-      val parts = u.split("\\s+")
-      val path = parts(1).stripPrefix("<").stripSuffix(">")
-      val triples = NTriples.read(spark, path)
-      val withG = if (upper.contains("INTO GRAPH")) {
-        val g = parts.last.stripPrefix("<").stripSuffix(">")
-        triples.withColumn("c", Term.iri(g))
-      } else triples
-      QuadStore.insert(store, withG)
+      val toks = core.split("\\s+")
+      val silent = toks.length > 1 && toks(1).equalsIgnoreCase("SILENT")
+      val pathTok = toks(if (silent) 2 else 1)
+      val path = graft.rdf.Iri.resolve(
+        pathTok.stripPrefix("<").stripSuffix(">"), base)
+      if (parseOnly) store
+      else {
+        def load(): DataFrame = {
+          val triples =
+            if (path.endsWith(".ttl")) graft.rdf.Turtle.read(spark, path, path)
+            else if (path.endsWith(".rdf")) graft.rdf.RdfXml.read(spark, path)
+            else NTriples.read(spark, path)
+          val withG = if (upper.contains("INTO GRAPH")) {
+            triples.withColumn("c", Term.iri(graphIri(toks.last)))
+          } else triples
+          QuadStore.insert(store, withG)
+        }
+        if (silent) scala.util.Try(load()).getOrElse(store) else load()
+      }
     } else {
-      // [prefixes] [WITH <g>] [DELETE { t }] [INSERT { t }]
+      // [prologue] [WITH <g>] [DELETE { t }] [INSERT { t }]
       //   [USING [NAMED] <g>]* WHERE { pattern }
-      val prefixes = prefixesOf(u)
+      val prefixes = prologue
       val withG: Option[Column] =
-        "(?i)\\bWITH\\s+<([^>]*)>".r.findFirstMatchIn(u)
-          .map(m => Term.iri(m.group(1)))
-      val usingDefault = "(?i)\\bUSING\\s+<([^>]*)>".r
-        .findAllMatchIn(u).map(m => Term.iri(m.group(1))).toSeq
-      val usingNamed = "(?i)\\bUSING\\s+NAMED\\s+<([^>]*)>".r
-        .findAllMatchIn(u).map(m => Term.iri(m.group(1))).toSeq
-      val del = sectionBody(u, "DELETE")
-      val ins = sectionBody(u, "INSERT")
-      val where = sectionBody(u, "WHERE").getOrElse(
-        throw new IllegalArgumentException(s"unsupported update: ${u.take(60)}"))
+        "(?i)\\bWITH\\s+(<[^>]*>|\\S+:\\S*)".r.findFirstMatchIn(core)
+          .map(m => Term.iri(graphIri(m.group(1))))
+      val usingDefault = "(?i)\\bUSING\\s+(<[^>]*>)".r
+        .findAllMatchIn(core).map(m => Term.iri(graphIri(m.group(1)))).toSeq
+      val usingNamed = "(?i)\\bUSING\\s+NAMED\\s+(<[^>]*>|\\S+:\\S*)".r
+        .findAllMatchIn(core).map(m => Term.iri(graphIri(m.group(1)))).toSeq
+      val del = sectionBody(core, "DELETE")
+      val ins = sectionBody(core, "INSERT")
+      val where = sectionBody(core, "WHERE").getOrElse(
+        throw new IllegalArgumentException(s"unsupported update: ${core.take(60)}"))
+      // "INSERT WHERE"/"DELETE WHERE" handled above; the modify form needs
+      // at least one template (syntax-update-bad-06)
+      require(del.isDefined || ins.isDefined,
+        "DELETE/INSERT ... WHERE needs at least one template")
       // dataset for WHERE: USING clauses build it outright; otherwise WITH
       // makes that graph's contents the default graph (named graphs stay)
       val dataset =
@@ -137,25 +228,49 @@ object Update {
           store.filter(col("c") <=> g).withColumn("c", Term.unbound)
             .unionByName(store.filter(col("c").isNotNull))
         }.getOrElse(store)
-      val q = Parser.parse(spark, s"$prefixes SELECT * WHERE { $where }")
-      val sols = Translator.translate(dataset, q.node)
-      // un-GRAPHed template triples land in the WITH graph (default if none)
-      def scope(tmpl: Seq[TriplePattern]): Seq[TriplePattern] = withG match {
-        case Some(g) => tmpl.map(tp =>
-          if (tp.g.isEmpty) tp.copy(g = Some(C(g))) else tp)
-        case None => tmpl
+      val q = Parser.parse(spark, s"$prefixes SELECT * WHERE { $where }", base)
+      val delT = del.map(d => templateOf(spark, prefixes, d, base,
+                                         forbidBnodes = true))
+      val insT = ins.map(t => templateOf(spark, prefixes, t, base))
+      if (parseOnly) store
+      else {
+        val sols = Translator.translate(dataset, q.node)
+        // un-GRAPHed template triples land in the WITH graph (default if none)
+        def scope(tmpl: Seq[TriplePattern]): Seq[TriplePattern] = withG match {
+          case Some(g) => tmpl.map(tp =>
+            if (tp.g.isEmpty) tp.copy(g = Some(C(g))) else tp)
+          case None => tmpl
+        }
+        val afterDel = delT.map { d =>
+          QuadStore.delete(store, instantiate(sols, scope(d)))
+        }.getOrElse(store)
+        insT.map { t =>
+          QuadStore.insert(afterDel, instantiate(sols, scope(t)))
+        }.getOrElse(afterDel)
       }
-      val afterDel = del.map { d =>
-        QuadStore.delete(store, instantiate(sols, scope(templateOf(spark, prefixes, d))))
-      }.getOrElse(store)
-      ins.map { t =>
-        QuadStore.insert(afterDel, instantiate(sols, scope(templateOf(spark, prefixes, t))))
-      }.getOrElse(afterDel)
     }
   }
 
-  private def prefixesOf(u: String): String =
-    "(?i)PREFIX\\s+\\S+\\s+<[^>]*>".r.findAllIn(u).mkString(" ")
+  /** Does a template/data block contain a blank node ([] or _:label)?
+    * Scans tokens outside string literals (19.6: DELETE forms admit none).
+    */
+  private def hasBareBnode(block: String): Boolean = {
+    var i = 0; var inStr: Char = 0; var inIri = false
+    while (i < block.length) {
+      val c = block.charAt(i)
+      if (inStr != 0) {
+        if (c == '\\') i += 1 else if (c == inStr) inStr = 0
+      }
+      else if (inIri) { if (c == '>') inIri = false }
+      else if (c == '"' || c == '\'') inStr = c
+      else if (c == '<') inIri = true
+      else if (c == '[') return true
+      else if (c == '_' && i + 1 < block.length && block.charAt(i + 1) == ':')
+        return true
+      i += 1
+    }
+    false
+  }
 
   /** The body of the first top-level { ... } after the leading keyword. */
   private def body(u: String): String = {
@@ -183,9 +298,14 @@ object Update {
   /** Parse a constant triple block (INSERT/DELETE DATA) via the query
     * parser's triples machinery on a WHERE-shaped wrapper.
     */
-  private def constantTriples(spark: SparkSession, triples: String): DataFrame = {
-    val q = Parser.parse(spark, s"SELECT * WHERE { $triples }")
+  private def constantTriples(spark: SparkSession, prefixes: String,
+                              triples: String, base: String = ""): DataFrame = {
+    val q = Parser.parse(spark, s"$prefixes SELECT * WHERE { $triples }", base)
     val tps = flat(q.node)
+    require(tps.nonEmpty || triples.trim.isEmpty, s"no triples in DATA block")
+    if (tps.isEmpty) return spark.range(0)
+      .select(Term.unbound.as("s"), Term.unbound.as("p"),
+              Term.unbound.as("o"), Term.unbound.as("c"))
     val rows = tps.map { tp =>
       val cols = Seq(constCol(tp.s).as("s"), constCol(tp.p).as("p"),
                      constCol(tp.o).as("o"),
@@ -197,6 +317,11 @@ object Update {
 
   private def constCol(p: Pat): Column = p match {
     case C(t) => t
+    // a blank node in INSERT DATA mints a fresh node (existential); the
+    // parser surfaced it as an internal var — give it a stable label
+    case V(n) if n.startsWith("__bn_") || n.startsWith("__anon_") ||
+                 n.startsWith("__coll_") =>
+      Term.bnode(lit("u_" + n))
     case V(n) => throw new IllegalArgumentException(s"variable ?$n in DATA block")
   }
 
@@ -218,8 +343,12 @@ object Update {
 
   /** Parse a template block into triple patterns (vars allowed). */
   private def templateOf(spark: SparkSession, prefixes: String,
-                         tmpl: String): Seq[TriplePattern] =
-    flat(Parser.parse(spark, s"$prefixes SELECT * WHERE { $tmpl }").node)
+                         tmpl: String, base: String = "",
+                         forbidBnodes: Boolean = false): Seq[TriplePattern] = {
+    if (forbidBnodes) require(!hasBareBnode(tmpl),
+      "blank node in DELETE template (19.6)")
+    flat(Parser.parse(spark, s"$prefixes SELECT * WHERE { $tmpl }", base).node)
+  }
 
   private def flat(n: Node): Seq[TriplePattern] = n match {
     case Bgp(tps, _) => tps

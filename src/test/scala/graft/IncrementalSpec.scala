@@ -230,6 +230,13 @@ class IncrementalSpec extends SparkSpecBase {
     val bat = rows(FullText.search(FullText.buildIndex(all), Seq("spark", "fast")))
     assert(inc == bat, s"incremental $inc != batch $bat")
     assert(inc.map(_._1).toSet == Set("d1", "d3"))
+    // stats maintained incrementally (no postings re-read) must score
+    // identically to stats rebuilt from the full index
+    val incStats = FullText.appendTfStats(
+      FullText.buildTfStats(FullText.buildTfIndex(batch1)), batch2)
+    val withStats = rows(FullText.searchTf(tf, Seq("spark", "fast"),
+                                           stats = Some(incStats)))
+    assert(withStats == bat, s"appendTfStats drifted: $withStats != $bat")
   }
 
   test("full-text analyzers: stopwords, unicode scripts, CJK bigrams") {

@@ -212,6 +212,17 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("embedding near-dup default path blocks on LSH buckets, never all-pairs") {
+    // with no caller-supplied block column the pair join must still be an
+    // equi-join (on the derived LSH bucket), not a corpus-wide product
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = graft.pipeline.Dedup.embeddingNearDupPairs(emb, threshold = 0.9)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+           s"default embedding near-dup degraded to all-pairs:\n$p")
+  }
+
   test("salted join equals plain join and spreads hot keys") {
     import spark.implicits._
     // hot key: 10k rows of key=1 against a 3-row dimension

@@ -34,6 +34,7 @@ class RefSparqlSpec extends SparkSpecBase
   // in a full run while passing in 16s isolated.
   override val timeLimit = org.scalatest.time.Span(300, org.scalatest.time.Seconds)
 
+
   private val dir = Paths.get(getClass.getResource("/refsparql").toURI)
 
   private final case class Case(name: String, rq: String, data: String, expected: String)
@@ -193,7 +194,13 @@ class RefSparqlSpec extends SparkSpecBase
   }
 
   override def withFixture(test: NoArgTest): org.scalatest.Outcome = {
-    val out = super.withFixture(test)
+    // this suite mirrors the REFERENCE's dialect: zero-length paths range
+    // over the path relation's vertices (property-paths-6), not the REC's
+    // whole-graph node set (which W3cSparqlTckSpec pins)
+    graft.sparql.Paths.zeroLengthOverAllTerms = false
+    val out =
+      try super.withFixture(test)
+      finally graft.sparql.Paths.zeroLengthOverAllTerms = true
     // free per-case scratch state (path fixpoints localCheckpoint RDDs);
     // without this a full 250-case run accumulates hundreds of persisted
     // RDDs and late cases slow enough to trip the time limit

@@ -59,8 +59,12 @@ class W3cSparqlTckSpec extends SparkSpecBase
       assert(runnable.size >= 400, s"expected >= 400 runnable, got ${runnable.size}")
     }
 
+    val labelSeen = scala.collection.mutable.Map.empty[String, Int]
     entries.foreach { e =>
-      val label = s"w3c tck: ${e.suite}/${e.dir}: ${e.name}"
+      val base = s"w3c tck: ${e.suite}/${e.dir}: ${e.name}"
+      val n = labelSeen.updateWith(base)(c => Some(c.getOrElse(0) + 1)).get
+      // a few manifests list the same case twice; disambiguate, don't drop
+      val label = if (n == 1) base else s"$base #$n"
       excludedCase(e) match {
         case Some(reason) =>
           ignore(label + s" [excluded: $reason]") {}
@@ -74,10 +78,10 @@ class W3cSparqlTckSpec extends SparkSpecBase
                 Parser.parse(spark, text(e.query.get), e.query.get)
               }
             case "PositiveUpdateSyntaxTest11" =>
-              Update.execute(spark, emptyStore, text(e.query.get))
+              Update.validate(spark, emptyStore, text(e.query.get))
             case "NegativeUpdateSyntaxTest11" =>
               intercept[Exception] {
-                Update.execute(spark, emptyStore, text(e.query.get))
+                Update.validate(spark, emptyStore, text(e.query.get))
               }
             case "UpdateEvaluationTest" => runUpdateEval(e)
             case other => fail(s"unhandled test type $other")
@@ -106,7 +110,9 @@ class W3cSparqlTckSpec extends SparkSpecBase
                          graphData: Seq[(String, String)]): DataFrame = {
     val parts = data.map(loadFile(_, None)) ++
       graphData.map { case (f, g) => loadFile(f, Some(g)) }
-    parts.reduceOption(_ unionByName _).getOrElse(emptyStore)
+    // an RDF graph is a SET: "abc" and "abc"^^xsd:string in the source
+    // are one statement
+    parts.reduceOption(_ unionByName _).getOrElse(emptyStore).distinct()
   }
 
   private def runQueryEval(e: TckEntry): Unit = {
@@ -230,8 +236,14 @@ class W3cSparqlTckSpec extends SparkSpecBase
     df.select(concat_ws("\t", cols: _*).as("line"))
       .collect().map(_.getString(0))
       .map(_.replaceAll("_:[A-Za-z0-9_:.-]+", "_:b"))
+      // language tags compare case-insensitively (BCP 47); the suite files
+      // mix "en-US" and "en-us"
+      .map(langTagLower)
       .sorted.toSeq
   }
+
+  private def langTagLower(line: String): String =
+    "@[A-Za-z0-9-]+".r.replaceAllIn(line, m => m.matched.toLowerCase)
 }
 
 /** Jar access, URL mapping, and manifest walking for the SPARQL TCK. */
@@ -304,9 +316,29 @@ object SparqlTck {
   def excludedCase(e: TckEntry): Option[String] = caseExclusions.get(e.name)
 
   /** Per-case exclusions, reason inline (the BigdataSparqlTest pattern of
-    * a documented known-exclusion list).
+    * a documented known-exclusion list, BigdataSparqlTest.java:110-129).
+    *
+    * The pp1x/pp2x group: this vendored 2011-era suite expects the DRAFT's
+    * path-counting semantics for closures (:p+ / :p* / (:p/:p)? return one
+    * row PER PATH). The 2012 erratum and the final REC §18.4 made
+    * arbitrary-length paths duplicate-free, which is what this engine (and
+    * the reference's ArbitraryLengthPathOp) implements — fixed-length
+    * paths DO keep bag semantics, so only the closure-counting cases are
+    * excluded.
     */
-  val caseExclusions: Map[String, String] = Map.empty
+  val caseExclusions: Map[String, String] = Map(
+    // RDF 1.1 collapses "abc"^^xsd:string and "abc" into ONE term (this
+    // engine's model); these two cases require them to behave differently
+    // (typed input → STRDT/STRLANG error, plain input → success)
+    "STRDT() TypeErrors" -> "needs RDF 1.0 distinction of \"x\"^^xsd:string vs \"x\" (engine is RDF 1.1)",
+    "STRLANG() TypeErrors" -> "needs RDF 1.0 distinction of \"x\"^^xsd:string vs \"x\" (engine is RDF 1.1)",
+    "(pp16) Duplicate paths and cycles through foaf:knows*" -> "draft path-counting over * (final REC is duplicate-free)",
+    "(pp21) Diamond -- :p+" -> "draft path-counting over + (final REC is duplicate-free)",
+    "(pp23) Diamond, with tail -- :p+" -> "draft path-counting over + (final REC is duplicate-free)",
+    "(pp25) Diamond, with loop -- :p+" -> "draft path-counting over + (final REC is duplicate-free)",
+    "(pp28) Diamond, with loop -- (:p/:p)?" -> "draft path-counting over ? (final REC is duplicate-free)",
+    "(pp29) Diamond, with loop -- :p{2,}" -> "draft path-counting over the unbounded tail (final REC is duplicate-free)",
+    "(pp31) Operator precedence 2" -> "draft path-counting over + (final REC is duplicate-free)")
 
   lazy val allEntries: Seq[TckEntry] = {
     val zf = new ZipFile(jarPath.get.toFile)
@@ -323,7 +355,8 @@ object SparqlTck {
   private def parseManifest(entryName: String): Seq[TckEntry] = {
     val jarDir = entryName.substring(0, entryName.lastIndexOf('/') + 1)
     val suite = if (jarDir.startsWith("testcases-dawg-sparql-1.1")) "sparql11" else "data-r2"
-    val dir = jarDir.split('/').init.last
+    // split drops the trailing empty segment, so .last IS the manifest's dir
+    val dir = jarDir.split('/').last
     val baseUrl = urlOf(entryName)
     val content = Files.readString(root.resolve(entryName))
     val quads = Turtle.parseQuads(content, baseUrl).toVector
@@ -342,7 +375,7 @@ object SparqlTck {
     entriesHead.toSeq.flatMap(items).flatMap { e =>
       val typ = obj(e, RdfNs + "type").map(_.getString(1)).getOrElse("")
         .replaceAll(".*#", "")
-      val name = obj(e, Mf + "name").map(_.getString(1))
+      val name = obj(e, Mf + "name").map(_.getString(1)).filter(_.nonEmpty)
         .getOrElse(e.getString(1).replaceAll(".*#", ""))
       val action = obj(e, Mf + "action")
       if (action.isEmpty) None
