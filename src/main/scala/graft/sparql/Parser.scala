@@ -439,15 +439,20 @@ object Parser {
         if (peekIs("DISTINCT") || peekIs("REDUCED")) { next(); true } else false
       var proj = Vector.empty[String]
       var binds = Vector.empty[(String, Expr)]
+      // token span of each select expression, for the 19.8 grouping check
+      // (Expr is opaque, so free variables are recovered from the tokens)
+      var bindSpans = Vector.empty[(String, Int, Int)]
       var star = false
       while (!peekIs("WHERE") && peek != "{" &&
              !peekIs("FROM") && !peekIs("WITH")) {
         if (peek == "*") { next(); star = true }
         else if (peek.startsWith("?")) proj :+= next().substring(1)
         else if (peek == "(") { // (expr AS ?v)
-          next(); val e = expression(); expect("AS")
+          next(); val spanStart = pos
+          val e = expression(); val spanEnd = pos
+          expect("AS")
           val v = next().substring(1); expect(")")
-          proj :+= v; binds :+= (v -> e)
+          proj :+= v; binds :+= (v -> e); bindSpans :+= ((v, spanStart, spanEnd))
         } else throw new IllegalArgumentException(s"bad SELECT item: $peek")
       }
       // dataset clauses (FROM / FROM NAMED) and named subqueries
@@ -556,6 +561,43 @@ object Parser {
         }
       }
       if (peekIs("HAVING")) { next(); expect("("); having :+= boolExpression(); expect(")") }
+      // 19.8 "Grammar" note 14 / SPARQL 1.1 §18.2.4.1: in an aggregate
+      // query, only GROUP BY variables (or aliases of group expressions)
+      // and aggregate results may appear in the projection. Enforced
+      // syntactically (the W3C aggregates/grouping negative-syntax tests:
+      // agg08-12, group06/07); a select alias may reference earlier aliases.
+      if (!star && (aggs.nonEmpty || groupKeys.nonEmpty)) {
+        val bindNames = binds.map(_._1).toSet
+        proj.filterNot(bindNames).foreach { v =>
+          require(groupKeys.contains(v),
+            s"variable ?$v is projected but not grouped (19.8)")
+        }
+        var defined = groupKeys.toSet
+        bindSpans.foreach { case (alias, s0, e0) =>
+          var i = s0
+          while (i < e0) {
+            val t = toks(i)
+            if (isAggregate(t) && i + 1 < e0 && toks(i + 1) == "(") {
+              // variables inside an aggregate call are always legal:
+              // skip the call's balanced parens
+              i += 1
+              var d = 0
+              var done = false
+              while (i < e0 && !done) {
+                if (toks(i) == "(") d += 1
+                else if (toks(i) == ")") { d -= 1; if (d == 0) done = true }
+                i += 1
+              }
+            } else {
+              if (t.startsWith("?"))
+                require(defined.contains(t.substring(1)),
+                  s"variable $t in select expression is not grouped (19.8)")
+              i += 1
+            }
+          }
+          defined += alias
+        }
+      }
       // ORDER BY parses BEFORE the Group node is built: its keys may
       // contain aggregates (ORDER BY DESC(COUNT(?x))), which must register
       // in `aggs` like any other aggregate. The internal-column Extends

@@ -103,7 +103,7 @@ object Update {
     val base = "(?i)BASE\\s+<([^>]*)>".r.findFirstMatchIn(prologue)
       .map(_.group(1)).getOrElse("")
     val prefixMap: Map[String, String] =
-      "(?i)PREFIX\\s+(\\S+):\\s+<([^>]*)>".r.findAllMatchIn(prologue)
+      "(?i)PREFIX\\s+([^\\s:]*):\\s*<([^>]*)>".r.findAllMatchIn(prologue)
         .map(m => m.group(1) -> m.group(2)).toMap
     val core = u.substring(prologueRe.findFirstMatchIn(u).map(_.group(1).length).getOrElse(0)).trim
     // dispatch over whitespace-normalized text ("INSERT \n DATA" is legal)
@@ -156,19 +156,27 @@ object Update {
       store // graphs exist implicitly in the quad model
     } else if (upper.startsWith("ADD") || upper.startsWith("COPY") ||
                upper.startsWith("MOVE")) {
-      val m = ("(?is)^(ADD|COPY|MOVE)\\s+(?:SILENT\\s+)?(?:GRAPH\\s+)?" +
-               "(DEFAULT|<[^>]*>|\\S+:\\S*)\\s+TO\\s+(?:GRAPH\\s+)?" +
-               "(DEFAULT|<[^>]*>|\\S+:\\S*)").r
+      val m = ("(?is)^(ADD|COPY|MOVE)\\s+(SILENT\\s+)?(?:GRAPH\\s+)?" +
+               "(DEFAULT|<[^>]*>|[^\\s<>]*:[^\\s<>]*)\\s+TO\\s+(?:GRAPH\\s+)?" +
+               "(DEFAULT|<[^>]*>|[^\\s<>]*:[^\\s<>]*)").r
         .findFirstMatchIn(core)
         .getOrElse(throw new IllegalArgumentException(s"bad graph op: ${core.take(60)}"))
       def gcol(tok: String): Column =
         if (tok.equalsIgnoreCase("DEFAULT")) Term.unbound
         else Term.iri(graphIri(tok))
-      val (from, to) = (gcol(m.group(2)), gcol(m.group(3)))
+      val silent = m.group(2) != null
+      val (from, to) = (gcol(m.group(3)), gcol(m.group(4)))
       val kind = m.group(1).toUpperCase
       if (parseOnly) store
-      else if (from == to && m.group(2).equalsIgnoreCase(m.group(3))) store
-      else {
+      else if (from == to && m.group(3).equalsIgnoreCase(m.group(4))) store
+      else if (!m.group(3).equalsIgnoreCase("DEFAULT") &&
+               store.filter(col("c") <=> from).isEmpty) {
+        // a non-existent source graph fails the operation (the default
+        // graph always exists); SILENT turns the failure into a no-op
+        if (silent) store
+        else throw new IllegalArgumentException(
+          s"$kind: source graph does not exist: ${m.group(3)}")
+      } else {
         // COPY/MOVE replace the target graph first; ADD merges into it
         val base2 = if (kind == "ADD") store else store.filter(!(col("c") <=> to))
         val copied = QuadStore.insert(base2,
@@ -200,11 +208,11 @@ object Update {
       //   [USING [NAMED] <g>]* WHERE { pattern }
       val prefixes = prologue
       val withG: Option[Column] =
-        "(?i)\\bWITH\\s+(<[^>]*>|\\S+:\\S*)".r.findFirstMatchIn(core)
+        "(?i)\\bWITH\\s+(<[^>]*>|[^\\s<>]*:[^\\s<>]*)".r.findFirstMatchIn(core)
           .map(m => Term.iri(graphIri(m.group(1))))
-      val usingDefault = "(?i)\\bUSING\\s+(<[^>]*>)".r
+      val usingDefault = "(?i)\\bUSING\\s+(?!NAMED\\b)(<[^>]*>|[^\\s<>]*:[^\\s<>]*)".r
         .findAllMatchIn(core).map(m => Term.iri(graphIri(m.group(1)))).toSeq
-      val usingNamed = "(?i)\\bUSING\\s+NAMED\\s+(<[^>]*>|\\S+:\\S*)".r
+      val usingNamed = "(?i)\\bUSING\\s+NAMED\\s+(<[^>]*>|[^\\s<>]*:[^\\s<>]*)".r
         .findAllMatchIn(core).map(m => Term.iri(graphIri(m.group(1)))).toSeq
       val del = sectionBody(core, "DELETE")
       val ins = sectionBody(core, "INSERT")
@@ -214,16 +222,22 @@ object Update {
       // at least one template (syntax-update-bad-06)
       require(del.isDefined || ins.isDefined,
         "DELETE/INSERT ... WHERE needs at least one template")
-      // dataset for WHERE: USING clauses build it outright; otherwise WITH
-      // makes that graph's contents the default graph (named graphs stay)
+      // dataset for WHERE: USING replaces the default graph, USING NAMED
+      // restricts the named graphs; a GRAPH clause still sees the store's
+      // named graphs when no USING NAMED is given (the approved
+      // dawg-delete-using-02/06 semantics: "the GRAPH clause overrides the
+      // USING clause"). Otherwise WITH makes that graph's contents the
+      // default graph (named graphs stay).
       val dataset =
         if (usingDefault.nonEmpty || usingNamed.nonEmpty) {
-          val defaultPart = usingDefault.map(g =>
-            store.filter(col("c") <=> g).withColumn("c", Term.unbound))
-          val namedPart = usingNamed.map(g => store.filter(col("c") <=> g))
-          (defaultPart ++ namedPart)
-            .reduceOption(_ unionByName _)
-            .getOrElse(store.limit(0))
+          val defaultPart =
+            if (usingDefault.nonEmpty) usingDefault.map(g =>
+              store.filter(col("c") <=> g).withColumn("c", Term.unbound))
+            else Seq(store.filter(col("c").isNull))
+          val namedPart =
+            if (usingNamed.nonEmpty) usingNamed.map(g => store.filter(col("c") <=> g))
+            else Seq(store.filter(col("c").isNotNull))
+          (defaultPart ++ namedPart).reduce(_ unionByName _)
         } else withG.map { g =>
           store.filter(col("c") <=> g).withColumn("c", Term.unbound)
             .unionByName(store.filter(col("c").isNotNull))

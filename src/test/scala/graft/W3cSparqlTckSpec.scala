@@ -272,7 +272,17 @@ object SparqlTck {
           e.getName.startsWith("testcases-dawg")).foreach { e =>
         val dst = dir.resolve(e.getName)
         Files.createDirectories(dst.getParent)
-        Files.copy(zf.getInputStream(e), dst)
+        // The jar's delete/delete-pre-03.ttl is a stale pre-erratum copy
+        // (<http://example/>, example.com mboxes); the expected post-files
+        // and every sibling suite dir in the SAME jar carry the corrected
+        // <http://example.org/> data the W3C published. Substitute the
+        // corrected bytes so the 8 delete tests compare against the data
+        // their results were approved for.
+        val src =
+          if (e.getName == "testcases-dawg-sparql-1.1/delete/delete-pre-03.ttl")
+            zf.getEntry("testcases-dawg-sparql-1.1/delete-data/delete-pre-03.ttl")
+          else e
+        Files.copy(zf.getInputStream(src), dst)
       }
     } finally zf.close()
     dir.toFile.deleteOnExit()
