@@ -25,9 +25,9 @@ object RdfXml {
     StructField("s", Term.schema), StructField("p", Term.schema),
     StructField("o", Term.schema), StructField("c", Term.schema)))
 
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String, base: String = ""): DataFrame = {
     val rdd = spark.sparkContext.wholeTextFiles(path)
-      .flatMap { case (_, content) => parseDoc(content) }
+      .flatMap { case (_, content) => parseDoc(content, base) }
       .map { case (s, p, o) => Row(s, p, o, null) }
     spark.createDataFrame(rdd, rowSchema)
   }
@@ -44,7 +44,7 @@ object RdfXml {
         if (lang == null) null else lang.toLowerCase, num)
   }
 
-  def parseDoc(content: String): Seq[(Row, Row, Row)] = {
+  def parseDoc(content: String, docBase: String = ""): Seq[(Row, Row, Row)] = {
     val dbf = DocumentBuilderFactory.newInstance()
     dbf.setNamespaceAware(true)
     val doc = dbf.newDocumentBuilder()
@@ -62,16 +62,31 @@ object RdfXml {
     def rdfAttr(e: Element, local: String): Option[String] =
       Option(e.getAttributeNS(RdfNs, local)).filter(_.nonEmpty)
 
+    /** Present-or-absent attribute: rdf:about="" / rdf:resource="" are
+      * legal and resolve to the base URI itself. */
+    def rdfAttrRaw(e: Element, local: String): Option[String] =
+      if (e.hasAttributeNS(RdfNs, local)) Some(e.getAttributeNS(RdfNs, local))
+      else None
+
     def xmlLang(e: Element): Option[String] =
       Option(e.getAttributeNS("http://www.w3.org/XML/1998/namespace", "lang"))
         .filter(_.nonEmpty)
 
+    /** The in-scope base for an element: xml:base overrides the inherited
+      * base for its subtree (RDF/XML §5.1.1). */
+    def scopedBase(e: Element, inherited: String): String =
+      Option(e.getAttributeNS("http://www.w3.org/XML/1998/namespace", "base"))
+        .filter(_.nonEmpty)
+        .map(b => Iri.resolve(b, inherited))
+        .getOrElse(inherited)
+
     /** Parse a node element (rdf:Description or a typed node); returns its
       * subject term.
       */
-    def nodeElement(e: Element, baseLang: Option[String]): Row = {
-      val subj = rdfAttr(e, "about").map(iriRow)
-        .orElse(rdfAttr(e, "ID").map(id => iriRow("#" + id)))
+    def nodeElement(e: Element, baseLang: Option[String], base0: String): Row = {
+      val base = scopedBase(e, base0)
+      val subj = rdfAttrRaw(e, "about").map(a => iriRow(Iri.resolve(a, base)))
+        .orElse(rdfAttr(e, "ID").map(id => iriRow(Iri.resolve("#" + id, base))))
         .orElse(rdfAttr(e, "nodeID").map(bnodeRow))
         .getOrElse(freshBnode())
       val lang = xmlLang(e).orElse(baseLang)
@@ -79,21 +94,23 @@ object RdfXml {
       if (!(e.getNamespaceURI == RdfNs && e.getLocalName == "Description"))
         out += ((subj, iriRow(RdfNs + "type"),
                  iriRow(e.getNamespaceURI + e.getLocalName)))
-      childElements(e).foreach(pe => propertyElement(subj, pe, lang))
+      childElements(e).foreach(pe => propertyElement(subj, pe, lang, base))
       subj
     }
 
-    def propertyElement(subj: Row, pe: Element, baseLang: Option[String]): Unit = {
+    def propertyElement(subj: Row, pe: Element, baseLang: Option[String],
+                        base0: String): Unit = {
+      val base = scopedBase(pe, base0)
       val pred = iriRow(pe.getNamespaceURI + pe.getLocalName)
       val lang = xmlLang(pe).orElse(baseLang)
-      val resource = rdfAttr(pe, "resource")
+      val resource = rdfAttrRaw(pe, "resource").map(Iri.resolve(_, base))
       val nodeId = rdfAttr(pe, "nodeID")
-      val datatype = rdfAttr(pe, "datatype")
+      val datatype = rdfAttr(pe, "datatype").map(Iri.resolve(_, base))
       val parseType = rdfAttr(pe, "parseType")
       val kids = childElements(pe)
       if (parseType.contains("Collection")) {
         // each child node element is a list item; cells chain first/rest
-        val items = kids.map(k => nodeElement(k, lang))
+        val items = kids.map(k => nodeElement(k, lang, base))
         if (items.isEmpty) out += ((subj, pred, iriRow(RdfNs + "nil")))
         else {
           val cells = items.map(_ => freshBnode())
@@ -109,7 +126,7 @@ object RdfXml {
         // implicit blank node subject carrying the nested property elements
         val node = freshBnode()
         out += ((subj, pred, node))
-        kids.foreach(k => propertyElement(node, k, lang))
+        kids.foreach(k => propertyElement(node, k, lang, base))
       } else if (parseType.contains("Literal")) {
         // XML content as an rdf:XMLLiteral (serialized text content)
         out += ((subj, pred, litRow(pe.getTextContent, RdfNs + "XMLLiteral", null)))
@@ -117,7 +134,7 @@ object RdfXml {
       else if (nodeId.isDefined) out += ((subj, pred, bnodeRow(nodeId.get)))
       else if (kids.nonEmpty) {
         // nested node element object
-        val obj = nodeElement(kids.head, lang)
+        val obj = nodeElement(kids.head, lang, base)
         out += ((subj, pred, obj))
       } else {
         val text = pe.getTextContent
@@ -128,8 +145,8 @@ object RdfXml {
 
     val root = doc.getDocumentElement
     if (root.getNamespaceURI == RdfNs && root.getLocalName == "RDF")
-      childElements(root).foreach(e => nodeElement(e, xmlLang(root)))
-    else nodeElement(root, None)
+      childElements(root).foreach(e => nodeElement(e, xmlLang(root), scopedBase(root, docBase)))
+    else nodeElement(root, None, scopedBase(root, docBase))
     out.toSeq
   }
 }

@@ -73,6 +73,12 @@ object Algebra {
   final case class Minus(l: Node, r: Node) extends Node
   /** FILTER EXISTS / NOT EXISTS (ASTExistsOptimizer). */
   final case class ExistsFilter(child: Node, sub: Node, negated: Boolean) extends Node
+  /** A FILTER whose expression embeds EXISTS{} operands (e.g.
+    * `FILTER(?a = ?b || NOT EXISTS {...})`): each (marker, pattern) bind
+    * evaluates to a boolean column the condition reads, dropped after the
+    * filter applies (the reference's askVar form, ASTExistsOptimizer). */
+  final case class FilterExists(cond: Expr, binds: Seq[(String, Node)],
+                                child: Node) extends Node
   /** BIND(expr AS ?v). */
   final case class Extend(v: String, expr: Expr, child: Node) extends Node
   final case class Project(vars: Seq[String], child: Node) extends Node

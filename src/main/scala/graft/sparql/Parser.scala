@@ -130,10 +130,21 @@ object Parser {
           .unionByName(base.filter(col("c").isNotNull))
     } else {
       val cLex = Term.lex(col("c"))
+      // the FROM default graph is the RDF *merge* of the named sources:
+      // blank nodes are per-graph-instance, so the default-graph copy must
+      // not share bnodes with a FROM NAMED copy of the same source (or
+      // another merged source) — suffix bnode labels with the source graph
+      // (dawg dataset-09/10, graph-09/10)
+      def mergeScoped(t: Column): Column =
+        when(Term.isBnode(t),
+             Term.bnode(concat(Term.lex(t), lit("@"), cLex)))
+          .otherwise(t)
       val dflt =
         if (q.fromDefault.isEmpty) base.limit(0)
         else base.filter(col("c").isNotNull && cLex.isin(q.fromDefault: _*))
-          .select("s", "p", "o").dropDuplicates()
+          .select(mergeScoped(col("s")).as("s"), col("p"),
+                  mergeScoped(col("o")).as("o"))
+          .dropDuplicates()
           .withColumn("c", Term.unbound)
       val named =
         if (q.fromNamed.isEmpty) base.limit(0)
@@ -360,6 +371,10 @@ object Parser {
     private var base: String = initialBase
     private var prefixes = Map.empty[String, String]
     // aggregate registry (GroupByRewriter analogue): structural key -> (var, agg)
+    // EXISTS{} operands captured while parsing the current FILTER
+    // expression (drained by the FILTER branch into a FilterExists node)
+    private var exprExists = Vector.empty[(String, Node)]
+    private var exprExistsCount = 0
     private var aggs = Vector.empty[(String, AggExpr)]
     private var aggKeys = Map.empty[String, String]
     // pre-group binds for aggregates over expressions (SUM(?a * 2))
@@ -452,6 +467,7 @@ object Parser {
           val e = expression(); val spanEnd = pos
           expect("AS")
           val v = next().substring(1); expect(")")
+          require(!proj.contains(v), s"duplicate SELECT alias ?$v")
           proj :+= v; binds :+= (v -> e); bindSpans :+= ((v, spanStart, spanEnd))
         } else throw new IllegalArgumentException(s"bad SELECT item: $peek")
       }
@@ -566,6 +582,8 @@ object Parser {
       // and aggregate results may appear in the projection. Enforced
       // syntactically (the W3C aggregates/grouping negative-syntax tests:
       // agg08-12, group06/07); a select alias may reference earlier aliases.
+      // SELECT * is not allowed with GROUP BY (syn-bad-01)
+      require(!(star && groupKeys.nonEmpty), "SELECT * with GROUP BY (19.8)")
       if (!star && (aggs.nonEmpty || groupKeys.nonEmpty)) {
         val bindNames = binds.map(_._1).toSet
         proj.filterNot(bindNames).foreach { v =>
@@ -737,10 +755,16 @@ object Parser {
 
     private def constructQuery(): Query = {
       expect("CONSTRUCT")
-      // SPARQL 1.1 shorthand: CONSTRUCT WHERE { tps } — the pattern IS the
-      // template (must be a plain BGP per the grammar)
-      if (peekIs("WHERE")) {
-        next(); expect("{")
+      // SPARQL 1.1 shorthand: CONSTRUCT [dataset clauses] WHERE { tps } —
+      // the pattern IS the template (must be a plain BGP per the grammar)
+      if (peekIs("WHERE") || peekIs("FROM")) {
+        var fd = Vector.empty[String]; var fn = Vector.empty[String]
+        while (peekIs("FROM")) {
+          next()
+          if (peekIs("NAMED")) { next(); fn :+= iriToken() }
+          else fd :+= iriToken()
+        }
+        expect("WHERE"); expect("{")
         val node = groupGraphPattern()
         expect("}")
         val tmpl = collectBgp(node).map { tp =>
@@ -750,7 +774,8 @@ object Parser {
           }
           (pos(tp.s), pos(tp.p), pos(tp.o))
         }
-        return Query(ConstructForm, node, Nil, distinct = false, tmpl)
+        return Query(ConstructForm, node, Nil, distinct = false, tmpl,
+                     fromDefault = fd, fromNamed = fn)
       }
       expect("{")
       var tmpl = Vector.empty[(QueryForms.TPos, QueryForms.TPos, QueryForms.TPos)]
@@ -804,11 +829,18 @@ object Parser {
         }
       templateBlock()
       expect("}")
+      var fd = Vector.empty[String]; var fn = Vector.empty[String]
+      while (peekIs("FROM")) {
+        next()
+        if (peekIs("NAMED")) { next(); fn :+= iriToken() }
+        else fd :+= iriToken()
+      }
       if (peekIs("WHERE")) next()
       expect("{")
       val node = groupGraphPattern()
       expect("}")
-      Query(ConstructForm, node, Nil, distinct = false, tmpl, tmplGraphs)
+      Query(ConstructForm, node, Nil, distinct = false, tmpl, tmplGraphs,
+            fromDefault = fd, fromNamed = fn)
     }
 
     private def templatePos(): QueryForms.TPos = {
@@ -843,6 +875,7 @@ object Parser {
       var cur: Option[Node] = init
       var filters = Vector.empty[Expr]
       var existsFilters = Vector.empty[(Node, Boolean)]
+      var existsCondFilters = Vector.empty[(Expr, Vector[(String, Node)])]
       def add(n: Node): Unit = cur = Some(cur.fold(n)(c => Join(c, n)))
       // grammar: GGP-sub = TriplesBlock? (GraphPatternNotTriples '.'?
       // TriplesBlock?)* — one optional '.' after a keyword construct;
@@ -873,14 +906,37 @@ object Parser {
              (toks.lift(pos + 1).exists(_.equalsIgnoreCase("NOT")) &&
               toks.lift(pos + 2).exists(_.equalsIgnoreCase("EXISTS")))))
             { next(); true } else false
-          if (peekIs("EXISTS")) { next(); expect("{"); val sub = groupGraphPattern(); expect("}")
+          // lookahead: does the parenthesized constraint close right after
+          // the EXISTS group (the plain semi/anti-join form), or is EXISTS
+          // an operand of a larger expression (the marker-variable form)?
+          def closesAfterGroup: Boolean = {
+            var i = pos + (if (toks.lift(pos).exists(_.equalsIgnoreCase("NOT"))) 2 else 1)
+            if (!toks.lift(i).contains("{")) return false
+            var d = 0
+            while (i < toks.length && (d > 0 || toks(i) == "{")) {
+              if (toks(i) == "{") d += 1 else if (toks(i) == "}") d -= 1
+              i += 1
+            }
+            toks.lift(i).contains(")")
+          }
+          if (peekIs("EXISTS") && (!paren || closesAfterGroup)) {
+            next(); expect("{"); val sub = groupGraphPattern(); expect("}")
             if (paren) expect(")")
             existsFilters :+= (sub -> false) }
-          else if (peekIs("NOT")) { next(); expect("EXISTS"); expect("{")
+          else if (peekIs("NOT") && (!paren || closesAfterGroup)) {
+            next(); expect("EXISTS"); expect("{")
             val sub = groupGraphPattern(); expect("}")
             if (paren) expect(")")
             existsFilters :+= (sub -> true) }
-          else if (peek == "(") { next(); filters :+= boolExpression(); expect(")") }
+          else if (peek == "(" || paren) {
+            if (!paren) next()
+            val before = exprExists.length
+            val f = boolExpression(); expect(")")
+            val taken = exprExists.drop(before)
+            exprExists = exprExists.take(before)
+            if (taken.isEmpty) filters :+= f
+            else existsCondFilters :+= (f -> taken)
+          }
           // FILTER Constraint ::= BrackettedExpression | BuiltInCall |
           // FunctionCall — a bare variable/term is a syntax error
           // (syn-bad-filter-missing-parens)
@@ -1021,6 +1077,8 @@ object Parser {
       var node = cur.getOrElse(emptyNode)
       node = mergeMagicSearch(node)
       existsFilters.foreach { case (sub, neg) => node = ExistsFilter(node, sub, neg) }
+      existsCondFilters.foreach { case (f, binds) =>
+        node = FilterExists(f, binds, node) }
       (node, filters)
     }
 
@@ -1086,13 +1144,20 @@ object Parser {
         } else rows :+= Vector(valuesTerm())
       }
       expect("}")
-      // build the inline DataFrame: one row per VALUES row
-      val df = rows.zipWithIndex.map { case (row, idx) =>
-        val base = spark.range(1).toDF(s"__v$idx")
-        vars.zip(row).foldLeft(base) { case (d, (v, t)) =>
-          d.withColumn(v, t.getOrElse(Term.unbound))
-        }.select(vars.map(col): _*)
-      }.reduce(_ unionByName _)
+      // build the inline DataFrame: one row per VALUES row. No rows:
+      // no vars = the unit solution (join identity, `BINDINGS { }`);
+      // with vars = zero solutions over them.
+      val df =
+        if (rows.isEmpty) {
+          val base = spark.range(if (vars.isEmpty) 1 else 0)
+          vars.foldLeft(base.toDF())((d, v) => d.withColumn(v, Term.unbound))
+            .select(vars.map(col): _*)
+        } else rows.zipWithIndex.map { case (row, idx) =>
+          val base = spark.range(1).toDF(s"__v$idx")
+          vars.zip(row).foldLeft(base) { case (d, (v, t)) =>
+            d.withColumn(v, t.getOrElse(Term.unbound))
+          }.select(vars.map(col): _*)
+        }.reduce(_ unionByName _)
       Values(df, Set.empty /* UNDEF possible: all maybe */)
     }
 
@@ -1250,7 +1315,10 @@ object Parser {
         // unbounded tail is a set-based closure
         base = (lo, hi) match {
           case (0, None) => ZeroOrMore(base)
-          case (n, None) => PSeq(seqN(n), ZeroOrMore(base))
+          // {1,} IS the + closure (duplicate-free, pp04); longer minimums
+          // prepend a fixed prefix to it
+          case (1, None) => OneOrMore(base)
+          case (n, None) => PSeq(seqN(n - 1), OneOrMore(base))
           case (0, Some(0)) => ZeroLength(base)
           case (0, Some(m)) =>
             (1 to m).map(seqN).foldLeft(ZeroLength(base): Path)(Alt(_, _))
@@ -1562,6 +1630,23 @@ object Parser {
     private def primaryExpr(): PExpr = {
       val t = peek
       if (t == "(") { next(); val e = orExpr(); expect(")"); e }
+      // EXISTS{} / NOT EXISTS{} as an *operand* (FILTER(?a=?b || NOT
+      // EXISTS{...})): allocate a boolean marker variable bound by the
+      // enclosing FilterExists node (the reference's askVar rewrite,
+      // ASTExistsOptimizer.java)
+      else if (t.equalsIgnoreCase("EXISTS") && toks.lift(pos + 1).contains("{")) {
+        next(); expect("{"); val sub = groupGraphPattern(); expect("}")
+        val v = s"__ex_${exprExistsCount}"; exprExistsCount += 1
+        exprExists :+= (v -> sub)
+        bexpr(r => r(v).cast(org.apache.spark.sql.types.BooleanType))
+      }
+      else if (t.equalsIgnoreCase("NOT") &&
+               toks.lift(pos + 1).exists(_.equalsIgnoreCase("EXISTS"))) {
+        next(); next(); expect("{"); val sub = groupGraphPattern(); expect("}")
+        val v = s"__ex_${exprExistsCount}"; exprExistsCount += 1
+        exprExists :+= (v -> sub)
+        bexpr(r => !r(v).cast(org.apache.spark.sql.types.BooleanType))
+      }
       else if (t.startsWith("?")) { next(); val v = t.substring(1); PExpr(r => r(v)) }
       else if (isAggregate(t)) PExpr(aggregateCall())
       else if (isFunction(t)) PExpr(functionCall())
@@ -1620,6 +1705,12 @@ object Parser {
           if (isIntTarget)
             when(Term.lex(t).rlike("^[+-]?\\d+$"), Term.lex(t).cast(Term.numType))
               .otherwise(lit(null).cast(Term.numType))
+          else if (d == Term.XsdDecimal)
+            // xsd:decimal's lexical space has no exponent ("‑10.2E3" is
+            // not castable from a string — cast-dec)
+            when(Term.lex(t).rlike("^[+-]?(\\d+\\.?\\d*|\\.\\d+)$"),
+                 Term.lex(t).cast(Term.numType))
+              .otherwise(lit(null).cast(Term.numType))
           else Term.safeNum(Term.lex(t))
         val nv = Term.numVal(t)
         val v = coalesce(
@@ -1634,10 +1725,24 @@ object Parser {
       case Term.XsdString =>
         when(t.isNotNull, Term.str(Term.lex(t))).otherwise(Term.unbound)
       case Term.XsdBoolean =>
-        when(TermOps.ebv(t).isNotNull, Term.bool(TermOps.ebv(t)))
-          .otherwise(Term.unbound)
+        // XPath casting, not EBV: strings admit only true/false/1/0;
+        // numerics map 0 → false, else true (cast-bool)
+        val v = when(Term.dt(t) === Term.XsdBoolean, Term.numVal(t) =!= 0)
+          .when(Term.numVal(t).isNotNull, Term.numVal(t) =!= 0)
+          .when(Term.isLiteral(t) &&
+                  (Term.dt(t).isNull || Term.dt(t) === Term.XsdString),
+                when(Term.lex(t).isin("true", "1"), lit(true))
+                  .when(Term.lex(t).isin("false", "0"), lit(false)))
+        when(v.isNotNull, Term.bool(v)).otherwise(Term.unbound)
       case Term.XsdDateTime =>
-        when(t.isNotNull, Term.typed(Term.lex(t), lit(Term.XsdDateTime)))
+        // castable only from a dateTime/date-valued term or a string whose
+        // lexical form IS a dateTime (cast-dT)
+        val ok = Term.dt(t).isin(Term.XsdDateTime, Term.XsdNs + "date") ||
+          (Term.isLiteral(t) &&
+            (Term.dt(t).isNull || Term.dt(t) === Term.XsdString) &&
+            Term.lex(t).rlike(
+              "^-?\\d{4,}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?(Z|[+-]\\d{2}:\\d{2})?$"))
+        when(ok, Term.typed(Term.lex(t), lit(Term.XsdDateTime)))
           .otherwise(Term.unbound)
       case other =>
         when(t.isNotNull, Term.typed(Term.lex(t), lit(other)))
@@ -1750,7 +1855,24 @@ object Parser {
             .otherwise(Term.unbound)
         }
         case "COALESCE" => r => coalesce(args.map(_(r)): _*)
-        case "REGEX" => r => boolTerm(Term.lex(args(0)(r)).rlike(litString(0)))
+        case "REGEX" => r => {
+          // 17.4.3.14: flags map to Java's embedded-flag syntax; `q`
+          // (literal match) quotes the whole pattern
+          val pat0 =
+            if (strs.size > 1 && strs(1).contains("q"))
+              java.util.regex.Pattern.quote(litString(0))
+            else litString(0)
+          val emb = if (strs.size > 1) strs(1).filter("smix".contains(_)) else ""
+          val pat = if (emb.nonEmpty) s"(?$emb)$pat0" else pat0
+          // the text argument must be a string literal (simple, xsd:string
+          // or lang-tagged) — regex over an IRI is a type error
+          // (regex-query-003)
+          val t = args(0)(r)
+          val isStr = Term.isLiteral(t) &&
+            (Term.dt(t).isNull || Term.dt(t) === Term.XsdString ||
+             Term.lang(t).isNotNull)
+          boolTerm(when(isStr, Term.lex(t).rlike(pat)))
+        }
         case "CONTAINS" => r => boolTerm(Term.lex(args(0)(r)).contains(Term.lex(args(1)(r))))
         case "STRSTARTS" => r => boolTerm(Term.lex(args(0)(r)).startsWith(Term.lex(args(1)(r))))
         case "STRENDS" => r => boolTerm(Term.lex(args(0)(r)).endsWith(Term.lex(args(1)(r))))

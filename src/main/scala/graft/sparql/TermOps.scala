@@ -54,9 +54,16 @@ object TermOps {
       // timezone offset, so lexical equality is NOT value equality)
       .when(Term.dt(a) === Term.XsdDateTime && Term.dt(b) === Term.XsdDateTime,
             tsVal(a) === tsVal(b))
-      // literals: same dt → lexical compare; else error (unknown datatypes
-      // might canonicalize equal — open-world)
-      .when(Term.dt(a) <=> Term.dt(b), Term.lex(a) === Term.lex(b))
+      // same KNOWN string-valued datatype → decidable lexical compare
+      .when((Term.dt(a) <=> Term.dt(b)) &&
+              (Term.dt(a).isNull || Term.dt(a) === Term.XsdString),
+            Term.lex(a) === Term.lex(b))
+      // same opaque datatype: identical lexical form is the same term →
+      // true; different forms might still denote the same value →
+      // type error (open-world, open-eq-06/10)
+      .when(Term.dt(a) <=> Term.dt(b),
+            when(Term.lex(a) === Term.lex(b), lit(true))
+              .otherwise(lit(null).cast(BooleanType)))
       .otherwise(lit(null).cast(BooleanType))
 
   /** The instant value of a dateTime literal (offset-aware; zoneless
@@ -88,13 +95,16 @@ object TermOps {
   def arith(a: Column, b: Column, op: (Column, Column) => Column,
             divide: Boolean = false): Column = {
     val r = op(Term.numVal(a), Term.numVal(b)).cast(Term.numType)
-    // XPath numeric promotion: any double/float → double; any decimal →
-    // decimal; else integer. op:numeric-divide on integers is decimal.
+    // XPath numeric promotion: double > float > decimal > integer (the
+    // integer-derived types promote through their base — tP-short-float
+    // wants short+float = float, short+short = integer).
     def rank(t: Column) =
-      when(Term.dt(t).isin(Term.XsdDouble, Term.XsdNs + "float"), 2)
+      when(Term.dt(t) === Term.XsdDouble, 3)
+        .when(Term.dt(t) === Term.XsdNs + "float", 2)
         .when(Term.dt(t) === Term.XsdDecimal, 1).otherwise(0)
     val rk = greatest(rank(a), rank(b))
-    val dt = when(rk === 2, Term.XsdDouble)
+    val dt = when(rk === 3, Term.XsdDouble)
+      .when(rk === 2, Term.XsdNs + "float")
       .when(rk === 1 || lit(divide), Term.XsdDecimal)
       .otherwise(Term.XsdInteger)
     when(Term.numVal(a).isNotNull && Term.numVal(b).isNotNull && r.isNotNull,
@@ -137,7 +147,11 @@ object TermOps {
 
   /** STR(), LANG(), DATATYPE() accessors per SPARQL. */
   def strFn(t: Column): Column = Term.str(Term.lex(t))
-  def langFn(t: Column): Column = Term.str(coalesce(Term.lang(t), lit("")))
+  /** LANG(): "" for untagged literals, a type error on IRIs/bnodes
+    * (17.4.2.4 — dawg-lang-1/2 drop IRI and bnode rows).
+    */
+  def langFn(t: Column): Column =
+    when(Term.isLiteral(t), Term.str(coalesce(Term.lang(t), lit(""))))
   def datatypeFn(t: Column): Column =
     when(Term.isLiteral(t),
          Term.iri(coalesce(Term.dt(t),

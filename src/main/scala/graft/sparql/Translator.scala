@@ -27,6 +27,8 @@ import Algebra._
   */
 object Translator {
 
+  private val gvCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
   final case class Result(df: DataFrame, certain: Set[String], maybe: Set[String]) {
     def vars: Set[String] = certain ++ maybe
   }
@@ -52,7 +54,13 @@ object Translator {
         consts.foreach { t =>
           val idRow = quads.sparkSession.range(1)
             .select(t.as("src"), t.as("dst"))
-          pairs = pairs.unionByName(idRow).distinct()
+          // add the identity pair only when absent — a global distinct()
+          // here would collapse the bag multiplicity of fixed-length
+          // alternation paths (pp27: :p{,3} keeps duplicate solutions)
+          val missing = idRow.join(pairs,
+            idRow("src") <=> pairs("src") && idRow("dst") <=> pairs("dst"),
+            "left_anti")
+          pairs = pairs.unionByName(missing)
         }
       }
       bindEnds(pairs, s, o, g)
@@ -170,33 +178,26 @@ object Translator {
 
     case ExistsFilter(child, sub, negated) =>
       val c = translate(quads, child)
-      // EXISTS is *correlated*: filters at the top of the inner group see
-      // the outer solution's bindings (SPARQL §8.1.1 substitution; the
-      // reference evaluates EXISTS as a hash join feeding the outer
-      // bindings in). Peel them off and evaluate over the merged row.
-      def peel(n: Node, acc: Vector[Expr]): (Node, Vector[Expr]) = n match {
-        case Filter(cond, ch) => peel(ch, acc :+ cond)
-        case other => (other, acc)
-      }
-      val (core, innerFilters) = peel(sub, Vector.empty)
-      val s = translate(quads, core)
-      val shared = (c.vars intersect s.vars).toSeq.sorted
-      val sdf = renameAll(s.df)
-      // same equi-key split as MINUS: certain-both vars hash-join
-      val eqs = shared.map { v =>
-        if (c.certain(v) && s.certain(v)) col(v) === col(ren(v))
-        else compatCond(col(v), col(ren(v)))
-      }
-      // inner vars resolve to the (renamed) inner side, outer-only vars to
-      // the outer row — the correlated-filter environment
-      val mergedResolver: String => Column = v =>
-        if (s.vars(v)) col(ren(v))
-        else if (c.vars(v)) col(v)
-        else graft.rdf.Term.unbound
-      val fconds = innerFilters.map(f => coalesce(f(mergedResolver), lit(false)))
-      val all = eqs ++ fconds
-      val cond = if (all.isEmpty) lit(true) else all.reduce(_ && _)
+      val (sdf, cond) = existsJoin(quads, c, sub)
       c.copy(df = c.df.join(sdf, cond, if (negated) "left_anti" else "left_semi"))
+
+    case FilterExists(cond, binds, child) =>
+      val c = translate(quads, child)
+      // each marker bind partitions the outer rows into has-match /
+      // no-match via a semi/anti join pair — no row duplication, and the
+      // non-equi parts of the join condition stay correct
+      var df = c.df
+      binds.foreach { case (v, subNode) =>
+        val (sdf, jc) = existsJoin(quads, c, subNode)
+        val hit = df.join(sdf, jc, "left_semi").withColumn(v, lit(true))
+        val miss = df.join(sdf, jc, "left_anti").withColumn(v, lit(false))
+        df = hit.unionByName(miss)
+      }
+      val markers = binds.map(_._1).toSet
+      val res: String => Column = v =>
+        if (markers(v)) col(v) else resolver(c)(v)
+      val filtered = df.filter(coalesce(cond(res), lit(false)))
+      Result(filtered.drop(binds.map(_._1): _*), c.certain, c.maybe)
 
     case Extend(v, expr, child) =>
       val c = translate(quads, child)
@@ -503,6 +504,39 @@ object Translator {
   private def resolver(c: Result): String => Column =
     v => if (c.vars(v)) col(v) else Term.unbound
 
+  /** The (renamed inner frame, join condition) for an EXISTS sub-pattern
+    * against the outer result `c`. EXISTS is *correlated*: filters at the
+    * top of the inner group see the outer solution's bindings (SPARQL
+    * §8.1.1 substitution; the reference evaluates EXISTS as a hash join
+    * feeding the outer bindings in) — peel them off and evaluate over the
+    * merged row. Shared certain-both vars equi-join (hash join); the rest
+    * use unbound-compatible comparison.
+    */
+  private def existsJoin(quads: DataFrame, c: Result,
+                         sub: Node): (DataFrame, Column) = {
+    def peel(n: Node, acc: Vector[Expr]): (Node, Vector[Expr]) = n match {
+      case Filter(cond, ch) => peel(ch, acc :+ cond)
+      case other => (other, acc)
+    }
+    val (core, innerFilters) = peel(sub, Vector.empty)
+    val s = translate(quads, core)
+    val shared = (c.vars intersect s.vars).toSeq.sorted
+    val sdf = renameAll(s.df)
+    val eqs = shared.map { v =>
+      if (c.certain(v) && s.certain(v)) col(v) === col(ren(v))
+      else compatCond(col(v), col(ren(v)))
+    }
+    // inner vars resolve to the (renamed) inner side, outer-only vars to
+    // the outer row — the correlated-filter environment
+    val mergedResolver: String => Column = v =>
+      if (s.vars(v)) col(ren(v))
+      else if (c.vars(v)) col(v)
+      else graft.rdf.Term.unbound
+    val fconds = innerFilters.map(f => coalesce(f(mergedResolver), lit(false)))
+    val all = eqs ++ fconds
+    (sdf, if (all.isEmpty) lit(true) else all.reduce(_ && _))
+  }
+
   private def translateTp(quads: DataFrame, tp: TriplePattern): Result = {
     val positions: Seq[(String, Pat)] = Seq(
       "s" -> tp.s, "p" -> tp.p, "o" -> tp.o,
@@ -621,8 +655,22 @@ object Translator {
     case Minus(l, r) => Minus(rewriteGraph(l, g), rewriteGraph(r, g))
     case ExistsFilter(ch, sub, neg) =>
       ExistsFilter(rewriteGraph(ch, g), rewriteGraph(sub, g), neg)
+    case FilterExists(c, binds, ch) =>
+      FilterExists(c, binds.map { case (v, s) => (v, rewriteGraph(s, g)) },
+                   rewriteGraph(ch, g))
     case Extend(v, e, ch) => Extend(v, e, rewriteGraph(ch, g))
-    case Project(vs, ch) => Project(vs, rewriteGraph(ch, g))
+    case Project(vs, ch) => g match {
+      // a sub-select that does NOT project the outer graph variable: its
+      // inner use of that name (if any) is a DIFFERENT variable (18.2.1
+      // in-scope rules, sq03). Scope the inner patterns with a fresh graph
+      // variable and surface it under the outer name after the projection.
+      case V(gn) if !vs.contains(gn) =>
+        val gv = s"__gv_${gvCounter.incrementAndGet()}"
+        Project(vs :+ gn,
+          Extend(gn, (r: String => Column) => r(gv),
+            Project(vs :+ gv, rewriteGraph(ch, V(gv)))))
+      case _ => Project(vs, rewriteGraph(ch, g))
+    }
     case Distinct(ch) => Distinct(rewriteGraph(ch, g))
     case OrderBy(ks, ch) => OrderBy(ks, rewriteGraph(ch, g))
     case Slice(off, lim, ch) => Slice(off, lim, rewriteGraph(ch, g))

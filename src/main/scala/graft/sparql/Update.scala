@@ -89,8 +89,14 @@ object Update {
       else cur.append(c)
       prevBackslash = c == '\\' && !prevBackslash
     }
-    if (cur.toString.trim.nonEmpty) out += cur.toString
-    out.result().map(_.trim).filter(_.nonEmpty)
+    out += cur.toString
+    val segs = out.result().map(_.trim)
+    // grammar: Update ::= Prologue (Update1 (';' Update)?)? — one trailing
+    // ';' is legal, an empty operation between separators (";;") is not
+    // (syntax-update-bad-08/09)
+    val body = if (segs.nonEmpty && segs.last.isEmpty) segs.init else segs
+    require(body.forall(_.nonEmpty), "empty update operation (';;')")
+    body
   }
 
   private def executeOne(spark: SparkSession, store: DataFrame, op: String,
@@ -106,6 +112,9 @@ object Update {
       "(?i)PREFIX\\s+([^\\s:]*):\\s*<([^>]*)>".r.findAllMatchIn(prologue)
         .map(m => m.group(1) -> m.group(2)).toMap
     val core = u.substring(prologueRe.findFirstMatchIn(u).map(_.group(1).length).getOrElse(0)).trim
+    // a prologue with no operation is a valid (empty) update request
+    // (syntax-update-39/40)
+    if (core.isEmpty) return store
     // dispatch over whitespace-normalized text ("INSERT \n DATA" is legal)
     val upper = core.replaceAll("\\s+", " ").toUpperCase
     // a graph token: <iri> (BASE-resolved) or prefixed name
@@ -153,7 +162,13 @@ object Update {
       else if (last.equalsIgnoreCase("NAMED")) store.filter(col("c").isNull)
       else QuadStore.clearGraph(store, Term.iri(graphIri(last)))
     } else if (upper.startsWith("CREATE")) {
-      store // graphs exist implicitly in the quad model
+      // validate the full form even though graphs exist implicitly in the
+      // quad model (CREATE DEAFULT / a missing ';' must still be errors)
+      val m = "(?is)^CREATE\\s+(?:SILENT\\s+)?GRAPH\\s+(<[^>]*>|[^\\s<>]*:[^\\s<>]*)\\s*$".r
+        .findFirstMatchIn(core)
+        .getOrElse(throw new IllegalArgumentException(s"bad CREATE: ${core.take(60)}"))
+      graphIri(m.group(1))
+      store
     } else if (upper.startsWith("ADD") || upper.startsWith("COPY") ||
                upper.startsWith("MOVE")) {
       val m = ("(?is)^(ADD|COPY|MOVE)\\s+(SILENT\\s+)?(?:GRAPH\\s+)?" +
@@ -194,7 +209,7 @@ object Update {
         def load(): DataFrame = {
           val triples =
             if (path.endsWith(".ttl")) graft.rdf.Turtle.read(spark, path, path)
-            else if (path.endsWith(".rdf")) graft.rdf.RdfXml.read(spark, path)
+            else if (path.endsWith(".rdf")) graft.rdf.RdfXml.read(spark, path, path)
             else NTriples.read(spark, path)
           val withG = if (upper.contains("INTO GRAPH")) {
             triples.withColumn("c", Term.iri(graphIri(toks.last)))
@@ -316,7 +331,6 @@ object Update {
                               triples: String, base: String = ""): DataFrame = {
     val q = Parser.parse(spark, s"$prefixes SELECT * WHERE { $triples }", base)
     val tps = flat(q.node)
-    require(tps.nonEmpty || triples.trim.isEmpty, s"no triples in DATA block")
     if (tps.isEmpty) return spark.range(0)
       .select(Term.unbound.as("s"), Term.unbound.as("p"),
               Term.unbound.as("o"), Term.unbound.as("c"))
@@ -367,8 +381,19 @@ object Update {
   private def flat(n: Node): Seq[TriplePattern] = n match {
     case Bgp(tps, _) => tps
     case Join(l, r) => flat(l) ++ flat(r)
-    case GraphNode(g, ch) => flat(ch).map(tp =>
-      if (tp.g.isEmpty) tp.copy(g = Some(g)) else tp)
+    case GraphNode(g, ch) =>
+      // QuadData/QuadPattern admit no nested GRAPH (syntax-update-bad-05)
+      def nested(x: Node): Boolean = x match {
+        case _: GraphNode => true
+        case Join(a, b) => nested(a) || nested(b)
+        case _ => false
+      }
+      require(!nested(ch), "nested GRAPH block in quad data")
+      flat(ch).map(tp =>
+        if (tp.g.isEmpty) tp.copy(g = Some(g)) else tp)
+    // an empty group ({} or GRAPH <g> {}) parses to the empty solution —
+    // zero quads, which is legal DATA (syntax-update-27/28)
+    case Values(df, _) if df.columns.isEmpty => Nil
     case other => throw new IllegalArgumentException(s"bad template node: $other")
   }
 }
