@@ -319,10 +319,18 @@ object AnalyticsSuite {
 
     "fts_lang_postings" -> {
       def inList(ws: Set[String]) = ws.toSeq.sorted.map(w => s"'$w'").mkString(", ")
-      val en = graft.search.FullText.Analyzer.english.stopwords
-      val de = graft.search.FullText.Analyzer.german.stopwords
-      val fr = graft.search.FullText.Analyzer.french.stopwords
-      val es = graft.search.FullText.Analyzer.spanish.stopwords
+      val A = graft.search.FullText.Analyzer
+      // DuckDB rendering of an analyzer's ordered suffix stem rules —
+      // generated from the SAME rule data the Spark pipeline uses, so the
+      // two sides cannot drift
+      def stemCase(a: graft.search.FullText.Analyzer): String = {
+        val whens = a.stemRules.map { case (sfx, repl) =>
+          val r = if (repl.isEmpty) "" else s" || '$repl'"
+          s"WHEN len(t) >= ${a.stemMinLen + sfx.length} AND t LIKE '%$sfx' " +
+            s"THEN substr(t, 1, len(t) - ${sfx.length})$r"
+        }.mkString(" ")
+        s"CASE $whens ELSE t END"
+      }
       s"""WITH en_tok AS (
            SELECT doc, CASE WHEN len(t) >= 4 AND t LIKE '%s'
                              AND NOT (t LIKE '%ss' OR t LIKE '%us' OR t LIKE '%is')
@@ -330,7 +338,7 @@ object AnalyticsSuite {
            FROM (SELECT doc_id AS doc,
                    unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
                  FROM documents WHERE lang = 'en')
-           WHERE len(t) > 0 AND t NOT IN (${inList(en)})),
+           WHERE len(t) > 0 AND t NOT IN (${inList(A.english.stopwords)})),
          uni AS (
            SELECT doc, lang, t FROM (
              SELECT doc_id AS doc, lang,
@@ -338,10 +346,15 @@ object AnalyticsSuite {
              FROM documents WHERE lang <> 'en')
            WHERE len(t) > 0),
          other_tok AS (
-           SELECT doc, t AS term FROM uni
-           WHERE NOT (lang = 'de' AND t IN (${inList(de)}))
-             AND NOT (lang = 'fr' AND t IN (${inList(fr)}))
-             AND NOT (lang = 'es' AND t IN (${inList(es)}))),
+           SELECT doc,
+             CASE WHEN lang = 'de' THEN ${stemCase(A.german)}
+                  WHEN lang = 'fr' THEN ${stemCase(A.french)}
+                  WHEN lang = 'es' THEN ${stemCase(A.spanish)}
+                  ELSE t END AS term
+           FROM uni
+           WHERE NOT (lang = 'de' AND t IN (${inList(A.german.stopwords)}))
+             AND NOT (lang = 'fr' AND t IN (${inList(A.french.stopwords)}))
+             AND NOT (lang = 'es' AND t IN (${inList(A.spanish.stopwords)}))),
          allt AS (SELECT doc, term FROM en_tok
                   UNION ALL SELECT doc, term FROM other_tok)
          SELECT term, doc, COUNT(*) AS tf FROM allt

@@ -39,7 +39,15 @@ object FullText {
       // minimal English plural stemmer (Lucene EnglishMinimalStemFilter):
       // strip a final 's' from tokens of length ≥4 unless they end in
       // 'ss'/'us'/'is' — cheap, no dictionary, catches the common plural
-      stem: Boolean = false)
+      stem: Boolean = false,
+      // language-specific minimal stemming as ordered suffix rules
+      // (longest-first; FIRST matching rule applies): (suffix, replacement)
+      // pairs in the style of Lucene's per-language *MinimalStemFilter /
+      // *LightStemFilter families the reference wires up per language
+      // (DefaultAnalyzerFactory.java:186-360). A rule fires only when the
+      // stemmed result keeps at least `stemMinLen` characters.
+      stemRules: Seq[(String, String)] = Nil,
+      stemMinLen: Int = 3)
 
   object Analyzer {
     /** ASCII default — byte-compatible with the original index. */
@@ -58,18 +66,77 @@ object FullText {
     /** CJK: unicode split + Han-run bigram shingles. */
     val cjk: Analyzer = unicode.copy(cjkBigrams = true)
 
-    // heads of the standard per-language stopword lists (the reference
-    // serves Lucene's GermanAnalyzer/FrenchAnalyzer/SpanishAnalyzer etc.,
-    // DefaultAnalyzerFactory.java:186-360)
+    // heads of the standard per-language stopword lists + minimal suffix
+    // stemmers (the reference serves Lucene's GermanAnalyzer/
+    // FrenchAnalyzer/RussianAnalyzer etc. — DefaultAnalyzerFactory
+    // .java:186-360 wires Brazilian/Chinese/CJK/Czech/Dutch/German/Greek/
+    // French/Russian/Thai; the rules below are the corresponding
+    // *MinimalStemFilter-style plural/inflection strippers)
     val german: Analyzer = unicode.copy(stopwords = Set(
       "der", "die", "das", "und", "oder", "ein", "eine", "ist", "nicht",
-      "mit", "von", "zu", "im", "den", "auf", "für", "des", "dem"))
+      "mit", "von", "zu", "im", "den", "auf", "für", "des", "dem"),
+      stemRules = Seq("ern" -> "", "em" -> "", "en" -> "", "er" -> "",
+                      "es" -> "", "e" -> "", "s" -> ""),
+      stemMinLen = 4)
     val french: Analyzer = unicode.copy(stopwords = Set(
       "le", "la", "les", "un", "une", "des", "et", "ou", "est", "ne",
-      "pas", "dans", "sur", "avec", "du", "de", "ce", "que", "qui"))
+      "pas", "dans", "sur", "avec", "du", "de", "ce", "que", "qui"),
+      stemRules = Seq("aux" -> "al", "eux" -> "eu", "x" -> "", "s" -> "",
+                      "e" -> ""),
+      stemMinLen = 5)
     val spanish: Analyzer = unicode.copy(stopwords = Set(
       "el", "la", "los", "las", "un", "una", "y", "o", "es", "no", "en",
-      "con", "de", "del", "por", "para", "que", "se"))
+      "con", "de", "del", "por", "para", "que", "se"),
+      stemRules = Seq("ciones" -> "ción", "es" -> "", "s" -> "", "o" -> "",
+                      "a" -> "", "e" -> ""),
+      stemMinLen = 4)
+    val portuguese: Analyzer = unicode.copy(stopwords = Set(
+      "o", "a", "os", "as", "um", "uma", "e", "ou", "de", "do", "da",
+      "em", "no", "na", "que", "não", "por", "para", "com"),
+      stemRules = Seq("ções" -> "ção", "ões" -> "ão", "ães" -> "ão",
+                      "es" -> "", "s" -> "", "a" -> "", "o" -> "",
+                      "e" -> ""),
+      stemMinLen = 4)
+    val italian: Analyzer = unicode.copy(stopwords = Set(
+      "il", "lo", "la", "i", "gli", "le", "un", "una", "e", "o", "di",
+      "del", "che", "in", "con", "per", "non", "è"),
+      stemRules = Seq("zione" -> "zion", "e" -> "", "i" -> "", "o" -> "",
+                      "a" -> ""),
+      stemMinLen = 4)
+    val dutch: Analyzer = unicode.copy(stopwords = Set(
+      "de", "het", "een", "en", "of", "van", "in", "op", "met", "dat",
+      "die", "is", "niet", "te", "voor"),
+      stemRules = Seq("en" -> "", "e" -> "", "s" -> ""),
+      stemMinLen = 4)
+    val russian: Analyzer = unicode.copy(stopwords = Set(
+      "и", "в", "не", "на", "с", "что", "это", "он", "она", "они", "как",
+      "но", "по", "из", "у", "за", "от", "для"),
+      stemRules = Seq("ами" -> "", "ями" -> "", "ого" -> "", "его" -> "",
+                      "ов" -> "", "ев" -> "", "ах" -> "", "ях" -> "",
+                      "ый" -> "", "ий" -> "", "ая" -> "", "ые" -> "",
+                      "ие" -> "", "ы" -> "", "и" -> "", "а" -> "",
+                      "я" -> "", "у" -> "", "ю" -> "", "е" -> "",
+                      "о" -> ""),
+      stemMinLen = 4)
+    val czech: Analyzer = unicode.copy(stopwords = Set(
+      "a", "v", "na", "je", "se", "že", "s", "z", "do", "o", "i", "to",
+      "ale", "pro", "za"),
+      stemRules = Seq("ové" -> "", "ami" -> "", "emi" -> "", "ech" -> "",
+                      "ích" -> "", "ům" -> "", "ů" -> "", "y" -> "",
+                      "i" -> "", "e" -> "", "a" -> "", "o" -> ""),
+      stemMinLen = 4)
+    val greek: Analyzer = unicode.copy(stopwords = Set(
+      "ο", "η", "το", "οι", "τα", "και", "σε", "με", "για", "από", "που",
+      "δεν", "να", "είναι"),
+      stemRules = Seq("ος" -> "", "ες" -> "", "ων" -> "", "ου" -> "",
+                      "ης" -> "", "ας" -> "", "α" -> "", "η" -> "",
+                      "ο" -> ""),
+      stemMinLen = 4)
+    // Thai writes without inter-word spaces: like the Han case, segment
+    // Thai-script runs into overlapping bigrams (the reference wires
+    // Lucene's dictionary ThaiAnalyzer; bigram shingling is the
+    // dictionary-free analogue, same recall shape as CJK)
+    val thai: Analyzer = unicode.copy(cjkBigrams = true)
 
     /** Language-code → analyzer registry (DefaultAnalyzerFactory
       * .getAnalyzers:186 keyed by ISO code; the reference registers per-
@@ -78,6 +145,8 @@ object FullText {
     val byLang: Map[String, Analyzer] = Map(
       "en" -> english.copy(stem = true),
       "de" -> german, "fr" -> french, "es" -> spanish,
+      "pt" -> portuguese, "it" -> italian, "nl" -> dutch,
+      "ru" -> russian, "cs" -> czech, "el" -> greek, "th" -> thai,
       "zh" -> cjk, "ja" -> cjk, "ko" -> cjk)
 
     // ISO 639-2/3 → 639-1 fallback (getAnalyzer:105-123 tries the 3-letter
@@ -85,7 +154,9 @@ object FullText {
     private[search] val iso3to2: Map[String, String] = Map(
       "eng" -> "en", "deu" -> "de", "ger" -> "de", "fra" -> "fr",
       "fre" -> "fr", "spa" -> "es", "zho" -> "zh", "chi" -> "zh",
-      "jpn" -> "ja", "kor" -> "ko")
+      "jpn" -> "ja", "kor" -> "ko", "por" -> "pt", "ita" -> "it",
+      "nld" -> "nl", "dut" -> "nl", "rus" -> "ru", "ces" -> "cs",
+      "cze" -> "cs", "ell" -> "el", "gre" -> "el", "tha" -> "th")
 
     /** Select the analyzer for a language tag: strip the region subtag
       * ("en-US" → "en"), map 3-letter codes down, fall back to the unicode
@@ -110,10 +181,12 @@ object FullText {
     var toks = filter(split(folded, a.splitPattern),
                       t => length(t) >= math.max(1, a.minTokenLen))
     if (a.cjkBigrams) {
-      // a Han-script run of length n becomes its n-1 overlapping bigrams
-      // (a single Han char stays itself); other tokens pass through
+      // a Han- or Thai-script run of length n becomes its n-1 overlapping
+      // bigrams (a single char stays itself); other tokens pass through.
+      // (Thai writes without spaces — bigram shingling is the
+      // dictionary-free analogue of the reference's ThaiAnalyzer.)
       toks = flatten(transform(toks, t =>
-        when(t.rlike("^\\p{IsHan}{2,}$"),
+        when(t.rlike("^(\\p{IsHan}{2,}|\\p{IsThai}{2,})$"),
              transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
           .otherwise(array(t))))
     }
@@ -124,6 +197,14 @@ object FullText {
         when(length(t) >= 4 && t.endsWith("s") &&
              !t.endsWith("ss") && !t.endsWith("us") && !t.endsWith("is"),
              t.substr(lit(1), length(t) - 1)).otherwise(t))
+    if (a.stemRules.nonEmpty)
+      // ordered when-chain: the FIRST rule whose suffix matches (with a
+      // long-enough stem) fires; everything else passes through unchanged
+      toks = transform(toks, t =>
+        a.stemRules.foldLeft(when(lit(false), t)) { case (acc, (sfx, repl)) =>
+          acc.when(length(t) >= a.stemMinLen + sfx.length && t.endsWith(sfx),
+                   concat(t.substr(lit(1), length(t) - sfx.length), lit(repl)))
+        }.otherwise(t))
     toks
   }
 

@@ -185,6 +185,7 @@ object Parser {
       case Some("ForwardOneStep") => QueryForms.describeForward(quads, nodes)
       case Some("SymmetricOneStep") => QueryForms.describe(quads, nodes, maxSteps = 1)
       case Some("CBD") => QueryForms.describeCbd(quads, nodes)
+      case Some("SCBD") => QueryForms.describeScbd(quads, nodes)
       case _ => QueryForms.describe(quads, nodes)
     }
     }
@@ -2051,10 +2052,19 @@ object Parser {
         .otherwise(Term.unbound)
 
     /** Numeric fn that keeps the argument's own datatype (17.4.4). */
-    private def numFnSameDt(t: Column, f: Column => Column): Column =
+    /** CEIL/FLOOR/ROUND keep the argument's datatype for the types the
+      * W3C round01/ceil01/floor01 fixtures pin (integer, decimal); for
+      * double/float the reference's math ops round through BigDecimal and
+      * render xsd:decimal (its own search-2 fixture) — follow it there.
+      */
+    private def numFnSameDt(t: Column, f: Column => Column): Column = {
+      val outDt =
+        when(Term.dt(t).isin(Term.XsdDouble, Term.XsdNs + "float"),
+             Term.XsdDecimal).otherwise(Term.dt(t))
       when(Term.numVal(t).isNotNull,
-           Term.numDt(f(Term.numVal(t)).cast(Term.numType), Term.dt(t)))
+           Term.numDt(f(Term.numVal(t)).cast(Term.numType), outDt))
         .otherwise(Term.unbound)
+    }
 
     /** Date/time component from the LEXICAL form (no zone conversion:
       * HOURS("…T15:38:02-08:00") is 15; to_timestamp would shift it).

@@ -57,17 +57,30 @@ object Paths {
     case PSeq(a, b) =>
       val l = compileFlat(scoped, a)
       val r = compileFlat(scoped, b).withColumnRenamed("src", "mid")
-      // a zero-length-capable side matches at EVERY term, not just the
-      // vertices of its own edge relation (SPARQL 18.4 ALP; the reference's
-      // ticket-734 golden cases: `rdf:type/rdfs:subClassOf*` must hold when
-      // the type's class has no subclass edges at all) — so the other
-      // side's pairs pass through unextended
       // fixed-length connectives keep BAG semantics (a sequence path is
       // BGP-equivalent: two routes through different mids = two solutions,
       // W3C pp11/pp20); only the *, +, ? closures are set-based
       val joined = l.join(r, l("dst") === r("mid")).select(l("src"), r("dst"))
-      val throughB = if (admitsZeroLength(b)) Seq(l.select("src", "dst")) else Nil
-      val throughA = if (admitsZeroLength(a)) Seq(r.select(col("mid").as("src"), col("dst"))) else Nil
+      // a zero-length-capable side zero-matches beyond its own identity
+      // pairs only at terms with NO (n,n) row (the reference's ticket-734
+      // cases: `rdf:type/rdfs:subClassOf*` must hold when the class has no
+      // subclass edges; under the REC all-terms domain the identity rows
+      // cover everything). Passing pairs through only for UNCOVERED
+      // endpoints keeps the join from double-counting (734-B dup bug).
+      val throughB =
+        if (admitsZeroLength(b)) {
+          val covered = r.filter(col("mid") <=> col("dst"))
+            .select(col("mid").as("n")).distinct()
+          Seq(l.join(covered, l("dst") <=> col("n"), "left_anti")
+            .select("src", "dst"))
+        } else Nil
+      val throughA =
+        if (admitsZeroLength(a)) {
+          val covered = l.filter(col("src") <=> col("dst"))
+            .select(col("src").as("n")).distinct()
+          Seq(r.join(covered, r("mid") <=> col("n"), "left_anti")
+            .select(col("mid").as("src"), col("dst")))
+        } else Nil
       (Seq(joined) ++ throughB ++ throughA).reduce(_ unionByName _)
     case Alt(a, b) =>
       compileFlat(scoped, a).unionByName(compileFlat(scoped, b))
@@ -103,15 +116,28 @@ object Paths {
       val l = compilePerGraph(scoped, a)
       val r = compilePerGraph(scoped, b)
         .withColumnRenamed("src", "mid").withColumnRenamed("g", "g2")
-      // see compileFlat's PSeq: zero-length-capable sides pass the other
-      // side's pairs through (per graph)
+      // see compileFlat's PSeq: pass-through only for endpoints without an
+      // identity row on the zero-length-capable side (per graph)
       val joined = l.join(r, l("dst") === r("mid") && l("g") === r("g2"))
         .select(l("g"), l("src"), r("dst"))
-      val throughB = if (admitsZeroLength(b)) Seq(l.select("g", "src", "dst")) else Nil
+      val throughB =
+        if (admitsZeroLength(b)) {
+          val covered = r.filter(col("mid") <=> col("dst"))
+            .select(col("g2").as("cg"), col("mid").as("n")).distinct()
+          Seq(l.join(covered,
+                     l("dst") <=> col("n") && l("g") <=> col("cg"),
+                     "left_anti")
+            .select("g", "src", "dst"))
+        } else Nil
       val throughA =
-        if (admitsZeroLength(a))
-          Seq(r.select(col("g2").as("g"), col("mid").as("src"), col("dst")))
-        else Nil
+        if (admitsZeroLength(a)) {
+          val covered = l.filter(col("src") <=> col("dst"))
+            .select(col("g").as("cg"), col("src").as("n")).distinct()
+          Seq(r.join(covered,
+                     r("mid") <=> col("n") && r("g2") <=> col("cg"),
+                     "left_anti")
+            .select(col("g2").as("g"), col("mid").as("src"), col("dst")))
+        } else Nil
       (Seq(joined) ++ throughB ++ throughA).reduce(_ unionByName _)
     case Alt(a, b) =>
       compilePerGraph(scoped, a).unionByName(compilePerGraph(scoped, b))

@@ -134,21 +134,40 @@ object QueryForms {
       if (triples == null) dflt.limit(0) else triples
     }
     val base = forwardClosure(nodes)
-    // reification closure: nodes r whose (rdf:subject, rdf:predicate,
-    // rdf:object) triple matches a statement already in the description
+    val reifiers = reifiersOf(dflt, base)
+    if (reifiers.isEmpty) base
+    else base.unionByName(forwardClosure(reifiers)).distinct()
+  }
+
+  /** Symmetric Concise Bounded Description (the reference's
+    * DescribeModeEnum.SCBD, CBD.java:162): the symmetric closure (both
+    * directions through blank nodes) PLUS the SCBD of every reification of
+    * a statement already in the description.
+    */
+  def describeScbd(quads: DataFrame, nodes: DataFrame, maxSteps: Int = 8): DataFrame = {
+    val dflt = quads.filter(col("c").isNull).select("s", "p", "o")
+    val base = describe(quads, nodes, maxSteps)
+    val reifiers = reifiersOf(dflt, base)
+    if (reifiers.isEmpty) base
+    else base.unionByName(describe(quads, reifiers, maxSteps)).distinct()
+  }
+
+  /** Reification closure support: nodes r whose (rdf:subject,
+    * rdf:predicate, rdf:object) triple matches a statement already in the
+    * description `base`. Returned as a one-column `n` frame.
+    */
+  private def reifiersOf(dflt: DataFrame, base: DataFrame): DataFrame = {
+    val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
     val rs = dflt.filter(col("p") === Term.iri(RdfNs + "subject"))
       .select(col("s").as("r"), col("o").as("rs"))
     val rp = dflt.filter(col("p") === Term.iri(RdfNs + "predicate"))
       .select(col("s").as("r2"), col("o").as("rp"))
     val ro = dflt.filter(col("p") === Term.iri(RdfNs + "object"))
       .select(col("s").as("r3"), col("o").as("ro"))
-    val reifiers = rs
-      .join(rp, col("r") === col("r2")).join(ro, col("r") === col("r3"))
+    rs.join(rp, col("r") === col("r2")).join(ro, col("r") === col("r3"))
       .join(base, col("rs") === base("s") && col("rp") === base("p") &&
                   col("ro") === base("o"))
       .select(col("r").as("n")).distinct()
-    if (reifiers.isEmpty) base
-    else base.unionByName(forwardClosure(reifiers)).distinct()
   }
 
   /** SELECT result projected to plain (lex or numeric) columns — the bridge

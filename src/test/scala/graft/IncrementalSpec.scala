@@ -274,27 +274,54 @@ class IncrementalSpec extends SparkSpecBase {
     assert(FullText.Analyzer.forLang("en-US") == FullText.Analyzer.byLang("en"))
     assert(FullText.Analyzer.forLang("eng") == FullText.Analyzer.byLang("en"))
     assert(FullText.Analyzer.forLang("zho") == FullText.Analyzer.cjk)
-    assert(FullText.Analyzer.forLang("ru") == FullText.Analyzer.unicode)
+    assert(FullText.Analyzer.forLang("ru") == FullText.Analyzer.russian)
+    assert(FullText.Analyzer.forLang("fi") == FullText.Analyzer.unicode)
     assert(FullText.Analyzer.forLang(null) == FullText.Analyzer.unicode)
     // one corpus, three languages, one pass: each row analyzed per its tag
     val df = spark.createDataset(Seq(
       ("d1", "en", "the sparks of engines"),   // stopword + plural stem
       ("d2", "de", "der Funke und die Maschine"),
       ("d3", "zh", "数据处理 engine"),
-      ("d4", "ru", "молния и гроза")           // unregistered → unicode
+      ("d4", "fi", "salama ja ukkonen")        // unregistered → unicode
     ))(Encoders.product[(String, String, String)]).toDF("doc", "lang", "text")
     val toks = df.select(col("doc"),
         FullText.tokensByLang(col("text"), col("lang")).as("t"))
       .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     assert(toks("d1") == Seq("spark", "engine"))          // stemmed, stopped
-    assert(toks("d2") == Seq("funke", "maschine"))        // german stopwords
+    assert(toks("d2") == Seq("funk", "maschin"))          // stopped + stemmed
     assert(toks("d3") == Seq("数据", "据处", "处理", "engine")) // bigrams
-    assert(toks("d4") == Seq("молния", "и", "гроза"))     // unicode fallback
+    assert(toks("d4") == Seq("salama", "ja", "ukkonen"))  // unicode fallback
     // the by-lang index searches across languages with one posting store
     val idx = FullText.buildIndexByLang(df)
     val hits = FullText.search(idx, Seq("engine"))
       .select("doc").collect().map(_.getString(0)).toSeq.sorted
     assert(hits == Seq("d1", "d3"))
+  }
+
+  test("analyzer registry depth: minimal stemmers for pt/it/nl/ru/cs/el + thai bigrams") {
+    import graft.search.FullText
+    import org.apache.spark.sql.Encoders
+    val df = spark.createDataset(Seq(
+      ("pt", "as canções e os animais"),   // ções→ção, plural s
+      ("it", "le stazioni e i libri"),     // zione→zion (via plural i), i→
+      ("nl", "de boeken en de fietsen"),   // -en stripped
+      ("ru", "молнии и грозами"),          // и/ами endings stripped
+      ("cs", "hrady a zahradami"),         // y/ami endings stripped
+      ("el", "οι θάλασσες και τα σπίτια"), // ες/α endings stripped
+      ("th", "แม่น้ำ and rivers")          // thai run → bigrams
+    ))(Encoders.product[(String, String)]).toDF("lang", "text")
+    val toks = df.select(col("lang"),
+        FullText.tokensByLang(col("text"), col("lang")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(toks("pt") == Seq("canção", "animai"))
+    assert(toks("it") == Seq("stazion", "libr"))
+    assert(toks("nl") == Seq("boek", "fiets"))
+    assert(toks("ru") == Seq("молни", "гроз"))
+    assert(toks("cs") == Seq("hrad", "zahrad"))
+    assert(toks("el") == Seq("θάλασσ", "σπίτι"))
+    // thai: the script run shingles into overlapping bigrams, the latin
+    // tokens analyze normally (stopwordless unicode side)
+    assert(toks("th").contains("rivers") && toks("th").exists(_.length == 2))
   }
 
   test("frame sampling: stride windows with deterministic features") {

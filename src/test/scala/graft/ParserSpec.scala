@@ -313,7 +313,7 @@ class ParserSpec extends SparkSpecBase {
       """SELECT ?i ?d ?l ?b WHERE {
            ?c ex:name ?n . FILTER(?n = "Acme")
            BIND(IRI(CONCAT("http://ex/", "made")) AS ?i)
-           BIND(STRDT("42", STR(ex:mytype)) AS ?d)
+           BIND(STRDT("42", ex:mytype) AS ?d)
            BIND(STRLANG("chat", "fr") AS ?l)
            BIND(BNODE("seed") AS ?b)
          }""")

@@ -55,10 +55,32 @@ class RefSparqlSpec extends SparkSpecBase
     // .gz fixtures (LUBM-U1.rdf.gz, barData.trig.gz) decompress
     // transparently in wholeTextFiles; detect the format on the inner name
     val f = file.stripSuffix(".gz")
-    if (f.endsWith(".nt") || f.endsWith(".nq")) NTriples.read(spark, p)
-    else if (f.endsWith(".trig")) Turtle.readTrig(spark, p)
-    else if (f.endsWith(".rdf")) graft.rdf.RdfXml.read(spark, p)
-    else Turtle.read(spark, p)
+    val df =
+      if (f.endsWith(".nt") || f.endsWith(".nq")) NTriples.read(spark, p)
+      else if (f.endsWith(".trig")) Turtle.readTrig(spark, p)
+      else if (f.endsWith(".rdf")) graft.rdf.RdfXml.read(spark, p)
+      else Turtle.read(spark, p)
+    normalizeDateTimes(df)
+  }
+
+  /** The reference stores xsd:dateTime as UTC epoch millis and re-renders
+    * in UTC (DateTimeExtension): bare dates become the UTC midnight
+    * instant and explicit non-Z offsets convert to the UTC instant. This
+    * dialect transform is applied at load HERE (the W3C TCK pins the
+    * opposite, lexical-form-preserving behavior).
+    */
+  private def normalizeDateTimes(df: DataFrame): DataFrame = {
+    val canon = org.apache.spark.sql.functions.udf(
+      (lex: String) => Term.canonicalDateTimeLex(lex))
+    def fix(c: org.apache.spark.sql.Column) =
+      when(Term.isLiteral(c) && Term.dt(c) === Term.XsdDateTime,
+           org.apache.spark.sql.functions.struct(
+             Term.kind(c).as("kind"), canon(Term.lex(c)).as("lex"),
+             Term.dt(c).as("dt"), Term.lang(c).as("lang"),
+             Term.numVal(c).as("num")))
+        .otherwise(c)
+    df.select(fix(col("s")).as("s"), fix(col("p")).as("p"),
+              fix(col("o")).as("o"), col("c"))
   }
 
   private def loadData(spec: String, sidsMode: Boolean): DataFrame = {
@@ -153,7 +175,7 @@ class RefSparqlSpec extends SparkSpecBase
     }
     df.select(concat_ws("\t", cols: _*).as("line"))
       .collect().map(_.getString(0))
-      .map(_.replaceAll("_:[A-Za-z0-9_:.-]+", "_:b"))
+      .map(_.replaceAll("_:[A-Za-z0-9_:.@/-]+", "_:b"))
       .sorted.toSeq
   }
 
