@@ -216,7 +216,11 @@ object Translator {
     case OrderBy(keys, child) =>
       val c = translate(quads, child)
       val sortCols = keys.flatMap { case (v, asc) =>
-        TermOps.sortKeys(col(v)).map(k => if (asc) k.asc else k.desc)
+        // a key over a variable the pattern never binds sorts as unbound
+        // (every row equal) instead of failing analysis (ticket 737's
+        // ORDER BY over an empty group)
+        val kc = if (c.vars(v)) col(v) else Term.unbound
+        TermOps.sortKeys(kc).map(k => if (asc) k.asc else k.desc)
       }
       c.copy(df = c.df.orderBy(sortCols: _*))
 

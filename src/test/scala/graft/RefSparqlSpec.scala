@@ -47,7 +47,7 @@ class RefSparqlSpec extends SparkSpecBase
     }.toSeq
 
   test("refsparql case discovery") {
-    assert(cases.size >= 267, s"expected >= 267 manifest rows, found ${cases.size}")
+    assert(cases.size >= 300, s"expected >= 300 manifest rows, found ${cases.size}")
   }
 
   private def loadOne(file: String): DataFrame = {
@@ -122,7 +122,8 @@ class RefSparqlSpec extends SparkSpecBase
         Functions.register("http://www.bigdata.com/myFunction2", args =>
           when(args(0).isNotNull, Term.bool(Term.lex(args(0)) === "Mike"))
             .otherwise(Term.unbound))
-      case n if n.startsWith("query-hints-08") =>
+      case n if n.startsWith("query-hints-08") || n.startsWith("query-hints-09") ||
+                n.startsWith("query-hints-10") =>
         // TestQueryHints.java:1283 — mock service returns {x=Mike},{x=Bryan};
         // the hint:Prior hint:atOnce annotation must not change results
         Services.register("http://www.bigdata.com/mockService",
