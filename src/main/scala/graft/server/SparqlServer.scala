@@ -93,6 +93,8 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0) {
           respond(ex, 200, "application/sparql-results+xml", Results.toXml(sols))
         else if (accept.contains("tab-separated"))
           respond(ex, 200, "text/tab-separated-values", Results.toTsv(sols))
+        else if (accept.contains("text/csv"))
+          respond(ex, 200, "text/csv", Results.toCsv(sols))
         else
           respond(ex, 200, "application/sparql-results+json", Results.toJson(sols))
       case AskForm =>

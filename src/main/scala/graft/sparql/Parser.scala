@@ -630,7 +630,11 @@ object Parser {
           // the var was the head of an arithmetic sort expression
           val signGlued = peek.length > 1 && (peek(0) == '+' || peek(0) == '-') &&
             (peek(1).isDigit || peek(1) == '.')
-          if (!"+-*/".contains(peek) && !signGlued) {
+          // NB: test single-char operators explicitly — `"".contains` of
+          // the empty EOF token is true and misparsed a trailing plain
+          // key as an expression (leaking an __ord column into SELECT *)
+          val isOp = peek == "+" || peek == "-" || peek == "*" || peek == "/"
+          if (!isOp && !signGlued) {
             orderSpecs :+= (Left(v) -> asc); return
           }
           pos = start

@@ -200,9 +200,31 @@ object Results {
     (header +: rows).mkString("\n")
   }
 
-  /** CSV sink: N-Triples-style term rendering, written distributed. */
+  /** The SPARQL 1.1 CSV results format is deliberately LOSSY: IRIs and
+    * literal lexical forms render bare, blank nodes as _:label (csv-tsv-res
+    * csvtsv01-03 pin this shape; the N-Triples form belongs to TSV).
+    */
+  private def csvPlain(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c.isNull, lit(""))
+      .when(Term.isBnode(c), concat(lit("_:"), Term.lex(c)))
+      .otherwise(Term.lex(c))
+
+  /** SPARQL 1.1 Query Results CSV, driver-side (conneg surface). */
+  def toCsv(solutions: DataFrame): String = {
+    val vars = solutions.columns.toSeq
+    def field(s: String): String =
+      if (s.exists(ch => ch == ',' || ch == '"' || ch == '\n' || ch == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    val rows = solutions.select(vars.map(v => csvPlain(col(v)).as(v)): _*)
+      .collect()
+      .map(r => vars.indices.map(i => field(r.getString(i))).mkString(","))
+    (vars.mkString(",") +: rows.toSeq).mkString("\r\n")
+  }
+
+  /** CSV sink, written distributed (Spark applies the RFC 4180 quoting). */
   def writeCsv(solutions: DataFrame, path: String): Unit =
     solutions
-      .select(solutions.columns.toIndexedSeq.map(v => NTriples.termToString(col(v)).as(v)): _*)
+      .select(solutions.columns.toIndexedSeq.map(v => csvPlain(col(v)).as(v)): _*)
       .write.mode("overwrite").option("header", "true").csv(path)
 }

@@ -222,7 +222,11 @@ object Translator {
         val kc = if (c.vars(v)) col(v) else Term.unbound
         TermOps.sortKeys(kc).map(k => if (asc) k.asc else k.desc)
       }
-      c.copy(df = c.df.orderBy(sortCols: _*))
+      // internal ORDER-BY-expression columns have served their purpose
+      // once the sort is applied; SELECT * must not surface them
+      val ords = keys.map(_._1).filter(_.startsWith("__ord_"))
+      Result(c.df.orderBy(sortCols: _*).drop(ords: _*),
+             c.certain -- ords, c.maybe -- ords)
 
     case Slice(off, lim, child) =>
       val c = translate(quads, child)

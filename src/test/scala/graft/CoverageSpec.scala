@@ -201,8 +201,10 @@ class CoverageSpec extends SparkSpecBase {
     Results.writeCsv(sols, path)
     val back = spark.read.option("header", "true").csv(path).collect()
     assert(back.length == 1)
-    assert(back(0).getString(0) == "\"A,B\"")
-    assert(back(0).getString(1).startsWith("\"3\"^^<"))
+    // SPARQL 1.1 CSV is the LOSSY plain form: bare lexical values, RFC
+    // 4180 quoting only for the comma (round-tripped by the reader)
+    assert(back(0).getString(0) == "A,B")
+    assert(back(0).getString(1) == "3")
   }
 
   test("datetime and hash functions in SPARQL text") {

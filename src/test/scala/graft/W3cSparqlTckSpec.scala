@@ -145,6 +145,28 @@ class W3cSparqlTckSpec extends SparkSpecBase
         val got = QueryForms.ask(ds, q.node)
         val want = expectedBoolean(e.result.get)
         assert(got == want, s"ASK: got $got want $want")
+      case Parser.SelectForm
+          if e.result.exists(r => r.endsWith(".csv") || r.endsWith(".tsv")) =>
+        // result-format round-trip (csv-tsv-res): render through the
+        // engine's own CSV/TSV sinks and compare the serialized text.
+        // Normalizations: line endings, bnode labels (arbitrary), and the
+        // TSV shorthand equivalences (xsd:string tag is optional under
+        // RDF 1.1; numeric literals may render bare)
+        val isCsv = e.result.get.endsWith(".csv")
+        val got0 = Translator.translate(ds, q.node).df
+        val gotTxt = if (isCsv) Results.toCsv(got0) else Results.toTsv(got0)
+        def norm(s: String): Seq[String] = {
+          val numDt = "\\^\\^<http://www\\.w3\\.org/2001/XMLSchema#(integer|decimal|double)>"
+          val lines = s.split("\r?\n").toSeq.filter(_.nonEmpty).map { l =>
+            l.replaceAll("_:[A-Za-z0-9_:.@/-]+", "_:b")
+              .replaceAll("\"([^\"]*)\"\\^\\^<http://www\\.w3\\.org/2001/XMLSchema#string>", "\"$1\"")
+              .replaceAll("\"([^\"]*)\"" + numDt, "$1")
+          }
+          lines.headOption.toSeq ++ lines.drop(1).sorted
+        }
+        val (gotN, expN) = (norm(gotTxt), norm(text(e.result.get)))
+        assert(gotN == expN,
+          s"\ngot:\n${gotN.mkString("\n")}\nwant:\n${expN.mkString("\n")}")
       case Parser.SelectForm =>
         val (headVars, expDf) = expectedSolutions(e.result.get)
         val vars =
@@ -338,7 +360,7 @@ object SparqlTck {
   /** Directories excluded wholesale (reason in the suite scaladoc). */
   private val excludedDirs = Set(
     "entailment", "entailment-RDF", "entailment-RDFS", "entailment-owlds",
-    "service", "csv-tsv-res", "protocol")
+    "service", "protocol")
 
   def excludedCase(e: TckEntry): Option[String] = caseExclusions.get(e.name)
 
@@ -383,6 +405,8 @@ object SparqlTck {
     "All: Distinct" -> "numeric inlining normalizes lexical forms (reference cannotInlineTests distinct-9)",
     "date-2" -> "numeric/date inlining normalizes lexical forms (reference cannotInlineTests date-2)",
     "open-eq-01" -> "numeric inlining normalizes lexical forms (reference cannotInlineTests open-eq-01)",
+    "csv03 - CSV Result Format" -> "numeric inlining normalizes \"1.0e6\" to its canonical form (reference cannotInlineTests class)",
+    "tsv03 - TSV Result Format" -> "numeric inlining normalizes \"1.0e6\" to its canonical form (reference cannotInlineTests class)",
     // RDF 1.1: "abc" and "abc"^^xsd:string are ONE term in this engine's
     // model; the pre-1.1 suite expects them to stay distinct
     "Strings: Distinct" -> "RDF 1.1 collapses simple and xsd:string literals (pre-1.1 expectation)",
