@@ -223,6 +223,34 @@ class PlanQualitySpec extends SparkSpecBase {
            s"default embedding near-dup degraded to all-pairs:\n$p")
   }
 
+  test("EXISTS as an expression operand stays hash semi/anti, no row blowup") {
+    // FILTER(?a = ?b || NOT EXISTS {...}) binds boolean markers via a
+    // semi/anti join PAIR (never a row-multiplying outer join) and drops
+    // the marker columns afterwards
+    val ttl = """
+      @prefix : <http://example/> .
+      :s1 a :Set . :s2 a :Set . :s1 :member :x .
+    """
+    val qrows = graft.rdf.Turtle.parseQuads(ttl, "http://example/")
+      .map { case (s, p, o, c) => org.apache.spark.sql.Row(s, p, o, c) }.toSeq
+    val quads = spark.createDataFrame(
+      java.util.Arrays.asList(qrows: _*), SparqlTck.quadSchema)
+    val q = graft.sparql.Parser.parse(spark,
+      """PREFIX : <http://example/>
+         SELECT ?s1 ?s2 WHERE {
+           ?s1 a :Set . ?s2 a :Set .
+           FILTER(?s1 = ?s2 || NOT EXISTS { ?s1 :member ?m })
+         }""")
+    val df = graft.sparql.Translator.translate(quads, q.node).df
+    val rows = df.collect()
+    assert(rows.length == 3) // (s1,s1),(s2,s2) via =; (s2,*) via NOT EXISTS
+    assert(!df.columns.exists(_.startsWith("__ex_")),
+           s"marker columns leaked: ${df.columns.mkString(",")}")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+           s"FilterExists lost its semi/anti marker joins:\n$p")
+  }
+
   test("salted join equals plain join and spreads hot keys") {
     import spark.implicits._
     // hot key: 10k rows of key=1 against a 3-row dimension
