@@ -79,6 +79,14 @@ object Algebra {
     * filter applies (the reference's askVar form, ASTExistsOptimizer). */
   final case class FilterExists(cond: Expr, binds: Seq[(String, Node)],
                                 child: Node) extends Node
+  /** A value-binding expression (BIND / SELECT expression / ORDER BY key /
+    * GROUP BY key) that embeds EXISTS{} operands: like [[FilterExists]] but
+    * the condition's value binds to `v` instead of filtering — the
+    * reference's askVar rewrite applies in EVERY expression position
+    * (ASTExistsOptimizer.java). */
+  final case class ExtendExists(v: String, expr: Expr,
+                                binds: Seq[(String, Node)],
+                                child: Node) extends Node
   /** BIND(expr AS ?v). */
   final case class Extend(v: String, expr: Expr, child: Node) extends Node
   final case class Project(vars: Seq[String], child: Node) extends Node
@@ -132,6 +140,12 @@ object Algebra {
     case Minus(l, r) => Minus(transformBgps(l)(f), transformBgps(r)(f))
     case ExistsFilter(ch, s, neg) =>
       ExistsFilter(transformBgps(ch)(f), transformBgps(s)(f), neg)
+    case FilterExists(c, binds, ch) =>
+      FilterExists(c, binds.map { case (v, s) => (v, transformBgps(s)(f)) },
+                   transformBgps(ch)(f))
+    case ExtendExists(v, e, binds, ch) =>
+      ExtendExists(v, e, binds.map { case (mv, s) => (mv, transformBgps(s)(f)) },
+                   transformBgps(ch)(f))
     case Extend(v, e, ch) => Extend(v, e, transformBgps(ch)(f))
     case Project(vs, ch) => Project(vs, transformBgps(ch)(f))
     case Distinct(ch) => Distinct(transformBgps(ch)(f))

@@ -60,6 +60,14 @@ object Explain {
       case Minus(l, r) => s"${pad}Minus\n${pretty(l, depth + 1)}\n${pretty(r, depth + 1)}"
       case ExistsFilter(c, s, neg) =>
         s"${pad}${if (neg) "NotExists" else "Exists"}\n${pretty(c, depth + 1)}\n${pretty(s, depth + 1)}"
+      case FilterExists(_, binds, c) =>
+        (s"${pad}FilterExists(${binds.map("?" + _._1).mkString(", ")})" +:
+         (binds.map(b => pretty(b._2, depth + 1)) :+ pretty(c, depth + 1)))
+          .mkString("\n")
+      case ExtendExists(v, _, binds, c) =>
+        (s"${pad}ExtendExists(?$v; ${binds.map("?" + _._1).mkString(", ")})" +:
+         (binds.map(b => pretty(b._2, depth + 1)) :+ pretty(c, depth + 1)))
+          .mkString("\n")
       case Extend(v, _, c) => s"${pad}Extend(?$v)\n${pretty(c, depth + 1)}"
       case Project(vs, c) => s"${pad}Project(${vs.map("?" + _).mkString(", ")})\n${pretty(c, depth + 1)}"
       case Distinct(c) => s"${pad}Distinct\n${pretty(c, depth + 1)}"

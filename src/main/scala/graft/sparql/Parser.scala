@@ -308,7 +308,14 @@ object Parser {
         // the SPARQL grammar's longest-match tokenization
         val st = i
         if (c == '-' || c == '+') i += 1
-        while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+        // DECIMAL admits at most one dot; longest match on "1.2." is the
+        // token "1.2" followed by a statement-terminator dot. A second
+        // dot in the run therefore ends the number.
+        var seenDot = false
+        while (i < n && (s.charAt(i).isDigit || (s.charAt(i) == '.' && !seenDot))) {
+          if (s.charAt(i) == '.') seenDot = true
+          i += 1
+        }
         // exponent form ("1e0", "1.0E+6") lexes as one double token
         if (i < n && (s.charAt(i) == 'e' || s.charAt(i) == 'E') &&
             (i + 1 < n && (s.charAt(i + 1).isDigit ||
@@ -372,14 +379,34 @@ object Parser {
     private var base: String = initialBase
     private var prefixes = Map.empty[String, String]
     // aggregate registry (GroupByRewriter analogue): structural key -> (var, agg)
-    // EXISTS{} operands captured while parsing the current FILTER
-    // expression (drained by the FILTER branch into a FilterExists node)
+    // EXISTS{} operands captured while parsing the current expression
+    // (drained by each expression context — FILTER into FilterExists,
+    // BIND/SELECT/ORDER BY/GROUP BY/HAVING into ExtendExists/FilterExists)
     private var exprExists = Vector.empty[(String, Node)]
     private var exprExistsCount = 0
+
+    /** Parse an expression and take ownership of any EXISTS{} operand
+      * markers it registered — every expression-parsing context must drain
+      * its own markers so none leak into an unrelated FilterExists.
+      */
+    private def drainExists[A](parse: => A): (A, Vector[(String, Node)]) = {
+      val before = exprExists.length
+      val a = parse
+      val taken = exprExists.drop(before)
+      exprExists = exprExists.take(before)
+      (a, taken)
+    }
+
+    /** Extend that binds EXISTS markers first when the expression used any. */
+    private def extendWithExists(v: String, e: Expr,
+                                 ex: Vector[(String, Node)], n: Node): Node =
+      if (ex.isEmpty) Extend(v, e, n) else ExtendExists(v, e, ex, n)
     private var aggs = Vector.empty[(String, AggExpr)]
     private var aggKeys = Map.empty[String, String]
     // pre-group binds for aggregates over expressions (SUM(?a * 2))
     private var preAggBinds = Vector.empty[(String, Expr)]
+    // EXISTS{} operands inside aggregate arguments, keyed by the __pa var
+    private var preAggExists = Map.empty[String, Vector[(String, Node)]]
     private var bnodeCounter = 0
     // WITH {...} AS %name named subqueries, consumed by INCLUDE %name
     private var namedSubqueries = Map.empty[String, Node]
@@ -435,16 +462,24 @@ object Parser {
         if (queryHints.get("optimizer").contains("None"))
           Algebra.transformBgps(q.node)(b => b.copy(fixedOrder = true))
         else q.node
+      // every expression context drains its own EXISTS markers; anything
+      // left here would have evaluated to an unbound variable — refuse the
+      // parse instead of returning a silently-wrong query
+      require(exprExists.isEmpty,
+        "EXISTS{} appeared in an expression position the engine cannot bind")
       q.copy(node = node, hints = queryHints)
     }
 
     private def selectQuery(): Query = {
       // aggregates are scoped per SELECT: a sub-SELECT's aggregates must not
       // leak into (or group) the enclosing query
-      val (savedAggs, savedKeys, savedPre) = (aggs, aggKeys, preAggBinds)
-      aggs = Vector.empty; aggKeys = Map.empty; preAggBinds = Vector.empty
+      val (savedAggs, savedKeys, savedPre, savedPreEx) =
+        (aggs, aggKeys, preAggBinds, preAggExists)
+      aggs = Vector.empty; aggKeys = Map.empty
+      preAggBinds = Vector.empty; preAggExists = Map.empty
       try selectQueryInner()
-      finally { aggs = savedAggs; aggKeys = savedKeys; preAggBinds = savedPre }
+      finally { aggs = savedAggs; aggKeys = savedKeys
+                preAggBinds = savedPre; preAggExists = savedPreEx }
     }
 
     private def selectQueryInner(): Query = {
@@ -455,6 +490,8 @@ object Parser {
         if (peekIs("DISTINCT") || peekIs("REDUCED")) { next(); true } else false
       var proj = Vector.empty[String]
       var binds = Vector.empty[(String, Expr)]
+      // EXISTS{} operands drained from select/group-key expressions, by alias
+      var bindExists = Map.empty[String, Vector[(String, Node)]]
       // token span of each select expression, for the 19.8 grouping check
       // (Expr is opaque, so free variables are recovered from the tokens)
       var bindSpans = Vector.empty[(String, Int, Int)]
@@ -465,11 +502,12 @@ object Parser {
         else if (peek.startsWith("?")) proj :+= next().substring(1)
         else if (peek == "(") { // (expr AS ?v)
           next(); val spanStart = pos
-          val e = expression(); val spanEnd = pos
+          val (e, ex) = drainExists(expression()); val spanEnd = pos
           expect("AS")
           val v = next().substring(1); expect(")")
           require(!proj.contains(v), s"duplicate SELECT alias ?$v")
           proj :+= v; binds :+= (v -> e); bindSpans :+= ((v, spanStart, spanEnd))
+          if (ex.nonEmpty) bindExists += v -> ex
         } else throw new IllegalArgumentException(s"bad SELECT item: $peek")
       }
       // dataset clauses (FROM / FROM NAMED) and named subqueries
@@ -509,7 +547,8 @@ object Parser {
       // snapshot parser state in case a trailing BINDINGS forces a seeded
       // re-parse of the group (see below)
       val groupStart = pos
-      val (snapAggs, snapKeys, snapPre) = (aggs, aggKeys, preAggBinds)
+      val (snapAggs, snapKeys, snapPre, snapPreEx) =
+        (aggs, aggKeys, preAggBinds, preAggExists)
       var node = groupGraphPattern()
       expect("}")
       // query-level trailing VALUES (18.2.4.3): textually after the
@@ -548,7 +587,8 @@ object Parser {
           // bigdata-sails .../webapp/TestFederatedQuery.java:441-444).
           // Spec-strict final-VALUES behavior remains available as VALUES.
           if (isBindings) {
-            aggs = snapAggs; aggKeys = snapKeys; preAggBinds = snapPre
+            aggs = snapAggs; aggKeys = snapKeys
+            preAggBinds = snapPre; preAggExists = snapPreEx
             pos = groupStart
             node = groupGraphPattern(Some(vnode))
             expect("}")
@@ -560,24 +600,29 @@ object Parser {
       // (the expression binds pre-group, like aggregate arguments)
       var groupKeys = Vector.empty[String]
       var groupKeyBinds = Vector.empty[(String, Expr)]
-      var having = Vector.empty[Expr]
+      var having = Vector.empty[(Expr, Vector[(String, Node)])]
       if (peekIs("GROUP")) {
         next(); expect("BY")
         var go = true
         while (go) {
           if (peek.startsWith("?")) groupKeys :+= next().substring(1)
           else if (peek == "(") {
-            next(); val e = expression()
+            next(); val (e, ex) = drainExists(expression())
             val v =
               if (peekIs("AS")) { next(); next().substring(1) }
               else s"__gk_${groupKeyBinds.size}"
             expect(")")
             groupKeyBinds :+= (v -> e)
             groupKeys :+= v
+            if (ex.nonEmpty) bindExists += v -> ex
           } else go = false
         }
       }
-      if (peekIs("HAVING")) { next(); expect("("); having :+= boolExpression(); expect(")") }
+      if (peekIs("HAVING")) {
+        next(); expect("(")
+        having :+= drainExists(boolExpression())
+        expect(")")
+      }
       // 19.8 "Grammar" note 14 / SPARQL 1.1 §18.2.4.1: in an aggregate
       // query, only GROUP BY variables (or aliases of group expressions)
       // and aggregate results may appear in the projection. Enforced
@@ -621,7 +666,8 @@ object Parser {
       // contain aggregates (ORDER BY DESC(COUNT(?x))), which must register
       // in `aggs` like any other aggregate. The internal-column Extends
       // are applied after grouping below.
-      var orderSpecs = Vector.empty[(Either[String, Expr], Boolean)]
+      var orderSpecs =
+        Vector.empty[(Either[String, (Expr, Vector[(String, Node)])], Boolean)]
       def orderKey(asc: Boolean): Unit = {
         val start = pos
         if (peek.startsWith("?")) {
@@ -639,7 +685,7 @@ object Parser {
           }
           pos = start
         }
-        orderSpecs :+= (Right(expression()) -> asc)
+        orderSpecs :+= (Right(drainExists(expression())) -> asc)
       }
       if (peekIs("ORDER")) {
         next(); expect("BY")
@@ -659,17 +705,23 @@ object Parser {
         }
       }
       val grouped = aggs.nonEmpty || groupKeys.nonEmpty
+      val ofAlias: String => Vector[(String, Node)] =
+        v => bindExists.getOrElse(v, preAggExists.getOrElse(v, Vector.empty))
       if (grouped) {
         // expression-argument aggregates + computed group keys bind their
         // internal vars pre-group
-        (preAggBinds ++ groupKeyBinds).foreach { case (v, e) => node = Extend(v, e, node) }
+        (preAggBinds ++ groupKeyBinds).foreach { case (v, e) =>
+          node = extendWithExists(v, e, ofAlias(v), node) }
         node = Group(groupKeys, aggs, node)
-        having.foreach(h => node = Filter(h, node))
+        having.foreach { case (h, ex) =>
+          node = if (ex.isEmpty) Filter(h, node) else FilterExists(h, ex, node) }
         // select expressions (which may reference the internal agg vars)
         // become post-group binds
-        binds.foreach { case (v, e) => node = Extend(v, e, node) }
+        binds.foreach { case (v, e) =>
+          node = extendWithExists(v, e, ofAlias(v), node) }
       } else {
-        binds.foreach { case (v, e) => node = Extend(v, e, node) }
+        binds.foreach { case (v, e) =>
+          node = extendWithExists(v, e, ofAlias(v), node) }
       }
       // materialize ORDER BY keys: non-trivial expressions bind an
       // internal column over the (possibly grouped) node
@@ -677,9 +729,9 @@ object Parser {
       var ordIvs = Vector.empty[String]
       orderSpecs.zipWithIndex.foreach {
         case ((Left(v), asc), _) => orderKeys :+= (v -> asc)
-        case ((Right(e), asc), i) =>
+        case ((Right((e, ex)), asc), i) =>
           val iv = s"__ord_$i"
-          node = Extend(iv, e, node)
+          node = extendWithExists(iv, e, ex, node)
           ordIvs :+= iv
           orderKeys :+= (iv -> asc)
       }
@@ -977,8 +1029,9 @@ object Parser {
             val v = next().substring(1); expect(")")
             add(SidPattern(s, p, o, v))
           } else {
-            val e = expression(); expect("AS"); val v = next().substring(1); expect(")")
-            cur = Some(Extend(v, e, cur.getOrElse(emptyNode)))
+            val (e, ex) = drainExists(expression())
+            expect("AS"); val v = next().substring(1); expect(")")
+            cur = Some(extendWithExists(v, e, ex, cur.getOrElse(emptyNode)))
           }
         } else if (peekIs("LET")) {
           // bigdata extension: LET ( ?v := expr ) ≡ BIND(expr AS ?v)
@@ -986,8 +1039,8 @@ object Parser {
           next(); expect("(")
           val v = next().substring(1)
           expect(":"); expect("=")
-          val e = expression(); expect(")")
-          cur = Some(Extend(v, e, cur.getOrElse(emptyNode)))
+          val (e, ex) = drainExists(expression()); expect(")")
+          cur = Some(extendWithExists(v, e, ex, cur.getOrElse(emptyNode)))
         } else if (peekIs("VALUES") || peekIs("BINDINGS")) {
           add(valuesClause())
         } else if (peekIs("GRAPH")) {
@@ -1771,9 +1824,10 @@ object Parser {
             if (peek.startsWith("?") && toks.lift(pos + 1).contains(")"))
               next().substring(1)
             else {
-              val e = expression()
+              val (e, ex) = drainExists(expression())
               val iv = s"__pa_${preAggBinds.size}"
               preAggBinds :+= (iv -> e)
+              if (ex.nonEmpty) preAggExists += iv -> ex
               iv
             }
           name match {

@@ -199,6 +199,23 @@ object Translator {
       val filtered = df.filter(coalesce(cond(res), lit(false)))
       Result(filtered.drop(binds.map(_._1): _*), c.certain, c.maybe)
 
+    case ExtendExists(v, expr, binds, child) =>
+      val c = translate(quads, child)
+      // same marker machinery as FilterExists, but the condition's value
+      // binds to `v` (BIND/SELECT/ORDER BY/GROUP BY expression positions)
+      var df = c.df
+      binds.foreach { case (mv, subNode) =>
+        val (sdf, jc) = existsJoin(quads, c, subNode)
+        val hit = df.join(sdf, jc, "left_semi").withColumn(mv, lit(true))
+        val miss = df.join(sdf, jc, "left_anti").withColumn(mv, lit(false))
+        df = hit.unionByName(miss)
+      }
+      val markers = binds.map(_._1).toSet
+      val res: String => Column = x =>
+        if (markers(x)) col(x) else resolver(c)(x)
+      Result(df.withColumn(v, expr(res)).drop(binds.map(_._1): _*),
+             c.certain, c.maybe + v)
+
     case Extend(v, expr, child) =>
       val c = translate(quads, child)
       Result(c.df.withColumn(v, expr(resolver(c))), c.certain, c.maybe + v)
@@ -665,6 +682,9 @@ object Translator {
       ExistsFilter(rewriteGraph(ch, g), rewriteGraph(sub, g), neg)
     case FilterExists(c, binds, ch) =>
       FilterExists(c, binds.map { case (v, s) => (v, rewriteGraph(s, g)) },
+                   rewriteGraph(ch, g))
+    case ExtendExists(v, e, binds, ch) =>
+      ExtendExists(v, e, binds.map { case (mv, s) => (mv, rewriteGraph(s, g)) },
                    rewriteGraph(ch, g))
     case Extend(v, e, ch) => Extend(v, e, rewriteGraph(ch, g))
     case Project(vs, ch) => g match {

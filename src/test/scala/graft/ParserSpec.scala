@@ -67,6 +67,64 @@ class ParserSpec extends SparkSpecBase {
     assert(lexSeq(ne, "x").sorted == Seq(EX + "dave"))
   }
 
+  // EXISTS{} as an expression *operand* outside FILTER — the reference's
+  // askVar rewrite (ASTExistsOptimizer.java) applies in every expression
+  // position: BIND, SELECT expression, HAVING, ORDER BY.
+  test("BIND(EXISTS{} AS ?v) binds a boolean per row") {
+    val df = q(P +
+      """SELECT ?x ?has WHERE {
+           ?x ex:worksFor ?o BIND(EXISTS { ?x ex:age ?a } AS ?has)
+         } ORDER BY ?x""")
+    assert(lexSeq(df, "x") ==
+      Seq(EX + "alice", EX + "bob", EX + "carol", EX + "dave"))
+    assert(lexSeq(df, "has") == Seq("true", "true", "true", "false"))
+  }
+
+  test("SELECT (NOT EXISTS{} AS ?v) projection expression") {
+    val df = q(P +
+      """SELECT ?x (NOT EXISTS { ?x ex:age ?a } AS ?no)
+         WHERE { ?x ex:worksFor ?o } ORDER BY ?x""")
+    assert(lexSeq(df, "no") == Seq("false", "false", "false", "true"))
+  }
+
+  test("HAVING with EXISTS over the group key") {
+    val df = q(P +
+      """SELECT ?o (COUNT(?x) AS ?n) WHERE { ?x ex:worksFor ?o }
+         GROUP BY ?o HAVING(EXISTS { ?o ex:name "Acme" })""")
+    assert(lexSeq(df, "o") == Seq(EX + "acme"))
+    assert(lexSeq(df, "n") == Seq("2"))
+  }
+
+  test("ORDER BY ASC(EXISTS{}) sorts no-match rows first") {
+    val df = q(P +
+      """SELECT ?x WHERE { ?x ex:worksFor ?o }
+         ORDER BY ASC(EXISTS { ?x ex:age ?a }) ?x""")
+    assert(lexSeq(df, "x") ==
+      Seq(EX + "dave", EX + "alice", EX + "bob", EX + "carol"))
+  }
+
+  test("EXISTS marker does not leak into SELECT * or corrupt later clauses") {
+    val df = q(P +
+      """SELECT * WHERE {
+           ?x ex:knows ?y BIND(EXISTS { ?y ex:knows ?z } AS ?h)
+           FILTER(?h || ?x = ex:bob)
+         } ORDER BY ?x""")
+    assert(df.columns.toSet == Set("x", "y", "h"))
+    assert(lexSeq(df, "x") == Seq(EX + "alice", EX + "bob"))
+  }
+
+  test("decimal literal followed by statement-terminator dot (1.2. run)") {
+    val df = q(P +
+      "SELECT ?o WHERE { ?s ex:age 25.5. ?s ex:worksFor ?o }")
+    assert(lexSeq(df, "o") == Seq(EX + "acme"))
+  }
+
+  test("DAWG bare-trailing-dot decimal still lexes as one token") {
+    val df = q(P +
+      "SELECT ?x WHERE { ?x ex:age ?a FILTER(?a < 456.) } ORDER BY ?x")
+    assert(lexSeq(df, "x") == Seq(EX + "alice", EX + "bob", EX + "carol"))
+  }
+
   test("BIND arithmetic and IN") {
     val df = q(P +
       """SELECT ?x ?a2 WHERE {
