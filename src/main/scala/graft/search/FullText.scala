@@ -264,7 +264,8 @@ object FullText {
     val conds =
       exact.map(t => col("term") === t) ++
       prefixes.map(p => col("term").startsWith(p.stripSuffix("*")))
-    val matched = index.filter(conds.reduce(_ || _))
+    // an empty query matches nothing (not everything): no postings
+    val matched = index.filter(conds.reduceOption(_ || _).getOrElse(lit(false)))
     if (!matchAll) matched
     else {
       // which query pattern(s) a posting matched, for per-doc accounting
@@ -435,7 +436,8 @@ object FullText {
         (lit(1.0) + log(col("tf"))) * log(lit(n.toDouble) / col("df")))
     val (prefixes, exact) = terms.partition(_.endsWith("*"))
     val isMatch = (exact.map(t => col("term") === t) ++
-      prefixes.map(p => col("term").startsWith(p.stripSuffix("*")))).reduce(_ || _)
+      prefixes.map(p => col("term").startsWith(p.stripSuffix("*"))))
+      .reduceOption(_ || _).getOrElse(lit(false))
     val qnorm = math.sqrt(terms.size.toDouble)
     val scored = rows.groupBy("doc").agg(
         sum(when(isMatch, col("w")).otherwise(lit(0.0))).as("dot"),

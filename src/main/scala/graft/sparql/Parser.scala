@@ -1944,15 +1944,18 @@ object Parser {
         }
         case "CONCAT" => r => {
           // 17.4.3.12: all args must be string literals; the result keeps
-          // a language tag only when EVERY arg carries that same tag
+          // a language tag only when EVERY arg carries that same tag.
+          // The grammar admits a NIL argument list: CONCAT() = "".
           val srcs = args.map(a => a(r))
-          val ok = srcs.map(isStringLit).reduce(_ && _)
-          val commonLang = srcs.map(Term.lang)
-            .reduce((a, b) => when(a <=> b, a).otherwise(lit(null).cast("string")))
-          val lexOut = concat(srcs.map(Term.lex): _*)
-          when(!ok, Term.unbound)
-            .when(commonLang.isNotNull, Term.langStr(lexOut, commonLang))
-            .otherwise(Term.str(lexOut))
+          if (srcs.isEmpty) Term.str(lit("")) else {
+            val ok = srcs.map(isStringLit).reduce(_ && _)
+            val commonLang = srcs.map(Term.lang)
+              .reduce((a, b) => when(a <=> b, a).otherwise(lit(null).cast("string")))
+            val lexOut = concat(srcs.map(Term.lex): _*)
+            when(!ok, Term.unbound)
+              .when(commonLang.isNotNull, Term.langStr(lexOut, commonLang))
+              .otherwise(Term.str(lexOut))
+          }
         }
         case "SUBSTR" => r => {
           val s = args(0)(r)

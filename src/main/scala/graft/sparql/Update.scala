@@ -334,33 +334,53 @@ object Update {
     if (tps.isEmpty) return spark.range(0)
       .select(Term.unbound.as("s"), Term.unbound.as("p"),
               Term.unbound.as("o"), Term.unbound.as("c"))
+    val opId = opCounter.incrementAndGet()
     val rows = tps.map { tp =>
-      val cols = Seq(constCol(tp.s).as("s"), constCol(tp.p).as("p"),
-                     constCol(tp.o).as("o"),
-                     tp.g.map(constCol).getOrElse(Term.unbound).as("c"))
+      val cols = Seq(constCol(tp.s, opId).as("s"), constCol(tp.p, opId).as("p"),
+                     constCol(tp.o, opId).as("o"),
+                     tp.g.map(constCol(_, opId)).getOrElse(Term.unbound).as("c"))
       spark.range(1).select(cols: _*)
     }
     rows.reduce(_ unionByName _)
   }
 
-  private def constCol(p: Pat): Column = p match {
+  // Blank nodes in INSERT DATA / INSERT templates are existentials scoped
+  // to ONE operation execution (SPARQL Update 19.6): re-using `_:x` across
+  // two operations — or re-running the same operation — must mint distinct
+  // nodes. Each execution draws a fresh id to mix into the labels.
+  private val opCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def isTemplateBnode(n: String): Boolean =
+    n.startsWith("__bn_") || n.startsWith("__anon_") || n.startsWith("__coll_")
+
+  private def constCol(p: Pat, opId: Long): Column = p match {
     case C(t) => t
     // a blank node in INSERT DATA mints a fresh node (existential); the
-    // parser surfaced it as an internal var — give it a stable label
-    case V(n) if n.startsWith("__bn_") || n.startsWith("__anon_") ||
-                 n.startsWith("__coll_") =>
-      Term.bnode(lit("u_" + n))
+    // parser surfaced it as an internal var — label it per operation
+    case V(n) if isTemplateBnode(n) => Term.bnode(lit(s"u${opId}_" + n))
     case V(n) => throw new IllegalArgumentException(s"variable ?$n in DATA block")
   }
 
   /** Instantiate a triple template once per solution; rows with unbound
-    * positions are dropped (per spec).
+    * positions are dropped (per spec). A blank node in an INSERT template
+    * mints a fresh node PER SOLUTION (19.6): the same label within one
+    * solution is one node; distinct solutions get distinct nodes. The
+    * per-row key is a 64-bit hash of the solution's bindings — solutions
+    * identical in every binding collapse anyway under the final distinct().
     */
   private def instantiate(sols: Translator.Result,
                           tmpl: Seq[TriplePattern]): DataFrame = {
+    val opId = opCounter.incrementAndGet()
+    val srcCols = sols.df.columns.toSeq
+    val rowKey: Column =
+      if (srcCols.isEmpty) lit("0")
+      else hex(xxhash64(srcCols.map(col): _*))
     def pos(p: Pat): Column = p match {
       case C(t) => t
-      case V(n) => if (sols.vars(n)) col(n) else Term.unbound
+      case V(n) if sols.vars(n) => col(n)
+      case V(n) if isTemplateBnode(n) =>
+        Term.bnode(concat(lit(s"t${opId}_${n}_"), rowKey))
+      case V(_) => Term.unbound
     }
     tmpl.map { tp =>
       sols.df.select(pos(tp.s).as("s"), pos(tp.p).as("p"), pos(tp.o).as("o"),

@@ -237,6 +237,10 @@ class IncrementalSpec extends SparkSpecBase {
     val withStats = rows(FullText.searchTf(tf, Seq("spark", "fast"),
                                            stats = Some(incStats)))
     assert(withStats == bat, s"appendTfStats drifted: $withStats != $bat")
+    // an empty query returns no hits (and must not throw on the empty
+    // term-condition reduce)
+    assert(FullText.searchTf(tf, Seq.empty).isEmpty)
+    assert(FullText.search(FullText.buildIndex(all), Seq.empty).isEmpty)
   }
 
   test("full-text analyzers: stopwords, unicode scripts, CJK bigrams") {

@@ -119,6 +119,14 @@ class ParserSpec extends SparkSpecBase {
     assert(lexSeq(df, "o") == Seq(EX + "acme"))
   }
 
+  test("CONCAT() with zero args is the empty string") {
+    val df = q(P +
+      """SELECT ?x (CONCAT() AS ?e) (CONCAT("a", "b", ?n) AS ?ab)
+         WHERE { ?x ex:name ?n } ORDER BY ?x""")
+    assert(lexSeq(df, "e") == Seq("", ""))
+    assert(lexSeq(df, "ab") == Seq("abAcme", "abGlobex"))
+  }
+
   test("DAWG bare-trailing-dot decimal still lexes as one token") {
     val df = q(P +
       "SELECT ?x WHERE { ?x ex:age ?a FILTER(?a < 456.) } ORDER BY ?x")

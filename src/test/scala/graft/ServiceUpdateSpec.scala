@@ -81,6 +81,47 @@ class ServiceUpdateSpec extends SparkSpecBase {
     assert(!s4.filter(col("o") === Term.str("a;b and \"q\"")).isEmpty)
   }
 
+  test("INSERT DATA blank nodes are fresh per operation (19.6)") {
+    val store0 = parse(Seq(s"""<${EX}seed> <${EX}p> "0" ."""))
+    // two ops in one request, both using _:x — they must mint DISTINCT nodes
+    val s1 = Update.execute(spark, store0,
+      s"""INSERT DATA { _:x <${EX}tag> "one" . } ;
+          INSERT DATA { _:x <${EX}tag> "two" . }""")
+    val tagged = s1.filter(col("p") === Term.iri(EX + "tag"))
+    assert(tagged.count() == 2)
+    assert(tagged.select(col("s")).distinct().count() == 2)
+    // within ONE op the same label is the same node
+    val s2 = Update.execute(spark, store0,
+      s"""INSERT DATA { _:y <${EX}a> "1" . _:y <${EX}b> "2" . }""")
+    assert(s2.filter(col("p") === Term.iri(EX + "a") ||
+                     col("p") === Term.iri(EX + "b"))
+      .select(col("s")).distinct().count() == 1)
+    // re-executing the same op mints NEW nodes (4 distinct subjects total)
+    val s3 = Update.execute(spark, s1,
+      s"""INSERT DATA { _:x <${EX}tag> "one" . }""")
+    assert(s3.filter(col("p") === Term.iri(EX + "tag"))
+      .select(col("s")).distinct().count() == 3)
+  }
+
+  test("INSERT template blank node mints a fresh node per solution (19.6)") {
+    val store0 = parse(Seq(
+      s"""<${EX}alice> <${EX}status> "active" .""",
+      s"""<${EX}bob> <${EX}status> "active" ."""))
+    val s1 = Update.execute(spark, store0, s"""
+      PREFIX ex: <$EX>
+      INSERT { ?u ex:record _:r . _:r ex:kind "audit" }
+      WHERE { ?u ex:status "active" }""")
+    // one fresh bnode per solution, shared between the template's triples
+    val recs = s1.filter(col("p") === Term.iri(EX + "record"))
+    assert(recs.count() == 2)
+    assert(recs.select(col("o")).distinct().count() == 2)
+    val kinds = s1.filter(col("p") === Term.iri(EX + "kind"))
+    assert(kinds.count() == 2)
+    // the _:r object of ex:record IS the subject of ex:kind, per solution
+    assert(recs.select(col("o").as("n")).intersect(
+             kinds.select(col("s").as("n"))).count() == 2)
+  }
+
   test("GRAPH-scoped UPDATE: WITH, USING, GRAPH templates, graph management") {
     val store0 = parse(Seq(
       s"""<${EX}a> <${EX}st> "live" <${EX}g1> .""",
