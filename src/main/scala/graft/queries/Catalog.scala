@@ -51,4 +51,24 @@ object Catalog {
     })
     spark.read.parquet(path)
   }
+
+  /** Forget a dir's artifacts and delete their parquet files — for caches
+    * that evict superseded entries (e.g. the bds store-key LRU).
+    */
+  def drop(dir: String): Unit =
+    built.keys.filter(_._1 == dir).foreach { k =>
+      built.remove(k).foreach { path =>
+        val p = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => try java.nio.file.Files.delete(f)
+                          catch { case _: Exception => })
+      }
+    }
+
+  /** How many live artifacts have a dir starting with `prefix` (spec hook
+    * for eviction bounds). */
+  private[graft] def entryCount(prefix: String): Int =
+    built.keys.count(_._1.startsWith(prefix))
 }

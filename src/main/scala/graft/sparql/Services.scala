@@ -70,9 +70,27 @@ object Services {
     *               default graph): GRAPH-scoped queries FILTER postings
     *               by a semi-join on in-scope docs instead of rebuilding.
     */
-  private val storeKeys = scala.collection.concurrent.TrieMap
-    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String]
+  /** Store-plan → artifact-key cache, LRU-bounded: a long-lived server
+    * yields a new store plan per update, and an unbounded map would retain
+    * every superseded plan plus two parquet artifacts each. Evicting the
+    * eldest entry also deletes its Catalog artifacts — superseded indexes
+    * are dead weight (the live store always re-keys to a live entry).
+    */
+  private val MaxBdsStores = 8
+  private val storeKeys = new java.util.LinkedHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String](
+      16, 0.75f, /* accessOrder = */ true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String])
+        : Boolean =
+      if (size > MaxBdsStores) { graft.queries.Catalog.drop(e.getValue); true }
+      else false
+  }
   private val keyCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Live bds cache entries (spec hook for the eviction bound). */
+  private[graft] def bdsCacheSize: Int = storeKeys.synchronized(storeKeys.size)
 
   private def litFilter: org.apache.spark.sql.Column =
     Term.isLiteral(col("o")) &&
@@ -80,9 +98,14 @@ object Services {
 
   private def bdsArtifacts(quads: DataFrame): (DataFrame, DataFrame) = {
     val spark = quads.sparkSession
-    val key = storeKeys.getOrElseUpdate(
-      quads.queryExecution.analyzed.canonicalized,
-      s"bds-store-${keyCounter.incrementAndGet()}")
+    val plan = quads.queryExecution.analyzed.canonicalized
+    val key = storeKeys.synchronized {
+      Option(storeKeys.get(plan)).getOrElse {
+        val k = s"bds-store-${keyCounter.incrementAndGet()}"
+        storeKeys.put(plan, k)
+        k
+      }
+    }
     val idx = graft.queries.Catalog.table(spark, key, "bds_index") {
       val lits = quads.filter(litFilter)
         .select(Term.lex(col("o")).as("doc")).distinct()

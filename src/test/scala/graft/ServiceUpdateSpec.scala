@@ -81,6 +81,25 @@ class ServiceUpdateSpec extends SparkSpecBase {
     assert(!s4.filter(col("o") === Term.str("a;b and \"q\"")).isEmpty)
   }
 
+  test("bds artifact cache stays bounded across live-store updates") {
+    import graft.sparql.Services
+    var store = parse(Seq(s"""<${EX}d0> <${EX}body> "alpha beta" ."""))
+    val q = s"""
+      PREFIX ex: <$EX>
+      SELECT ?lit WHERE { ?lit <graft://search#query> "alpha" . }"""
+    // every update yields a NEW store plan; each search keys the bds index
+    // by that plan — without eviction the map and artifact dir grow per
+    // update, forever, in a long-lived server
+    for (i <- 1 to 12) {
+      store = Update.execute(spark, store,
+        s"""INSERT DATA { <${EX}d$i> <${EX}body> "alpha gamma $i" . }""")
+      assert(Parser.select(spark, store, q).count() >= 1)
+    }
+    assert(Services.bdsCacheSize <= 8)
+    // two artifacts (bds_index, bds_occ) per retained store key
+    assert(graft.queries.Catalog.entryCount("bds-store-") <= 16)
+  }
+
   test("INSERT DATA blank nodes are fresh per operation (19.6)") {
     val store0 = parse(Seq(s"""<${EX}seed> <${EX}p> "0" ."""))
     // two ops in one request, both using _:x — they must mint DISTINCT nodes
