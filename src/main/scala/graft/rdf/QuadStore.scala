@@ -182,6 +182,40 @@ object QuadStore {
   private def versionDir(root: String, v: Long) = s"$root/v$v"
   private def pointer(root: String) = new java.io.File(s"$root/_CURRENT")
 
+  /** Per-commit change notification — the reference's IChangeLog surface
+    * (bigdata-sails/src/java/com/bigdata/rdf/sail/changesets/
+    * IChangeLog.java): listeners registered on a store root observe, for
+    * every commit, the quads asserted and retracted by that commit.
+    *
+    * The deltas are LAZY DataFrames — anti-joins between the new and
+    * previous immutable snapshot directories. A listener that ignores them
+    * pays nothing; one that executes them pays two hash anti-joins, the
+    * same plan shape at 60k rows and at 100 TB. Downstream invalidation
+    * (caches, incremental indexes, subscriptions) keys off `version`
+    * exactly like the server's DESCRIBE cache keys off its generation.
+    */
+  trait ChangeListener {
+    def changeEvent(root: String, version: Long,
+                    asserted: DataFrame, retracted: DataFrame): Unit
+  }
+
+  private val changeListeners =
+    scala.collection.concurrent.TrieMap.empty[String, Vector[ChangeListener]]
+
+  def addChangeListener(root: String, l: ChangeListener): Unit =
+    changeListeners.updateWith(root) {
+      case Some(ls) => Some(ls :+ l)
+      case None => Some(Vector(l))
+    }
+
+  def removeChangeListener(root: String, l: ChangeListener): Unit =
+    changeListeners.updateWith(root) {
+      case Some(ls) =>
+        val rest = ls.filterNot(_ eq l)
+        if (rest.isEmpty) None else Some(rest)
+      case None => None
+    }
+
   /** Latest committed version, or -1 for an empty store root. */
   def currentVersion(root: String): Long = {
     val p = pointer(root)
@@ -200,6 +234,21 @@ object QuadStore {
     java.nio.file.Files.move(tmp.toPath, pointer(root).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val ls = changeListeners.getOrElse(root, Vector.empty)
+    if (ls.nonEmpty) {
+      val spark = quads.sparkSession
+      val cols = Seq("s", "p", "o", "c")
+      val cur = open(spark, root, next).select(cols.map(col): _*)
+      // the previous snapshot may have been compacted away; then the whole
+      // commit reads as asserted (no baseline to diff against)
+      val prev =
+        if (next == 0 ||
+            !new java.io.File(versionDir(root, next - 1)).isDirectory) None
+        else Some(open(spark, root, next - 1).select(cols.map(col): _*))
+      val asserted = prev.map(cur.except).getOrElse(cur)
+      val retracted = prev.map(_.except(cur)).getOrElse(cur.limit(0))
+      ls.foreach(_.changeEvent(root, next, asserted, retracted))
+    }
     next
   }
 

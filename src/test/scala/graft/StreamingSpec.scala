@@ -131,6 +131,48 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("change listeners observe per-commit assert/retract deltas (IChangeLog)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.rdf.QuadStore
+    import org.apache.spark.sql.functions.col
+    val EX = "http://ex/"
+    val root = java.nio.file.Files.createTempDirectory("changelog").toString
+    // capture each event as (version, asserted subjects, retracted subjects)
+    var events = Vector.empty[(Long, Set[String], Set[String])]
+    val listener = new QuadStore.ChangeListener {
+      def changeEvent(r: String, version: Long,
+                      asserted: org.apache.spark.sql.DataFrame,
+                      retracted: org.apache.spark.sql.DataFrame): Unit =
+        events :+= ((version,
+          asserted.select(col("s.lex")).collect().map(_.getString(0)).toSet,
+          retracted.select(col("s.lex")).collect().map(_.getString(0)).toSet))
+    }
+    QuadStore.addChangeListener(root, listener)
+    try {
+      // first commit: everything asserts, nothing retracts
+      val v0 = QuadStore.commit(parse(Seq(
+        s"<${EX}a> <${EX}p> <${EX}x> .",
+        s"<${EX}b> <${EX}p> <${EX}x> .")), root)
+      assert(events == Vector((v0, Set(EX + "a", EX + "b"), Set.empty[String])))
+      // second commit: drop b, add c — the delta, not the snapshot
+      val v1 = QuadStore.commit(parse(Seq(
+        s"<${EX}a> <${EX}p> <${EX}x> .",
+        s"<${EX}c> <${EX}p> <${EX}x> .")), root)
+      assert(events(1) == ((v1, Set(EX + "c"), Set(EX + "b"))))
+      // a streaming-ingest batch commits through the same hook: the event
+      // carries the batch's triples plus their inferred consequences
+      graft.streaming.RdfIngest.ingestBatch(spark,
+        Seq(s"<${EX}rex> <${graft.rules.RDFS.RdfType}> <${EX}Dog> .")
+          .toDF("value"), root)
+      assert(events.size == 3 && events(2)._2.contains(EX + "rex") &&
+             events(2)._3.isEmpty)
+    } finally QuadStore.removeChangeListener(root, listener)
+    // removed listeners observe nothing
+    QuadStore.commit(parse(Seq(s"<${EX}d> <${EX}p> <${EX}x> .")), root)
+    assert(events.size == 3)
+  }
+
   test("streaming near-dup candidates: shared minhash band pairs across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
