@@ -251,6 +251,34 @@ class PlanQualitySpec extends SparkSpecBase {
            s"FilterExists lost its semi/anti marker joins:\n$p")
   }
 
+  test("BIND(EXISTS) marker binds stay hash semi/anti, markers dropped") {
+    // the ExtendExists value-binding form (BIND / SELECT expression /
+    // ORDER BY) uses the same semi/anti join pair as FilterExists — never
+    // a row-multiplying outer join or a nested loop
+    val ttl = """
+      @prefix : <http://example/> .
+      :s1 a :Set . :s2 a :Set . :s1 :member :x .
+    """
+    val qrows = graft.rdf.Turtle.parseQuads(ttl, "http://example/")
+      .map { case (s, p, o, c) => org.apache.spark.sql.Row(s, p, o, c) }.toSeq
+    val quads = spark.createDataFrame(
+      java.util.Arrays.asList(qrows: _*), SparqlTck.quadSchema)
+    val q = graft.sparql.Parser.parse(spark,
+      """PREFIX : <http://example/>
+         SELECT ?s ?has WHERE {
+           ?s a :Set BIND(EXISTS { ?s :member ?m } AS ?has)
+         }""")
+    val df = graft.sparql.Translator.translate(quads, q.node).df
+    assert(df.count() == 2) // one row per Set, no duplication
+    assert(!df.columns.exists(_.startsWith("__ex_")),
+           s"marker columns leaked: ${df.columns.mkString(",")}")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+           s"ExtendExists lost its semi/anti marker joins:\n$p")
+    assert(!p.contains("CartesianProduct"),
+           s"ExtendExists planned a cartesian product:\n$p")
+  }
+
   test("salted join equals plain join and spreads hot keys") {
     import spark.implicits._
     // hot key: 10k rows of key=1 against a 3-row dimension
