@@ -65,8 +65,14 @@ object Algebra {
                                g: Option[Pat] = None) extends Node
   final case class Filter(cond: Expr, child: Node) extends Node
   final case class Join(l: Node, r: Node) extends Node
-  /** OPTIONAL; `cond` participates in the join per SPARQL LeftJoin. */
-  final case class LeftJoin(l: Node, r: Node, cond: Option[Expr] = None) extends Node
+  /** OPTIONAL; `cond` participates in the join per SPARQL LeftJoin.
+    * `existsBinds` carries EXISTS{} patterns hoisted from the optional
+    * group's FILTERs when they reference left-side variables: the markers
+    * bind over the MERGED candidate solutions (18.2's LeftJoin(P1, P2, F)
+    * evaluates F over merge(mu1, mu2)) and `cond` reads them.
+    */
+  final case class LeftJoin(l: Node, r: Node, cond: Option[Expr] = None,
+                            existsBinds: Seq[(String, Node)] = Nil) extends Node
   final case class Union(l: Node, r: Node) extends Node
   /** SPARQL MINUS (NotExists solution-set hash join w/ shared-var rule,
     * AST2BOpUtility.java:3393-3399). */
@@ -131,11 +137,46 @@ object Algebra {
     * the parser rewrites Bgps when `hint:optimizer "None"` pins order).
     * Values/ServiceNode/SidPattern/PathPattern are leaves here.
     */
+  /** Syntactic in-scope variables of a pattern (SPARQL 18.2.1) — the vars
+    * a node can bind. MINUS's right side and EXISTS subpatterns bind
+    * nothing outward; Project limits to its projection.
+    */
+  def inScopeVars(n: Node): Set[String] = n match {
+    case Bgp(tps, _) => tps.flatMap(tp =>
+      Seq(tp.s, tp.p, tp.o) ++ tp.g.toSeq).collect { case V(v) => v }.toSet
+    case PathPattern(s, _, o, g) =>
+      (Seq(s, o) ++ g.toSeq).collect { case V(v) => v }.toSet
+    case Filter(_, ch) => inScopeVars(ch)
+    case Join(l, r) => inScopeVars(l) ++ inScopeVars(r)
+    case LeftJoin(l, r, _, _) => inScopeVars(l) ++ inScopeVars(r)
+    case Union(l, r) => inScopeVars(l) ++ inScopeVars(r)
+    case Minus(l, _) => inScopeVars(l)
+    case ExistsFilter(ch, _, _) => inScopeVars(ch)
+    case FilterExists(_, _, ch) => inScopeVars(ch)
+    case ExtendExists(v, _, _, ch) => inScopeVars(ch) + v
+    case Extend(v, _, ch) => inScopeVars(ch) + v
+    case Project(vs, _) => vs.toSet
+    case Distinct(ch) => inScopeVars(ch)
+    case OrderBy(_, ch) => inScopeVars(ch)
+    case Slice(_, _, ch) => inScopeVars(ch)
+    case Group(keys, aggs, _) => keys.toSet ++ aggs.map(_._1)
+    case Values(df, _) => df.columns.toSet
+    case GraphNode(g, ch) =>
+      inScopeVars(ch) ++ (g match { case V(v) => Set(v); case _ => Set.empty })
+    case SidPattern(s, p, o, sidVar) =>
+      Seq(s, p, o).collect { case V(v) => v }.toSet + sidVar
+    case ServiceNode(_, config, _, _) => config.flatMap(tp =>
+      Seq(tp.s, tp.p, tp.o) ++ tp.g.toSeq).collect { case V(v) => v }.toSet
+    case ServiceVarNode(v, _, _) => Set(v)
+  }
+
   def transformBgps(n: Node)(f: Bgp => Bgp): Node = n match {
     case b: Bgp => f(b)
     case Filter(c, ch) => Filter(c, transformBgps(ch)(f))
     case Join(l, r) => Join(transformBgps(l)(f), transformBgps(r)(f))
-    case LeftJoin(l, r, c) => LeftJoin(transformBgps(l)(f), transformBgps(r)(f), c)
+    case LeftJoin(l, r, c, ex) =>
+      LeftJoin(transformBgps(l)(f), transformBgps(r)(f), c,
+               ex.map { case (v, s) => (v, transformBgps(s)(f)) })
     case Union(l, r) => Union(transformBgps(l)(f), transformBgps(r)(f))
     case Minus(l, r) => Minus(transformBgps(l)(f), transformBgps(r)(f))
     case ExistsFilter(ch, s, neg) =>

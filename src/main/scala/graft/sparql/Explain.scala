@@ -54,8 +54,10 @@ object Explain {
         s"${pad}Path(${p.getClass.getSimpleName}${g.map(x => s", graph=$x").getOrElse("")})"
       case Filter(_, c) => s"${pad}Filter\n${pretty(c, depth + 1)}"
       case Join(l, r) => s"${pad}Join\n${pretty(l, depth + 1)}\n${pretty(r, depth + 1)}"
-      case LeftJoin(l, r, cond) =>
-        s"${pad}LeftJoin${if (cond.isDefined) "(cond)" else ""}\n${pretty(l, depth + 1)}\n${pretty(r, depth + 1)}"
+      case LeftJoin(l, r, cond, ex) =>
+        val ann = (if (cond.isDefined) Seq("cond") else Nil) ++
+                  (if (ex.nonEmpty) Seq(s"exists=${ex.map("?" + _._1).mkString(",")}") else Nil)
+        s"${pad}LeftJoin${if (ann.nonEmpty) ann.mkString("(", ", ", ")") else ""}\n${pretty(l, depth + 1)}\n${pretty(r, depth + 1)}"
       case Union(l, r) => s"${pad}Union\n${pretty(l, depth + 1)}\n${pretty(r, depth + 1)}"
       case Minus(l, r) => s"${pad}Minus\n${pretty(l, depth + 1)}\n${pretty(r, depth + 1)}"
       case ExistsFilter(c, s, neg) =>

@@ -922,11 +922,28 @@ object Parser {
       * would see outer variables as unbound).
       */
     private def groupGraphPatternParts(init: Option[Node] = None): (Node, Seq[Expr]) = {
+      val (node, filters, existsFilters, existsCondFilters) =
+        groupGraphPatternFull(init)
+      var n = node
+      existsFilters.foreach { case (sub, neg) => n = ExistsFilter(n, sub, neg) }
+      existsCondFilters.foreach { case (f, binds) => n = FilterExists(f, binds, n) }
+      (n, filters)
+    }
+
+    /** Workhorse group parse: EXISTS/NOT EXISTS filters are returned
+      * UNAPPLIED alongside the node, because the OPTIONAL branch must hoist
+      * those that reference left-side variables into the LeftJoin
+      * condition (same W3C scoping rule as for plain filters).
+      */
+    private def groupGraphPatternFull(init: Option[Node] = None)
+        : (Node, Seq[Expr], Vector[(Node, Boolean)],
+           Vector[(Expr, Vector[(String, Node)])]) = {
       // GroupGraphPattern := '{' ( SubSelect | GroupGraphPatternSub ) '}':
       // a group whose content starts with SELECT is directly a sub-select
       if (peekIs("SELECT")) {
         val sub = selectQuery().node
-        return (init.fold(sub)(i => Join(i, sub)), Vector.empty)
+        return (init.fold(sub)(i => Join(i, sub)), Vector.empty,
+                Vector.empty, Vector.empty)
       }
       bnodeScope += 1
       var cur: Option[Node] = init
@@ -945,11 +962,38 @@ object Parser {
         if (tokenAtStart != ".") allowBareDot = false
         if (peekIs("OPTIONAL")) {
           next(); expect("{")
-          val (r, rFilters) = groupGraphPatternParts(); expect("}")
+          val (r, rFilters, rExists, rExistsCond) = groupGraphPatternFull()
+          expect("}")
+          // 18.2 scoping: a FILTER in the optional group — including its
+          // EXISTS parts — evaluates over merge(left row, right row). An
+          // EXISTS subpattern mentioning a variable bound ONLY on the left
+          // must therefore hoist into the LeftJoin condition (as a marker
+          // bind over the merged candidates); inner-scoped EXISTS stays in
+          // the right operand where the plan is a plain semi/anti join.
+          val rScope = Algebra.inScopeVars(r)
+          val outerScope = cur.map(Algebra.inScopeVars).getOrElse(Set.empty)
+          def refsOuter(sub: Node): Boolean =
+            (Algebra.inScopeVars(sub) -- rScope).intersect(outerScope).nonEmpty
+          val (hoistEx, keepEx) = rExists.partition { case (sub, _) => refsOuter(sub) }
+          val (hoistCond, keepCond) = rExistsCond.partition {
+            case (_, binds) => binds.exists { case (_, sub) => refsOuter(sub) } }
+          var rNode = r
+          keepEx.foreach { case (sub, neg) => rNode = ExistsFilter(rNode, sub, neg) }
+          keepCond.foreach { case (f, binds) => rNode = FilterExists(f, binds, rNode) }
+          var joinBinds = Vector.empty[(String, Node)]
+          var conds: Vector[Expr] = rFilters.toVector
+          hoistEx.foreach { case (sub, neg) =>
+            val mv = s"__ex_${exprExistsCount}"; exprExistsCount += 1
+            joinBinds :+= (mv -> sub)
+            conds :+= ((res: String => Column) =>
+              if (neg) !res(mv).cast(org.apache.spark.sql.types.BooleanType)
+              else res(mv).cast(org.apache.spark.sql.types.BooleanType))
+          }
+          hoistCond.foreach { case (f, binds) => joinBinds ++= binds; conds :+= f }
           val cond: Option[Expr] =
-            if (rFilters.isEmpty) None
-            else Some(r2 => rFilters.map(_(r2)).reduce(_ && _))
-          cur = Some(LeftJoin(cur.getOrElse(emptyNode), r, cond))
+            if (conds.isEmpty) None
+            else Some(r2 => conds.map(_(r2)).reduce(_ && _))
+          cur = Some(LeftJoin(cur.getOrElse(emptyNode), rNode, cond, joinBinds))
         } else if (peekIs("MINUS")) {
           next(); expect("{")
           val r = groupGraphPattern(); expect("}")
@@ -1134,10 +1178,7 @@ object Parser {
       }
       var node = cur.getOrElse(emptyNode)
       node = mergeMagicSearch(node)
-      existsFilters.foreach { case (sub, neg) => node = ExistsFilter(node, sub, neg) }
-      existsCondFilters.foreach { case (f, binds) =>
-        node = FilterExists(f, binds, node) }
-      (node, filters)
+      (node, filters, existsFilters, existsCondFilters)
     }
 
     /** Each statement with magic search predicates produced its own

@@ -140,8 +140,57 @@ object Translator {
     case Join(l, r) =>
       join(translate(quads, l), translate(quads, r), "inner", None)
 
-    case LeftJoin(l, r, cond) =>
+    case LeftJoin(l, r, cond, binds) if binds.isEmpty =>
       join(translate(quads, l), translate(quads, r), "left_outer", cond)
+
+    case LeftJoin(l, r, cond, binds) =>
+      // EXISTS markers in the LeftJoin condition evaluate over the MERGED
+      // candidate solutions (18.2): inner-join the candidates, bind the
+      // markers with the usual semi/anti pairs, filter, then re-add the
+      // left rows with no surviving partner. The complement anti-joins on
+      // the left row's VALUES — sound because value-identical left rows
+      // pass or fail identically.
+      val lc = translate(quads, l); val rc = translate(quads, r)
+      val shared = (lc.vars intersect rc.vars).toSeq.sorted
+      val rdf = rc.vars.toSeq.foldLeft(rc.df)((d, v) => d.withColumnRenamed(v, ren(v)))
+      val eqs = shared.map { v =>
+        if (lc.certain(v) && rc.certain(v)) col(v) === col(ren(v))
+        else compatCond(col(v), col(ren(v)))
+      }
+      var cands = lc.df.join(rdf, eqs.reduceOption(_ && _).getOrElse(lit(true)), "inner")
+      // snapshot the left row before merging shared columns, for the
+      // unmatched-complement join below
+      val lvars = lc.vars.toSeq.sorted
+      lvars.foreach(v => cands = cands.withColumn(s"__lj_$v", col(v)))
+      shared.foreach(v => cands = cands
+        .withColumn(v, coalesce(col(v), col(ren(v)))).drop(ren(v)))
+      (rc.vars -- lc.vars).toSeq.foreach(v =>
+        cands = cands.withColumnRenamed(ren(v), v))
+      val candsRes = Result(cands, lc.certain ++ rc.certain,
+                            (lc.vars ++ rc.vars) -- (lc.certain ++ rc.certain))
+      var df = cands
+      binds.foreach { case (mv, subNode) =>
+        val (sdf, jc) = existsJoin(quads, candsRes, subNode)
+        val hit = df.join(sdf, jc, "left_semi").withColumn(mv, lit(true))
+        val miss = df.join(sdf, jc, "left_anti").withColumn(mv, lit(false))
+        df = hit.unionByName(miss)
+      }
+      val markers = binds.map(_._1).toSet
+      val res: String => Column = v =>
+        if (markers(v)) col(v) else resolver(candsRes)(v)
+      val kept = df.filter(cond.map(c => coalesce(c(res), lit(false)))
+                               .getOrElse(lit(true)))
+        .drop(binds.map(_._1): _*)
+      val allVars = (lc.vars ++ rc.vars).toSeq.sorted
+      val keptL = kept.select(lvars.map(v => col(s"__lj_$v").as(ren(v))): _*)
+      val unmatched = lc.df.join(keptL,
+        lvars.map(v => col(v) <=> col(ren(v))).reduceOption(_ && _)
+          .getOrElse(lit(true)), "left_anti")
+      val padded = (rc.vars -- lc.vars).toSeq
+        .foldLeft(unmatched)((d, v) => d.withColumn(v, Term.unbound))
+      Result(kept.select(allVars.map(col): _*)
+               .unionByName(padded.select(allVars.map(col): _*)),
+             lc.certain, (lc.vars ++ rc.vars) -- lc.certain)
 
     case Union(l, r) =>
       val (lr, rr) = (translate(quads, l), translate(quads, r))
@@ -675,7 +724,9 @@ object Translator {
     case p: PathPattern => if (p.g.isEmpty) p.copy(g = Some(g)) else p
     case Filter(c, ch) => Filter(c, rewriteGraph(ch, g))
     case Join(l, r) => Join(rewriteGraph(l, g), rewriteGraph(r, g))
-    case LeftJoin(l, r, c) => LeftJoin(rewriteGraph(l, g), rewriteGraph(r, g), c)
+    case LeftJoin(l, r, c, ex) =>
+      LeftJoin(rewriteGraph(l, g), rewriteGraph(r, g), c,
+               ex.map { case (v, s) => (v, rewriteGraph(s, g)) })
     case Union(l, r) => Union(rewriteGraph(l, g), rewriteGraph(r, g))
     case Minus(l, r) => Minus(rewriteGraph(l, g), rewriteGraph(r, g))
     case ExistsFilter(ch, sub, neg) =>
