@@ -69,6 +69,27 @@ class IncrementalSpec extends SparkSpecBase {
     assert(again.except(closed).isEmpty && closed.except(again).isEmpty)
   }
 
+  test("subPropertyOf a transitive property does NOT inherit transitivity (ticket 610)") {
+    import graft.rules.Owl
+    // the reference's ticket 610: (b subPropertyOf a), (a type Transitive)
+    // wrongly derived (b type TransitiveProperty); facts over b must only
+    // chain via their rdfs7-lifted a-edges, never via b itself
+    val base = parse(Seq(
+      s"<${EX}a> <${RDFS.RdfType}> <${Owl.TransitiveProperty}> .",
+      s"<${EX}b> <${RDFS.SubPropertyOf}> <${EX}a> .",
+      s"<${EX}x> <${EX}b> <${EX}y> .",
+      s"<${EX}y> <${EX}b> <${EX}z> ."))
+    val closed = Owl.closure(base)
+    def has(s: String, p: String, o: String) =
+      !closed.filter(col("s") === Term.iri(s) && col("p") === Term.iri(p) &&
+                     col("o") === Term.iri(o)).isEmpty
+    assert(!has(EX + "b", RDFS.RdfType, Owl.TransitiveProperty),
+           "b must not become a TransitiveProperty")
+    assert(!has(EX + "x", EX + "b", EX + "z"), "no transitive chain over b")
+    // the rdfs7-lifted a-edges DO chain (a is transitive)
+    assert(has(EX + "x", EX + "a", EX + "z"))
+  }
+
   test("OWL equivalence + hasValue rules interplay with the fixpoint") {
     import graft.rules.Owl
     val base = parse(Seq(

@@ -88,6 +88,21 @@ class OptionalExistsScopeSpec extends SparkSpecBase {
     assert(got == Seq((EX + "a", "2"), (EX + "b", null), (EX + "c", "2")))
   }
 
+  test("hoisted path plans hash semi/anti joins, no cartesian, no leaked columns") {
+    val df = Parser.select(spark, quads, s"""
+      PREFIX ex: <$EX>
+      SELECT ?x ?y WHERE {
+        ?x ex:p ?v OPTIONAL { ?x ex:q ?y FILTER EXISTS { ?x ex:r ?v } }
+      }""")
+    assert(!df.columns.exists(c => c.startsWith("__ex_") || c.startsWith("__lj_")),
+           s"internal columns leaked: ${df.columns.mkString(",")}")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+           s"hoisted EXISTS lost its semi/anti marker joins:\n$p")
+    assert(!p.contains("CartesianProduct"),
+           s"hoisted EXISTS planned a cartesian product:\n$p")
+  }
+
   test("duplicate left rows keep bag semantics through the hoisted path") {
     val nt = Seq(
       s"<${EX}a> <${EX}p> ${intLit(1)} .",
