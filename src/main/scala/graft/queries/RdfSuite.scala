@@ -139,6 +139,23 @@ object RdfSuite {
       run(s, d, q).df.select(Term.lex(col("cn")).as("cn")).orderBy("cn")
     }),
 
+    "rdf_exists_bind" -> ((s, d) => {
+      // EXISTS as a VALUE (BIND(EXISTS{...} AS ?has)): the ExtendExists
+      // marker-bind operator under the oracle gate — every customer row
+      // survives, annotated true/false by a semi/anti marker pair
+      val big = Filter(r => TermOps.gt(r("p"), Term.num(lit(400000))),
+        Bgp(Seq(tp(V("o"), "by", V("c")), tp(V("o"), "price", V("p")))))
+      // the segment pattern restricts ?c to customer entities (nation and
+      // region share the name predicate)
+      val q = ExtendExists("has",
+        r => Term.bool(r("__m").cast(org.apache.spark.sql.types.BooleanType)),
+        Seq("__m" -> big),
+        Bgp(Seq(tp(V("c"), "name", V("cn")), tp(V("c"), "segment", V("sg")))))
+      run(s, d, q).df
+        .select(Term.lex(col("cn")).as("cn"), Term.lex(col("has")).as("has"))
+        .orderBy("cn")
+    }),
+
     "rdf_filter_bind" -> ((s, d) => {
       // exact-addition BIND: no decimal rounding, so the oracle compare is
       // string-exact
@@ -351,6 +368,14 @@ object RdfSuite {
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                        AND CAST(o_totalprice AS DECIMAL(18,2)) > 400000)
          ORDER BY cn""",
+
+    "rdf_exists_bind" ->
+      """SELECT c_name AS cn,
+           CASE WHEN EXISTS (SELECT 1 FROM orders
+                             WHERE o_custkey = c_custkey
+                             AND CAST(o_totalprice AS DECIMAL(18,2)) > 400000)
+                THEN 'true' ELSE 'false' END AS has
+         FROM customer ORDER BY cn""",
 
     "rdf_filter_dict" ->
       """SELECT c_name AS cname,
