@@ -146,8 +146,8 @@ object Translator {
     case LeftJoin(l, r, cond, binds) =>
       // EXISTS markers in the LeftJoin condition evaluate over the MERGED
       // candidate solutions (18.2): inner-join the candidates, bind the
-      // markers with the usual semi/anti pairs, filter, then re-add the
-      // left rows with no surviving partner. The complement anti-joins on
+      // markers with one outer join each (bindMarkers), filter, then
+      // re-add the left rows with no surviving partner. The complement anti-joins on
       // the left row's VALUES — sound because value-identical left rows
       // pass or fail identically.
       val lc = translate(quads, l); val rc = translate(quads, r)
@@ -168,13 +168,7 @@ object Translator {
         cands = cands.withColumnRenamed(ren(v), v))
       val candsRes = Result(cands, lc.certain ++ rc.certain,
                             (lc.vars ++ rc.vars) -- (lc.certain ++ rc.certain))
-      var df = cands
-      binds.foreach { case (mv, subNode) =>
-        val (sdf, jc) = existsJoin(quads, candsRes, subNode)
-        val hit = df.join(sdf, jc, "left_semi").withColumn(mv, lit(true))
-        val miss = df.join(sdf, jc, "left_anti").withColumn(mv, lit(false))
-        df = hit.unionByName(miss)
-      }
+      val df = bindMarkers(quads, candsRes, binds, cands)
       val markers = binds.map(_._1).toSet
       val res: String => Column = v =>
         if (markers(v)) col(v) else resolver(candsRes)(v)
@@ -232,16 +226,10 @@ object Translator {
 
     case FilterExists(cond, binds, child) =>
       val c = translate(quads, child)
-      // each marker bind partitions the outer rows into has-match /
-      // no-match via a semi/anti join pair — no row duplication, and the
-      // non-equi parts of the join condition stay correct
-      var df = c.df
-      binds.foreach { case (v, subNode) =>
-        val (sdf, jc) = existsJoin(quads, c, subNode)
-        val hit = df.join(sdf, jc, "left_semi").withColumn(v, lit(true))
-        val miss = df.join(sdf, jc, "left_anti").withColumn(v, lit(false))
-        df = hit.unionByName(miss)
-      }
+      // each marker binds via ONE outer join on the child's value tuple
+      // (bindMarkers) — no row duplication, no union fan-out, and the
+      // non-equi parts of the witness condition stay inside the semi-join
+      val df = bindMarkers(quads, c, binds, c.df)
       val markers = binds.map(_._1).toSet
       val res: String => Column = v =>
         if (markers(v)) col(v) else resolver(c)(v)
@@ -252,13 +240,7 @@ object Translator {
       val c = translate(quads, child)
       // same marker machinery as FilterExists, but the condition's value
       // binds to `v` (BIND/SELECT/ORDER BY/GROUP BY expression positions)
-      var df = c.df
-      binds.foreach { case (mv, subNode) =>
-        val (sdf, jc) = existsJoin(quads, c, subNode)
-        val hit = df.join(sdf, jc, "left_semi").withColumn(mv, lit(true))
-        val miss = df.join(sdf, jc, "left_anti").withColumn(mv, lit(false))
-        df = hit.unionByName(miss)
-      }
+      val df = bindMarkers(quads, c, binds, c.df)
       val markers = binds.map(_._1).toSet
       val res: String => Column = x =>
         if (markers(x)) col(x) else resolver(c)(x)
@@ -577,6 +559,42 @@ object Translator {
 
   private def resolver(c: Result): String => Column =
     v => if (c.vars(v)) col(v) else Term.unbound
+
+  /** Bind every EXISTS marker variable in `binds` onto `df0` as a boolean
+    * column — ONE left_outer join per marker, never a semi/anti union pair.
+    * The pair construction (union of `df semi sdf` and `df anti sdf`)
+    * re-reads the accumulated frame on BOTH branches, so K markers build
+    * 2^K leaf scans of the child; here each marker costs one semi-join of
+    * the ORIGINAL child (markers are mutually independent — every
+    * `existsJoin` correlates against `c`, not the accumulated frame) plus
+    * one equi-join on the child's full variable tuple: K+1 linear scans.
+    *
+    * Soundness: EXISTS is a function of the outer solution's VALUES
+    * (SPARQL §8.1.1 substitution), so value-identical rows pass or fail
+    * identically — joining the marker on the null-safe value tuple binds
+    * the right answer to every duplicate. The hit frame is `distinct()` on
+    * exactly the join key, so the left_outer join matches each outer row
+    * at most once and bag multiplicity is preserved.
+    */
+  private def bindMarkers(quads: DataFrame, c: Result,
+                          binds: Seq[(String, Node)],
+                          df0: DataFrame): DataFrame = {
+    val key = c.vars.toSeq.sorted
+    def mk(v: String) = s"__mk_$v"
+    var df = df0
+    binds.foreach { case (mv, subNode) =>
+      val (sdf, jc) = existsJoin(quads, c, subNode)
+      val hits = c.df.join(sdf, jc, "left_semi")
+        .select(key.map(col): _*).distinct()
+        .select(key.map(v => col(v).as(mk(v))) :+ lit(true).as(mv): _*)
+      val cond = key.map(v => col(v) <=> col(mk(v)))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      df = df.join(hits, cond, "left_outer")
+        .withColumn(mv, coalesce(col(mv), lit(false)))
+        .drop(key.map(mk): _*)
+    }
+    df
+  }
 
   /** The (renamed inner frame, join condition) for an EXISTS sub-pattern
     * against the outer result `c`. EXISTS is *correlated*: filters at the

@@ -223,10 +223,11 @@ class PlanQualitySpec extends SparkSpecBase {
            s"default embedding near-dup degraded to all-pairs:\n$p")
   }
 
-  test("EXISTS as an expression operand stays hash semi/anti, no row blowup") {
-    // FILTER(?a = ?b || NOT EXISTS {...}) binds boolean markers via a
-    // semi/anti join PAIR (never a row-multiplying outer join) and drops
-    // the marker columns afterwards
+  test("EXISTS as an expression operand stays hash joins, no row blowup") {
+    // FILTER(?a = ?b || NOT EXISTS {...}) binds boolean markers via ONE
+    // outer join per marker against a distinct hit frame (itself a hash
+    // semi-join) — never a row-multiplying join, never a semi/anti union
+    // pair — and drops the marker columns afterwards
     val ttl = """
       @prefix : <http://example/> .
       :s1 a :Set . :s2 a :Set . :s1 :member :x .
@@ -247,14 +248,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!df.columns.exists(_.startsWith("__ex_")),
            s"marker columns leaked: ${df.columns.mkString(",")}")
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
-           s"FilterExists lost its semi/anti marker joins:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("LeftOuter"),
+           s"FilterExists lost its semi-join hit frame / outer marker join:\n$p")
+    assert(!p.contains("Union"),
+           s"FilterExists re-grew a semi/anti union fan-out:\n$p")
   }
 
-  test("BIND(EXISTS) marker binds stay hash semi/anti, markers dropped") {
+  test("BIND(EXISTS) marker binds stay hash joins, markers dropped") {
     // the ExtendExists value-binding form (BIND / SELECT expression /
-    // ORDER BY) uses the same semi/anti join pair as FilterExists — never
-    // a row-multiplying outer join or a nested loop
+    // ORDER BY) uses the same single-outer-join marker bind as
+    // FilterExists — never a row-multiplying join or a nested loop
     val ttl = """
       @prefix : <http://example/> .
       :s1 a :Set . :s2 a :Set . :s1 :member :x .
@@ -273,10 +276,51 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!df.columns.exists(_.startsWith("__ex_")),
            s"marker columns leaked: ${df.columns.mkString(",")}")
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
-           s"ExtendExists lost its semi/anti marker joins:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("LeftOuter"),
+           s"ExtendExists lost its semi-join hit frame / outer marker join:\n$p")
+    assert(!p.contains("Union"),
+           s"ExtendExists re-grew a semi/anti union fan-out:\n$p")
     assert(!p.contains("CartesianProduct"),
            s"ExtendExists planned a cartesian product:\n$p")
+  }
+
+  test("K EXISTS markers cost K joins, not 2^K plan branches") {
+    // three EXISTS operands in ONE filter expression: the old semi/anti
+    // union pair per marker rewrote df as union(semi(df), anti(df)), so
+    // the NEXT marker doubled both branches — 2^K leaf scans of the
+    // child. The bindMarkers shape is K independent hit frames joined
+    // one outer join each: exactly K LeftOuter marker joins, K LeftSemi
+    // hit frames, zero Unions.
+    val ttl = """
+      @prefix : <http://example/> .
+      :s1 a :Set . :s2 a :Set . :s3 a :Set .
+      :s1 :member :x . :s2 :big true . :s3 :open true .
+    """
+    val qrows = graft.rdf.Turtle.parseQuads(ttl, "http://example/")
+      .map { case (s, p, o, c) => org.apache.spark.sql.Row(s, p, o, c) }.toSeq
+    val quads = spark.createDataFrame(
+      java.util.Arrays.asList(qrows: _*), SparqlTck.quadSchema)
+    val q = graft.sparql.Parser.parse(spark,
+      """PREFIX : <http://example/>
+         SELECT ?s WHERE {
+           ?s a :Set .
+           FILTER(EXISTS { ?s :member ?m } ||
+                  EXISTS { ?s :big ?b }    ||
+                  EXISTS { ?s :open ?o })
+         }""")
+    val df = graft.sparql.Translator.translate(quads, q.node).df
+    assert(df.collect().map(_.getStruct(0).getString(1)).sorted.toSeq ==
+           Seq("http://example/s1", "http://example/s2", "http://example/s3"))
+    // AdaptiveSparkPlan.toString prints the final AND the initial plan —
+    // count join shapes in the final section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    def count(needle: String): Int = needle.r.findAllIn(p).size
+    assert(count("LeftOuter") == 3,
+           s"expected exactly 3 marker outer joins, plan:\n$p")
+    assert(count("LeftSemi") == 3,
+           s"expected exactly 3 hit-frame semi joins, plan:\n$p")
+    assert(!p.contains("Union"),
+           s"marker binding re-grew the 2^K union fan-out:\n$p")
   }
 
   test("salted join equals plain join and spreads hot keys") {
