@@ -216,6 +216,23 @@ object QuadStore {
       case None => None
     }
 
+  /** Notify listeners of a commit that is ALREADY durable: a listener
+    * that throws must neither fail the (succeeded) commit back to the
+    * caller — who might retry it — nor starve the remaining listeners
+    * (the reference's IChangeLog contract). Log and continue.
+    */
+  private def notifyListeners(ls: Seq[ChangeListener], root: String,
+                              version: Long, asserted: DataFrame,
+                              retracted: DataFrame): Unit =
+    ls.foreach { l =>
+      try l.changeEvent(root, version, asserted, retracted)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] change listener failed for $root@v$version: $e")
+      }
+    }
+
   /** Latest committed version, or -1 for an empty store root. */
   def currentVersion(root: String): Long = {
     val p = pointer(root)
@@ -225,8 +242,16 @@ object QuadStore {
 
   /** Commit a new snapshot: write v<n+1> fully, then publish it with an
     * atomic pointer swap. Returns the new version number.
+    *
+    * `knownDelta`: when the caller already knows this commit's (asserted,
+    * retracted) quads — streaming ingest derives them while extending the
+    * closure — pass them through and change listeners read O(delta)
+    * frames. Otherwise the delta is recovered by diffing the new snapshot
+    * against the previous one: two full-store hash anti-joins, correct at
+    * any scale but proportional to the STORE, not the change.
     */
-  def commit(quads: DataFrame, root: String): Long = {
+  def commit(quads: DataFrame, root: String,
+             knownDelta: Option[(DataFrame, DataFrame)] = None): Long = {
     val next = currentVersion(root) + 1
     save(quads, versionDir(root, next))
     val tmp = new java.io.File(s"$root/_CURRENT.tmp")
@@ -236,18 +261,20 @@ object QuadStore {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val ls = changeListeners.getOrElse(root, Vector.empty)
     if (ls.nonEmpty) {
-      val spark = quads.sparkSession
-      val cols = Seq("s", "p", "o", "c")
-      val cur = open(spark, root, next).select(cols.map(col): _*)
-      // the previous snapshot may have been compacted away; then the whole
-      // commit reads as asserted (no baseline to diff against)
-      val prev =
-        if (next == 0 ||
-            !new java.io.File(versionDir(root, next - 1)).isDirectory) None
-        else Some(open(spark, root, next - 1).select(cols.map(col): _*))
-      val asserted = prev.map(cur.except).getOrElse(cur)
-      val retracted = prev.map(_.except(cur)).getOrElse(cur.limit(0))
-      ls.foreach(_.changeEvent(root, next, asserted, retracted))
+      val (asserted, retracted) = knownDelta.getOrElse {
+        val spark = quads.sparkSession
+        val cols = Seq("s", "p", "o", "c")
+        val cur = open(spark, root, next).select(cols.map(col): _*)
+        // the previous snapshot may have been compacted away; then the
+        // whole commit reads as asserted (no baseline to diff against)
+        val prev =
+          if (next == 0 ||
+              !new java.io.File(versionDir(root, next - 1)).isDirectory) None
+          else Some(open(spark, root, next - 1).select(cols.map(col): _*))
+        (prev.map(cur.except).getOrElse(cur),
+         prev.map(_.except(cur)).getOrElse(cur.limit(0)))
+      }
+      notifyListeners(ls, root, next, asserted, retracted)
     }
     next
   }

@@ -204,11 +204,21 @@ object RDFS {
     * triples, derive only the consequences of the delta — no full
     * recomputation.
     */
-  def incrementalClosure(closedQuads: DataFrame, inserted: DataFrame): DataFrame = {
+  def incrementalClosure(closedQuads: DataFrame, inserted: DataFrame): DataFrame =
+    incrementalClosureWithDelta(closedQuads, inserted)._1
+
+  /** incrementalClosure that ALSO returns the asserted delta (inserted
+    * triples new to the store plus every inferred consequence) as a
+    * materialized checkpoint — the O(delta) feed for change listeners; the
+    * tracking rides the dedup shuffles the fixpoint pays anyway.
+    */
+  def incrementalClosureWithDelta(closedQuads: DataFrame,
+                                  inserted: DataFrame)
+      : (DataFrame, DataFrame) = {
     val closed = closedQuads.filter(col("c").isNull).select("s", "p", "o")
     val delta = inserted.filter(col("c").isNull).select("s", "p", "o").distinct()
-    Fixpoint.semiNaiveFrom(closed, delta, 32)(round)
-      .withColumn("c", Term.unbound)
+    val (all, news) = Fixpoint.semiNaiveFromTracked(closed, delta, 32)(round)
+    (all.withColumn("c", Term.unbound), news.withColumn("c", Term.unbound))
   }
 
   /** Incremental retraction via delete-and-rederive (DRed — Gupta, Mumick

@@ -72,11 +72,19 @@ object Services {
     */
   /** Store-plan → artifact-key cache, LRU-bounded: a long-lived server
     * yields a new store plan per update, and an unbounded map would retain
-    * every superseded plan plus two parquet artifacts each. Evicting the
-    * eldest entry also deletes its Catalog artifacts — superseded indexes
-    * are dead weight (the live store always re-keys to a live entry).
+    * every superseded plan plus two parquet artifacts each.
+    *
+    * Eviction does NOT delete artifacts immediately: an in-flight query
+    * may still hold a lazy DataFrame scanning the evicted key's parquet,
+    * and deleting under it fails the scan mid-read. Evicted keys retire
+    * into a small FIFO grace window instead; a key's artifacts are
+    * physically dropped only after `RetiredGrace` further evictions (and
+    * only if the key was not re-inserted meanwhile). Disk stays bounded
+    * at 2·(MaxBdsStores + RetiredGrace) artifacts.
     */
   private val MaxBdsStores = 8
+  private val RetiredGrace = 4
+  private val retired = new java.util.ArrayDeque[String]()
   private val storeKeys = new java.util.LinkedHashMap[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String](
       16, 0.75f, /* accessOrder = */ true) {
@@ -84,10 +92,20 @@ object Services {
         e: java.util.Map.Entry[
           org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String])
         : Boolean =
-      if (size > MaxBdsStores) { graft.queries.Catalog.drop(e.getValue); true }
+      if (size > MaxBdsStores) { retired.addLast(e.getValue); true }
       else false
   }
   private val keyCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drop retired keys past the grace window; call with storeKeys held.
+    * A key re-inserted while retired (mid-build resurrection) is live
+    * again — skip it.
+    */
+  private def drainRetired(): Unit =
+    while (retired.size > RetiredGrace) {
+      val k = retired.pollFirst()
+      if (!storeKeys.containsValue(k)) graft.queries.Catalog.drop(k)
+    }
 
   /** Live bds cache entries (spec hook for the eviction bound). */
   private[graft] def bdsCacheSize: Int = storeKeys.synchronized(storeKeys.size)
@@ -115,6 +133,18 @@ object Services {
     val occ = graft.queries.Catalog.table(spark, key, "bds_occ") {
       quads.filter(litFilter)
         .select(Term.lex(col("o")).as("doc"), col("c").as("g")).distinct()
+    }
+    // the build ran outside the lock (it is a Spark job — serializing all
+    // searches behind it would be worse); if OUR key was evicted while
+    // building, re-insert it so the freshly built artifacts are owned by
+    // a live entry again and eventually retire through the normal path —
+    // never orphaned under a dead key
+    storeKeys.synchronized {
+      if (!Option(storeKeys.get(plan)).contains(key)) {
+        storeKeys.put(plan, key)
+        retired.removeFirstOccurrence(key)
+      }
+      drainRetired()
     }
     (idx, occ)
   }

@@ -364,17 +364,28 @@ object Update {
   /** Instantiate a triple template once per solution; rows with unbound
     * positions are dropped (per spec). A blank node in an INSERT template
     * mints a fresh node PER SOLUTION (19.6): the same label within one
-    * solution is one node; distinct solutions get distinct nodes. The
-    * per-row key is a 64-bit hash of the solution's bindings — solutions
-    * identical in every binding collapse anyway under the final distinct().
+    * solution is one node; distinct solutions — including solutions
+    * IDENTICAL in every binding (the multiset keeps duplicates) — get
+    * distinct nodes. The per-row key is therefore a positional id, not a
+    * value hash; it is minted once and materialized (localCheckpoint) so
+    * every template triple derived from the same solution row sees the
+    * SAME id — monotonically_increasing_id alone could disagree between
+    * the per-triple scans if the upstream recomputes.
     */
   private def instantiate(sols: Translator.Result,
                           tmpl: Seq[TriplePattern]): DataFrame = {
     val opId = opCounter.incrementAndGet()
-    val srcCols = sols.df.columns.toSeq
-    val rowKey: Column =
-      if (srcCols.isEmpty) lit("0")
-      else hex(xxhash64(srcCols.map(col): _*))
+    val mintsBnodes = tmpl.exists(tp =>
+      (Seq(tp.s, tp.p, tp.o) ++ tp.g.toSeq).exists {
+        case V(n) => !sols.vars(n) && isTemplateBnode(n)
+        case _ => false
+      })
+    val src =
+      if (mintsBnodes)
+        sols.df.withColumn("__sol", monotonically_increasing_id())
+          .localCheckpoint()
+      else sols.df
+    val rowKey: Column = hex(col("__sol"))
     def pos(p: Pat): Column = p match {
       case C(t) => t
       case V(n) if sols.vars(n) => col(n)
@@ -383,8 +394,8 @@ object Update {
       case V(_) => Term.unbound
     }
     tmpl.map { tp =>
-      sols.df.select(pos(tp.s).as("s"), pos(tp.p).as("p"), pos(tp.o).as("o"),
-                     tp.g.map(pos).getOrElse(Term.unbound).as("c"))
+      src.select(pos(tp.s).as("s"), pos(tp.p).as("p"), pos(tp.o).as("o"),
+                 tp.g.map(pos).getOrElse(Term.unbound).as("c"))
         .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
     }.reduce(_ unionByName _).distinct()
   }

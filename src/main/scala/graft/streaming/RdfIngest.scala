@@ -32,17 +32,28 @@ object RdfIngest {
     * extend the closed store, commit. Returns the new version.
     */
   def ingestBatch(spark: SparkSession, lines: DataFrame, root: String): Long = {
+    import org.apache.spark.sql.functions.col
     val triples = NTriples.parseLines(spark, lines)
     val current =
       if (QuadStore.currentVersion(root) >= 0)
         QuadStore.open(spark, root).drop("p_bucket")
       else emptyStore(spark)
-    val closed = RDFS.incrementalClosure(current, triples)
+    // the closure already derives exactly this batch's new default-graph
+    // quads — thread them (plus the batch's new named-graph quads) into
+    // the commit so change listeners read O(delta) checkpointed frames
+    // instead of a full snapshot diff
+    val (closed, defaultDelta) =
+      RDFS.incrementalClosureWithDelta(current, triples)
     // keep explicitly named graphs from the delta (closure covers the
     // default graph; quads with a context pass through unchanged)
-    val withNamed = closed.unionByName(
-      triples.filter(org.apache.spark.sql.functions.col("c").isNotNull))
-    QuadStore.commit(withNamed.distinct(), root)
+    val named = triples.filter(col("c").isNotNull)
+    val namedDelta = graft.util.Fixpoint.materialize(
+      named.select("s", "p", "o", "c").except(current.select("s", "p", "o", "c")))
+    val withNamed = closed.unionByName(named)
+    val asserted = defaultDelta.unionByName(namedDelta)
+    val retracted = asserted.limit(0)
+    QuadStore.commit(withNamed.distinct(), root,
+                     knownDelta = Some((asserted, retracted)))
   }
 
   /** Start the streaming ingestion over a DataFrame of N-Triples lines

@@ -47,4 +47,35 @@ object Fixpoint {
     }
     all
   }
+
+  /** Like semiNaiveFrom, but ALSO returns the rows genuinely new relative
+    * to `closed` (delta0 minus closed, plus every fresh round). The loop
+    * already pays the dedup shuffles, so tracking is free — and the
+    * returned delta frames are materialized checkpoints, so a downstream
+    * consumer (change listeners) reads O(delta), never re-diffing the
+    * store. `closed` must be duplicate-free (a store/closure invariant).
+    */
+  def semiNaiveFromTracked(closed: DataFrame, delta0: DataFrame,
+                           maxIters: Int)
+                          (step: (DataFrame, DataFrame) => DataFrame)
+      : (DataFrame, DataFrame) = {
+    val base = materialize(closed)
+    var delta = materialize(delta0.except(base))
+    val news = Vector.newBuilder[DataFrame]
+    news += delta
+    var all = materialize(base.unionByName(delta))
+    var i = 0
+    var done = delta.isEmpty
+    while (!done && i < maxIters) {
+      val fresh = materialize(step(all, delta).except(all))
+      if (fresh.isEmpty) done = true
+      else {
+        news += fresh
+        all = materialize(all.unionByName(fresh))
+        delta = fresh
+        i += 1
+      }
+    }
+    (all, news.result().reduce(_ unionByName _))
+  }
 }

@@ -96,8 +96,10 @@ class ServiceUpdateSpec extends SparkSpecBase {
       assert(Parser.select(spark, store, q).count() >= 1)
     }
     assert(Services.bdsCacheSize <= 8)
-    // two artifacts (bds_index, bds_occ) per retained store key
-    assert(graft.queries.Catalog.entryCount("bds-store-") <= 16)
+    // two artifacts (bds_index, bds_occ) per retained store key, plus the
+    // retired-key grace window (evicted artifacts outlive their entry by
+    // RetiredGrace evictions so in-flight scans finish): 2*(8+4)
+    assert(graft.queries.Catalog.entryCount("bds-store-") <= 24)
   }
 
   test("INSERT DATA blank nodes are fresh per operation (19.6)") {
@@ -139,6 +141,23 @@ class ServiceUpdateSpec extends SparkSpecBase {
     // the _:r object of ex:record IS the subject of ex:kind, per solution
     assert(recs.select(col("o").as("n")).intersect(
              kinds.select(col("s").as("n"))).count() == 2)
+  }
+
+  test("INSERT template bnodes are fresh per DUPLICATE solution (19.6)") {
+    // two distinct users share the same status value; projecting only
+    // ?status makes the WHERE multiset carry two IDENTICAL solutions —
+    // each must still mint its own _:m (a value-keyed bnode would
+    // collapse them into one shared node)
+    val store0 = parse(Seq(
+      s"""<${EX}alice> <${EX}status> "active" .""",
+      s"""<${EX}bob> <${EX}status> "active" ."""))
+    val s1 = Update.execute(spark, store0, s"""
+      PREFIX ex: <$EX>
+      INSERT { _:m ex:saw ?status }
+      WHERE { SELECT ?status WHERE { ?u ex:status ?status } }""")
+    val saw = s1.filter(col("p") === Term.iri(EX + "saw"))
+    assert(saw.count() == 2, "duplicate solutions collapsed to one bnode")
+    assert(saw.select(col("s")).distinct().count() == 2)
   }
 
   test("GRAPH-scoped UPDATE: WITH, USING, GRAPH templates, graph management") {

@@ -140,13 +140,17 @@ class StreamingSpec extends SparkSpecBase {
     val root = java.nio.file.Files.createTempDirectory("changelog").toString
     // capture each event as (version, asserted subjects, retracted subjects)
     var events = Vector.empty[(Long, Set[String], Set[String])]
+    var lastFrames: Option[(org.apache.spark.sql.DataFrame,
+                            org.apache.spark.sql.DataFrame)] = None
     val listener = new QuadStore.ChangeListener {
       def changeEvent(r: String, version: Long,
                       asserted: org.apache.spark.sql.DataFrame,
-                      retracted: org.apache.spark.sql.DataFrame): Unit =
+                      retracted: org.apache.spark.sql.DataFrame): Unit = {
+        lastFrames = Some((asserted, retracted))
         events :+= ((version,
           asserted.select(col("s.lex")).collect().map(_.getString(0)).toSet,
           retracted.select(col("s.lex")).collect().map(_.getString(0)).toSet))
+      }
     }
     QuadStore.addChangeListener(root, listener)
     try {
@@ -167,10 +171,52 @@ class StreamingSpec extends SparkSpecBase {
           .toDF("value"), root)
       assert(events.size == 3 && events(2)._2.contains(EX + "rex") &&
              events(2)._3.isEmpty)
+      // the ingest path KNOWS its delta (the incremental closure derived
+      // it), so the listener frames must be O(delta) materialized
+      // checkpoints — never a re-diff of two full store snapshots (no
+      // parquet version-dir scan anywhere in their plans)
+      val (a3, r3) = lastFrames.get
+      Seq(a3, r3).foreach { f =>
+        val plan = f.queryExecution.analyzed.toString
+        assert(!plan.toLowerCase.contains("parquet"),
+          s"ingest listener delta re-scans a store snapshot:\n$plan")
+      }
     } finally QuadStore.removeChangeListener(root, listener)
     // removed listeners observe nothing
     QuadStore.commit(parse(Seq(s"<${EX}d> <${EX}p> <${EX}x> .")), root)
     assert(events.size == 3)
+  }
+
+  test("a throwing change listener neither fails the commit nor starves the rest") {
+    import graft.rdf.QuadStore
+    val EX = "http://ex/"
+    val root = java.nio.file.Files.createTempDirectory("changelog2").toString
+    var laterSaw = Vector.empty[Long]
+    val thrower = new QuadStore.ChangeListener {
+      def changeEvent(r: String, version: Long,
+                      asserted: org.apache.spark.sql.DataFrame,
+                      retracted: org.apache.spark.sql.DataFrame): Unit =
+        throw new RuntimeException("listener boom")
+    }
+    val later = new QuadStore.ChangeListener {
+      def changeEvent(r: String, version: Long,
+                      asserted: org.apache.spark.sql.DataFrame,
+                      retracted: org.apache.spark.sql.DataFrame): Unit =
+        laterSaw :+= version
+    }
+    QuadStore.addChangeListener(root, thrower)
+    QuadStore.addChangeListener(root, later)
+    try {
+      // the commit is durable before listeners run: a throwing listener
+      // must not surface a failure for it (the caller would retry a
+      // commit that succeeded) and must not skip listeners after it
+      val v = QuadStore.commit(parse(Seq(s"<${EX}a> <${EX}p> <${EX}x> .")), root)
+      assert(QuadStore.currentVersion(root) == v)
+      assert(laterSaw == Vector(v))
+    } finally {
+      QuadStore.removeChangeListener(root, thrower)
+      QuadStore.removeChangeListener(root, later)
+    }
   }
 
   test("streaming near-dup candidates: shared minhash band pairs across batches") {
