@@ -12,19 +12,24 @@ object Explain {
 
   final case class Explanation(algebra: String, certainVars: Set[String],
                                maybeVars: Set[String], physicalPlan: String,
-                               hints: Map[String, String] = Map.empty) {
+                               hints: Map[String, String] = Map.empty,
+                               existsMarkers: Int = 0) {
     def render: String = {
       val hintSection =
         if (hints.isEmpty) ""
         else hints.toSeq.sorted
           .map { case (k, v) => s"$k = $v" }
           .mkString("== query hints ==\n", "\n", "\n")
+      val markerLine =
+        if (existsMarkers == 0) ""
+        else s"exists markers: $existsMarkers " +
+          s"(one hash left_outer join each, linear in markers)\n"
       s"""== SPARQL algebra ==
          |$algebra
          |$hintSection== variable scope ==
          |certain: ${certainVars.toSeq.sorted.mkString(", ")}
          |maybe:   ${maybeVars.toSeq.sorted.mkString(", ")}
-         |== physical plan (Catalyst) ==
+         |$markerLine== physical plan (Catalyst) ==
          |$physicalPlan""".stripMargin
     }
   }
@@ -41,7 +46,38 @@ object Explain {
       maybeVars = res.maybe,
       physicalPlan = res.df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
-      hints = q.hints)
+      hints = q.hints,
+      existsMarkers = countMarkers(q.node))
+  }
+
+  /** Total EXISTS marker binds in the tree — each costs exactly one
+    * left_outer marker join (Translator.bindMarkers), so this IS the
+    * engine-level join count plan guards assert on.
+    */
+  def countMarkers(n: Algebra.Node): Int = {
+    import Algebra._
+    n match {
+      case FilterExists(_, binds, c) =>
+        binds.size + binds.map(b => countMarkers(b._2)).sum + countMarkers(c)
+      case ExtendExists(_, _, binds, c) =>
+        binds.size + binds.map(b => countMarkers(b._2)).sum + countMarkers(c)
+      case LeftJoin(l, r, _, ex) =>
+        ex.size + ex.map(b => countMarkers(b._2)).sum +
+          countMarkers(l) + countMarkers(r)
+      case Filter(_, c) => countMarkers(c)
+      case Join(l, r) => countMarkers(l) + countMarkers(r)
+      case Union(l, r) => countMarkers(l) + countMarkers(r)
+      case Minus(l, r) => countMarkers(l) + countMarkers(r)
+      case ExistsFilter(c, s, _) => countMarkers(c) + countMarkers(s)
+      case Extend(_, _, c) => countMarkers(c)
+      case Project(_, c) => countMarkers(c)
+      case Distinct(c) => countMarkers(c)
+      case OrderBy(_, c) => countMarkers(c)
+      case Slice(_, _, c) => countMarkers(c)
+      case Group(_, _, c) => countMarkers(c)
+      case GraphNode(_, c) => countMarkers(c)
+      case _ => 0
+    }
   }
 
   private def pretty(n: Algebra.Node, depth: Int): String = {
@@ -56,18 +92,20 @@ object Explain {
       case Join(l, r) => s"${pad}Join\n${pretty(l, depth + 1)}\n${pretty(r, depth + 1)}"
       case LeftJoin(l, r, cond, ex) =>
         val ann = (if (cond.isDefined) Seq("cond") else Nil) ++
-                  (if (ex.nonEmpty) Seq(s"exists=${ex.map("?" + _._1).mkString(",")}") else Nil)
+                  (if (ex.nonEmpty)
+                     Seq(s"markers=${ex.size}: ${ex.map("?" + _._1).mkString(",")}")
+                   else Nil)
         s"${pad}LeftJoin${if (ann.nonEmpty) ann.mkString("(", ", ", ")") else ""}\n${pretty(l, depth + 1)}\n${pretty(r, depth + 1)}"
       case Union(l, r) => s"${pad}Union\n${pretty(l, depth + 1)}\n${pretty(r, depth + 1)}"
       case Minus(l, r) => s"${pad}Minus\n${pretty(l, depth + 1)}\n${pretty(r, depth + 1)}"
       case ExistsFilter(c, s, neg) =>
         s"${pad}${if (neg) "NotExists" else "Exists"}\n${pretty(c, depth + 1)}\n${pretty(s, depth + 1)}"
       case FilterExists(_, binds, c) =>
-        (s"${pad}FilterExists(${binds.map("?" + _._1).mkString(", ")})" +:
+        (s"${pad}FilterExists(markers=${binds.size}: ${binds.map("?" + _._1).mkString(", ")})" +:
          (binds.map(b => pretty(b._2, depth + 1)) :+ pretty(c, depth + 1)))
           .mkString("\n")
       case ExtendExists(v, _, binds, c) =>
-        (s"${pad}ExtendExists(?$v; ${binds.map("?" + _._1).mkString(", ")})" +:
+        (s"${pad}ExtendExists(?$v; markers=${binds.size}: ${binds.map("?" + _._1).mkString(", ")})" +:
          (binds.map(b => pretty(b._2, depth + 1)) :+ pretty(c, depth + 1)))
           .mkString("\n")
       case Extend(v, _, c) => s"${pad}Extend(?$v)\n${pretty(c, depth + 1)}"

@@ -188,6 +188,18 @@ class CoverageSpec extends SparkSpecBase {
     assert(ex.certainVars == Set("x"))
     assert(out.contains("== physical plan"))
     assert(out.contains("Scan ExistingRDD") || out.contains("Project"))
+    // EXISTS in an expression position surfaces the marker count — the
+    // engine-level marker-join count plan guards key off
+    val ex2 = graft.sparql.Explain.explain(spark, quads, s"""
+      PREFIX ex: <$EX>
+      SELECT ?x WHERE {
+        ?x ex:p ?y
+        FILTER(EXISTS { ?y ex:p ?z } || EXISTS { ?x ex:q ?w })
+      }""")
+    val out2 = ex2.render
+    assert(ex2.existsMarkers == 2)
+    assert(out2.contains("FilterExists(markers=2:"))
+    assert(out2.contains("exists markers: 2"))
   }
 
   test("CSV sink round-trips term rendering distributed") {

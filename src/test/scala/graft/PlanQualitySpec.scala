@@ -308,6 +308,9 @@ class PlanQualitySpec extends SparkSpecBase {
                   EXISTS { ?s :big ?b }    ||
                   EXISTS { ?s :open ?o })
          }""")
+    // engine IR first: EXPLAIN's marker count IS the marker-join count
+    // (one left_outer join per marker, by construction)
+    assert(graft.sparql.Explain.countMarkers(q.node) == 3)
     val df = graft.sparql.Translator.translate(quads, q.node).df
     assert(df.collect().map(_.getStruct(0).getString(1)).sorted.toSeq ==
            Seq("http://example/s1", "http://example/s2", "http://example/s3"))
