@@ -2,10 +2,11 @@ package graft.server
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.concurrent.atomic.AtomicReference
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StructField, StructType}
 import graft.rdf.{NTriples, QuadStore, Term}
 import graft.sparql.{Parser, Results, Update}
 
@@ -22,7 +23,18 @@ import graft.sparql.{Parser, Results, Update}
   *   GET  /sparql?CONTEXTS        named-graph listing (N-Triples terms)
   *   GET  /status                 liveness + store size
   *
-  * The served store is an AtomicReference swapped by updates — the
+  * Multi-tenancy (the MultiTenancyServlet surface,
+  * /root/reference/bigdata-sails/src/java/com/bigdata/rdf/sail/webapp/
+  * MultiTenancyServlet.java:66 — create/list/destroy namespaces at
+  * runtime, one isolated store each; the reference's default namespace is
+  * "kb", NanoSparqlServer.java:121):
+  *   GET    /namespace                list namespaces (text/plain, one per line)
+  *   POST   /namespace?name=<ns>     create an empty namespace (409 if taken)
+  *   DELETE /namespace/<ns>          destroy a namespace (default refused)
+  *   *      /namespace/<ns>/sparql   the full /sparql surface on <ns>'s store
+  * `/sparql` is an alias for `/namespace/kb/sparql`.
+  *
+  * Each namespace's store is an AtomicReference swapped by updates — the
   * functional-store analogue of the reference's unisolated-writer commit.
   * The HTTP layer is deliberately thin: every query runs through exactly
   * the library pipeline (§3.1/§3.3); a production deployment would put the
@@ -30,38 +42,85 @@ import graft.sparql.{Parser, Results, Update}
   */
 class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0) {
 
-  private val store = new AtomicReference[DataFrame](initial)
-  private val generation = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** One tenant: an immutable-store cell plus its update generation (the
+    * per-namespace DESCRIBE-cache invalidation key).
+    */
+  private final class Namespace(init: DataFrame) {
+    val store = new AtomicReference[DataFrame](init)
+    val generation = new AtomicLong(0L)
+  }
+
+  val DefaultNamespace = "kb"
+
+  private val namespaces =
+    new java.util.concurrent.ConcurrentHashMap[String, Namespace]()
+  namespaces.put(DefaultNamespace, new Namespace(initial))
+
   private val describeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Long, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String), String]()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
-  def current: DataFrame = store.get()
+  private val quadSchema = StructType(Seq(
+    StructField("s", Term.schema), StructField("p", Term.schema),
+    StructField("o", Term.schema), StructField("c", Term.schema)))
+
+  private def emptyStore: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], quadSchema)
+
+  def current: DataFrame = namespaces.get(DefaultNamespace).store.get()
   def boundPort: Int = server.getAddress.getPort
+
+  /** Namespace names currently served (spec hook + /namespace listing). */
+  def namespaceNames: Seq[String] = {
+    val it = namespaces.keys()
+    Iterator.continually(it).takeWhile(_.hasMoreElements)
+      .map(_.nextElement()).toSeq.sorted
+  }
 
   def start(): SparqlServer = {
     server.createContext("/sparql", (ex: HttpExchange) => safely(ex) {
-      val params = formParams(ex)
-      if (params.contains("update") && ex.getRequestMethod == "POST") {
-        store.updateAndGet(st => Update.execute(spark, st, params("update")))
-        generation.incrementAndGet() // invalidates cached CBDs
-        respond(ex, 200, "text/plain", "update ok")
-      } else if (params.contains("ESTCARD")) {
-        def term(k: String) = params.get(k).map(v => Term.iri(v))
-        val n = QuadStore.estcard(store.get(), term("s"), term("p"), term("o"))
-        respond(ex, 200, "application/json", s"""{"rangeCount":$n}""")
-      } else if (params.contains("CONTEXTS")) {
-        val gs = QuadStore.contexts(store.get())
-          .select(NTriples.termToString(col("c"))).collect().map(_.getString(0))
-        respond(ex, 200, "text/plain", gs.mkString("\n"))
-      } else params.get("query") match {
-        case None => respond(ex, 400, "text/plain", "missing query/update param")
-        case Some(q) => runQuery(ex, q)
+      handleSparql(ex, namespaces.get(DefaultNamespace), DefaultNamespace)
+    })
+    // namespace admin + per-namespace endpoints, dispatched on path:
+    //   /namespace            (admin: list/create)
+    //   /namespace/<ns>       (admin: destroy)
+    //   /namespace/<ns>/sparql (tenant SPARQL surface)
+    server.createContext("/namespace", (ex: HttpExchange) => safely(ex) {
+      val rest = ex.getRequestURI.getPath.stripPrefix("/namespace")
+        .stripPrefix("/").stripSuffix("/")
+      val parts = if (rest.isEmpty) Array.empty[String] else rest.split("/")
+      (ex.getRequestMethod, parts) match {
+        case (_, Array(ns, "sparql")) =>
+          namespaces.get(ns) match {
+            case null => respond(ex, 404, "text/plain", s"no namespace $ns")
+            case tenant => handleSparql(ex, tenant, ns)
+          }
+        case ("GET", Array()) =>
+          respond(ex, 200, "text/plain", namespaceNames.mkString("\n"))
+        case ("POST", Array()) =>
+          formParams(ex).get("name") match {
+            case None | Some("") =>
+              respond(ex, 400, "text/plain", "missing name param")
+            case Some(ns) if !ns.matches("[A-Za-z0-9_-]+") =>
+              respond(ex, 400, "text/plain", s"invalid namespace name $ns")
+            case Some(ns) =>
+              if (namespaces.putIfAbsent(ns, new Namespace(emptyStore)) != null)
+                respond(ex, 409, "text/plain", s"namespace $ns exists")
+              else respond(ex, 201, "text/plain", s"created $ns")
+          }
+        case ("DELETE", Array(ns)) =>
+          if (ns == DefaultNamespace)
+            respond(ex, 400, "text/plain", "cannot destroy the default namespace")
+          else if (namespaces.remove(ns) == null)
+            respond(ex, 404, "text/plain", s"no namespace $ns")
+          else respond(ex, 200, "text/plain", s"destroyed $ns")
+        case _ => respond(ex, 405, "text/plain", "unsupported")
       }
     })
     server.createContext("/status", (ex: HttpExchange) => safely(ex) {
       respond(ex, 200, "application/json",
-        s"""{"status":"ok","statements":${store.get().count()}}""")
+        s"""{"status":"ok","statements":${current.count()},""" +
+          s""""namespaces":${namespaceNames.size}}""")
     })
     // linked-data GET (RESTServlet.java:132-170): /ld?uri=<iri> → DESCRIBE.
     // CBDs cache per IRI (DescribeCache.java's job) keyed on the store
@@ -70,9 +129,11 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0) {
       formParams(ex).get("uri") match {
         case None => respond(ex, 400, "text/plain", "missing uri param")
         case Some(u) =>
-          val gen = generation.get()
-          val body = describeCache.computeIfAbsent((gen, u), { _ =>
-            serializeTriples(Parser.describe(spark, store.get(), s"DESCRIBE <$u>"))
+          val tenant = namespaces.get(DefaultNamespace)
+          val gen = tenant.generation.get()
+          val body = describeCache.computeIfAbsent((DefaultNamespace, gen, u), { _ =>
+            serializeTriples(
+              Parser.describe(spark, tenant.store.get(), s"DESCRIBE <$u>"))
           })
           respond(ex, 200, "application/n-triples", body)
       }
@@ -82,13 +143,34 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0) {
     this
   }
 
-  private def runQuery(ex: HttpExchange, text: String): Unit = {
+  private def handleSparql(ex: HttpExchange, tenant: Namespace,
+                           ns: String): Unit = {
+    val params = formParams(ex)
+    if (params.contains("update") && ex.getRequestMethod == "POST") {
+      tenant.store.updateAndGet(st => Update.execute(spark, st, params("update")))
+      tenant.generation.incrementAndGet() // invalidates cached CBDs
+      respond(ex, 200, "text/plain", "update ok")
+    } else if (params.contains("ESTCARD")) {
+      def term(k: String) = params.get(k).map(v => Term.iri(v))
+      val n = QuadStore.estcard(tenant.store.get(), term("s"), term("p"), term("o"))
+      respond(ex, 200, "application/json", s"""{"rangeCount":$n}""")
+    } else if (params.contains("CONTEXTS")) {
+      val gs = QuadStore.contexts(tenant.store.get())
+        .select(NTriples.termToString(col("c"))).collect().map(_.getString(0))
+      respond(ex, 200, "text/plain", gs.mkString("\n"))
+    } else params.get("query") match {
+      case None => respond(ex, 400, "text/plain", "missing query/update param")
+      case Some(q) => runQuery(ex, tenant.store.get(), q)
+    }
+  }
+
+  private def runQuery(ex: HttpExchange, store: DataFrame, text: String): Unit = {
     import Parser._
     val form = parse(spark, text).form
     val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
     form match {
       case SelectForm =>
-        val sols = select(spark, store.get(), text)
+        val sols = select(spark, store, text)
         if (accept.contains("xml"))
           respond(ex, 200, "application/sparql-results+xml", Results.toXml(sols))
         else if (accept.contains("tab-separated"))
@@ -98,15 +180,15 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0) {
         else
           respond(ex, 200, "application/sparql-results+json", Results.toJson(sols))
       case AskForm =>
-        val b = ask(spark, store.get(), text)
+        val b = ask(spark, store, text)
         respond(ex, 200, "application/sparql-results+json",
           s"""{"head":{},"boolean":$b}""")
       case ConstructForm =>
         respond(ex, 200, "application/n-triples",
-          serializeTriples(construct(spark, store.get(), text)))
+          serializeTriples(construct(spark, store, text)))
       case DescribeForm =>
         respond(ex, 200, "application/n-triples",
-          serializeTriples(describe(spark, store.get(), text)))
+          serializeTriples(describe(spark, store, text)))
     }
   }
 

@@ -126,4 +126,47 @@ class ServerSpec extends SparkSpecBase {
       assert(rows == Set((EX + "alice", EX + "acme")))
     } finally srv.stop()
   }
+
+  test("multi-tenancy: create/list/destroy namespaces with isolated stores") {
+    val quads = parse(Seq(s"""<${EX}a> <${EX}p> "default" ."""))
+    val srv = new SparqlServer(spark, quads).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+
+      // create two tenants; duplicate create is 409, bad names are 400
+      assert(http("POST", s"$base/namespace", Some("name=red"))._1 == 201)
+      assert(http("POST", s"$base/namespace", Some("name=blue"))._1 == 201)
+      assert(http("POST", s"$base/namespace", Some("name=red"))._1 == 409)
+      assert(http("POST", s"$base/namespace", Some("name=no/slash"))._1 == 400)
+      val (cl, list) = http("GET", s"$base/namespace")
+      assert(cl == 200 && list.split("\n").toSet == Set("kb", "red", "blue"))
+
+      // updates land in their own namespace ONLY
+      val updRed = s"""INSERT DATA { <${EX}x> <${EX}team> "red" . }"""
+      val updBlue = s"""INSERT DATA { <${EX}x> <${EX}team> "blue" . }"""
+      assert(http("POST", s"$base/namespace/red/sparql",
+                  Some(s"update=${enc(updRed)}"))._1 == 200)
+      assert(http("POST", s"$base/namespace/blue/sparql",
+                  Some(s"update=${enc(updBlue)}"))._1 == 200)
+      val q = s"PREFIX ex: <$EX> SELECT ?t WHERE { ?x ex:team ?t }"
+      val (_, rBody) = http("GET", s"$base/namespace/red/sparql?query=${enc(q)}")
+      assert(rBody.contains("red") && !rBody.contains("blue"))
+      val (_, bBody) = http("GET", s"$base/namespace/blue/sparql?query=${enc(q)}")
+      assert(bBody.contains("blue") && !bBody.contains("red"))
+      // the default store is untouched by tenant updates, and /sparql
+      // aliases /namespace/kb/sparql
+      val qd = s"PREFIX ex: <$EX> SELECT ?o WHERE { ?s ex:p ?o }"
+      val (_, dBody) = http("GET", s"$base/sparql?query=${enc(qd)}")
+      val (_, kbBody) = http("GET", s"$base/namespace/kb/sparql?query=${enc(qd)}")
+      assert(dBody.contains("default") && kbBody == dBody)
+      assert(!http("GET", s"$base/sparql?query=${enc(q)}")._2.contains("red"))
+
+      // destroy: tenant gone (404 afterwards), default refused
+      assert(http("DELETE", s"$base/namespace/red")._1 == 200)
+      assert(http("GET", s"$base/namespace/red/sparql?query=${enc(q)}")._1 == 404)
+      assert(http("DELETE", s"$base/namespace/red")._1 == 404)
+      assert(http("DELETE", s"$base/namespace/kb")._1 == 400)
+      assert(srv.namespaceNames == Seq("blue", "kb"))
+    } finally srv.stop()
+  }
 }
