@@ -320,16 +320,21 @@ object AnalyticsSuite {
     "fts_lang_postings" -> {
       def inList(ws: Set[String]) = ws.toSeq.sorted.map(w => s"'$w'").mkString(", ")
       val A = graft.search.FullText.Analyzer
-      // DuckDB rendering of an analyzer's ordered suffix stem rules —
-      // generated from the SAME rule data the Spark pipeline uses, so the
-      // two sides cannot drift
+      // DuckDB rendering of an analyzer's char folds + ordered suffix stem
+      // rules — generated from the SAME rule data the Spark pipeline uses,
+      // so the two sides cannot drift. Folds apply to every token (the
+      // ELSE arm included); stem conditions evaluate on the folded form,
+      // exactly like the Column pipeline.
       def stemCase(a: graft.search.FullText.Analyzer): String = {
+        val ft = a.charFolds.foldLeft("t") { case (e, (from, to)) =>
+          s"replace($e, '$from', '$to')"
+        }
         val whens = a.stemRules.map { case (sfx, repl) =>
           val r = if (repl.isEmpty) "" else s" || '$repl'"
-          s"WHEN len(t) >= ${a.stemMinLen + sfx.length} AND t LIKE '%$sfx' " +
-            s"THEN substr(t, 1, len(t) - ${sfx.length})$r"
+          s"WHEN len($ft) >= ${a.stemMinLen + sfx.length} AND $ft LIKE '%$sfx' " +
+            s"THEN substr($ft, 1, len($ft) - ${sfx.length})$r"
         }.mkString(" ")
-        s"CASE $whens ELSE t END"
+        s"CASE $whens ELSE $ft END"
       }
       s"""WITH en_tok AS (
            SELECT doc, CASE WHEN len(t) >= 4 AND t LIKE '%s'

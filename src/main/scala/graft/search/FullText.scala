@@ -47,7 +47,12 @@ object FullText {
       // (DefaultAnalyzerFactory.java:186-360). A rule fires only when the
       // stemmed result keeps at least `stemMinLen` characters.
       stemRules: Seq[(String, String)] = Nil,
-      stemMinLen: Int = 3)
+      stemMinLen: Int = 3,
+      // per-token character folds applied AFTER the stopword filter and
+      // BEFORE the stem rules (Snowball's prelude/postlude: German ß→ss
+      // and umlaut removal, Russian ё→е) — stopword lists keep their
+      // natural orthography, stem suffixes match the folded form
+      charFolds: Seq[(String, String)] = Nil)
 
   object Analyzer {
     /** ASCII default — byte-compatible with the original index. */
@@ -72,18 +77,50 @@ object FullText {
     // .java:186-360 wires Brazilian/Chinese/CJK/Czech/Dutch/German/Greek/
     // French/Russian/Thai; the rules below are the corresponding
     // *MinimalStemFilter-style plural/inflection strippers)
+    // German at Snowball grade (the snowball german2 algorithm's shape,
+    // flattened to one ordered longest-first pass): prelude/postlude char
+    // folds (ß→ss, umlaut removal), the step-3 derivational suffixes
+    // (lich/isch/ig/ung/heit/keit/end — including the fused lich+keit and
+    // ig+keit forms one-pass application needs spelled out), then the
+    // step-1/2 inflectional endings. stemMinLen approximates the R1
+    // region bound.
     val german: Analyzer = unicode.copy(stopwords = Set(
       "der", "die", "das", "und", "oder", "ein", "eine", "ist", "nicht",
       "mit", "von", "zu", "im", "den", "auf", "für", "des", "dem"),
-      stemRules = Seq("ern" -> "", "em" -> "", "en" -> "", "er" -> "",
-                      "es" -> "", "e" -> "", "s" -> ""),
+      charFolds = Seq("ß" -> "ss", "ä" -> "a", "ö" -> "o", "ü" -> "u"),
+      stemRules = Seq(
+        "lichkeiten" -> "", "igkeiten" -> "", "lichkeit" -> "",
+        "igkeit" -> "", "keiten" -> "", "heiten" -> "",
+        "ischen" -> "", "ischer" -> "", "isches" -> "", "ische" -> "",
+        "lichen" -> "", "licher" -> "", "liches" -> "", "liche" -> "",
+        "ungen" -> "", "enden" -> "", "endes" -> "", "ende" -> "",
+        "keit" -> "", "heit" -> "", "isch" -> "", "lich" -> "",
+        "igen" -> "", "iger" -> "", "iges" -> "", "ige" -> "",
+        "ung" -> "", "end" -> "", "ern" -> "", "em" -> "", "en" -> "",
+        "er" -> "", "es" -> "", "ig" -> "", "e" -> "", "st" -> "",
+        "s" -> ""),
       stemMinLen = 4)
+    // French at light-stemmer grade (Snowball french step-1 derivational
+    // suffixes + step-2/3 verb and residual endings, flattened longest-
+    // first; equivalence-class replacements — euse(s)→eu, ence(s)→ent,
+    // ive(s)→if, aux→al — keep inflected pairs on one stem)
     val french: Analyzer = unicode.copy(stopwords = Set(
       "le", "la", "les", "un", "une", "des", "et", "ou", "est", "ne",
       "pas", "dans", "sur", "avec", "du", "de", "ce", "que", "qui"),
-      stemRules = Seq("aux" -> "al", "eux" -> "eu", "x" -> "", "s" -> "",
-                      "e" -> ""),
-      stemMinLen = 5)
+      stemRules = Seq(
+        "issements" -> "", "issement" -> "",
+        "atrices" -> "", "atrice" -> "", "ateurs" -> "", "ateur" -> "",
+        "ations" -> "", "ation" -> "", "logies" -> "log", "logie" -> "log",
+        "ements" -> "", "ement" -> "",
+        "euses" -> "eu", "euse" -> "eu",
+        "ismes" -> "", "isme" -> "", "istes" -> "", "iste" -> "",
+        "ances" -> "", "ance" -> "", "ences" -> "ent", "ence" -> "ent",
+        "ités" -> "", "ité" -> "", "ives" -> "if", "ive" -> "if",
+        "eaux" -> "eau", "aux" -> "al", "eux" -> "eu",
+        "ées" -> "", "ée" -> "", "és" -> "", "é" -> "",
+        "er" -> "", "ez" -> "",
+        "x" -> "", "s" -> "", "e" -> ""),
+      stemMinLen = 4)
     val spanish: Analyzer = unicode.copy(stopwords = Set(
       "el", "la", "los", "las", "un", "una", "y", "o", "es", "no", "en",
       "con", "de", "del", "por", "para", "que", "se"),
@@ -108,15 +145,43 @@ object FullText {
       "die", "is", "niet", "te", "voor"),
       stemRules = Seq("en" -> "", "e" -> "", "s" -> ""),
       stemMinLen = 4)
+    // Russian at Snowball grade, flattened: ё→е fold, then one ordered
+    // longest-first pass over the Snowball russian suffix classes —
+    // derivational (ость), reflexive verb compounds (ется/лась/ться…,
+    // spelled out because a single pass can't strip ся/сь then recurse),
+    // participles/gerunds, adjectival, verb, and noun endings
     val russian: Analyzer = unicode.copy(stopwords = Set(
       "и", "в", "не", "на", "с", "что", "это", "он", "она", "они", "как",
       "но", "по", "из", "у", "за", "от", "для"),
-      stemRules = Seq("ами" -> "", "ями" -> "", "ого" -> "", "его" -> "",
-                      "ов" -> "", "ев" -> "", "ах" -> "", "ях" -> "",
-                      "ый" -> "", "ий" -> "", "ая" -> "", "ые" -> "",
-                      "ие" -> "", "ы" -> "", "и" -> "", "а" -> "",
-                      "я" -> "", "у" -> "", "ю" -> "", "е" -> "",
-                      "о" -> ""),
+      charFolds = Seq("ё" -> "е"),
+      stemRules = Seq(
+        "остью" -> "", "остей" -> "", "ости" -> "", "ость" -> "",
+        "ировать" -> "", "ировал" -> "", "ируют" -> "", "ирует" -> "",
+        "ывшись" -> "", "ившись" -> "", "вшись" -> "",
+        "аться" -> "", "иться" -> "", "ется" -> "", "ются" -> "",
+        "ится" -> "", "ятся" -> "", "ться" -> "",
+        "лась" -> "", "лось" -> "", "лись" -> "", "лся" -> "",
+        "ся" -> "", "сь" -> "",
+        "ейший" -> "", "ейшая" -> "", "ейшее" -> "", "ейше" -> "",
+        "иями" -> "", "ями" -> "", "ами" -> "",
+        "ующ" -> "", "ивш" -> "", "ывш" -> "",
+        "ого" -> "", "его" -> "", "ому" -> "", "ему" -> "",
+        "ыми" -> "", "ими" -> "",
+        "иях" -> "", "иям" -> "", "ией" -> "",
+        "ешь" -> "", "ишь" -> "", "ует" -> "", "уют" -> "",
+        "ить" -> "", "ыть" -> "", "ать" -> "", "ять" -> "",
+        "ете" -> "", "ите" -> "",
+        "ах" -> "", "ях" -> "", "ов" -> "", "ев" -> "",
+        "ый" -> "", "ий" -> "", "ой" -> "", "ей" -> "",
+        "ая" -> "", "яя" -> "", "ое" -> "", "ее" -> "",
+        "ые" -> "", "ие" -> "", "их" -> "", "ых" -> "",
+        "ую" -> "", "юю" -> "", "ом" -> "", "ем" -> "",
+        "ам" -> "", "ям" -> "", "ия" -> "", "ья" -> "", "ье" -> "",
+        "ью" -> "", "ет" -> "", "ит" -> "", "ют" -> "", "ят" -> "",
+        "ли" -> "", "ла" -> "", "ло" -> "", "ны" -> "", "на" -> "",
+        "но" -> "", "ть" -> "",
+        "ы" -> "", "и" -> "", "а" -> "", "я" -> "", "у" -> "",
+        "ю" -> "", "е" -> "", "о" -> "", "ь" -> "", "й" -> ""),
       stemMinLen = 4)
     val czech: Analyzer = unicode.copy(stopwords = Set(
       "a", "v", "na", "je", "se", "že", "s", "z", "do", "o", "i", "to",
@@ -192,6 +257,11 @@ object FullText {
     }
     if (a.stopwords.nonEmpty)
       toks = filter(toks, t => !t.isInCollection(a.stopwords))
+    if (a.charFolds.nonEmpty)
+      toks = transform(toks, t =>
+        a.charFolds.foldLeft(t) { case (c, (from, to)) =>
+          replace(c, lit(from), lit(to))
+        })
     if (a.stem)
       toks = transform(toks, t =>
         when(length(t) >= 4 && t.endsWith("s") &&

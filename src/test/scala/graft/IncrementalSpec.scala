@@ -349,6 +349,46 @@ class IncrementalSpec extends SparkSpecBase {
     assert(toks("th").contains("rivers") && toks("th").exists(_.length == 2))
   }
 
+  test("snowball-grade stemming: de/fr/ru inflected forms share one stem") {
+    import graft.search.FullText
+    import org.apache.spark.sql.Encoders
+    // every group is one lemma in several natural inflections; recall
+    // requires the analyzer to map ALL of them to the SAME stem (what the
+    // reference's Lucene German/French/RussianAnalyzers deliver and a
+    // plural-only stemmer does not)
+    val groups: Seq[(String, Seq[String], String)] = Seq(
+      // German: case/number endings, derivational keit/ung, umlaut + ß folds
+      ("de", Seq("Kind", "Kindes", "Kindern", "Kinder"), "kind"),
+      ("de", Seq("Abteilungen", "Abteilung"), "abteil"),
+      ("de", Seq("freundlich", "freundliches", "Freundlichkeit"), "freund"),
+      ("de", Seq("Fähigkeit", "Fähigkeiten"), "fahig"),
+      ("de", Seq("Haus", "Häuser"), "haus"),
+      ("de", Seq("Straße", "Straßen"), "strass"),
+      // French: participle/infinitive endings, ation, eux/euse merge
+      ("fr", Seq("manger", "mangé", "mangée", "mangés", "mangées"), "mang"),
+      ("fr", Seq("communication", "communications"), "communic"),
+      ("fr", Seq("nationaux", "national"), "national"),
+      ("fr", Seq("heureux", "heureuse", "heureuses"), "heureu"),
+      // Russian: noun cases, reflexive verb forms, adjective endings
+      ("ru", Seq("книга", "книги", "книгу", "книгами"), "книг"),
+      ("ru", Seq("делается", "делалось", "делать"), "дела"),
+      ("ru", Seq("красивый", "красивая", "красивое", "красивые"), "красив"))
+    val rows = groups.zipWithIndex.flatMap { case ((lang, forms, _), i) =>
+      forms.map(f => (s"g$i", lang, f))
+    }
+    val df = spark.createDataset(rows)(
+      Encoders.product[(String, String, String)]).toDF("g", "lang", "text")
+    val got = df.select(col("g"), col("text"),
+        FullText.tokensByLang(col("text"), col("lang")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getSeq[String](2)))
+    groups.zipWithIndex.foreach { case ((lang, forms, stem), i) =>
+      got.filter(_._1 == s"g$i").foreach { case (_, form, toks) =>
+        assert(toks == Seq(stem),
+          s"[$lang] '$form' stemmed to $toks, expected '$stem'")
+      }
+    }
+  }
+
   test("frame sampling: stride windows with deterministic features") {
     val docs = Tables.load(spark, sfDir, "documents").limit(5)
     val frames = graft.pipeline.Multimodal.sampleFrames(spark, docs, 16, 4)
