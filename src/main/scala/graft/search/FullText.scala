@@ -121,29 +121,52 @@ object FullText {
         "er" -> "", "ez" -> "",
         "x" -> "", "s" -> "", "e" -> ""),
       stemMinLen = 4)
+    // Spanish/Portuguese/Italian/Dutch at the same light-stemmer grade:
+    // derivational suffixes (miento/idade/zione/heid families), common
+    // verb endings, and gendered plural pairs spelled out so singular and
+    // plural land on ONE stem under single-pass application (os/as before
+    // the bare s)
     val spanish: Analyzer = unicode.copy(stopwords = Set(
       "el", "la", "los", "las", "un", "una", "y", "o", "es", "no", "en",
       "con", "de", "del", "por", "para", "que", "se"),
-      stemRules = Seq("ciones" -> "ción", "es" -> "", "s" -> "", "o" -> "",
-                      "a" -> "", "e" -> ""),
+      stemRules = Seq(
+        "amientos" -> "", "imientos" -> "", "amiento" -> "", "imiento" -> "",
+        "ciones" -> "ción", "idades" -> "", "idad" -> "",
+        "ieron" -> "", "aron" -> "", "ando" -> "", "iendo" -> "",
+        "aban" -> "", "aba" -> "", "ían" -> "", "ía" -> "",
+        "ar" -> "", "er" -> "", "ir" -> "",
+        "os" -> "", "as" -> "", "es" -> "", "s" -> "", "o" -> "",
+        "a" -> "", "e" -> ""),
       stemMinLen = 4)
     val portuguese: Analyzer = unicode.copy(stopwords = Set(
       "o", "a", "os", "as", "um", "uma", "e", "ou", "de", "do", "da",
       "em", "no", "na", "que", "não", "por", "para", "com"),
-      stemRules = Seq("ções" -> "ção", "ões" -> "ão", "ães" -> "ão",
-                      "es" -> "", "s" -> "", "a" -> "", "o" -> "",
-                      "e" -> ""),
+      stemRules = Seq(
+        "amentos" -> "", "imentos" -> "", "amento" -> "", "imento" -> "",
+        "idades" -> "", "idade" -> "",
+        "ções" -> "ção", "ões" -> "ão", "ães" -> "ão",
+        "aram" -> "", "eram" -> "", "ando" -> "", "endo" -> "",
+        "indo" -> "", "ava" -> "",
+        "ar" -> "", "er" -> "", "ir" -> "",
+        "os" -> "", "as" -> "", "es" -> "", "s" -> "", "a" -> "",
+        "o" -> "", "e" -> ""),
       stemMinLen = 4)
     val italian: Analyzer = unicode.copy(stopwords = Set(
       "il", "lo", "la", "i", "gli", "le", "un", "una", "e", "o", "di",
       "del", "che", "in", "con", "per", "non", "è"),
-      stemRules = Seq("zione" -> "zion", "e" -> "", "i" -> "", "o" -> "",
-                      "a" -> ""),
+      stemRules = Seq(
+        "amenti" -> "", "amento" -> "", "imenti" -> "", "imento" -> "",
+        "zioni" -> "zion", "zione" -> "zion", "mente" -> "", "ità" -> "",
+        "ando" -> "", "endo" -> "", "are" -> "", "ere" -> "", "ire" -> "",
+        "e" -> "", "i" -> "", "o" -> "", "a" -> ""),
       stemMinLen = 4)
     val dutch: Analyzer = unicode.copy(stopwords = Set(
       "de", "het", "een", "en", "of", "van", "in", "op", "met", "dat",
       "die", "is", "niet", "te", "voor"),
-      stemRules = Seq("en" -> "", "e" -> "", "s" -> ""),
+      stemRules = Seq(
+        "heden" -> "heid", "ingen" -> "ing", "eren" -> "",
+        "tje" -> "", "je" -> "",
+        "en" -> "", "e" -> "", "s" -> ""),
       stemMinLen = 4)
     // Russian at Snowball grade, flattened: ё→е fold, then one ordered
     // longest-first pass over the Snowball russian suffix classes —

@@ -21,6 +21,8 @@ import graft.sparql.{Parser, Results, Update}
   *                                (SPARQL UPDATE; mutates the served store)
   *   GET  /sparql?ESTCARD[&s=<iri>][&p=<iri>][&o=<iri>]   fast cardinality
   *   GET  /sparql?CONTEXTS        named-graph listing (N-Triples terms)
+  *   GET  /sparql?query=...&explain   EXPLAIN instead of running (algebra
+  *                                + scope + marker counts + physical plan)
   *   GET  /status                 liveness + store size
   *
   * Multi-tenancy (the MultiTenancyServlet surface,
@@ -160,6 +162,13 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0) {
       respond(ex, 200, "text/plain", gs.mkString("\n"))
     } else params.get("query") match {
       case None => respond(ex, 400, "text/plain", "missing query/update param")
+      case Some(q) if params.contains("explain") =>
+        // the reference's ?explain surface (QueryServlet.java EXPLAIN
+        // attribute: renders the optimized AST + BOp plan instead of
+        // running the query): SPARQL algebra, variable scope, EXISTS
+        // marker counts, and the Catalyst physical plan
+        respond(ex, 200, "text/plain",
+          graft.sparql.Explain.explain(spark, tenant.store.get(), q).render)
       case Some(q) => runQuery(ex, tenant.store.get(), q)
     }
   }

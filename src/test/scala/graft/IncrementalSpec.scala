@@ -372,7 +372,20 @@ class IncrementalSpec extends SparkSpecBase {
       // Russian: noun cases, reflexive verb forms, adjective endings
       ("ru", Seq("книга", "книги", "книгу", "книгами"), "книг"),
       ("ru", Seq("делается", "делалось", "делать"), "дела"),
-      ("ru", Seq("красивый", "красивая", "красивое", "красивые"), "красив"))
+      ("ru", Seq("красивый", "красивая", "красивое", "красивые"), "красив"),
+      // Spanish: gendered plurals, verb endings, derivational miento/idad
+      ("es", Seq("libro", "libros"), "libr"),
+      ("es", Seq("hablar", "hablaron", "hablando", "habla"), "habl"),
+      ("es", Seq("pensamiento", "pensamientos"), "pens"),
+      ("es", Seq("realidad", "realidades"), "real"),
+      // Portuguese / Italian / Dutch at the same grade
+      ("pt", Seq("pensamento", "pensamentos"), "pens"),
+      ("pt", Seq("cantar", "cantando", "canta"), "cant"),
+      ("it", Seq("stazione", "stazioni"), "stazion"),
+      ("it", Seq("parlare", "parlando", "parla"), "parl"),
+      ("nl", Seq("mogelijkheid", "mogelijkheden"), "mogelijkheid"),
+      ("nl", Seq("regering", "regeringen"), "regering"),
+      ("nl", Seq("kinderen", "kind"), "kind"))
     val rows = groups.zipWithIndex.flatMap { case ((lang, forms, _), i) =>
       forms.map(f => (s"g$i", lang, f))
     }

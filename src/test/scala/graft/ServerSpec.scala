@@ -161,6 +161,13 @@ class ServerSpec extends SparkSpecBase {
       assert(dBody.contains("default") && kbBody == dBody)
       assert(!http("GET", s"$base/sparql?query=${enc(q)}")._2.contains("red"))
 
+      // ?explain renders the plan instead of running the query
+      // (QueryServlet.java's EXPLAIN attribute)
+      val (ce, explain) = http("GET",
+        s"$base/namespace/red/sparql?query=${enc(q)}&explain")
+      assert(ce == 200 && explain.contains("== SPARQL algebra ==") &&
+             explain.contains("== physical plan"))
+
       // destroy: tenant gone (404 afterwards), default refused
       assert(http("DELETE", s"$base/namespace/red")._1 == 200)
       assert(http("GET", s"$base/namespace/red/sparql?query=${enc(q)}")._1 == 404)
