@@ -31,6 +31,7 @@ import graft.sparql.{Parser, Results, Update}
   * runtime, one isolated store each; the reference's default namespace is
   * "kb", NanoSparqlServer.java:121):
   *   GET    /namespace                list namespaces (text/plain, one per line)
+  *   GET    /namespace/<ns>/properties  tenant metadata (JSON)
   *   POST   /namespace?name=<ns>     create an empty namespace (409 if taken)
   *   DELETE /namespace/<ns>          destroy a namespace (default refused)
   *   *      /namespace/<ns>/sparql   the full /sparql surface on <ns>'s store
@@ -96,6 +97,15 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0) {
           namespaces.get(ns) match {
             case null => respond(ex, 404, "text/plain", s"no namespace $ns")
             case tenant => handleSparql(ex, tenant, ns)
+          }
+        // MultiTenancyServlet's per-namespace properties document
+        case ("GET", Array(ns, "properties")) =>
+          namespaces.get(ns) match {
+            case null => respond(ex, 404, "text/plain", s"no namespace $ns")
+            case tenant =>
+              respond(ex, 200, "application/json",
+                s"""{"namespace":"$ns","statements":${tenant.store.get().count()},""" +
+                  s""""generation":${tenant.generation.get()}}""")
           }
         case ("GET", Array()) =>
           respond(ex, 200, "text/plain", namespaceNames.mkString("\n"))

@@ -284,6 +284,48 @@ class PlanQualitySpec extends SparkSpecBase {
            s"ExtendExists planned a cartesian product:\n$p")
   }
 
+  test("LeftJoin-EXISTS markers bind via one outer join, no union fan-out") {
+    // 18.2: EXISTS in an OPTIONAL's FILTER — the hoisted marker binds on
+    // the merged candidates must use the same linear bindMarkers shape
+    // (one LeftOuter hit join per marker feeding a LeftSemi hit frame);
+    // the ONLY union in the plan is the LeftJoin's complement re-add
+    // the EXISTS must mention a LEFT-side var (?u) — inner-scoped EXISTS
+    // deliberately keeps its plain semi-join plan without marker binds
+    val ttl = """
+      @prefix : <http://example/> .
+      :s1 a :Set . :s2 a :Set . :s1 :tag :t1 . :s2 :tag :t2 .
+      :s1 :opt :o1 . :s2 :opt :o2 . :o1 :flag :t1 .
+    """
+    val qrows = graft.rdf.Turtle.parseQuads(ttl, "http://example/")
+      .map { case (s, p, o, c) => org.apache.spark.sql.Row(s, p, o, c) }.toSeq
+    val quads = spark.createDataFrame(
+      java.util.Arrays.asList(qrows: _*), SparqlTck.quadSchema)
+    val q = graft.sparql.Parser.parse(spark,
+      """PREFIX : <http://example/>
+         SELECT ?s ?v WHERE {
+           ?s a :Set . ?s :tag ?u
+           OPTIONAL { ?s :opt ?v FILTER EXISTS { ?v :flag ?u } }
+         }""")
+    assert(graft.sparql.Explain.countMarkers(q.node) == 1)
+    val df = graft.sparql.Translator.translate(quads, q.node).df
+    val rows = df.collect()
+    assert(rows.length == 2) // s1 extends (o1 flagged), s2 comes back bare
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    def count(needle: String): Int = needle.r.findAllIn(p).size
+    // exactly one hit-frame semi-join; the marker outer join may legally
+    // collapse to an inner join (the EXISTS-only filter keeps marker=true
+    // rows, so Catalyst eliminates the null-extending side) — the guard
+    // is that NO second scan/fan-out shape appears
+    assert(count("LeftSemi") == 1,
+           s"expected exactly one hit-frame semi-join:\n$p")
+    assert(count("LeftOuter") <= 1,
+           s"marker bind grew extra outer joins:\n$p")
+    assert(count("Union") <= 1,
+           s"more than the complement union — marker fan-out is back:\n$p")
+    assert(!p.contains("CartesianProduct"),
+           s"LeftJoin-EXISTS planned a cartesian product:\n$p")
+  }
+
   test("K EXISTS markers cost K joins, not 2^K plan branches") {
     // three EXISTS operands in ONE filter expression: the old semi/anti
     // union pair per marker rewrote df as union(semi(df), anti(df)), so

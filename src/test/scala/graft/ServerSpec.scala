@@ -161,6 +161,12 @@ class ServerSpec extends SparkSpecBase {
       assert(dBody.contains("default") && kbBody == dBody)
       assert(!http("GET", s"$base/sparql?query=${enc(q)}")._2.contains("red"))
 
+      // per-namespace properties document (MultiTenancyServlet surface)
+      val (cp, props) = http("GET", s"$base/namespace/red/properties")
+      assert(cp == 200 && props.contains("\"namespace\":\"red\"") &&
+             props.contains("\"statements\":1"))
+      assert(http("GET", s"$base/namespace/ghost/properties")._1 == 404)
+
       // ?explain renders the plan instead of running the query
       // (QueryServlet.java's EXPLAIN attribute)
       val (ce, explain) = http("GET",
