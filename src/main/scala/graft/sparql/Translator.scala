@@ -221,7 +221,7 @@ object Translator {
 
     case ExistsFilter(child, sub, negated) =>
       val c = translate(quads, child)
-      val (sdf, cond) = existsJoin(quads, c, sub)
+      val (sdf, cond, _) = existsJoin(quads, c, sub)
       c.copy(df = c.df.join(sdf, cond, if (negated) "left_anti" else "left_semi"))
 
     case FilterExists(cond, binds, child) =>
@@ -579,11 +579,15 @@ object Translator {
   private def bindMarkers(quads: DataFrame, c: Result,
                           binds: Seq[(String, Node)],
                           df0: DataFrame): DataFrame = {
-    val key = c.vars.toSeq.sorted
     def mk(v: String) = s"__mk_$v"
     var df = df0
     binds.foreach { case (mv, subNode) =>
-      val (sdf, jc) = existsJoin(quads, c, subNode)
+      val (sdf, jc, corr) = existsJoin(quads, c, subNode)
+      // the witness condition depends ONLY on the correlation vars
+      // (shared equi/compat vars + outer vars the correlated filters
+      // read), so the hit frame keys on exactly those — at scale its
+      // distinct state is correlation-width, not whole-row-width
+      val key = corr.toSeq.sorted
       val hits = c.df.join(sdf, jc, "left_semi")
         .select(key.map(col): _*).distinct()
         .select(key.map(v => col(v).as(mk(v))) :+ lit(true).as(mv): _*)
@@ -596,16 +600,19 @@ object Translator {
     df
   }
 
-  /** The (renamed inner frame, join condition) for an EXISTS sub-pattern
-    * against the outer result `c`. EXISTS is *correlated*: filters at the
-    * top of the inner group see the outer solution's bindings (SPARQL
-    * §8.1.1 substitution; the reference evaluates EXISTS as a hash join
-    * feeding the outer bindings in) — peel them off and evaluate over the
-    * merged row. Shared certain-both vars equi-join (hash join); the rest
-    * use unbound-compatible comparison.
+  /** The (renamed inner frame, join condition, correlation vars) for an
+    * EXISTS sub-pattern against the outer result `c`. EXISTS is
+    * *correlated*: filters at the top of the inner group see the outer
+    * solution's bindings (SPARQL §8.1.1 substitution; the reference
+    * evaluates EXISTS as a hash join feeding the outer bindings in) —
+    * peel them off and evaluate over the merged row. Shared certain-both
+    * vars equi-join (hash join); the rest use unbound-compatible
+    * comparison. The returned var set is every OUTER var the condition
+    * reads (shared vars + filter-referenced outer vars) — the condition
+    * is a function of exactly these, so marker state may key on them.
     */
   private def existsJoin(quads: DataFrame, c: Result,
-                         sub: Node): (DataFrame, Column) = {
+                         sub: Node): (DataFrame, Column, Set[String]) = {
     def peel(n: Node, acc: Vector[Expr]): (Node, Vector[Expr]) = n match {
       case Filter(cond, ch) => peel(ch, acc :+ cond)
       case other => (other, acc)
@@ -619,14 +626,18 @@ object Translator {
       else compatCond(col(v), col(ren(v)))
     }
     // inner vars resolve to the (renamed) inner side, outer-only vars to
-    // the outer row — the correlated-filter environment
+    // the outer row — the correlated-filter environment. Expression
+    // building is pure Column construction, so the resolver doubles as
+    // the recorder of which outer-only vars the filters actually read.
+    val outerRefs = scala.collection.mutable.Set.empty[String]
     val mergedResolver: String => Column = v =>
       if (s.vars(v)) col(ren(v))
-      else if (c.vars(v)) col(v)
+      else if (c.vars(v)) { outerRefs += v; col(v) }
       else graft.rdf.Term.unbound
     val fconds = innerFilters.map(f => coalesce(f(mergedResolver), lit(false)))
     val all = eqs ++ fconds
-    (sdf, if (all.isEmpty) lit(true) else all.reduce(_ && _))
+    (sdf, if (all.isEmpty) lit(true) else all.reduce(_ && _),
+     shared.toSet ++ outerRefs)
   }
 
   private def translateTp(quads: DataFrame, tp: TriplePattern): Result = {
