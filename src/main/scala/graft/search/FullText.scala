@@ -263,11 +263,16 @@ object FullText {
     */
   def tokens(text: Column): Column = tokens(text, Analyzer.default)
 
-  /** Tokenize per the analyzer config. */
-  def tokens(text: Column, a: Analyzer): Column = {
+  /** Array stage ONLY (split + CJK/Thai bigram shingling) — the
+    * higher-order array lambdas Spark cannot whole-stage-codegen
+    * (ArrayTransform/ArrayFilter are CodegenFallback) are confined here;
+    * the per-token stopword/fold/stem analysis is scalar (`keepToken` /
+    * `analyzeToken`) so the posting builders, which explode immediately,
+    * keep the hot per-token work inside codegen.
+    */
+  private def tokensRaw(text: Column, a: Analyzer): Column = {
     val folded = if (a.foldCase) lower(text) else text
-    var toks = filter(split(folded, a.splitPattern),
-                      t => length(t) >= math.max(1, a.minTokenLen))
+    var toks = split(folded, a.splitPattern)
     if (a.cjkBigrams) {
       // a Han- or Thai-script run of length n becomes its n-1 overlapping
       // bigrams (a single char stays itself); other tokens pass through.
@@ -278,49 +283,105 @@ object FullText {
              transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
           .otherwise(array(t))))
     }
-    if (a.stopwords.nonEmpty)
-      toks = filter(toks, t => !t.isInCollection(a.stopwords))
-    if (a.charFolds.nonEmpty)
-      toks = transform(toks, t =>
-        a.charFolds.foldLeft(t) { case (c, (from, to)) =>
-          replace(c, lit(from), lit(to))
-        })
-    if (a.stem)
-      toks = transform(toks, t =>
-        when(length(t) >= 4 && t.endsWith("s") &&
-             !t.endsWith("ss") && !t.endsWith("us") && !t.endsWith("is"),
-             t.substr(lit(1), length(t) - 1)).otherwise(t))
-    if (a.stemRules.nonEmpty)
-      // ordered when-chain: the FIRST rule whose suffix matches (with a
-      // long-enough stem) fires; everything else passes through unchanged
-      toks = transform(toks, t =>
-        a.stemRules.foldLeft(when(lit(false), t)) { case (acc, (sfx, repl)) =>
-          acc.when(length(t) >= a.stemMinLen + sfx.length && t.endsWith(sfx),
-                   concat(t.substr(lit(1), length(t) - sfx.length), lit(repl)))
-        }.otherwise(t))
     toks
   }
+
+  /** Scalar token admission: length bound + stopword filter, evaluated on
+    * the RAW token (stopword lists keep natural orthography; folds apply
+    * after, in analyzeToken). Codegen-friendly — no lambdas.
+    */
+  private[search] def keepToken(t: Column, a: Analyzer): Column = {
+    val lenOk = length(t) >= math.max(1, a.minTokenLen)
+    if (a.stopwords.isEmpty) lenOk
+    else lenOk && !t.isInCollection(a.stopwords)
+  }
+
+  /** Scalar per-token analysis: char folds, the minimal English plural
+    * stem, then the ordered suffix rules (FIRST matching rule with a
+    * long-enough stem fires). One plain CASE expression — codegen'd.
+    */
+  private[search] def analyzeToken(t0: Column, a: Analyzer): Column = {
+    val t = a.charFolds.foldLeft(t0) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to))
+    }
+    val en =
+      if (!a.stem) t
+      else when(length(t) >= 4 && t.endsWith("s") &&
+                !t.endsWith("ss") && !t.endsWith("us") && !t.endsWith("is"),
+                t.substr(lit(1), length(t) - 1)).otherwise(t)
+    if (a.stemRules.isEmpty) en
+    else a.stemRules.foldLeft(when(lit(false), en)) { case (acc, (sfx, repl)) =>
+      acc.when(length(en) >= a.stemMinLen + sfx.length && en.endsWith(sfx),
+               concat(en.substr(lit(1), length(en) - sfx.length), lit(repl)))
+    }.otherwise(en)
+  }
+
+  /** Tokenize per the analyzer config (array form — the same raw/keep/
+    * analyze stages the scalar posting path uses, so the two cannot
+    * drift).
+    */
+  def tokens(text: Column, a: Analyzer): Column =
+    transform(filter(tokensRaw(text, a), t => keepToken(t, a)),
+              t => analyzeToken(t, a))
 
   /** Tokenize with the analyzer selected per row by its language tag — the
     * data-parallel form of Analyzer.forLang: one when-chain over the
     * registered languages, so a mixed-language corpus analyzes in a single
     * pass with no per-language splits or shuffles.
     */
-  def tokensByLang(text: Column, lang: Column): Column = {
-    val primary = lower(split(lang, "[-_]").getItem(0))
-    // group registry codes by analyzer so each distinct analyzer appears
-    // once in the chain, matched by all of its 2- and 3-letter codes
-    val grouped = Analyzer.byLang.toSeq.groupBy(_._2).toSeq.map {
+  /** Registry analyzers grouped with ALL their 2- and 3-letter codes, so
+    * each distinct analyzer appears once in a dispatch chain.
+    */
+  private lazy val langGroups: Seq[(Analyzer, Seq[String])] =
+    Analyzer.byLang.toSeq.groupBy(_._2).toSeq.map {
       case (a, entries) =>
         val codes = entries.map(_._1) ++
           Analyzer.iso3to2.collect { case (c3, c2) if entries.exists(_._1 == c2) => c3 }
         (a, codes.distinct)
     }
-    grouped.foldLeft(lit(null).cast(ArrayType(StringType))) { case (acc, (a, codes)) =>
+
+  def tokensByLang(text: Column, lang: Column): Column = {
+    val primary = lower(split(lang, "[-_]").getItem(0))
+    langGroups.foldLeft(lit(null).cast(ArrayType(StringType))) { case (acc, (a, codes)) =>
       when(primary.isin(codes: _*), tokens(text, a)).otherwise(acc)
     } match {
       case chain => coalesce(chain, tokens(text, Analyzer.unicode))
     }
+  }
+
+  /** (doc, term) exploded postings for ONE analyzer: the array lambdas
+    * stop at the raw split, and the per-token keep/analyze work runs as
+    * scalar expressions AFTER explode — whole-stage codegen covers the
+    * hot path (the array form's lambdas are CodegenFallback in Spark).
+    */
+  private def explodedTokens(docs: DataFrame, a: Analyzer): DataFrame =
+    docs.select(col("doc"), explode(tokensRaw(col("text"), a)).as("__tok"))
+      .filter(keepToken(col("__tok"), a))
+      .select(col("doc"), analyzeToken(col("__tok"), a).as("term"))
+
+  /** The per-language form of explodedTokens: one when-chain dispatches
+    * the raw split per row, and scalar keep/analyze chains dispatch per
+    * token — a mixed-language corpus analyzes in one codegen'd pass.
+    */
+  private def explodedTokensByLang(docs: DataFrame): DataFrame = {
+    val primary = lower(split(col("lang"), "[-_]").getItem(0))
+    val rawChain = langGroups.foldLeft(lit(null).cast(ArrayType(StringType))) {
+      case (acc, (a, codes)) =>
+        when(primary.isin(codes: _*), tokensRaw(col("text"), a)).otherwise(acc)
+    }
+    val raw = coalesce(rawChain, tokensRaw(col("text"), Analyzer.unicode))
+    val exploded = docs.select(col("doc"), primary.as("__lang"),
+                               explode(raw).as("__tok"))
+    val t = col("__tok")
+    val keepChain = langGroups.foldLeft(keepToken(t, Analyzer.unicode)) {
+      case (acc, (a, codes)) =>
+        when(col("__lang").isin(codes: _*), keepToken(t, a)).otherwise(acc)
+    }
+    val termChain = langGroups.foldLeft(analyzeToken(t, Analyzer.unicode)) {
+      case (acc, (a, codes)) =>
+        when(col("__lang").isin(codes: _*), analyzeToken(t, a)).otherwise(acc)
+    }
+    exploded.filter(keepChain).select(col("doc"), termChain.as("term"))
   }
 
   /** Build the inverted index: (term, doc, tf, w) + per-doc norm.
@@ -329,8 +390,7 @@ object FullText {
   def buildIndex(docs: DataFrame): DataFrame = buildIndex(docs, Analyzer.default)
 
   def buildIndex(docs: DataFrame, analyzer: Analyzer): DataFrame =
-    weigh(docs
-      .select(col("doc"), explode(tokens(col("text"), analyzer)).as("term"))
+    weigh(explodedTokens(docs, analyzer)
       .groupBy("term", "doc").agg(count(lit(1)).as("tf")), docs.count())
 
   /** Inverted index over a mixed-language corpus: each document tokenizes
@@ -343,8 +403,7 @@ object FullText {
 
   /** Raw (term, doc, tf) postings with per-language analysis. */
   def tfPostingsByLang(docs: DataFrame): DataFrame =
-    docs.select(col("doc"),
-                explode(tokensByLang(col("text"), col("lang"))).as("term"))
+    explodedTokensByLang(docs)
       .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
 
   /** Postings matched by the query: exact terms by equality, trailing-'*'
@@ -394,8 +453,7 @@ object FullText {
     * the Lucene norm quantization above.
     */
   def buildBdsIndex(docs: DataFrame, analyzer: Analyzer = Analyzer.default): DataFrame = {
-    val tf = docs
-      .select(col("doc"), explode(tokens(col("text"), analyzer)).as("term"))
+    val tf = explodedTokens(docs, analyzer)
       .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
     val norm = tf.groupBy("doc").agg(sqrt(sum(col("tf") * col("tf"))).as("dmag"))
     tf.join(norm, "doc")
@@ -463,7 +521,7 @@ object FullText {
     * B+Tree postings + read-time relevance (FullTextIndex.java:892-897).
     */
   def buildTfIndex(docs: DataFrame, analyzer: Analyzer = Analyzer.default): DataFrame =
-    docs.select(col("doc"), explode(tokens(col("text"), analyzer)).as("term"))
+    explodedTokens(docs, analyzer)
       .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
 
   /** Merge new documents into a tf index (docs must be NEW ids; a re-fed

@@ -284,6 +284,37 @@ class PlanQualitySpec extends SparkSpecBase {
            s"ExtendExists planned a cartesian product:\n$p")
   }
 
+  test("by-lang posting pipeline keeps per-token analysis in codegen") {
+    // the de/fr/ru Snowball-grade rule sets compile to when-chains with
+    // dozens of branches; Spark's higher-order array lambdas are
+    // CodegenFallback, so the posting builders run keep/analyze as
+    // SCALAR expressions post-explode — if that regresses to the array
+    // form, a 100 TB text pipeline pays interpreted per-token evaluation
+    // a literal-only local relation constant-folds to LocalTableScan
+    // before codegen is observable — drive the expressions off range()
+    val langs = array(lit("ru"), lit("de"), lit("fr"), lit("es"))
+    val texts = array(lit("книгами делается красивый"),
+                      lit("Fähigkeiten Straßen freundliches"),
+                      lit("communications nationaux heureuses"),
+                      lit("pensamientos realidades"))
+    val idx = (col("id") % 4 + 1).cast("int")
+    val df = spark.range(4).select(
+      concat(lit("d"), col("id")).as("doc"),
+      element_at(langs, idx).as("lang"),
+      element_at(texts, idx).as("text"))
+    val postings = graft.search.FullText.tfPostingsByLang(df)
+    // collect (not count) so the inspected queryExecution is the one
+    // that actually ran and carries the finalized AQE codegen stars
+    assert(postings.collect().length == 11) // one (term,doc) row per token
+    // AQE's plan string marks whole-stage-codegen spans with '*(n)' stars
+    val p = postings.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined,
+           s"posting aggregation fell out of whole-stage codegen:\n$p")
+    // the scalar keep/analyze work must sit under a codegen star too
+    assert("\\*\\(\\d+\\) (Filter|Project)".r.findFirstIn(p).isDefined,
+           s"per-token filter/analyze not inside a codegen span:\n$p")
+  }
+
   test("LeftJoin-EXISTS markers bind via one outer join, no union fan-out") {
     // 18.2: EXISTS in an OPTIONAL's FILTER — the hoisted marker binds on
     // the merged candidates must use the same linear bindMarkers shape
