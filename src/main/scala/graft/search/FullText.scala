@@ -296,33 +296,42 @@ object FullText {
     else lenOk && !t.isInCollection(a.stopwords)
   }
 
-  /** Scalar per-token analysis: char folds, the minimal English plural
-    * stem, then the ordered suffix rules (FIRST matching rule with a
-    * long-enough stem fires). One plain CASE expression — codegen'd.
+  /** Scalar char folds + the minimal English plural stem. MUST be
+    * materialized (own projection / own transform pass) before stemToken
+    * runs: the suffix chain reads its input in every WHEN branch, and an
+    * inlined fold would recompute the string replace per branch —
+    * hundreds of allocations per token.
     */
-  private[search] def analyzeToken(t0: Column, a: Analyzer): Column = {
+  private[search] def foldToken(t0: Column, a: Analyzer): Column = {
     val t = a.charFolds.foldLeft(t0) { case (c, (from, to)) =>
       replace(c, lit(from), lit(to))
     }
-    val en =
-      if (!a.stem) t
-      else when(length(t) >= 4 && t.endsWith("s") &&
-                !t.endsWith("ss") && !t.endsWith("us") && !t.endsWith("is"),
-                t.substr(lit(1), length(t) - 1)).otherwise(t)
-    if (a.stemRules.isEmpty) en
-    else a.stemRules.foldLeft(when(lit(false), en)) { case (acc, (sfx, repl)) =>
-      acc.when(length(en) >= a.stemMinLen + sfx.length && en.endsWith(sfx),
-               concat(en.substr(lit(1), length(en) - sfx.length), lit(repl)))
-    }.otherwise(en)
+    if (!a.stem) t
+    else when(length(t) >= 4 && t.endsWith("s") &&
+              !t.endsWith("ss") && !t.endsWith("us") && !t.endsWith("is"),
+              t.substr(lit(1), length(t) - 1)).otherwise(t)
   }
 
+  /** Scalar ordered suffix rules over an ALREADY-folded token (FIRST
+    * matching rule with a long-enough stem fires). One plain CASE
+    * expression — codegen'd.
+    */
+  private[search] def stemToken(t: Column, a: Analyzer): Column =
+    if (a.stemRules.isEmpty) t
+    else a.stemRules.foldLeft(when(lit(false), t)) { case (acc, (sfx, repl)) =>
+      acc.when(length(t) >= a.stemMinLen + sfx.length && t.endsWith(sfx),
+               concat(t.substr(lit(1), length(t) - sfx.length), lit(repl)))
+    }.otherwise(t)
+
   /** Tokenize per the analyzer config (array form — the same raw/keep/
-    * analyze stages the scalar posting path uses, so the two cannot
-    * drift).
+    * fold/stem stages the scalar posting path uses, so the two cannot
+    * drift). Two transform passes: the fold materializes per token
+    * BEFORE the suffix chain reads it many times.
     */
   def tokens(text: Column, a: Analyzer): Column =
-    transform(filter(tokensRaw(text, a), t => keepToken(t, a)),
-              t => analyzeToken(t, a))
+    transform(transform(filter(tokensRaw(text, a), t => keepToken(t, a)),
+                        t => foldToken(t, a)),
+              t => stemToken(t, a))
 
   /** Tokenize with the analyzer selected per row by its language tag — the
     * data-parallel form of Analyzer.forLang: one when-chain over the
@@ -349,40 +358,17 @@ object FullText {
     }
   }
 
-  /** (doc, term) exploded postings for ONE analyzer: the array lambdas
-    * stop at the raw split, and the per-token keep/analyze work runs as
-    * scalar expressions AFTER explode — whole-stage codegen covers the
-    * hot path (the array form's lambdas are CodegenFallback in Spark).
-    */
-  private def explodedTokens(docs: DataFrame, a: Analyzer): DataFrame =
-    docs.select(col("doc"), explode(tokensRaw(col("text"), a)).as("__tok"))
-      .filter(keepToken(col("__tok"), a))
-      .select(col("doc"), analyzeToken(col("__tok"), a).as("term"))
-
-  /** The per-language form of explodedTokens: one when-chain dispatches
-    * the raw split per row, and scalar keep/analyze chains dispatch per
-    * token — a mixed-language corpus analyzes in one codegen'd pass.
-    */
-  private def explodedTokensByLang(docs: DataFrame): DataFrame = {
-    val primary = lower(split(col("lang"), "[-_]").getItem(0))
-    val rawChain = langGroups.foldLeft(lit(null).cast(ArrayType(StringType))) {
-      case (acc, (a, codes)) =>
-        when(primary.isin(codes: _*), tokensRaw(col("text"), a)).otherwise(acc)
-    }
-    val raw = coalesce(rawChain, tokensRaw(col("text"), Analyzer.unicode))
-    val exploded = docs.select(col("doc"), primary.as("__lang"),
-                               explode(raw).as("__tok"))
-    val t = col("__tok")
-    val keepChain = langGroups.foldLeft(keepToken(t, Analyzer.unicode)) {
-      case (acc, (a, codes)) =>
-        when(col("__lang").isin(codes: _*), keepToken(t, a)).otherwise(acc)
-    }
-    val termChain = langGroups.foldLeft(analyzeToken(t, Analyzer.unicode)) {
-      case (acc, (a, codes)) =>
-        when(col("__lang").isin(codes: _*), analyzeToken(t, a)).otherwise(acc)
-    }
-    exploded.filter(keepChain).select(col("doc"), termChain.as("term"))
-  }
+  // NOTE on evaluation strategy, measured at sf0.01 (11365 postings):
+  // a "scalar post-explode" variant of the posting pipeline — dispatching
+  // keep/fold/stem per TOKEN through one all-languages CASE — ran 2-3×
+  // SLOWER than this array form (1.4-1.8s vs 0.55-0.7s warm). The fused
+  // CASE exceeds Janino's 64KB method limit ("grows beyond 64 KB" in the
+  // logs), so whole-stage codegen falls back to interpreting one enormous
+  // expression tree per token; the array form instead picks ONE
+  // language's pipeline per document and materializes each stage's result
+  // between the small lambda passes. Higher-order lambdas being
+  // CodegenFallback is the cheaper of the two evils here — keep the
+  // array form in the builders.
 
   /** Build the inverted index: (term, doc, tf, w) + per-doc norm.
     * `docs` needs columns (doc, text).
@@ -390,7 +376,8 @@ object FullText {
   def buildIndex(docs: DataFrame): DataFrame = buildIndex(docs, Analyzer.default)
 
   def buildIndex(docs: DataFrame, analyzer: Analyzer): DataFrame =
-    weigh(explodedTokens(docs, analyzer)
+    weigh(docs
+      .select(col("doc"), explode(tokens(col("text"), analyzer)).as("term"))
       .groupBy("term", "doc").agg(count(lit(1)).as("tf")), docs.count())
 
   /** Inverted index over a mixed-language corpus: each document tokenizes
@@ -403,7 +390,8 @@ object FullText {
 
   /** Raw (term, doc, tf) postings with per-language analysis. */
   def tfPostingsByLang(docs: DataFrame): DataFrame =
-    explodedTokensByLang(docs)
+    docs.select(col("doc"),
+                explode(tokensByLang(col("text"), col("lang"))).as("term"))
       .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
 
   /** Postings matched by the query: exact terms by equality, trailing-'*'
@@ -453,7 +441,8 @@ object FullText {
     * the Lucene norm quantization above.
     */
   def buildBdsIndex(docs: DataFrame, analyzer: Analyzer = Analyzer.default): DataFrame = {
-    val tf = explodedTokens(docs, analyzer)
+    val tf = docs
+      .select(col("doc"), explode(tokens(col("text"), analyzer)).as("term"))
       .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
     val norm = tf.groupBy("doc").agg(sqrt(sum(col("tf") * col("tf"))).as("dmag"))
     tf.join(norm, "doc")
@@ -521,7 +510,7 @@ object FullText {
     * B+Tree postings + read-time relevance (FullTextIndex.java:892-897).
     */
   def buildTfIndex(docs: DataFrame, analyzer: Analyzer = Analyzer.default): DataFrame =
-    explodedTokens(docs, analyzer)
+    docs.select(col("doc"), explode(tokens(col("text"), analyzer)).as("term"))
       .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
 
   /** Merge new documents into a tf index (docs must be NEW ids; a re-fed

@@ -284,12 +284,14 @@ class PlanQualitySpec extends SparkSpecBase {
            s"ExtendExists planned a cartesian product:\n$p")
   }
 
-  test("by-lang posting pipeline keeps per-token analysis in codegen") {
-    // the de/fr/ru Snowball-grade rule sets compile to when-chains with
-    // dozens of branches; Spark's higher-order array lambdas are
-    // CodegenFallback, so the posting builders run keep/analyze as
-    // SCALAR expressions post-explode — if that regresses to the array
-    // form, a 100 TB text pipeline pays interpreted per-token evaluation
+  test("by-lang posting pipeline: aggregation codegen'd, results stable") {
+    // the per-token analysis itself deliberately stays in the ARRAY form
+    // (higher-order lambdas): an A/B at sf0.01 measured the fused scalar
+    // all-languages CASE 2-3x SLOWER — it exceeds Janino's 64KB method
+    // limit and interprets one enormous expression per token, while the
+    // array form picks one language's pipeline per document with
+    // materialized stages (see the note in FullText). This guard pins
+    // results + the aggregation staying inside codegen.
     // a literal-only local relation constant-folds to LocalTableScan
     // before codegen is observable — drive the expressions off range()
     val langs = array(lit("ru"), lit("de"), lit("fr"), lit("es"))
@@ -306,13 +308,9 @@ class PlanQualitySpec extends SparkSpecBase {
     // collect (not count) so the inspected queryExecution is the one
     // that actually ran and carries the finalized AQE codegen stars
     assert(postings.collect().length == 11) // one (term,doc) row per token
-    // AQE's plan string marks whole-stage-codegen spans with '*(n)' stars
     val p = postings.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined,
            s"posting aggregation fell out of whole-stage codegen:\n$p")
-    // the scalar keep/analyze work must sit under a codegen star too
-    assert("\\*\\(\\d+\\) (Filter|Project)".r.findFirstIn(p).isDefined,
-           s"per-token filter/analyze not inside a codegen span:\n$p")
   }
 
   test("LeftJoin-EXISTS markers bind via one outer join, no union fan-out") {
