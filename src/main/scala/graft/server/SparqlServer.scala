@@ -23,7 +23,9 @@ import graft.sparql.{Parser, Results, Update}
   *   GET  /sparql?CONTEXTS        named-graph listing (N-Triples terms)
   *   GET  /sparql?query=...&explain   EXPLAIN instead of running (algebra
   *                                + scope + marker counts + physical plan)
-  *   GET  /status                 liveness + store size
+  *   GET  /status                 liveness + store size + running count
+  *   GET  /status?showQueries     one line per in-flight query/update
+  *   GET/POST /status?cancelQuery&queryId=<id>   terminate a running query
   *
   * Multi-tenancy (the MultiTenancyServlet surface,
   * /root/reference/bigdata-sails/src/java/com/bigdata/rdf/sail/webapp/
@@ -42,8 +44,27 @@ import graft.sparql.{Parser, Results, Update}
   * The HTTP layer is deliberately thin: every query runs through exactly
   * the library pipeline (§3.1/§3.3); a production deployment would put the
   * same calls behind Spark Connect instead.
+  *
+  * Query lifecycle management (the StatusServlet surface,
+  * /root/reference/bigdata-sails/src/java/com/bigdata/rdf/sail/webapp/
+  * StatusServlet.java:136-320, running-query registry
+  * BigdataRDFContext.java:247,938): every query/update evaluation is
+  * admitted under a queryId (client-supplied `queryId` param — the
+  * QueryHints.QUERYID channel, BigdataRDFContext.java:906 — or a fresh
+  * UUID, echoed back as the X-Query-Id response header) and runs inside a
+  * Spark job group named by that id with interrupt-on-cancel, so
+  * `cancelQuery` maps to `SparkContext.cancelJobGroup` — distributed tasks
+  * are actually killed, not just the HTTP thread abandoned. `timeout=<ms>`
+  * per request, or the `queryTimeoutMs` constructor default, arms a
+  * watchdog that cancels the group at the deadline (the QUERY_TIMEOUT
+  * config, ConfigParams.java:127-133, applied per query at
+  * BigdataRDFContext.java:1023-1029; 0 = no limit). Cancellation re-fires
+  * until the evaluation unwinds: driver-side fixpoint loops launch a NEW
+  * job per round into the same group, and a single cancel only kills jobs
+  * already running.
   */
-class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0) {
+class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
+                   queryTimeoutMs: Long = 0L) {
 
   /** One tenant: an immutable-store cell plus its update generation (the
     * per-namespace DESCRIBE-cache invalidation key).
@@ -62,6 +83,89 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0) {
   private val describeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, String), String]()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  /** One admitted query/update evaluation (the RunningQuery entries the
+    * StatusServlet renders, BigdataRDFContext.java:247).
+    */
+  final case class RunningQuery(queryId: String, namespace: String,
+                                text: String, beginMs: Long)
+
+  private val running =
+    new java.util.concurrent.ConcurrentHashMap[String, RunningQuery]()
+  private val cancelReasons =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val watchdogs =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-query-watchdog"); t.setDaemon(true); t
+      })
+
+  /** In-flight queries, oldest first (spec hook + /status?showQueries). */
+  def runningQueries: Seq[RunningQuery] = {
+    import scala.jdk.CollectionConverters._
+    running.values.asScala.toSeq.sortBy(_.beginMs)
+  }
+
+  /** Cancel a running query by id: kills the Spark job group (active jobs'
+    * tasks are interrupted) and records why, so the evaluating request can
+    * report the abort reason instead of a bare Spark cancellation trace.
+    * False when no such query is in flight (StatusServlet.java:262-266
+    * treats that as a non-error).
+    */
+  def cancelQuery(queryId: String, reason: String): Boolean = {
+    val rq = running.get(queryId)
+    if (rq == null) false
+    else {
+      cancelReasons.putIfAbsent(queryId, reason)
+      keepCanceling(queryId, rq)
+      true
+    }
+  }
+
+  /** Cancel the job group now and re-cancel every 100 ms until THIS
+    * evaluation unwinds: driver-side fixpoint loops submit a fresh Spark
+    * job per round into the same group, and cancelJobGroup only kills jobs
+    * already running. Pinned to the registry entry (reference identity) so
+    * a stale loop never kills a later evaluation reusing the queryId.
+    */
+  private def keepCanceling(queryId: String, rq: AnyRef): Unit =
+    if (running.get(queryId).asInstanceOf[AnyRef] eq rq) {
+      spark.sparkContext.cancelJobGroup(queryId)
+      watchdogs.schedule((() => keepCanceling(queryId, rq)): Runnable,
+        100L, java.util.concurrent.TimeUnit.MILLISECONDS)
+    }
+
+  /** Admit `body` as a managed evaluation: registry entry + job group +
+    * optional timeout watchdog; unwinds all three however it exits.
+    */
+  private def withManagedQuery[A](ex: HttpExchange, ns: String, text: String,
+                                  params: Map[String, String])(body: => A): A = {
+    val id = params.get("queryId").filter(_.nonEmpty)
+      .getOrElse(java.util.UUID.randomUUID().toString)
+    val timeoutMs = params.get("timeout").flatMap(_.toLongOption)
+      .filter(_ > 0).getOrElse(queryTimeoutMs)
+    running.put(id, RunningQuery(id, ns, text, System.currentTimeMillis()))
+    ex.getResponseHeaders.set("X-Query-Id", id)
+    val sc = spark.sparkContext
+    sc.setJobGroup(id, s"sparql/$ns", interruptOnCancel = true)
+    val watchdog =
+      if (timeoutMs > 0)
+        Some(watchdogs.schedule(
+          (() => cancelQuery(id, s"timeout after $timeoutMs ms")): Runnable,
+          timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+      else None
+    try body
+    catch {
+      case e: Throwable =>
+        throw Option(cancelReasons.get(id))
+          .fold(e)(r => new RuntimeException(s"query $id aborted: $r", e))
+    } finally {
+      watchdog.foreach(_.cancel(false))
+      sc.clearJobGroup()
+      running.remove(id)
+      cancelReasons.remove(id)
+    }
+  }
 
   private val quadSchema = StructType(Seq(
     StructField("s", Term.schema), StructField("p", Term.schema),
@@ -130,9 +234,31 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0) {
       }
     })
     server.createContext("/status", (ex: HttpExchange) => safely(ex) {
-      respond(ex, 200, "application/json",
-        s"""{"status":"ok","statements":${current.count()},""" +
-          s""""namespaces":${namespaceNames.size}}""")
+      val params = formParams(ex)
+      if (params.contains("cancelQuery")) {
+        // StatusServlet.java:192-268 (CANCEL_QUERY): terminate by queryId;
+        // an unknown id is reported, not an error — the query may simply
+        // have finished already
+        params.get("queryId").filter(_.nonEmpty) match {
+          case None => respond(ex, 400, "text/plain", "missing queryId param")
+          case Some(id) =>
+            val ok = cancelQuery(id, "client cancel")
+            respond(ex, 200, "text/plain",
+              if (ok) s"canceled $id" else s"no such query $id")
+        }
+      } else if (params.contains("showQueries")) {
+        // StatusServlet.java:349-392 (SHOW_QUERIES): one line per query —
+        // id, namespace, elapsed, text
+        val now = System.currentTimeMillis()
+        val lines = runningQueries.map(q =>
+          s"${q.queryId}\t${q.namespace}\t${now - q.beginMs}ms\t" +
+            q.text.replaceAll("\\s+", " ").trim)
+        respond(ex, 200, "text/plain", lines.mkString("\n"))
+      } else
+        respond(ex, 200, "application/json",
+          s"""{"status":"ok","statements":${current.count()},""" +
+            s""""namespaces":${namespaceNames.size},""" +
+            s""""runningQueries":${running.size}}""")
     })
     // linked-data GET (RESTServlet.java:132-170): /ld?uri=<iri> → DESCRIBE.
     // CBDs cache per IRI (DescribeCache.java's job) keyed on the store
@@ -150,7 +276,12 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0) {
           respond(ex, 200, "application/n-triples", body)
       }
     })
-    server.setExecutor(null) // current thread of the request
+    // request-per-thread (the reference runs on Jetty's thread pool): a
+    // long-running query must not block /status or a cancelQuery for it
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-http"); t.setDaemon(true); t
+      }))
     server.start()
     this
   }
@@ -159,8 +290,10 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0) {
                            ns: String): Unit = {
     val params = formParams(ex)
     if (params.contains("update") && ex.getRequestMethod == "POST") {
-      tenant.store.updateAndGet(st => Update.execute(spark, st, params("update")))
-      tenant.generation.incrementAndGet() // invalidates cached CBDs
+      withManagedQuery(ex, ns, params("update"), params) {
+        tenant.store.updateAndGet(st => Update.execute(spark, st, params("update")))
+        tenant.generation.incrementAndGet() // invalidates cached CBDs
+      }
       respond(ex, 200, "text/plain", "update ok")
     } else if (params.contains("ESTCARD")) {
       def term(k: String) = params.get(k).map(v => Term.iri(v))
@@ -179,7 +312,8 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0) {
         // marker counts, and the Catalyst physical plan
         respond(ex, 200, "text/plain",
           graft.sparql.Explain.explain(spark, tenant.store.get(), q).render)
-      case Some(q) => runQuery(ex, tenant.store.get(), q)
+      case Some(q) =>
+        withManagedQuery(ex, ns, q, params)(runQuery(ex, tenant.store.get(), q))
     }
   }
 
@@ -253,5 +387,8 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0) {
     os.close()
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    watchdogs.shutdownNow()
+    server.stop(0)
+  }
 }

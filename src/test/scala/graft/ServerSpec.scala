@@ -99,6 +99,62 @@ class ServerSpec extends SparkSpecBase {
     } finally srv.stop()
   }
 
+  test("query lifecycle: timeout and cancelQuery kill running Spark jobs") {
+    // a store big enough that a 4-way unconstrained BGP (pure cross joins,
+    // ~2.6e10 candidate rows) cannot finish before it is canceled
+    val quads = parse((1 to 400).map(i => s"""<${EX}s$i> <${EX}p> "$i" ."""))
+    val srv = new SparqlServer(spark, quads).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val slow = "SELECT (COUNT(*) AS ?n) WHERE { " +
+        "?a ?p1 ?b . ?c ?p2 ?d . ?e ?p3 ?f . ?g ?p4 ?h }"
+
+      // a normal query is admitted under a queryId echoed in the response
+      val quick = s"""PREFIX ex: <$EX> ASK { ex:s1 ex:p "1" }"""
+      val conn = URI.create(s"$base/sparql?query=${enc(quick)}")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      assert(Option(conn.getHeaderField("X-Query-Id")).exists(_.nonEmpty))
+
+      // per-request timeout: the watchdog cancels the job group and the
+      // request reports the abort reason (QUERY_TIMEOUT semantics,
+      // ConfigParams.java:127-133)
+      val (ct, bodyT) =
+        http("GET", s"$base/sparql?query=${enc(slow)}&timeout=300")
+      assert(ct == 500, s"expected an aborted query, got $ct: $bodyT")
+      assert(bodyT.contains("aborted") && bodyT.contains("timeout"),
+        s"unexpected abort body: $bodyT")
+
+      // client cancel: run the slow query with a known queryId, watch it
+      // appear under /status?showQueries, cancel it, and observe the
+      // evaluating request fail with the cancel reason
+      val qid = "spec-cancel-1"
+      @volatile var result: (Int, String) = (0, "")
+      val t = new Thread(() => {
+        result = http("GET", s"$base/sparql?query=${enc(slow)}&queryId=$qid")
+      })
+      t.start()
+      val deadline = System.currentTimeMillis() + 20000
+      var listed = ""
+      while (!listed.contains(qid) && System.currentTimeMillis() < deadline) {
+        listed = http("GET", s"$base/status?showQueries")._2
+        if (!listed.contains(qid)) Thread.sleep(50)
+      }
+      assert(listed.contains(qid), s"query never appeared in: $listed")
+      assert(http("GET", s"$base/status")._2.contains("\"runningQueries\":1"))
+      val (cc, cBody) = http("POST", s"$base/status?cancelQuery&queryId=$qid")
+      assert(cc == 200 && cBody.contains(s"canceled $qid"))
+      t.join(30000)
+      assert(!t.isAlive, "canceled query request never returned")
+      assert(result._1 == 500 && result._2.contains("client cancel"),
+        s"unexpected canceled-query response: $result")
+      // the registry drains; canceling a finished query is a non-error
+      assert(!http("GET", s"$base/status?showQueries")._2.contains(qid))
+      assert(http("POST", s"$base/status?cancelQuery&queryId=$qid")
+        ._2.contains("no such query"))
+    } finally srv.stop()
+  }
+
   test("federated SERVICE: join local patterns against a remote endpoint") {
     // remote store: employment facts, served over HTTP
     val remoteStore = parse(Seq(
