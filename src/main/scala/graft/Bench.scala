@@ -92,8 +92,17 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$partial"load":${fmt(loadSec, 2)},"runs":$runsPerQuery,"queries":$qs,"sf":$sfField}"""
     }
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    // BENCH_LOCAL.json is the committed record, updated only under the
+    // two-run protocol (consecutive clean sf0.1 runs agreeing within ~15%).
+    // A casual local run — a different sf, a partial filter, a smoke test —
+    // must never clobber it: those write BENCH_LAST.json instead. Opt in to
+    // touching the record with SPARK_GRAFT_BENCH_RECORD=1.
+    val target =
+      if (sys.env.get("SPARK_GRAFT_BENCH_RECORD").contains("1"))
+        "BENCH_LOCAL.json"
+      else "BENCH_LAST.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      java.nio.file.Paths.get(target),
       jsonLine(6, "\"" + sfDir + "\"").getBytes("UTF-8"))
     catch { case _: Throwable => }
     spark.stop()
