@@ -35,29 +35,38 @@ object Aggs {
     val t = r(v)
     val poisoned = max(when(t.isNotNull && Term.numVal(t).isNull, 1).otherwise(0))
     val s = sum(Term.numVal(t))
-    // numeric type promotion (op:numeric-add): any double/float input →
-    // double; else any decimal → decimal; else integer. SUM({}) = 0 integer.
+    // XPath numeric promotion (op:numeric-add), same ladder as the binary
+    // ops (TermOps.scala): double > float > decimal > integer — a float
+    // input only reaches double when a double is ALSO present. SUM({}) = 0
+    // integer. Arithmetic itself stays exact decimal: float32 accumulation
+    // is order-dependent, so a distributed sum would not be reproducible
+    // across partitionings — only the TAG follows the promotion ladder.
     val rank = max(
-      when(Term.dt(t).isin(Term.XsdDouble, Term.XsdNs + "float"), 2)
+      when(Term.dt(t) === Term.XsdDouble, 3)
+        .when(Term.dt(t) === Term.XsdNs + "float", 2)
         .when(Term.dt(t) === Term.XsdDecimal, 1).otherwise(0))
-    val dt = when(rank === 2, Term.XsdDouble)
+    val dt = when(rank === 3, Term.XsdDouble)
+      .when(rank === 2, Term.XsdNs + "float")
       .when(rank === 1, Term.XsdDecimal)
       .otherwise(Term.XsdInteger)
     when(poisoned === 1, Term.unbound)
       .otherwise(Term.numDt(coalesce(s, lit(0).cast(Term.numType)), dt))
   }
 
-  /** AVG with sticky type errors and op:numeric promotion: any double or
-    * float input makes the average a double; otherwise it is a decimal
-    * (integer ÷ count divides into decimal).
+  /** AVG with sticky type errors and op:numeric promotion (the same
+    * double > float > decimal ladder as SUM; integer ÷ count divides into
+    * decimal, so the floor is decimal).
     */
   def avgVar(v: String): AggExpr = r => {
     val t = r(v)
     val poisoned = max(when(t.isNotNull && Term.numVal(t).isNull, 1).otherwise(0))
     val s = avg(Term.numVal(t))
     val rank = max(
-      when(Term.dt(t).isin(Term.XsdDouble, Term.XsdNs + "float"), 2).otherwise(1))
-    val dt = when(rank === 2, Term.XsdDouble).otherwise(Term.XsdDecimal)
+      when(Term.dt(t) === Term.XsdDouble, 3)
+        .when(Term.dt(t) === Term.XsdNs + "float", 2).otherwise(1))
+    val dt = when(rank === 3, Term.XsdDouble)
+      .when(rank === 2, Term.XsdNs + "float")
+      .otherwise(Term.XsdDecimal)
     when(poisoned === 1 || s.isNull, Term.unbound)
       .otherwise(Term.numDt(s.cast(Term.numType), dt))
   }
