@@ -19,6 +19,8 @@ import graft.sparql.{Parser, Results, Update}
   *                                CONSTRUCT/DESCRIBE→N-Triples
   *   POST /sparql                 form body `query=` (as GET) or `update=`
   *                                (SPARQL UPDATE; mutates the served store)
+  *   GET  /sparql                 (no params) SPARQL 1.1 Service
+  *                                Description + VoID stats (N-Triples)
   *   GET  /sparql?ESTCARD[&s=<iri>][&p=<iri>][&o=<iri>]   fast cardinality
   *   GET  /sparql?CONTEXTS        named-graph listing (N-Triples terms)
   *   GET  /sparql?query=...&explain   EXPLAIN instead of running (algebra
@@ -26,6 +28,8 @@ import graft.sparql.{Parser, Results, Update}
   *   GET  /status                 liveness + store size + running count
   *   GET  /status?showQueries     one line per in-flight query/update
   *   GET/POST /status?cancelQuery&queryId=<id>   terminate a running query
+  *   GET  /counters               engine counters (queries/updates/aborts,
+  *                                uptime, cache sizes) as JSON
   *
   * Multi-tenancy (the MultiTenancyServlet surface,
   * /root/reference/bigdata-sails/src/java/com/bigdata/rdf/sail/webapp/
@@ -100,6 +104,16 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
         val t = new Thread(r, "graft-query-watchdog"); t.setDaemon(true); t
       })
 
+  /** Service counters (the CountersServlet surface,
+    * /root/reference/bigdata-sails/src/java/com/bigdata/rdf/sail/webapp/
+    * CountersServlet.java:48 — the reference renders its com.bigdata.counters
+    * hierarchy; here the engine-level counts a deployment actually watches).
+    */
+  private val startedAtMs = System.currentTimeMillis()
+  private val nQueries = new AtomicLong(0L)
+  private val nUpdates = new AtomicLong(0L)
+  private val nAborted = new AtomicLong(0L)
+
   /** In-flight queries, oldest first (spec hook + /status?showQueries). */
   def runningQueries: Seq[RunningQuery] = {
     import scala.jdk.CollectionConverters._
@@ -157,6 +171,7 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
     try body
     catch {
       case e: Throwable =>
+        nAborted.incrementAndGet()
         throw Option(cancelReasons.get(id))
           .fold(e)(r => new RuntimeException(s"query $id aborted: $r", e))
     } finally {
@@ -260,6 +275,16 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
             s""""namespaces":${namespaceNames.size},""" +
             s""""runningQueries":${running.size}}""")
     })
+    // performance counters (CountersServlet.java:48): the engine-level
+    // counts — queries/updates served, aborts, cache sizes, uptime
+    server.createContext("/counters", (ex: HttpExchange) => safely(ex) {
+      respond(ex, 200, "application/json",
+        s"""{"uptimeMs":${System.currentTimeMillis() - startedAtMs},""" +
+          s""""queries":${nQueries.get()},"updates":${nUpdates.get()},""" +
+          s""""aborted":${nAborted.get()},"running":${running.size},""" +
+          s""""namespaces":${namespaceNames.size},""" +
+          s""""describeCacheEntries":${describeCache.size}}""")
+    })
     // linked-data GET (RESTServlet.java:132-170): /ld?uri=<iri> → DESCRIBE.
     // CBDs cache per IRI (DescribeCache.java's job) keyed on the store
     // generation — any update invalidates the whole cache at once.
@@ -290,6 +315,7 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
                            ns: String): Unit = {
     val params = formParams(ex)
     if (params.contains("update") && ex.getRequestMethod == "POST") {
+      nUpdates.incrementAndGet()
       withManagedQuery(ex, ns, params("update"), params) {
         tenant.store.updateAndGet(st => Update.execute(spark, st, params("update")))
         tenant.generation.incrementAndGet() // invalidates cached CBDs
@@ -304,6 +330,13 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
         .select(NTriples.termToString(col("c"))).collect().map(_.getString(0))
       respond(ex, 200, "text/plain", gs.mkString("\n"))
     } else params.get("query") match {
+      case None if ex.getRequestMethod == "GET" && params.isEmpty =>
+        // bare GET on the endpoint → SPARQL 1.1 Service Description with
+        // VoID statistics (SD.java:439-559 builds the sd:Service graph,
+        // VoID.java:372-420 the void:triples/properties/classes and
+        // per-graph partitions)
+        respond(ex, 200, "application/n-triples",
+          serviceDescription(tenant, ns))
       case None => respond(ex, 400, "text/plain", "missing query/update param")
       case Some(q) if params.contains("explain") =>
         // the reference's ?explain surface (QueryServlet.java EXPLAIN
@@ -313,9 +346,64 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
         respond(ex, 200, "text/plain",
           graft.sparql.Explain.explain(spark, tenant.store.get(), q).render)
       case Some(q) =>
+        nQueries.incrementAndGet()
         withManagedQuery(ex, ns, q, params)(runQuery(ex, tenant.store.get(), q))
     }
   }
+
+  private val sdCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+
+  /** SPARQL 1.1 Service Description + VoID statistics as N-Triples — the
+    * reference's answer to a bare GET on the endpoint (SD.java:62-240
+    * vocabulary, VoID.java:372-420 statistics). Stats cost three small
+    * aggregations plus a per-graph count, so the document caches per
+    * (namespace, update generation) like the DESCRIBE cache.
+    */
+  private def serviceDescription(tenant: Namespace, ns: String): String =
+    sdCache.computeIfAbsent((ns, tenant.generation.get()), { _ =>
+      val sd = "http://www.w3.org/ns/sparql-service-description#"
+      val void = "http://rdfs.org/ns/void#"
+      val fmt = "http://www.w3.org/ns/formats/"
+      val st = tenant.store.get()
+      val dflt = st.filter(col("c").isNull)
+      val triples = dflt.count()
+      val props = dflt.select("p").distinct().count()
+      val classes = dflt
+        .filter(col("p") === Term.iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"))
+        .select("o").distinct().count()
+      // named-graph partitions: one row per graph — schema-sized, the same
+      // bound as the CONTEXTS fast path
+      val graphs = st.filter(col("c").isNotNull)
+        .groupBy(NTriples.termToString(col("c")).as("g")).count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val endpoint =
+        s"http://127.0.0.1:$boundPort/namespace/$ns/sparql"
+      def int(n: Long) =
+        s""""$n"^^<http://www.w3.org/2001/XMLSchema#integer>"""
+      val b = Seq.newBuilder[String]
+      b += s"_:service <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <${sd}Service> ."
+      b += s"_:service <${sd}endpoint> <$endpoint> ."
+      Seq("SPARQL10Query", "SPARQL11Query", "SPARQL11Update").foreach(l =>
+        b += s"_:service <${sd}supportedLanguage> <$sd$l> .")
+      b += s"_:service <${sd}feature> <${sd}BasicFederatedQuery> ."
+      Seq("SPARQL_Results_JSON", "SPARQL_Results_XML", "SPARQL_Results_CSV",
+          "SPARQL_Results_TSV", "N-Triples").foreach(f =>
+        b += s"_:service <${sd}resultFormat> <$fmt$f> .")
+      b += s"_:service <${sd}defaultDataset> _:dataset ."
+      b += s"_:dataset <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <${sd}Dataset> ."
+      b += s"_:dataset <${sd}defaultGraph> _:defaultGraph ."
+      b += s"_:defaultGraph <${void}triples> ${int(triples)} ."
+      b += s"_:defaultGraph <${void}properties> ${int(props)} ."
+      b += s"_:defaultGraph <${void}classes> ${int(classes)} ."
+      graphs.zipWithIndex.foreach { case ((g, n), i) =>
+        b += s"_:dataset <${sd}namedGraph> _:ng$i ."
+        b += s"_:ng$i <${sd}name> $g ."
+        b += s"_:ng$i <${sd}graph> _:ngg$i ."
+        b += s"_:ngg$i <${void}triples> ${int(n)} ."
+      }
+      b.result().mkString("\n")
+    })
 
   private def runQuery(ex: HttpExchange, store: DataFrame, text: String): Unit = {
     import Parser._

@@ -86,6 +86,20 @@ class ServerSpec extends SparkSpecBase {
                           accept = "text/tab-separated-values")
       assert(tsv.startsWith("?x") && tsv.contains(s"<${EX}alice>"))
 
+      // bare GET → SPARQL 1.1 Service Description with VoID statistics
+      // (SD.java/VoID.java surface); regenerated after updates
+      val (cs, sdoc) = http("GET", s"$base/sparql")
+      assert(cs == 200)
+      assert(sdoc.contains("sparql-service-description#Service"))
+      assert(sdoc.contains("sparql-service-description#SPARQL11Update"))
+      // default graph holds 3 triples after carol joined; g1 is a named
+      // graph with 1 triple
+      assert(sdoc.contains(
+        "void#triples> \"3\"^^<http://www.w3.org/2001/XMLSchema#integer>"))
+      assert(sdoc.contains(s"name> <${EX}g1>"))
+      assert(sdoc.contains(
+        "void#triples> \"1\"^^<http://www.w3.org/2001/XMLSchema#integer>"))
+
       // linked-data GET → DESCRIBE, cached per store generation
       val (_, ld1) = http("GET", s"$base/ld?uri=${enc(EX + "alice")}")
       assert(ld1.contains(s"<${EX}alice> <${EX}worksFor> <${EX}acme> ."))
@@ -152,6 +166,12 @@ class ServerSpec extends SparkSpecBase {
       assert(!http("GET", s"$base/status?showQueries")._2.contains(qid))
       assert(http("POST", s"$base/status?cancelQuery&queryId=$qid")
         ._2.contains("no such query"))
+
+      // counters saw the three admissions, two of them aborted
+      val (ck, counters) = http("GET", s"$base/counters")
+      assert(ck == 200 && counters.contains("\"queries\":3") &&
+             counters.contains("\"aborted\":2") &&
+             counters.contains("\"running\":0"), s"counters: $counters")
     } finally srv.stop()
   }
 
