@@ -206,19 +206,50 @@ object FullText {
         "ы" -> "", "и" -> "", "а" -> "", "я" -> "", "у" -> "",
         "ю" -> "", "е" -> "", "о" -> "", "ь" -> "", "й" -> ""),
       stemMinLen = 4)
+    // Czech at the CzechStemmer grade (the light stemmer CzechAnalyzer
+    // wires, lucene analyzers/cz/CzechStemmer: remove possessives ův/ov/in,
+    // then case endings longest-first, with palatalization folded in as
+    // fused suffix rewrites ce/ci/če/či→k, ze/zi/že/ži→h)
     val czech: Analyzer = unicode.copy(stopwords = Set(
       "a", "v", "na", "je", "se", "že", "s", "z", "do", "o", "i", "to",
       "ale", "pro", "za"),
-      stemRules = Seq("ové" -> "", "ami" -> "", "emi" -> "", "ech" -> "",
-                      "ích" -> "", "ům" -> "", "ů" -> "", "y" -> "",
-                      "i" -> "", "e" -> "", "a" -> "", "o" -> ""),
+      stemRules = Seq(
+        "atech" -> "", "atům" -> "", "ětem" -> "", "etem" -> "",
+        "ého" -> "", "ému" -> "", "ěmi" -> "", "emi" -> "", "ete" -> "",
+        "eti" -> "", "iho" -> "", "ího" -> "", "ími" -> "", "imu" -> "",
+        "ách" -> "", "ata" -> "", "aty" -> "", "ých" -> "", "ama" -> "",
+        "ami" -> "", "ové" -> "", "ovi" -> "", "ými" -> "",
+        "ech" -> "", "ich" -> "", "ích" -> "",
+        "ům" -> "", "ám" -> "", "em" -> "", "es" -> "", "ém" -> "",
+        "ím" -> "", "at" -> "", "os" -> "", "us" -> "", "ým" -> "",
+        "mi" -> "", "ou" -> "", "ův" -> "", "ov" -> "", "in" -> "",
+        "ce" -> "k", "ci" -> "k", "če" -> "k", "či" -> "k",
+        "ze" -> "h", "zi" -> "h", "že" -> "h", "ži" -> "h",
+        "á" -> "", "é" -> "", "í" -> "", "ě" -> "", "ů" -> "", "ý" -> "",
+        "a" -> "", "e" -> "", "i" -> "", "o" -> "", "u" -> "", "y" -> ""),
       stemMinLen = 4)
+    // Greek at the GreekStemmer grade: GreekLowerCaseFilter's accent
+    // removal + final-sigma normalization as char folds, then the
+    // -ματα/-ματων family (→ μ so plural and singular meet at one stem),
+    // verb endings, and noun/adjective case endings longest-first
     val greek: Analyzer = unicode.copy(stopwords = Set(
       "ο", "η", "το", "οι", "τα", "και", "σε", "με", "για", "από", "που",
       "δεν", "να", "είναι"),
-      stemRules = Seq("ος" -> "", "ες" -> "", "ων" -> "", "ου" -> "",
-                      "ης" -> "", "ας" -> "", "α" -> "", "η" -> "",
-                      "ο" -> ""),
+      charFolds = Seq("ά" -> "α", "έ" -> "ε", "ή" -> "η", "ί" -> "ι",
+                      "ό" -> "ο", "ύ" -> "υ", "ώ" -> "ω", "ϊ" -> "ι",
+                      "ϋ" -> "υ", "ΐ" -> "ι", "ΰ" -> "υ", "ς" -> "σ"),
+      stemRules = Seq(
+        "ματων" -> "μ", "ματοσ" -> "μ", "ματα" -> "μ",
+        "οντασ" -> "", "ωντασ" -> "",
+        "ουμε" -> "", "ειτε" -> "", "ονται" -> "", "εται" -> "",
+        "ουνε" -> "",
+        "ιων" -> "", "εων" -> "",
+        "ουν" -> "", "εισ" -> "", "ετε" -> "",
+        "ουσ" -> "", "εσ" -> "", "ασ" -> "", "ησ" -> "", "οσ" -> "",
+        "ων" -> "", "ου" -> "", "οι" -> "", "αι" -> "", "ια" -> "",
+        "ιο" -> "", "ει" -> "",
+        "α" -> "", "η" -> "", "ο" -> "", "ι" -> "", "ε" -> "",
+        "ω" -> "", "υ" -> ""),
       stemMinLen = 4)
     // Thai writes without inter-word spaces: like the Han case, segment
     // Thai-script runs into overlapping bigrams (the reference wires

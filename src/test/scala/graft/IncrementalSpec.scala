@@ -343,7 +343,8 @@ class IncrementalSpec extends SparkSpecBase {
     assert(toks("nl") == Seq("boek", "fiets"))
     assert(toks("ru") == Seq("молни", "гроз"))
     assert(toks("cs") == Seq("hrad", "zahrad"))
-    assert(toks("el") == Seq("θάλασσ", "σπίτι"))
+    // greek folds accents (GreekLowerCaseFilter) before stemming
+    assert(toks("el") == Seq("θαλασσ", "σπιτ"))
     // thai: the script run shingles into overlapping bigrams, the latin
     // tokens analyze normally (stopwordless unicode side)
     assert(toks("th").contains("rivers") && toks("th").exists(_.length == 2))
@@ -385,7 +386,17 @@ class IncrementalSpec extends SparkSpecBase {
       ("it", Seq("parlare", "parlando", "parla"), "parl"),
       ("nl", Seq("mogelijkheid", "mogelijkheden"), "mogelijkheid"),
       ("nl", Seq("regering", "regeringen"), "regering"),
-      ("nl", Seq("kinderen", "kind"), "kind"))
+      ("nl", Seq("kinderen", "kind"), "kind"),
+      // Czech: case endings, possessives, palatalization (CzechStemmer)
+      ("cs", Seq("hrad", "hrady", "hradech", "hradům"), "hrad"),
+      ("cs", Seq("zahrada", "zahrady", "zahradami", "zahradách"), "zahrad"),
+      ("cs", Seq("student", "studentův", "studentovi"), "student"),
+      ("cs", Seq("babička", "babičce"), "babičk"),
+      // Greek: accent folds + case endings, -ματα family, verb endings
+      ("el", Seq("θάλασσα", "θάλασσες", "θαλάσσης"), "θαλασσ"),
+      ("el", Seq("σπίτι", "σπίτια", "σπιτιών"), "σπιτ"),
+      ("el", Seq("μάθημα", "μαθήματα", "μαθημάτων"), "μαθημ"),
+      ("el", Seq("γράφω", "γράφεις", "γράφουμε", "γράφουν"), "γραφ"))
     val rows = groups.zipWithIndex.flatMap { case ((lang, forms, _), i) =>
       forms.map(f => (s"g$i", lang, f))
     }
