@@ -228,25 +228,41 @@ object Paths {
     closureLoop(edges, keyed = false, maxIters)
 
   /** Closure loop shared by the flat and per-graph variants: when `keyed`,
-    * frames carry a `g` column and frontier extension also matches on it.
+    * frames carry a `g` column and path composition also matches on it.
+    *
+    * Semi-naive PATH DOUBLING, not one-hop growth: each round composes the
+    * previous round's fresh pairs with the whole accumulated closure (both
+    * directions), so after round k every pair reachable by a path of
+    * length <= 2^k is present — a D-diameter graph closes in ceil(log2 D)
+    * rounds instead of D, and the 64-round bound covers diameter 2^64
+    * (one-hop growth under the same bound silently truncated any path
+    * longer than 65 edges — a correctness hole at data scale, where
+    * per-user event chains alone run hundreds of hops). Total join work is
+    * unchanged: every closure pair is still derived once from fresh-side
+    * deltas; there are just exponentially fewer, larger rounds — the right
+    * trade on an engine where every round is a scheduled job.
     */
   private def closureLoop(edges: DataFrame, keyed: Boolean, maxIters: Int): DataFrame = {
     val e = materialize(edges.distinct())
     var all = e
-    var frontier = e
+    var fresh = e
     var i = 0
     while (i < maxIters) {
-      val joinCond =
-        if (keyed) col("f.dst") === col("e.src") && col("f.g") === col("e.g")
-        else col("f.dst") === col("e.src")
-      val head = if (keyed) Seq(col("f.g").as("g")) else Nil
-      val grown = frontier.as("f")
-        .join(e.as("e"), joinCond)
-        .select(head ++ Seq(col("f.src").as("src"), col("e.dst").as("dst")): _*)
-        .distinct()
-      frontier = materialize(grown.except(all))
-      if (frontier.isEmpty) return all
-      all = materialize(all.unionByName(frontier))
+      def compose(l: DataFrame, r: DataFrame): DataFrame = {
+        val joinCond =
+          if (keyed) col("l.dst") === col("r.src") && col("l.g") === col("r.g")
+          else col("l.dst") === col("r.src")
+        val head = if (keyed) Seq(col("l.g").as("g")) else Nil
+        l.as("l").join(r.as("r"), joinCond)
+          .select(head ++ Seq(col("l.src").as("src"), col("r.dst").as("dst")): _*)
+      }
+      // fresh∘all covers any length L <= 2^(k+1): split L into a first
+      // part in (2^(k-1), 2^k] (fresh by induction) and a remainder
+      // <= 2^k (in all); all∘fresh catches the symmetric splits
+      val grown = compose(fresh, all).unionByName(compose(all, fresh)).distinct()
+      fresh = materialize(grown.except(all))
+      if (fresh.isEmpty) return all
+      all = materialize(all.unionByName(fresh))
       i += 1
     }
     all

@@ -155,6 +155,25 @@ class RdfAlgebraSpec extends SparkSpecBase {
     assert(inv.df.count() == 2)
   }
 
+  test("property paths: a 200-hop chain closes completely (path doubling)") {
+    // regression: one-hop closure growth under the 64-round bound silently
+    // truncated any path longer than 65 edges; doubling closes a D-chain
+    // in ceil(log2 D) rounds, so 200 hops take 8
+    val n = 200
+    val chain = NTriples.parseLines(spark,
+      spark.createDataset((1 until n).map(i =>
+        s"<${ex(s"n$i")}> <${ex("next")}> <${ex(s"n${i + 1}")}> ."))(
+        Encoders.STRING).toDF("value"))
+    val r = Translator.translate(chain,
+      PathPattern(V("x"), OneOrMore(Link(ex("next"))), V("y")))
+    // all ordered pairs i<j reachable: n*(n-1)/2
+    assert(r.df.count() == n.toLong * (n - 1) / 2)
+    // the longest path (n1 -> n200) is present
+    val ends = Translator.translate(chain,
+      PathPattern(C(Term.iri(ex("n1"))), OneOrMore(Link(ex("next"))), V("y")))
+    assert(lexOf(ends.df, "y").contains(ex(s"n$n")))
+  }
+
   test("path connectives: alternative, zero-or-one, negated set") {
     // alt: worksFor | knows from alice
     val alt = Translator.translate(fixture,

@@ -114,17 +114,22 @@ class ServerSpec extends SparkSpecBase {
   }
 
   test("query lifecycle: timeout and cancelQuery kill running Spark jobs") {
-    // a store big enough that a 4-way unconstrained BGP (pure cross joins,
-    // ~2.6e10 candidate rows) cannot finish before it is canceled
-    val quads = parse((1 to 400).map(i => s"""<${EX}s$i> <${EX}p> "$i" ."""))
+    // slow-query shape: (p)+ closure over a 4000-node chain — a DRIVER-SIDE
+    // fixpoint of ~12 short Spark jobs (several seconds total), so a cancel
+    // lands at the next round boundary within milliseconds AND exercises
+    // the re-firing cancellation (a single cancelJobGroup only kills jobs
+    // already running; the next round would otherwise escape). A huge
+    // cross-join would instead die slowly: few giant tasks, rare interrupt
+    // checks.
+    val quads = parse((1 until 4000).map(i =>
+      s"""<${EX}s$i> <${EX}p> <${EX}s${i + 1}> ."""))
     val srv = new SparqlServer(spark, quads).start()
     try {
       val base = s"http://127.0.0.1:${srv.boundPort}"
-      val slow = "SELECT (COUNT(*) AS ?n) WHERE { " +
-        "?a ?p1 ?b . ?c ?p2 ?d . ?e ?p3 ?f . ?g ?p4 ?h }"
+      val slow = s"SELECT (COUNT(*) AS ?n) WHERE { ?x <${EX}p>+ ?y }"
 
       // a normal query is admitted under a queryId echoed in the response
-      val quick = s"""PREFIX ex: <$EX> ASK { ex:s1 ex:p "1" }"""
+      val quick = s"PREFIX ex: <$EX> ASK { ex:s1 ex:p ex:s2 }"
       val conn = URI.create(s"$base/sparql?query=${enc(quick)}")
         .toURL.openConnection().asInstanceOf[HttpURLConnection]
       assert(conn.getResponseCode == 200)
@@ -134,7 +139,7 @@ class ServerSpec extends SparkSpecBase {
       // request reports the abort reason (QUERY_TIMEOUT semantics,
       // ConfigParams.java:127-133)
       val (ct, bodyT) =
-        http("GET", s"$base/sparql?query=${enc(slow)}&timeout=300")
+        http("GET", s"$base/sparql?query=${enc(slow)}&timeout=100")
       assert(ct == 500, s"expected an aborted query, got $ct: $bodyT")
       assert(bodyT.contains("aborted") && bodyT.contains("timeout"),
         s"unexpected abort body: $bodyT")
