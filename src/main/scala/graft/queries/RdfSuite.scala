@@ -88,6 +88,22 @@ object RdfSuite {
   private def run(s: SparkSession, dir: String, n: Node): Translator.Result =
     Translator.translate(buildQuads(s, dir), n)
 
+  /** Per-user event-succession triples <e{id}> g:nextEvent <e{next}> —
+    * directed chains (no reverse edges, so the closure is cycle-free and
+    * cleanly oracle-checkable). Load-time artifact like the main store.
+    */
+  private def chainQuads(s: SparkSession, dir: String): DataFrame =
+    Catalog.table(s, dir, "chain_quads") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("nxt", lead(col("event_id"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+      QuadStore.tripleize(ev,
+        Term.iri(concat(lit(G + "e"), col("event_id"))),
+        Seq(G + "nextEvent" -> Term.iri(concat(lit(G + "e"), col("nxt")))))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "rdf_bgp_join" -> ((s, d) => {
@@ -257,6 +273,17 @@ object RdfSuite {
       val q = PathPattern(V("x"), OneOrMore(Link(G + "locatedIn")), V("y"))
       run(s, d, q).df
         .select(Term.lex(col("x")).as("x"), Term.lex(col("y")).as("y"))
+        .orderBy("x", "y")
+    }),
+
+    "rdf_path_chain" -> ((s, d) => {
+      // (p)+ over DIRECTED per-user event chains — up to ~86 hops at
+      // sf0.01, median ~66, so this gate fails any closure that bounds
+      // path length (the one-hop/64-round loop it was added against
+      // silently truncated everything past 65 edges)
+      val r = Translator.translate(chainQuads(s, d),
+        PathPattern(V("x"), OneOrMore(Link(G + "nextEvent")), V("y")))
+      r.df.select(Term.lex(col("x")).as("x"), Term.lex(col("y")).as("y"))
         .orderBy("x", "y")
     }),
 
@@ -432,6 +459,20 @@ object RdfSuite {
       """SELECT c_name AS cname, n_name AS nname
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          ORDER BY cname""",
+
+    "rdf_path_chain" ->
+      """WITH RECURSIVE pair AS (
+           SELECT event_id AS src,
+                  LEAD(event_id) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS dst
+           FROM events),
+         e AS (SELECT src, dst FROM pair WHERE dst IS NOT NULL),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+         SELECT 'http://g/e' || src AS x, 'http://g/e' || dst AS y
+         FROM reach ORDER BY x, y""",
 
     "sparql_text" ->
       """SELECT n_name AS nname, COUNT(*) AS n
