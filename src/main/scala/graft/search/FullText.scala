@@ -493,13 +493,7 @@ object FullText {
     val scored = matchedPostings(index, terms, matchAll)
       .groupBy("doc").agg(round(sum(col("w") * qw), 6).as("score"))
       .filter(col("score") >= minCosine)
-    val w = Window.orderBy(col("score").desc, col("doc"))
-    val ranked =
-      if (maxRank != Int.MaxValue)
-        scored.orderBy(col("score").desc, col("doc")).limit(maxRank)
-      else scored
-    ranked.withColumn("rank", row_number().over(w).cast(LongType))
-      .select("doc", "score", "rank")
+    rankSlice(scored, maxRank)
   }
 
   /** Weight tf postings and ATTACH the per-doc cosine norm to every posting

@@ -439,6 +439,23 @@ class IncrementalSpec extends SparkSpecBase {
     assert(inc.count() == 7) // ab ac ad bc bd cd ef
   }
 
+  test("incremental closure: a bulk-inserted 100-edge chain fully closes") {
+    import graft.sparql.Paths
+    // the delta rounds compose new-path deltas with the accumulating
+    // closure, so new-edge chains double per round like the base loop —
+    // a 100-hop bulk insert must close completely (log rounds), not stop
+    // at an iteration bound
+    def edge(a: String, b: String): String =
+      s"<${EX}$a> <${EX}next> <${EX}$b> ."
+    val base = parse(Seq(edge("x", "y")))
+      .select(col("s").as("src"), col("o").as("dst"))
+    val delta = parse((1 to 100).map(i => edge(s"a$i", s"a${i + 1}")))
+      .select(col("s").as("src"), col("o").as("dst"))
+    val inc = Paths.closureWithDelta(Paths.transitiveClosure(base), delta)
+    // x->y plus all ordered pairs of the 101-node chain
+    assert(inc.count() == 1L + 100L * 101L / 2)
+  }
+
   test("CONTEXTS enumerates named graphs") {
     val g1 = Term.iri(EX + "g1")
     val base = parse(Seq(s"<${EX}a> <${EX}p> <${EX}b> ."))
