@@ -73,6 +73,18 @@ object Graphs {
     * (label := label of label), giving O(log n) rounds instead of
     * O(diameter) — long chains/paths converge fast. Pass both edge
     * directions for undirected graphs.
+    *
+    * A measured negative result, recorded: a semi-naive variant (only
+    * labels that DECREASED last round generate push/jump candidates, with
+    * convergence = empty changed set) benchmarked ~2x SLOWER at sf0.1
+    * (7.9s vs ~4s) in a same-session A/B. Two reasons: the delta plumbing
+    * adds two joins per round (jump-down and jump-up replace the single
+    * full self-jump, plus the changed-set derivation), and restricting
+    * the jump to changed-adjacent nodes WEAKENS pointer jumping — chains
+    * collapse over more rounds. Full-frame rounds keep the aggressive
+    * label:=label(label) doubling; at scale the per-round volume is the
+    * label frame, which is node-, not edge-, sized, so the "delta saves
+    * shuffle bytes" argument buys little here to begin with.
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
     val e = materialize(edges.select("src", "dst").distinct())
