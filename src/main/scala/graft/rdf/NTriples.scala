@@ -182,6 +182,29 @@ object NTriples {
                     termRow(parseTerm(toks(2)))))
       .toSeq
 
+  /** Driver-side N-Triples/N-Quads parse of one document into quad Rows
+    * (c null on triple lines) — the REST data API's request-body path
+    * (InsertServlet/DeleteServlet bodies are one HTTP request, not a bulk
+    * load; bulk ingest goes through `read`). Same tokenizer and
+    * canonicalization as `parseLines`.
+    */
+  def parseDocJvmQuads(content: String): Seq[org.apache.spark.sql.Row] =
+    content.linesIterator.map(_.trim)
+      .filterNot(l => l.isEmpty || l.startsWith("#"))
+      .map(tokenize)
+      .filter(_.size >= 3)
+      .map { toks =>
+        val c = if (toks.size > 3) termRow(parseTerm(toks(3))) else null
+        org.apache.spark.sql.Row(termRow(parseTerm(toks(0))),
+          termRow(parseTerm(toks(1))), termRow(parseTerm(toks(2))), c)
+      }.toSeq
+
+  /** Driver-side parse of one N-Triples-syntax term (`<iri>`, `_:label`,
+    * `"lit"`/`"lit"@lang`/`"lit"^^<dt>`) into a term struct Row — the REST
+    * access-path parameters (s=/p=/o=/c=).
+    */
+  def parseTermJvm(tok: String): org.apache.spark.sql.Row = termRow(parseTerm(tok))
+
   /** JVM-side mirror of `termToString` for driver/parse-time rendering —
     * MUST stay bit-identical with the Column version (SID content
     * addressing hashes this rendering on both sides).

@@ -156,6 +156,16 @@ object Term {
   /** A null (unbound) term of the right struct type. */
   def unbound: Column = lit(null).cast(schema)
 
+  /** Driver-side term struct Row → literal Column — the REST access-path
+    * parameters (a parsed s=/p=/o=/c= term becomes a filter constant).
+    */
+  def fromRow(r: org.apache.spark.sql.Row): Column =
+    struct(lit(r.getByte(0)).cast(ByteType).as("kind"),
+           lit(r.getString(1)).as("lex"),
+           lit(r.getString(2)).cast(StringType).as("dt"),
+           lit(r.getString(3)).cast(StringType).as("lang"),
+           lit(r.getDecimal(4)).cast(numType).as("num")).cast(schema)
+
   /** Parse-side canonical numeric lexical form ("3.0" → "3", "0.50" →
     * "0.5") — the reference's inline numeric IVs canonicalize at load
     * (its own golden fixtures note "Sesame expects 3.0, but we deliver 3").

@@ -5,9 +5,9 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.types.{StructField, StructType}
-import graft.rdf.{NTriples, QuadStore, Term}
+import graft.rdf.{NTriples, QuadStore, RdfXml, Term, Turtle}
 import graft.sparql.{Parser, Results, Update}
 
 /** SPARQL-over-HTTP facade — the NanoSparqlServer analogue
@@ -25,6 +25,24 @@ import graft.sparql.{Parser, Results, Update}
   *   GET  /sparql?CONTEXTS        named-graph listing (N-Triples terms)
   *   GET  /sparql?query=...&explain   EXPLAIN instead of running (algebra
   *                                + scope + marker counts + physical plan)
+  *
+  * REST data API (the InsertServlet/DeleteServlet/UpdateServlet surface,
+  * RESTServlet.java:192-266 dispatch; mutation responses are the
+  * reference's `<data modified="N" milliseconds="M"/>` document):
+  *   POST /sparql (RDF body)      insert statements; Content-Type picks the
+  *                                parser (Turtle/TriG/N-Triples/N-Quads/
+  *                                RDF/XML); ?context-uri=<g> sets the graph
+  *                                for statements without one
+  *   POST /sparql?delete (RDF body)  remove the body's exact statements
+  *   POST /sparql?uri=<u>[&uri=..]   fetch + insert documents (format by
+  *                                extension, fetched URI = parse base)
+  *   DELETE /sparql?query=...     remove a CONSTRUCT/DESCRIBE result's
+  *                                statements from every context
+  *   DELETE /sparql[?s=..][&p=..][&o=..][&c=..]   access-path delete
+  *                                (absent = wildcard; terms in N-Triples
+  *                                syntax, bare value = IRI)
+  *   PUT  /sparql?query=... (RDF body)   DELETE+INSERT in one commit
+  *
   *   GET  /status                 liveness + store size + running count
   *   GET  /status?showQueries     one line per in-flight query/update
   *   GET/POST /status?cancelQuery&queryId=<id>   terminate a running query
@@ -311,8 +329,199 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
     this
   }
 
+  /** MIME types accepted as RDF payloads on the data API (the body formats
+    * InsertServlet/DeleteServlet/UpdateServlet negotiate through RIO).
+    */
+  private val RdfBodyMimes: Set[String] = Set(
+    "text/plain", "application/n-triples", "text/x-nquads",
+    "application/n-quads", "text/turtle", "application/x-turtle",
+    "application/trig", "application/x-trig", "application/rdf+xml")
+
+  /** Driver-side parse of an RDF request body into quad Rows (one HTTP
+    * request's payload, not a bulk load — bulk ingest goes through LOAD /
+    * the library readers).
+    */
+  private def parseRdfDoc(body: String, mime: String, base: String)
+      : Seq[Row] = mime match {
+    case "application/rdf+xml" =>
+      RdfXml.parseDoc(body, base).map { case (s, p, o) => Row(s, p, o, null) }
+    case "text/plain" | "application/n-triples" | "text/x-nquads" |
+         "application/n-quads" =>
+      NTriples.parseDocJvmQuads(body)
+    case "application/trig" | "application/x-trig" =>
+      Turtle.parseQuads(body, base).map { case (s, p, o, c) => Row(s, p, o, c) }.toSeq
+    case _ =>
+      Turtle.parseDoc(body, base).map { case (s, p, o) => Row(s, p, o, null) }.toSeq
+  }
+
+  /** Quad rows → frame; `context-uri` (InsertServlet's defaultContext)
+    * assigns the default graph for statements without an explicit one.
+    */
+  private def quadsFrame(rows: Seq[Row], contextUri: Option[String]): DataFrame = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), quadSchema)
+    contextUri.filter(_.nonEmpty)
+      .fold(df)(g => df.withColumn("c", coalesce(col("c"), Term.iri(g))))
+  }
+
+  /** Statements in `quads` not already in `st` — the insert mutation count
+    * (the reference counts index writes, i.e. genuinely new statements).
+    */
+  private def freshCount(st: DataFrame, quads: DataFrame): Long =
+    quads.distinct().join(st.select(col("s").as("es"), col("p").as("ep"),
+        col("o").as("eo"), col("c").as("ec")),
+      col("s") === col("es") && col("p") === col("ep") &&
+      col("o") === col("eo") && col("c") <=> col("ec"), "left_anti").count()
+
+  /** Statements of `st` present in `quads` — the delete mutation count. */
+  private def matchCount(st: DataFrame, quads: DataFrame): Long =
+    st.join(quads.select(col("s").as("ds"), col("p").as("dp"),
+        col("o").as("do"), col("c").as("dc")),
+      col("s") === col("ds") && col("p") === col("dp") &&
+      col("o") === col("do") && col("c") <=> col("dc"), "left_semi").count()
+
+  /** Run a data-API mutation under the query lifecycle and report the
+    * reference's mutation-count document (BigdataRDFServlet
+    * .reportModifiedCount: `<data modified="N" milliseconds="M"/>`).
+    */
+  private def mutate(ex: HttpExchange, tenant: Namespace, ns: String,
+                     label: String, params: Map[String, String])
+                    (f: DataFrame => (DataFrame, Long)): Unit = {
+    val t0 = System.currentTimeMillis()
+    nUpdates.incrementAndGet()
+    var modified = 0L
+    withManagedQuery(ex, ns, label, params) {
+      tenant.store.updateAndGet { st =>
+        val (st2, n) = f(st); modified = n; st2
+      }
+      tenant.generation.incrementAndGet() // invalidates cached CBDs + SD
+    }
+    respond(ex, 200, "application/xml",
+      s"""<?xml version="1.0"?><data modified="$modified" """ +
+        s"""milliseconds="${System.currentTimeMillis() - t0}"/>""")
+  }
+
+  /** POST with an RDF body: insert (InsertServlet.doPostWithBody), or with
+    * the `delete` flag remove the body's exact statements
+    * (DeleteServlet.doDeleteWithBody).
+    */
+  private def handleDataPost(ex: HttpExchange, tenant: Namespace, ns: String,
+                             mime: String): Unit = {
+    val params = queryStringParams(ex)
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val rows = parseRdfDoc(body, mime, "")
+    val quads = quadsFrame(rows, params.get("context-uri"))
+    if (params.contains("delete"))
+      mutate(ex, tenant, ns, s"REST delete-with-body (${rows.size} statements)",
+             params) { st => (QuadStore.delete(st, quads), matchCount(st, quads)) }
+    else
+      mutate(ex, tenant, ns, s"REST insert (${rows.size} statements)",
+             params) { st => (QuadStore.insert(st, quads), freshCount(st, quads)) }
+  }
+
+  /** DELETE: `query=` removes a CONSTRUCT/DESCRIBE result's statements in
+    * every context (DeleteServlet.doDeleteWithQuery); otherwise an
+    * access-path delete where absent s/p/o/c are wildcards — no params
+    * empties the store (DeleteServlet.doDeleteWithAccessPath). Terms are
+    * N-Triples syntax; a bare value is shorthand for an IRI.
+    */
+  private def handleDataDelete(ex: HttpExchange, tenant: Namespace,
+                               ns: String): Unit = {
+    val params = queryStringParams(ex)
+    params.get("query").filter(_.nonEmpty) match {
+      case Some(q) =>
+        mutate(ex, tenant, ns, q, params)(st => deleteByQuery(st, q))
+      case None =>
+        def termOf(k: String) = params.get(k).filter(_.nonEmpty)
+          .map(v => Term.fromRow(NTriples.parseTermJvm(
+            if (v.startsWith("<") || v.startsWith("\"") || v.startsWith("_:")) v
+            else s"<$v>")))
+        val cond = Seq(
+          termOf("s").map(col("s") === _), termOf("p").map(col("p") === _),
+          termOf("o").map(col("o") === _), termOf("c").map(col("c") <=> _))
+          .flatten.reduceOption(_ && _).getOrElse(lit(true))
+        mutate(ex, tenant, ns, "REST access-path delete", params) { st =>
+          (st.filter(!cond), st.filter(cond).count())
+        }
+    }
+  }
+
+  /** Evaluate a CONSTRUCT/DESCRIBE against `st` and remove its (s,p,o)
+    * statements from every context; returns (new store, removed count).
+    */
+  private def deleteByQuery(st: DataFrame, q: String): (DataFrame, Long) = {
+    import Parser._
+    val form = parse(spark, q).form
+    require(form == ConstructForm || form == DescribeForm,
+      "DELETE with query requires a CONSTRUCT or DESCRIBE query")
+    val triples =
+      (if (form == ConstructForm) construct(spark, st, q)
+       else describe(spark, st, q))
+        .select(col("s").as("ds"), col("p").as("dp"), col("o").as("do"))
+    val cond = col("s") === col("ds") && col("p") === col("dp") &&
+      col("o") === col("do")
+    val removed = st.join(triples, cond, "left_semi").count()
+    (st.join(triples, cond, "left_anti"), removed)
+  }
+
+  /** PUT = DELETE+INSERT in one commit (UpdateServlet.doPut): the `query`
+    * param's CONSTRUCT/DESCRIBE result is removed, then the RDF body is
+    * inserted; modified = removed + genuinely added.
+    */
+  private def handleDataPut(ex: HttpExchange, tenant: Namespace, ns: String,
+                            mime: String): Unit = {
+    val params = queryStringParams(ex)
+    params.get("query").filter(_.nonEmpty) match {
+      case None =>
+        respond(ex, 400, "text/plain", "PUT requires a query param (DELETE+INSERT)")
+      case Some(_) if !RdfBodyMimes.contains(mime) =>
+        respond(ex, 415, "text/plain", s"unsupported RDF content type: $mime")
+      case Some(q) =>
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val quads = quadsFrame(parseRdfDoc(body, mime, ""),
+                               params.get("context-uri"))
+        mutate(ex, tenant, ns, q, params) { st =>
+          val (afterDelete, removed) = deleteByQuery(st, q)
+          val added = freshCount(afterDelete, quads)
+          (QuadStore.insert(afterDelete, quads), removed + added)
+        }
+    }
+  }
+
+  /** POST ?uri=...: fetch each document and insert it
+    * (InsertServlet.doPostWithURIs); format chosen by extension, the
+    * fetched URI is the parse base.
+    */
+  private def handleInsertUris(ex: HttpExchange, tenant: Namespace,
+                               ns: String, uris: Seq[String],
+                               params: Map[String, String]): Unit = {
+    val rows = uris.flatMap { u =>
+      val lower = u.toLowerCase.takeWhile(_ != '?')
+      val src = scala.io.Source.fromURL(new java.net.URI(u).toURL)(scala.io.Codec.UTF8)
+      val content = try src.mkString finally src.close()
+      val mime =
+        if (lower.endsWith(".rdf") || lower.endsWith(".owl")) "application/rdf+xml"
+        else if (lower.endsWith(".nq") || lower.endsWith(".nt")) "application/n-quads"
+        else if (lower.endsWith(".trig")) "application/trig"
+        else "text/turtle"
+      parseRdfDoc(content, mime, u)
+    }
+    val quads = quadsFrame(rows, params.get("context-uri"))
+    mutate(ex, tenant, ns, s"REST insert from ${uris.size} uri(s)", params) {
+      st => (QuadStore.insert(st, quads), freshCount(st, quads))
+    }
+  }
+
   private def handleSparql(ex: HttpExchange, tenant: Namespace,
                            ns: String): Unit = {
+    val method = ex.getRequestMethod
+    val mime = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+      .getOrElse("").split(";")(0).trim.toLowerCase
+    if (method == "DELETE") { handleDataDelete(ex, tenant, ns); return }
+    if (method == "PUT") { handleDataPut(ex, tenant, ns, mime); return }
+    if (method == "POST" && RdfBodyMimes.contains(mime)) {
+      handleDataPost(ex, tenant, ns, mime); return
+    }
     val params = formParams(ex)
     if (params.contains("update") && ex.getRequestMethod == "POST") {
       nUpdates.incrementAndGet()
@@ -337,6 +546,11 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
         // per-graph partitions)
         respond(ex, 200, "application/n-triples",
           serviceDescription(tenant, ns))
+      case None if method == "POST" &&
+          (multiParams(ex, "uri") ++ params.get("uri")).exists(_.nonEmpty) =>
+        val uris = (multiParams(ex, "uri") ++ params.get("uri"))
+          .filter(_.nonEmpty).distinct
+        handleInsertUris(ex, tenant, ns, uris, params)
       case None => respond(ex, 400, "text/plain", "missing query/update param")
       case Some(q) if params.contains("explain") =>
         // the reference's ?explain surface (QueryServlet.java EXPLAIN
@@ -440,23 +654,39 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
       .map(r => s"${r.getString(0)} ${r.getString(1)} ${r.getString(2)} .")
       .mkString("\n")
 
+  private def decodeParams(s: String): Map[String, String] =
+    s.split("&").filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      if (i < 0) kv -> ""
+      else java.net.URLDecoder.decode(kv.take(i), UTF_8) ->
+           java.net.URLDecoder.decode(kv.drop(i + 1), UTF_8)
+    }.toMap
+
   /** Merge query-string and (for POST) form-encoded body parameters.
     * Bare flags like ESTCARD map to "". */
   private def formParams(ex: HttpExchange): Map[String, String] = {
-    def decode(s: String): Map[String, String] =
-      s.split("&").filter(_.nonEmpty).map { kv =>
-        val i = kv.indexOf('=')
-        if (i < 0) kv -> ""
-        else java.net.URLDecoder.decode(kv.take(i), UTF_8) ->
-             java.net.URLDecoder.decode(kv.drop(i + 1), UTF_8)
-      }.toMap
-    val fromUri = Option(ex.getRequestURI.getRawQuery).map(decode).getOrElse(Map.empty)
+    val fromUri = queryStringParams(ex)
     val fromBody =
       if (ex.getRequestMethod == "POST")
-        decode(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+        decodeParams(new String(ex.getRequestBody.readAllBytes(), UTF_8))
       else Map.empty[String, String]
     fromUri ++ fromBody
   }
+
+  /** Query-string parameters only — the data API reads these without
+    * consuming the request body (which holds the RDF payload). */
+  private def queryStringParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map(decodeParams).getOrElse(Map.empty)
+
+  /** Every query-string value for a repeatable key (`uri` may repeat). */
+  private def multiParams(ex: HttpExchange, key: String): Seq[String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
+      .filter(_.nonEmpty).flatMap { kv =>
+        val i = kv.indexOf('=')
+        if (i > 0 && java.net.URLDecoder.decode(kv.take(i), UTF_8) == key)
+          Some(java.net.URLDecoder.decode(kv.drop(i + 1), UTF_8))
+        else None
+      }
 
   private def safely(ex: HttpExchange)(body: => Unit): Unit =
     try body

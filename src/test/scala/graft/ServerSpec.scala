@@ -17,13 +17,15 @@ class ServerSpec extends SparkSpecBase {
     NTriples.parseLines(spark, spark.createDataset(nt)(Encoders.STRING).toDF("value"))
 
   private def http(method: String, url: String, body: Option[String] = None,
-                   accept: String = ""): (Int, String) = {
+                   accept: String = "",
+                   ctype: String = "application/x-www-form-urlencoded")
+      : (Int, String) = {
     val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod(method)
     if (accept.nonEmpty) conn.setRequestProperty("Accept", accept)
     body.foreach { b =>
       conn.setDoOutput(true)
-      conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
+      conn.setRequestProperty("Content-Type", ctype)
       conn.getOutputStream.write(b.getBytes(UTF_8))
     }
     val code = conn.getResponseCode
@@ -261,6 +263,93 @@ class ServerSpec extends SparkSpecBase {
       assert(http("DELETE", s"$base/namespace/red")._1 == 404)
       assert(http("DELETE", s"$base/namespace/kb")._1 == 400)
       assert(srv.namespaceNames == Seq("blue", "kb"))
+    } finally srv.stop()
+  }
+
+  test("REST data API: insert/delete/put with RDF bodies and access paths") {
+    val srv = new SparqlServer(spark, parse(Seq.empty)).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val sparql = s"$base/sparql"
+      def modified(resp: (Int, String)): Long = {
+        assert(resp._1 == 200, resp._2)
+        "modified=\"(\\d+)\"".r.findFirstMatchIn(resp._2).get.group(1).toLong
+      }
+      def count(): Long = {
+        val (_, body) = http("GET",
+          s"$sparql?query=${enc("SELECT ?s ?p ?o WHERE { ?s ?p ?o }")}")
+        "\"s\"\\s*:\\s*\\{".r.findAllIn(body).size.toLong
+      }
+
+      // POST with a Turtle body inserts (InsertServlet.doPostWithBody);
+      // re-posting the same document is modified=0 (only new statements
+      // count as index writes)
+      val turtle =
+        s"""@prefix ex: <$EX> .
+           |ex:alice ex:knows ex:bob .
+           |ex:alice ex:name "Alice" .""".stripMargin
+      assert(modified(http("POST", sparql, Some(turtle), ctype = "text/turtle")) == 2)
+      assert(modified(http("POST", sparql, Some(turtle), ctype = "text/turtle")) == 0)
+      assert(count() == 2)
+
+      // N-Quads body: the quad's context is preserved
+      val nq = s"""<${EX}s1> <${EX}p> "g" <${EX}g1> ."""
+      assert(modified(http("POST", sparql, Some(nq),
+                           ctype = "application/n-quads")) == 1)
+      assert(http("GET", s"$sparql?CONTEXTS")._2.contains(s"<${EX}g1>"))
+
+      // ?context-uri routes statements without an explicit graph
+      val nt2 = s"""<${EX}s2> <${EX}p> "ctx" ."""
+      assert(modified(http("POST", s"$sparql?context-uri=${enc(EX + "g2")}",
+                           Some(nt2), ctype = "application/n-triples")) == 1)
+      assert(http("GET", s"$sparql?CONTEXTS")._2.contains(s"<${EX}g2>"))
+
+      // POST ?delete with a body removes the body's exact statements
+      // (DeleteServlet.doDeleteWithBody) — the default-graph triple form
+      // does NOT match the g2 quad
+      assert(modified(http("POST", s"$sparql?delete", Some(nt2),
+                           ctype = "application/n-triples")) == 0)
+      val nq2 = s"""<${EX}s2> <${EX}p> "ctx" <${EX}g2> ."""
+      assert(modified(http("POST", s"$sparql?delete", Some(nq2),
+                           ctype = "application/n-quads")) == 1)
+
+      // access-path DELETE: bound s, everything else wildcard
+      assert(modified(http("DELETE", s"$sparql?s=${enc(EX + "s1")}")) == 1)
+
+      // DELETE with a CONSTRUCT query removes the constructed statements
+      val delQ = s"PREFIX ex: <$EX> CONSTRUCT { ex:alice ex:name ?n } " +
+        "WHERE { ex:alice ex:name ?n }"
+      assert(modified(http("DELETE", s"$sparql?query=${enc(delQ)}")) == 1)
+      assert(count() == 1) // only alice-knows-bob remains
+
+      // PUT = DELETE+INSERT in one commit: remove the CONSTRUCT result,
+      // insert the body; modified = removed + added
+      val putQ = s"PREFIX ex: <$EX> CONSTRUCT { ex:alice ex:knows ex:bob } " +
+        "WHERE { ex:alice ex:knows ex:bob }"
+      val putBody = s"""<${EX}alice> <${EX}knows> <${EX}carol> ."""
+      assert(modified(http("PUT", s"$sparql?query=${enc(putQ)}", Some(putBody),
+                           ctype = "application/n-triples")) == 2)
+      val (_, after) = http("GET",
+        s"$sparql?query=${enc(s"PREFIX ex: <$EX> SELECT ?x WHERE { ex:alice ex:knows ?x }")}")
+      assert(after.contains(EX + "carol") && !after.contains(EX + "bob"))
+      // PUT without a query param is a 400
+      assert(http("PUT", sparql, Some(putBody),
+                  ctype = "application/n-triples")._1 == 400)
+
+      // POST ?uri= fetches and inserts documents (format by extension)
+      val dir = java.nio.file.Files.createTempDirectory("resturi")
+      val f = dir.resolve("extra.ttl")
+      java.nio.file.Files.writeString(f,
+        s"""@prefix ex: <$EX> . ex:dave ex:knows ex:alice .""")
+      assert(modified(http("POST", s"$sparql?uri=${enc(f.toUri.toString)}",
+                           Some(""))) == 1)
+      assert(http("GET",
+        s"$sparql?query=${enc(s"PREFIX ex: <$EX> ASK { ex:dave ex:knows ex:alice }")}")
+        ._2.contains("true"))
+
+      // bare DELETE empties the store (all-wildcard access path)
+      assert(modified(http("DELETE", sparql)) == 2)
+      assert(count() == 0)
     } finally srv.stop()
   }
 }
