@@ -287,6 +287,38 @@ object RdfSuite {
         .orderBy("x", "y")
     }),
 
+    "rdf_path_alt_inv" -> ((s, d) => {
+      // alternation + inverse in one path: ?x (locatedIn | ^by) ?y — every
+      // locatedIn edge (customer→nation, nation→region) plus each
+      // customer's orders through the inverted by-edge
+      val q = PathPattern(V("x"),
+        Alt(Link(G + "locatedIn"), Inv(Link(G + "by"))), V("y"))
+      run(s, d, q).df
+        .select(Term.lex(col("x")).as("x"), Term.lex(col("y")).as("y"))
+        .orderBy("x", "y")
+    }),
+
+    "rdf_path_nps" -> ((s, d) => {
+      // negated property set: !(name|segment|acctbal|price|by) leaves
+      // exactly the locatedIn edges
+      val q = PathPattern(V("x"),
+        NegatedSet(Seq(G + "name", G + "segment", G + "acctbal",
+                       G + "price", G + "by")), V("y"))
+      run(s, d, q).df
+        .select(Term.lex(col("x")).as("x"), Term.lex(col("y")).as("y"))
+        .orderBy("x", "y")
+    }),
+
+    "rdf_path_star" -> ((s, d) => {
+      // zero-or-more from a constant start: c1, its nation, its region —
+      // the zero-length path contributes the start node itself
+      val q = PathPattern(C(Term.iri(G + "c1")),
+        ZeroOrMore(Link(G + "locatedIn")), V("y"))
+      run(s, d, q).df
+        .select(Term.lex(col("y")).as("y"))
+        .orderBy("y")
+    }),
+
     "rdf_construct" -> ((s, d) => {
       import QueryForms._
       val quads = buildQuads(s, d)
@@ -447,6 +479,38 @@ object RdfSuite {
            SELECT DISTINCT 'http://g/n' || n_nationkey, 'http://g/r' || n_regionkey
            FROM nation)
          ORDER BY x, y""",
+
+    "rdf_path_alt_inv" ->
+      """SELECT x, y FROM (
+           SELECT 'http://g/c' || c_custkey AS x, 'http://g/n' || c_nationkey AS y
+           FROM customer
+           UNION ALL
+           SELECT DISTINCT 'http://g/n' || n_nationkey, 'http://g/r' || n_regionkey
+           FROM nation
+           UNION ALL
+           SELECT 'http://g/c' || o_custkey, 'http://g/o' || o_orderkey
+           FROM orders)
+         ORDER BY x, y""",
+
+    "rdf_path_nps" ->
+      """SELECT x, y FROM (
+           SELECT 'http://g/c' || c_custkey AS x, 'http://g/n' || c_nationkey AS y
+           FROM customer
+           UNION ALL
+           SELECT DISTINCT 'http://g/n' || n_nationkey, 'http://g/r' || n_regionkey
+           FROM nation)
+         ORDER BY x, y""",
+
+    "rdf_path_star" ->
+      """SELECT y FROM (
+           SELECT 'http://g/c1' AS y
+           UNION ALL
+           SELECT 'http://g/n' || c_nationkey FROM customer WHERE c_custkey = 1
+           UNION ALL
+           SELECT 'http://g/r' || n_regionkey
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_custkey = 1)
+         ORDER BY y""",
 
     "rdf_construct" ->
       """SELECT DISTINCT '<http://g/c' || c_custkey || '>' AS s,
