@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset-curation sampling — the selection stage of a
+  * training-data pipeline (choose what to train on AFTER dedup/quality
+  * filtering): stratified samples, per-source weighted subsampling
+  * (mixture construction), and train/val/test splits.
+  *
+  * Everything keys on the shared 60-bit md5 hash ([[TextPrep.hash64]]) so
+  * results are (a) reproducible across runs, partitionings, and engines —
+  * no `rand()`, which breaks replay and lineage recovery — and (b)
+  * bit-checkable by the DuckDB oracle. Each operator salts the hash with
+  * its own suffix so sample membership is independent ACROSS operators (a
+  * doc in the 10% subsample is not automatically in the first 10% of the
+  * train split).
+  *
+  * Scale posture: `weightedSample` and `split` are pure column projections
+  * / filters — zero shuffles, fully codegen'd, pushdown-friendly.
+  * `stratifiedTopK` is one shuffle on the stratum key plus a per-stratum
+  * sort bounded by the window; at 100 TB a pathological mega-stratum sorts
+  * on one reducer — mitigate by pre-filtering with an approximate
+  * per-stratum hash threshold when k ≪ stratum size (two-pass), or accept
+  * the spill (Spark's window sort spills to disk, it does not OOM).
+  */
+object Sampling {
+
+  /** Deterministic position of a key on the [0,1) line (salted). */
+  private def unit(key: Column, salt: String): Column =
+    TextPrep.hash64(concat(key.cast("string"), lit(salt)))
+      .cast("double") / lit((1L << 60).toDouble)
+
+  /** The k docs per stratum that sort first by salted hash of their id —
+    * a reproducible uniform-without-replacement sample per stratum
+    * (language, source, quality band...). Ties broken by the key itself.
+    */
+  def stratifiedTopK(docs: DataFrame, stratum: String, k: Int,
+                     keyCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(TextPrep.hash64(concat(col(keyCol).cast("string"),
+                                      lit(":strat"))), col(keyCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Per-source Bernoulli subsampling at deterministic rates — the mixture
+    * construction step ("2 parts wiki to 1 part crawl"): keep a doc iff
+    * its hash position is below its source's rate. A pure filter: no
+    * shuffle, no state, trivially restartable mid-corpus.
+    */
+  def weightedSample(docs: DataFrame, rates: Map[String, Double],
+                     defaultRate: Double, sourceCol: String = "source",
+                     keyCol: String = "doc_id"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (els, (src, r)) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(els)
+    }
+    docs.filter(unit(col(keyCol), ":sample") < rate)
+  }
+
+  /** Deterministic train/val/test split: cumulative hash-range buckets in
+    * the given order (fractions should sum to 1; the last label absorbs
+    * the remainder). A pure projection — the split column can be computed
+    * at read time anywhere, no global coordination.
+    */
+  def split(docs: DataFrame, fractions: Seq[(String, Double)],
+            keyCol: String = "doc_id"): DataFrame = {
+    require(fractions.nonEmpty, "split needs at least one labeled fraction")
+    val u = unit(col(keyCol), ":split")
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val label = fractions.zip(cum).dropRight(1)
+      .foldRight(lit(fractions.last._1): Column) {
+        case (((name, _), c), els) => when(u < lit(c), lit(name)).otherwise(els)
+      }
+    docs.withColumn("split", label)
+  }
+}

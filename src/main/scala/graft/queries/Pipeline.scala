@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operator suite over `documents` and `embeddings`,
   * each with a DuckDB oracle (see the md5-hash parity note in
@@ -146,7 +146,22 @@ object Pipeline {
         .select(col("doc_id"), col("n_bytes"),
                 posexplode(col("features")).as(Seq("quarter", "feature")))
         .withColumn("quarter", col("quarter").cast("long"))
-        .orderBy("doc_id", "quarter"))
+        .orderBy("doc_id", "quarter")),
+
+    // ---- dataset curation: deterministic sampling / mixtures / splits ----
+    "sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedTopK(docs(s, d), "lang", k = 5)
+        .select("doc_id", "lang").orderBy("lang", "doc_id")),
+    "sample_weighted" -> ((s, d) =>
+      Sampling.weightedSample(docs(s, d),
+          Map("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.1)
+        .select("doc_id", "source").orderBy("doc_id")),
+    "split_train_val" -> ((s, d) =>
+      Sampling.split(docs(s, d),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("split"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -472,6 +487,34 @@ object Pipeline {
                     / 1000000.0, 0.0) AS feature
          FROM bounds bo LEFT JOIN feat f
            ON f.doc_id = bo.doc_id AND f.quarter = bo.quarter
-         ORDER BY bo.doc_id, bo.quarter"""
+         ORDER BY bo.doc_id, bo.quarter""",
+
+    // deterministic sampling: the salted 60-bit md5 hash line (see
+    // Sampling.scala; 1152921504606846976 = 2^60)
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 15) AS BIGINT),
+                      doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 5 ORDER BY lang, doc_id""",
+
+    "sample_weighted" ->
+      """SELECT doc_id, source FROM documents
+         WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 15) AS BIGINT) AS DOUBLE)
+               / 1152921504606846976.0
+             < (CASE WHEN source = 'src0' THEN 1.0
+                     WHEN source = 'src1' THEN 0.5 ELSE 0.1 END)
+         ORDER BY doc_id""",
+
+    "split_train_val" ->
+      """WITH u AS (SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15) AS BIGINT) AS DOUBLE)
+               / 1152921504606846976.0 AS pos
+           FROM documents)
+         SELECT CASE WHEN pos < 0.8 THEN 'train'
+                     WHEN pos < 0.9 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM u GROUP BY 1 ORDER BY 1"""
   )
 }

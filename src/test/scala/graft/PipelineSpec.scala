@@ -108,4 +108,36 @@ class PipelineSpec extends SparkSpecBase {
     val meta = Multimodal.blobMeta(docs).orderBy("doc_id").first()
     assert(r.getLong(1) == meta.getLong(1))
   }
+
+  test("sampling: split partitions exactly, stratified bounds per stratum, " +
+       "weighted/split plans are shuffle-free") {
+    import graft.pipeline.Sampling
+
+    // split: every doc labeled exactly once, deterministic across runs
+    val sp = Sampling.split(docs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(sp.count() == docs.count())
+    val byLabel = sp.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet.subsetOf(Set("train", "val", "test")))
+    assert(byLabel.values.sum == docs.count())
+    assert(byLabel("train") > byLabel.getOrElse("val", 0L))
+    val sp2 = Sampling.split(docs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(sp.orderBy("doc_id").collect().toSeq == sp2.orderBy("doc_id").collect().toSeq)
+
+    // stratified: at most k rows per stratum; subset of the corpus
+    val st = Sampling.stratifiedTopK(docs, "lang", k = 3)
+    val perLang = st.groupBy("lang").count().collect().map(_.getLong(1))
+    assert(perLang.nonEmpty && perLang.forall(_ <= 3))
+
+    // weighted: rate 1.0 keeps everything, 0.0 keeps nothing
+    val all = Sampling.weightedSample(docs, Map.empty, defaultRate = 1.0)
+    assert(all.count() == docs.count())
+    val none = Sampling.weightedSample(docs, Map.empty, defaultRate = 0.0)
+    assert(none.count() == 0L)
+
+    // scale shape: the pure-projection operators never shuffle
+    for (df <- Seq(sp, all))
+      assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+        "weightedSample/split must be shuffle-free column pipelines")
+  }
 }
