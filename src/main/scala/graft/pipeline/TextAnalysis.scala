@@ -134,6 +134,44 @@ object TextAnalysis {
            round(avg("quality"), 6).as("avg_quality"))
   }
 
+  /** Repetition signals (the Gopher/C4-style quality-filter family:
+    * fraction-of-duplicate-n-grams rules) as pure column expressions —
+    * one projection, no explode, no shuffle:
+    *   - top_word_frac:   share of tokens that are the single most
+    *                      frequent token
+    *   - dup_word_frac:   share of tokens that are repeats of an earlier
+    *                      token (1 - ttr)
+    *   - top_bigram_frac: share of word 2-grams that are the most
+    *                      frequent 2-gram
+    *   - dup_bigram_frac: share of word 2-grams occurring more than once
+    * Per-document cost is O(distinct × length) over in-memory arrays —
+    * document-bounded, embarrassingly parallel, codegen-friendly.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val ws = col("ws")
+    val emptyArr = array().cast(ArrayType(StringType))
+    val bg = when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(emptyArr)
+    def counts(arr: Column) =
+      transform(array_distinct(arr), g => size(filter(arr, x => x === g)))
+    def topFrac(arr: Column) =
+      round(coalesce(array_max(counts(arr)), lit(0)).cast(DoubleType) /
+        greatest(size(arr), lit(1)), 6)
+    def dupFrac(arr: Column) =
+      round(aggregate(counts(arr), lit(0L),
+          (acc, c) => acc + when(c > 1, c.cast(LongType)).otherwise(0L))
+        .cast(DoubleType) / greatest(size(arr), lit(1)), 6)
+    withWs(docs, lower_ = true).select(
+      col("doc_id"),
+      topFrac(ws).as("top_word_frac"),
+      round((size(ws) - size(array_distinct(ws))).cast(DoubleType) /
+        greatest(size(ws), lit(1)), 6).as("dup_word_frac"),
+      topFrac(bg).as("top_bigram_frac"),
+      dupFrac(bg).as("dup_bigram_frac"))
+  }
+
   /** Content fingerprints: md5 of the whitespace-normalized lowercase text,
     * plus a 64-bit order-sensitive polynomial word hash (so reordered words
     * produce different fingerprints, unlike a bag hash).

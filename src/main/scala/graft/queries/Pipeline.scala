@@ -134,6 +134,7 @@ object Pipeline {
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d)).orderBy("doc_id")),
     "pipeline_curation" -> ((s, d) => TextAnalysis.curate(docs(s, d)).orderBy("lang")),
 
     // ---- multimodal ----
@@ -488,6 +489,36 @@ object Pipeline {
          FROM bounds bo LEFT JOIN feat f
            ON f.doc_id = bo.doc_id AND f.quarter = bo.quarter
          ORDER BY bo.doc_id, bo.quarter""",
+
+    // repetition signals over lowercase tokens and sequential word
+    // 2-grams (list comprehensions mirror the Spark higher-order exprs)
+    "text_repetition" ->
+      raw"""WITH w AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> len(x) > 0) AS ws
+           FROM documents),
+         b AS (SELECT doc_id, ws,
+             CASE WHEN len(ws) >= 2 THEN
+               list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+             ELSE [] END AS bg
+           FROM w),
+         c AS (SELECT doc_id, ws, bg,
+             list_transform(list_distinct(ws),
+                            g -> len(list_filter(ws, x -> x = g))) AS wc,
+             list_transform(list_distinct(bg),
+                            g -> len(list_filter(bg, x -> x = g))) AS bc
+           FROM b)
+         SELECT doc_id,
+           ROUND(CAST(COALESCE(list_max(wc), 0) AS DOUBLE)
+                 / GREATEST(len(ws), 1), 6) AS top_word_frac,
+           ROUND(CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)
+                 / GREATEST(len(ws), 1), 6) AS dup_word_frac,
+           ROUND(CAST(COALESCE(list_max(bc), 0) AS DOUBLE)
+                 / GREATEST(len(bg), 1), 6) AS top_bigram_frac,
+           ROUND(CAST(COALESCE(list_sum(list_transform(
+                   list_filter(bc, x -> x > 1), x -> x)), 0) AS DOUBLE)
+                 / GREATEST(len(bg), 1), 6) AS dup_bigram_frac
+         FROM c ORDER BY doc_id""",
 
     // deterministic sampling: the salted 60-bit md5 hash line (see
     // Sampling.scala; 1152921504606846976 = 2^60)
