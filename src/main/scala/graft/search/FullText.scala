@@ -485,15 +485,44 @@ object FullText {
     * Σ_t qw(t)·dw(t,d) with qw = qtf/sqrt(Σ qtf²) = 1/sqrt(|q|) for
     * distinct terms; dw is the quantized stored weight. Rank over
     * (score desc, doc) with minCosine/maxRank slicing as in `search`.
+    *
+    * The full BDS hit pipeline (FullTextIndex._search:1078-1290 + slice):
+    * matchExact keeps hits whose materialized literal CONTAINS the exact
+    * query string (BigdataValueCentricFullTextIndex.matchExact:390-456,
+    * `stringValue().contains(query)`); matchRegex keeps hits the Java
+    * regex FINDS in (applyRegex:461-530, `matcher.find()`). Both run
+    * BEFORE ranking, so ranks number the exact/regex-filtered ordering.
+    * Cosine bounds prune next; minRank/maxRank then take the positional
+    * window [minRank, maxRank] of what remains (slice:1297-1430) —
+    * surviving hits keep their pre-slice rank (Hit.setRank runs before
+    * slice), so the first row of a minRank=5 query is rank 5, and a
+    * maxCosine prune leaves the survivors' original ranks intact.
     */
   def searchBds(index: DataFrame, query: Seq[String], minCosine: Double = 0.0,
-                maxRank: Int = Int.MaxValue, matchAll: Boolean = false): DataFrame = {
+                maxRank: Int = Int.MaxValue, matchAll: Boolean = false,
+                maxCosine: Double = 1.0, minRank: Int = 1,
+                matchExact: Option[String] = None,
+                matchRegex: Option[String] = None): DataFrame = {
     val terms = query.map(_.toLowerCase).distinct
     val qw = 1.0 / math.sqrt(terms.size.toDouble)
-    val scored = matchedPostings(index, terms, matchAll)
+    var scored = matchedPostings(index, terms, matchAll)
       .groupBy("doc").agg(round(sum(col("w") * qw), 6).as("score"))
-      .filter(col("score") >= minCosine)
-    rankSlice(scored, maxRank)
+    matchExact.foreach(q => scored = scored.filter(col("doc").contains(q)))
+    matchRegex.foreach(r => scored = scored.filter(col("doc").rlike(r)))
+    val kept = scored.filter(col("score") >= minCosine &&
+      (if (maxCosine < 1.0) col("score") <= maxCosine else lit(true)))
+    val sliced = rankSlice(kept, maxRank, minRank)
+    if (maxCosine < 1.0) {
+      // minCosine prunes a SUFFIX of the (score desc) ordering, so ranks
+      // are unaffected; a maxCosine prune removes a PREFIX — reported
+      // ranks shift by the count of pruned higher-scoring hits (a 1-row
+      // broadcast, keeping the TakeOrdered window path intact)
+      val head = scored.agg(
+        count(when(col("score") > maxCosine, 1)).as("__head"))
+      sliced.crossJoin(head)
+        .withColumn("rank", col("rank") + col("__head"))
+        .select("doc", "score", "rank")
+    } else sliced
   }
 
   /** Weight tf postings and ATTACH the per-doc cosine norm to every posting
@@ -653,13 +682,17 @@ object FullText {
     * unpartitioned window would funnel every scored document through one
     * task — the classic single-core rank bottleneck at scale).
     */
-  private def rankSlice(scored: DataFrame, maxRank: Int): DataFrame = {
+  private def rankSlice(scored: DataFrame, maxRank: Int,
+                        minRank: Int = 1): DataFrame = {
     val w = Window.orderBy(col("score").desc, col("doc"))
     val sliced =
       if (maxRank != Int.MaxValue)
         scored.orderBy(col("score").desc, col("doc")).limit(maxRank)
       else scored
-    sliced.withColumn("rank", row_number().over(w).cast(LongType))
+    val ranked = sliced.withColumn("rank", row_number().over(w).cast(LongType))
+    // BDS minRank pagination: drop ranks below the window start; survivors
+    // KEEP their rank (the reference assigns ranks before slicing)
+    (if (minRank > 1) ranked.filter(col("rank") >= minRank) else ranked)
       .select("doc", "score", "rank")
   }
 }

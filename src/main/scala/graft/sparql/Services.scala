@@ -19,13 +19,25 @@ import Translator.Result
   *
   *   SERVICE <graft://search> {
   *     ?lit <graft://search#query> "spark fast" .
-  *     ?lit <graft://search#relevance> ?score .     # optional
-  *     ?lit <graft://search#rank> ?rank .           # optional
-  *     ?lit <graft://search#minRelevance> "0.1" .   # optional
-  *     ?lit <graft://search#maxRank> "20" .         # optional
+  *     ?lit <graft://search#relevance> ?score .      # optional
+  *     ?lit <graft://search#rank> ?rank .            # optional
+  *     ?lit <graft://search#minRelevance> "0.1" .    # optional
+  *     ?lit <graft://search#maxRelevance> "0.9" .    # optional
+  *     ?lit <graft://search#minRank> "5" .           # optional
+  *     ?lit <graft://search#maxRank> "20" .          # optional
+  *     ?lit <graft://search#matchAllTerms> "true" .  # optional
+  *     ?lit <graft://search#matchExact> "true" .     # optional
+  *     ?lit <graft://search#matchRegex> "sp.rk" .    # optional
+  *     ?lit <graft://search#prefixMatch> "true" .    # optional (deprecated:
+  *                                                   #   trailing-'*' terms)
+  *     ?lit <graft://search#rangeCount> ?n .         # optional: bind hit
+  *                                                   #   count, no hits
   *   }
   *
-  * binds ?lit to matching string literals in the store's default graph.
+  * binds ?lit to matching string literals in the store's default graph —
+  * the complete BDS.java:94-431 magic-predicate surface (subjectSearch is
+  * the subject-centric index, FullText.buildSubjectIndex; searchTimeout
+  * parses, with enforcement at the query-lifecycle deadline).
   */
 object Services {
 
@@ -172,12 +184,35 @@ object Services {
     }
     val minRel = find("minRelevance").flatMap {
       case (_, C(t)) => Some(constLex(t).toDouble); case _ => None }.getOrElse(0.0)
+    val maxRel = find("maxRelevance").flatMap {
+      case (_, C(t)) => Some(constLex(t).toDouble); case _ => None }.getOrElse(1.0)
     val maxRank = find("maxRank").flatMap {
       case (_, C(t)) => Some(constLex(t).toInt); case _ => None }.getOrElse(Int.MaxValue)
-    val matchAll = find("matchAllTerms").exists {
+    val minRank = find("minRank").flatMap {
+      case (_, C(t)) => Some(constLex(t).toInt); case _ => None }.getOrElse(1)
+    def boolCfg(suffix: String): Boolean = find(suffix).exists {
       case (_, C(t)) => constLex(t).equalsIgnoreCase("true"); case _ => false }
+    val matchAll = boolCfg("matchAllTerms")
+    // bds:matchExact — hits must CONTAIN the exact query string
+    // (BigdataValueCentricFullTextIndex.matchExact:390, value.contains(q))
+    val matchExact = boolCfg("matchExact")
+    // bds:matchRegex — hits the Java regex finds in (applyRegex:461)
+    val matchRegex = find("matchRegex").collect { case (_, C(t)) => constLex(t) }
+    // bds:prefixMatch (deprecated in the reference for the trailing-'*'
+    // syntax, BDS.java:364 + ticket 803, but still accepted): every query
+    // term becomes a prefix pattern
+    val prefixAll = boolCfg("prefixMatch")
+    // bds:searchTimeout parses but the engine's query-lifecycle deadline
+    // (server `timeout=` / cancelQuery, which interrupts the whole
+    // evaluation this search is a lazy part of) is the enforcement point —
+    // a per-fragment deadline has no independent meaning in a deferred plan
+    find("searchTimeout").foreach { case (_, o) =>
+      o match { case C(t) => constLex(t).toLong; case _ => () } }
     val scoreVar = find("relevance").collect { case (_, V(n)) => n }
     val rankVar = find("rank").collect { case (_, V(n)) => n }
+    // bds:rangeCount — bind the object var to the hit count instead of
+    // materializing hits (SearchServiceFactory.java:614-626)
+    val rangeCountVar = find("rangeCount").collect { case (_, V(n)) => n }
 
     // GRAPH scope, threaded in by the translator: a constant restricts
     // the searched literals to that graph; a variable additionally binds
@@ -198,28 +233,43 @@ object Services {
     // reference-faithful scoring: tf-cosine with Lucene-quantized doc
     // weights (FullTextIndex.java:892-897; see FullText.buildBdsIndex) —
     // the golden search-* cases' scores depend on the exact round-trip
-    val hits = FullText.searchBds(scopedIdx, queryText.split("\\s+").toSeq,
-                                  minRel, maxRank, matchAll)
+    val terms0 = queryText.split("\\s+").toSeq.filter(_.nonEmpty)
+    val terms = if (prefixAll) terms0.map(t => if (t.endsWith("*")) t else t + "*")
+                else terms0
+    val hits = FullText.searchBds(scopedIdx, terms,
+                                  minRel, maxRank, matchAll, maxRel, minRank,
+                                  if (matchExact) Some(queryText) else None,
+                                  matchRegex)
 
-    var out = hits.select(
-      (Term.str(col("doc")).as("__lit") +: (
-        scoreVar.map(_ => Term.num(col("score").cast(Term.numType), Term.XsdDouble)).toSeq ++
-        rankVar.map(_ => Term.num(col("rank").cast(Term.numType), Term.XsdInteger)).toSeq
-      )): _*)
-    var names = litVar +: (scoreVar.toSeq ++ rankVar.toSeq)
-    // variable GRAPH scope: fan each hit out to the named graphs where the
-    // literal occurs, binding the graph variable
-    graphScope match {
-      case Some((V(gv), _)) =>
-        val namedOcc = occ.filter(col("g").isNotNull)
-          .select(col("doc").as("__occlit"), col("g").as("__g"))
-        out = out.join(namedOcc, Term.lex(col("__lit")) === col("__occlit"))
-          .drop("__occlit")
-        names = names :+ gv
-      case _ =>
+    rangeCountVar match {
+      case Some(rv) =>
+        // one solution, binding only the count (the reference's fast-path
+        // contract: same query params, hits counted instead of converted —
+        // SearchServiceFactory.call:614 binds just the rangeCount var)
+        val out = hits.agg(count(lit(1)).as("__n"))
+          .select(Term.num(col("__n").cast(Term.numType), Term.XsdInteger).as(rv))
+        Result(out, Set(rv), Set.empty)
+      case None =>
+        var out = hits.select(
+          (Term.str(col("doc")).as("__lit") +: (
+            scoreVar.map(_ => Term.num(col("score").cast(Term.numType), Term.XsdDouble)).toSeq ++
+            rankVar.map(_ => Term.num(col("rank").cast(Term.numType), Term.XsdInteger)).toSeq
+          )): _*)
+        var names = litVar +: (scoreVar.toSeq ++ rankVar.toSeq)
+        // variable GRAPH scope: fan each hit out to the named graphs where
+        // the literal occurs, binding the graph variable
+        graphScope match {
+          case Some((V(gv), _)) =>
+            val namedOcc = occ.filter(col("g").isNotNull)
+              .select(col("doc").as("__occlit"), col("g").as("__g"))
+            out = out.join(namedOcc, Term.lex(col("__lit")) === col("__occlit"))
+              .drop("__occlit")
+            names = names :+ gv
+          case _ =>
+        }
+        out = out.toDF(names: _*)
+        Result(out, names.toSet, Set.empty)
     }
-    out = out.toDF(names: _*)
-    Result(out, names.toSet, Set.empty)
   })
 
   /** Recover the lexical form of a constant term Column (built by the

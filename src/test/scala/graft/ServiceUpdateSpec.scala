@@ -34,6 +34,67 @@ class ServiceUpdateSpec extends SparkSpecBase {
     assert(docs.toSeq == Seq(EX + "d1", EX + "d3"))
   }
 
+  test("bds knob surface: minRank/maxRelevance/matchExact/matchRegex/prefixMatch/rangeCount") {
+    // quantized tf-cosine scores differ: d3 = 0.928078, d1 = 0.707107
+    val quads = parse(Seq(
+      s"""<${EX}d1> <${EX}body> "spark joins data fast" .""",
+      s"""<${EX}d2> <${EX}body> "slow tortoise walks" .""",
+      s"""<${EX}d3> <${EX}body> "fast fast spark" ."""))
+    def search(config: String, proj: String = "?lit"): Seq[Seq[String]] = {
+      val df = Parser.select(spark, quads, s"""
+        SELECT $proj WHERE {
+          SERVICE <graft://search> {
+            ?lit <graft://search#query> "fast spark" .
+            $config
+          }
+        }""")
+      val lexed = df.select(df.columns.map(c => Term.lex(col(c)).as(c)): _*)
+      lexed.collect().toSeq.map(r => (0 until r.length).map(r.getString))
+    }
+    // baseline ordering: d3 outscores d1
+    assert(search("""?lit <graft://search#rank> ?r .""").map(_.head).toSet ==
+      Set("spark joins data fast", "fast fast spark"))
+    // minRank=2: pagination window starts at the 2nd hit, which KEEPS rank 2
+    val page2 = search("""?lit <graft://search#rank> ?r .
+                          ?lit <graft://search#minRank> "2" .""", "?lit ?r")
+    assert(page2 == Seq(Seq("spark joins data fast", "2")))
+    // maxRelevance prunes the top hit; the survivor keeps its original rank
+    val maxRel = search("""?lit <graft://search#rank> ?r .
+                           ?lit <graft://search#maxRelevance> "0.8" .""", "?lit ?r")
+    assert(maxRel == Seq(Seq("spark joins data fast", "2")))
+    // matchExact: literal must CONTAIN the exact query string
+    assert(search("""?lit <graft://search#matchExact> "true" .""") ==
+      Seq(Seq("fast fast spark")))
+    // matchRegex: Java find() semantics over the literal
+    assert(search("""?lit <graft://search#matchRegex> "joins? data" .""") ==
+      Seq(Seq("spark joins data fast")))
+    // rangeCount binds ONLY the count — one solution, no hits
+    val df = Parser.select(spark, quads, s"""
+      SELECT ?n WHERE {
+        SERVICE <graft://search> {
+          ?lit <graft://search#query> "fast spark" .
+          ?lit <graft://search#rangeCount> ?n .
+        }
+      }""")
+    assert(df.select(Term.lex(col("n"))).collect().map(_.getString(0)).toSeq
+      == Seq("2"))
+  }
+
+  test("bds prefixMatch flag treats every query term as a prefix") {
+    val quads = parse(Seq(
+      s"""<${EX}d1> <${EX}body> "sparkling fastest" .""",
+      s"""<${EX}d2> <${EX}body> "slow tortoise walks" ."""))
+    val df = Parser.select(spark, quads, s"""
+      SELECT ?lit WHERE {
+        SERVICE <graft://search> {
+          ?lit <graft://search#query> "spark fast" .
+          ?lit <graft://search#prefixMatch> "true" .
+        }
+      }""")
+    assert(df.select(Term.lex(col("lit"))).collect().map(_.getString(0)).toSeq
+      == Seq("sparkling fastest"))
+  }
+
   test("magic search predicates inline in a BGP (bds:search surface)") {
     val quads = parse(Seq(
       s"""<${EX}d1> <${EX}body> "spark joins data fast" .""",
