@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import TextPrep._
+
+/** Benchmark decontamination and cross-corpus deduplication.
+  *
+  * New pipeline surface (the reference engine has no document curation;
+  * its nearest primitive is solution DISTINCT — see graft.pipeline.Dedup's
+  * provenance note). Decontamination is the standard eval-leakage guard for
+  * training corpora: drop (or flag) every training document sharing a word
+  * n-gram with a held-out benchmark set.
+  *
+  * Scale posture (100 TB train / ~GB benchmark):
+  *  - the benchmark n-gram set is tiny relative to the corpus, so the
+  *    overlap join broadcasts it (`broadcastBench`) — the train side is
+  *    never shuffled, the whole pass is scan + broadcast-hash-join +
+  *    one hash aggregation keyed by doc_id;
+  *  - with a large benchmark (`broadcastBench = false`) the join falls back
+  *    to a shuffle on the shingle key, still linear in the shingle count;
+  *  - the zero-tolerance `decontaminate` path skips per-doc counting
+  *    entirely: contaminated ids come from one semi-join + distinct, and the
+  *    corpus is filtered with a left-anti join on doc_id.
+  */
+object Decontam {
+
+  /** The (doc_id, shingle) relation: distinct word n-grams per document.
+    * Documents shorter than n tokens contribute no rows (they cannot share
+    * an n-gram with anything).
+    */
+  def shingleSet(docs: DataFrame, n: Int): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(shingles(col("ws"), n)).as("shingle"))
+
+  /** Per-document overlap against the benchmark corpus's n-gram set:
+    * (doc_id, n_sh, n_hit, hit_frac) for every train document with at least
+    * one n-gram. n_hit counts the doc's distinct n-grams that appear
+    * anywhere in the benchmark set.
+    */
+  def ngramOverlap(train: DataFrame, bench: DataFrame, n: Int,
+                   broadcastBench: Boolean = true): DataFrame = {
+    val tSh = graft.util.Fixpoint.materialize(shingleSet(train, n))
+    val bSh0 = shingleSet(bench, n).select("shingle").distinct()
+    val bSh = if (broadcastBench) broadcast(bSh0) else bSh0
+    val sizes = tSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hits = tSh.join(bSh, "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    sizes.join(hits, Seq("doc_id"), "left_outer")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("hit_frac",
+        round(col("n_hit").cast(DoubleType) / col("n_sh"), 6))
+  }
+
+  /** Remove train documents overlapping the benchmark set. `maxHitFrac = 0`
+    * (the default, and the usual policy) drops any document sharing even one
+    * n-gram and needs no per-doc counting; a positive tolerance keeps
+    * documents whose contaminated-n-gram fraction stays at or below it.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, n: Int,
+                    maxHitFrac: Double = 0.0,
+                    broadcastBench: Boolean = true): DataFrame =
+    if (maxHitFrac == 0.0) {
+      val tSh = shingleSet(train, n)
+      val bSh0 = shingleSet(bench, n).select("shingle").distinct()
+      val bSh = if (broadcastBench) broadcast(bSh0) else bSh0
+      val contaminated = tSh.join(bSh, "shingle").select("doc_id").distinct()
+      train.join(contaminated, Seq("doc_id"), "left_anti")
+    } else {
+      val over = ngramOverlap(train, bench, n, broadcastBench)
+        .filter(col("hit_frac") > maxHitFrac).select("doc_id")
+      train.join(over, Seq("doc_id"), "left_anti")
+    }
+
+  /** Cross-corpus exact dedup: remove rows of `a` whose content key appears
+    * in corpus `b` (e.g. drop re-crawled documents already in an earlier
+    * snapshot). One distinct on b's keys + one left-anti hash join; with
+    * `broadcastB` the pass never shuffles `a`.
+    */
+  def crossCorpusDedup(a: DataFrame, b: DataFrame,
+                       key: org.apache.spark.sql.Column,
+                       broadcastB: Boolean = true): DataFrame = {
+    val bk0 = b.select(key.as("__ck")).distinct()
+    val bk = if (broadcastB) broadcast(bk0) else bk0
+    a.withColumn("__ck", key).join(bk, Seq("__ck"), "left_anti").drop("__ck")
+  }
+}

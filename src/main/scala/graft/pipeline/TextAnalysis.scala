@@ -186,4 +186,31 @@ object TextAnalysis {
       md5(normalized(col("text"))).as("fp_md5"),
       when(size(ws) > 0, posHash).otherwise(0L).as("fp_poly"))
   }
+
+  /** Corpus vocabulary: the top-k lowercase tokens by total occurrence count
+    * with document frequency and a deterministic rank (count desc, token
+    * asc). The raw material of tokenizer/BPE training and frequency-based
+    * filtering.
+    *
+    * Scale posture: explode → one hash aggregation on the token key with
+    * map-side partial counts (count + count distinct doc via two-level agg),
+    * then a global top-k (TakeOrderedAndProject — no full sort of the
+    * vocabulary). The token key is naturally skewed (Zipf); the partial
+    * aggregation absorbs the skew before the shuffle.
+    */
+  def vocabulary(docs: DataFrame, topK: Int): DataFrame = {
+    val tok = withWs(docs, lower_ = true)
+      .select(col("doc_id"), explode(col("ws")).as("token"))
+    // two-level aggregate: (token, doc) partial counts combine map-side, so
+    // the shuffle carries one row per distinct (token, doc), not per token
+    // occurrence
+    val perDoc = tok.groupBy("token", "doc_id").agg(count(lit(1)).as("n"))
+    perDoc.groupBy("token")
+      .agg(sum(col("n")).as("n_total"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_total").desc, col("token"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_total").desc, col("token"))).cast(LongType))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Decontam, Dedup, Multimodal, Redact, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operator suite over `documents` and `embeddings`,
   * each with a DuckDB oracle (see the md5-hash parity note in
@@ -148,6 +148,46 @@ object Pipeline {
                 posexplode(col("features")).as(Seq("quarter", "feature")))
         .withColumn("quarter", col("quarter").cast("long"))
         .orderBy("doc_id", "quarter")),
+
+    // ---- benchmark decontamination / cross-corpus dedup ----
+    // benchmark set = every 10th doc (the synthetic stand-in for a held-out
+    // eval set); 5-grams are selective on this corpus where 3-grams are not
+    "decontam_overlap" -> ((s, d) => {
+      val dd = docs(s, d)
+      Decontam.ngramOverlap(dd.filter(col("doc_id") % 10 =!= 0),
+                            dd.filter(col("doc_id") % 10 === 0), n = 5)
+        .orderBy("doc_id")
+    }),
+    "decontam_clean" -> ((s, d) => {
+      val dd = docs(s, d)
+      Decontam.decontaminate(dd.filter(col("doc_id") % 10 =!= 0),
+                             dd.filter(col("doc_id") % 10 === 0), n = 5)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+    "dedup_cross_corpus" -> ((s, d) => {
+      val dd = docs(s, d)
+      Decontam.crossCorpusDedup(dd.filter(col("source") =!= "src0"),
+                                dd.filter(col("source") === "src0"),
+                                md5(substring(col("text"), 1, 30)))
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
+    // ---- PII redaction ----
+    // the synthetic corpus carries no PII, so the query injects a
+    // deterministic trailer (and the oracle injects the identical one) —
+    // the operator itself is corpus-agnostic
+    "text_pii_redact" -> ((s, d) => {
+      val withPii = docs(s, d).withColumn("text", concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com ip 10.0.0."), (col("doc_id") % 256).cast("string"),
+        lit(" ssn 123-45-678"), (col("doc_id") % 10).cast("string"),
+        lit(" tel +15550000"), (col("doc_id") % 100).cast("string")))
+      Redact.piiStats(withPii).orderBy("doc_id")
+    }),
+
+    // ---- corpus vocabulary ----
+    "vocab_topk" -> ((s, d) =>
+      TextAnalysis.vocabulary(docs(s, d), topK = 50).orderBy("rank")),
 
     // ---- dataset curation: deterministic sampling / mixtures / splits ----
     "sample_stratified" -> ((s, d) =>
@@ -519,6 +559,97 @@ object Pipeline {
                    list_filter(bc, x -> x > 1), x -> x)), 0) AS DOUBLE)
                  / GREATEST(len(bg), 1), 6) AS dup_bigram_frac
          FROM c ORDER BY doc_id""",
+
+    // decontamination: distinct word 5-grams; bench = every 10th doc.
+    // docs shorter than 5 tokens have no shingles (absent from overlap,
+    // always clean)
+    "decontam_overlap" ->
+      raw"""WITH ws_t AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(text), '\s+'), w -> len(w) > 0) AS ws
+            FROM documents),
+         sh5 AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, greatest(len(ws) - 3, 1)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS shingle
+            FROM ws_t WHERE len(ws) >= 5),
+         bench AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 10 = 0),
+         train AS (SELECT * FROM sh5 WHERE doc_id % 10 <> 0),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM train GROUP BY 1),
+         hits AS (SELECT doc_id, COUNT(*) AS n_hit
+                  FROM train JOIN bench USING (shingle) GROUP BY 1)
+         SELECT s.doc_id, CAST(s.n_sh AS BIGINT) AS n_sh,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / s.n_sh, 6) AS hit_frac
+         FROM sizes s LEFT JOIN hits h USING (doc_id) ORDER BY s.doc_id""",
+
+    "decontam_clean" ->
+      raw"""WITH ws_t AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(text), '\s+'), w -> len(w) > 0) AS ws
+            FROM documents),
+         sh5 AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, greatest(len(ws) - 3, 1)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS shingle
+            FROM ws_t WHERE len(ws) >= 5),
+         bench AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 10 = 0),
+         contaminated AS (SELECT DISTINCT t.doc_id
+                          FROM sh5 t JOIN bench USING (shingle)
+                          WHERE t.doc_id % 10 <> 0)
+         SELECT doc_id, source FROM documents d
+         WHERE doc_id % 10 <> 0
+           AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+         ORDER BY doc_id""",
+
+    "dedup_cross_corpus" ->
+      """SELECT doc_id, source FROM documents a
+         WHERE source <> 'src0'
+           AND NOT EXISTS (SELECT 1 FROM documents b WHERE b.source = 'src0'
+                           AND md5(substr(b.text, 1, 30)) = md5(substr(a.text, 1, 30)))
+         ORDER BY doc_id""",
+
+    // PII: identical injected trailer; counts on the progressively redacted
+    // text (stage i counts pattern i after patterns < i replaced), mirroring
+    // Redact.piiStats' scanLeft
+    "text_pii_redact" ->
+      raw"""WITH p AS (SELECT doc_id,
+              text || ' contact u' || CAST(doc_id AS VARCHAR)
+                   || '@example.com ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                   || ' ssn 123-45-678' || CAST(doc_id % 10 AS VARCHAR)
+                   || ' tel +15550000' || CAST(doc_id % 100 AS VARCHAR) AS t0
+            FROM documents),
+         s0 AS (SELECT doc_id, t0,
+              len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+              regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+            FROM p),
+         s1 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(t1, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+              regexp_replace(t1, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t2
+            FROM s0),
+         s2 AS (SELECT doc_id, n_email, n_ssn,
+              len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+              regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t3
+            FROM s1),
+         s3 AS (SELECT doc_id, n_email, n_ssn, n_ipv4,
+              len(regexp_extract_all(t3, '\+\d{9,15}\b')) AS n_phone,
+              regexp_replace(t3, '\+\d{9,15}\b', '<PHONE>', 'g') AS t4
+            FROM s2)
+         SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+           CAST(n_ssn AS BIGINT) AS n_ssn, CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+           CAST(n_phone AS BIGINT) AS n_phone, md5(t4) AS redacted_md5,
+           CAST(n_email + n_ssn + n_ipv4 + n_phone AS BIGINT) AS n_pii
+         FROM s3 ORDER BY doc_id""",
+
+    "vocab_topk" ->
+      raw"""WITH w AS (SELECT doc_id,
+              unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> len(x) > 0)) AS token
+            FROM documents),
+         agg AS (SELECT token, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+                 FROM w GROUP BY 1),
+         r AS (SELECT token, n_total, n_docs,
+                 ROW_NUMBER() OVER (ORDER BY n_total DESC, token) AS rank
+               FROM agg)
+         SELECT token, CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_docs AS BIGINT) AS n_docs, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 50 ORDER BY rank""",
 
     // deterministic sampling: the salted 60-bit md5 hash line (see
     // Sampling.scala; 1152921504606846976 = 2^60)

@@ -140,4 +140,86 @@ class PipelineSpec extends SparkSpecBase {
       assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
         "weightedSample/split must be shuffle-free column pipelines")
   }
+
+  test("decontamination drops exactly the overlapping docs and broadcasts the bench set") {
+    import graft.pipeline.Decontam
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val over = Decontam.ngramOverlap(train, bench, n = 5)
+    val contaminated = over.filter(col("n_hit") > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val clean = Decontam.decontaminate(train, bench, n = 5)
+    val cleanIds = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleanIds.intersect(contaminated).isEmpty)
+    // every train doc is either clean or contaminated (short docs are clean)
+    val trainIds = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleanIds ++ contaminated == trainIds)
+    // a benchmark doc used as its own train input is fully contaminated
+    val self = Decontam.ngramOverlap(bench, bench, n = 5)
+    assert(self.filter(col("hit_frac") =!= 1.0).count() == 0)
+    // tolerance: maxHitFrac = 1.0 keeps everything
+    assert(Decontam.decontaminate(train, bench, 5, maxHitFrac = 1.0).count() ==
+      train.count())
+    // scale shape: the bench n-gram set joins broadcast — the train side
+    // is never shuffled for the overlap probe
+    assert(clean.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "decontaminate must broadcast the benchmark n-gram set")
+  }
+
+  test("cross-corpus dedup removes a-side rows whose key exists in b") {
+    import graft.pipeline.Decontam
+    val a = docs.filter(col("source") =!= "src0")
+    val b = docs.filter(col("source") === "src0")
+    val key = md5(substring(col("text"), 1, 30))
+    val kept = Decontam.crossCorpusDedup(a, b, key)
+    val bKeys = b.select(key.as("k")).distinct().collect().map(_.getString(0)).toSet
+    val keptKeys = kept.select(key.as("k")).collect().map(_.getString(0)).toSet
+    assert(keptKeys.intersect(bKeys).isEmpty)
+    // self-dedup removes everything; empty b removes nothing
+    assert(Decontam.crossCorpusDedup(a, a, key).count() == 0)
+    assert(Decontam.crossCorpusDedup(a, b.limit(0), key).count() == a.count())
+    assert(kept.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "crossCorpusDedup must broadcast b's key set")
+  }
+
+  test("PII redaction replaces every pattern kind and stays shuffle-free") {
+    import graft.pipeline.Redact
+    val sample = spark.createDataFrame(Seq(
+      (1L, "mail alice.smith+x@sub.example.org then ip 192.168.1.17 ssn 123-45-6789 tel +14155550123 end"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co c@d.io and bare dots 1.2.3 not an ip")
+    )).toDF("doc_id", "text")
+    val out = Redact.piiStats(sample).orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(Seq("n_email", "n_ssn", "n_ipv4", "n_phone").map(r1.getAs[Long]) ==
+      Seq(1L, 1L, 1L, 1L))
+    val red1 = sample.filter(col("doc_id") === 1)
+      .select(Redact.redact(col("text"))).head.getString(0)
+    assert(red1 == "mail <EMAIL> then ip <IP> ssn <SSN> tel <PHONE> end")
+    assert(out(1).getAs[Long]("n_pii") == 0L)
+    val r3 = out(2)
+    // 1.2.3 is not an IPv4; two emails both redacted
+    assert(r3.getAs[Long]("n_email") == 2L && r3.getAs[Long]("n_ipv4") == 0L)
+    val plan = Redact.piiStats(sample).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "piiStats must be a pure column pipeline")
+  }
+
+  test("vocabulary ranks tokens by total count with deterministic ties") {
+    val v = TextAnalysis.vocabulary(docs, topK = 10).collect()
+    assert(v.length <= 10 && v.nonEmpty)
+    val totals = v.map(_.getAs[Long]("n_total"))
+    assert(totals.sameElements(totals.sortBy(-_)), "n_total must be non-increasing")
+    v.sliding(2).foreach {
+      case Array(x, y) =>
+        if (x.getAs[Long]("n_total") == y.getAs[Long]("n_total"))
+          assert(x.getAs[String]("token") < y.getAs[String]("token"))
+      case _ =>
+    }
+    assert(v.map(_.getAs[Long]("rank")).sameElements(1L to v.length))
+    // df <= total; both positive
+    v.foreach { r =>
+      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_total"))
+      assert(r.getAs[Long]("n_docs") > 0)
+    }
+  }
 }
