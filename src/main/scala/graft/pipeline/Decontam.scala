@@ -23,6 +23,12 @@ import TextPrep._
   *  - the zero-tolerance `decontaminate` path skips per-doc counting
   *    entirely: contaminated ids come from one semi-join + distinct, and the
   *    corpus is filtered with a left-anti join on doc_id.
+  *
+  * Streaming corpora: the contaminated-id frame derives from the corpus
+  * side, so a direct streaming plan would need a stream-stream anti-join
+  * (unsupported). Run these operators inside `foreachBatch` — each
+  * micro-batch is a static frame, so the broadcast anti-join applies
+  * unchanged with no state store (see StreamingSpec).
   */
 object Decontam {
 

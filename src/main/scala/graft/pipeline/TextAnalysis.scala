@@ -187,6 +187,25 @@ object TextAnalysis {
       when(size(ws) > 0, posHash).otherwise(0L).as("fp_poly"))
   }
 
+  /** Per-group document-length distribution: count, mean, and exact
+    * interpolated percentiles of `n_chars` — the numbers behind length-filter
+    * thresholds in corpus curation.
+    *
+    * Exact `percentile` holds each group's values; it is right for the
+    * per-source/per-language group sizes this targets. For percentiles over
+    * BILLIONS of rows in one group, swap `percentile` for
+    * `approx_percentile(col, p, accuracy)` (t-digest, bounded memory) — not
+    * used here because its answer is not bit-reproducible across
+    * partitionings, which the oracle contract requires.
+    */
+  def lengthStats(docs: DataFrame, by: String = "source"): DataFrame =
+    docs.groupBy(col(by))
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("n_chars")), 6).as("mean_chars"),
+           round(percentile(col("n_chars"), lit(0.5)), 6).as("p50"),
+           round(percentile(col("n_chars"), lit(0.9)), 6).as("p90"),
+           round(percentile(col("n_chars"), lit(0.99)), 6).as("p99"))
+
   /** Corpus vocabulary: the top-k lowercase tokens by total occurrence count
     * with document frequency and a deterministic rank (count desc, token
     * asc). The raw material of tokenizer/BPE training and frequency-based

@@ -185,9 +185,11 @@ object Pipeline {
       Redact.piiStats(withPii).orderBy("doc_id")
     }),
 
-    // ---- corpus vocabulary ----
+    // ---- corpus vocabulary / distribution stats ----
     "vocab_topk" -> ((s, d) =>
       TextAnalysis.vocabulary(docs(s, d), topK = 50).orderBy("rank")),
+    "corpus_length_stats" -> ((s, d) =>
+      TextAnalysis.lengthStats(docs(s, d), by = "source").orderBy("source")),
 
     // ---- dataset curation: deterministic sampling / mixtures / splits ----
     "sample_stratified" -> ((s, d) =>
@@ -650,6 +652,16 @@ object Pipeline {
          SELECT token, CAST(n_total AS BIGINT) AS n_total,
            CAST(n_docs AS BIGINT) AS n_docs, CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= 50 ORDER BY rank""",
+
+    // exact interpolated percentiles: Spark `percentile` and DuckDB
+    // `quantile_cont` share the p*(n-1) linear-interpolation definition
+    "corpus_length_stats" ->
+      """SELECT source, COUNT(*) AS n,
+           ROUND(AVG(n_chars), 6) AS mean_chars,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+           ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
+           ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
+         FROM documents GROUP BY 1 ORDER BY 1""",
 
     // deterministic sampling: the salted 60-bit md5 hash line (see
     // Sampling.scala; 1152921504606846976 = 2^60)

@@ -263,4 +263,53 @@ class StreamingSpec extends SparkSpecBase {
       assert(out == Set((2L, "k1"), (3L, "k2"), (7L, "k3")))
     } finally q.stop()
   }
+
+  test("streaming decontamination via foreachBatch against a static benchmark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the per-doc contaminated set derives from the corpus side, so a direct
+    // streaming plan would need a stream-stream anti-join (unsupported);
+    // the scale-correct shape is foreachBatch — each micro-batch is a static
+    // frame, so the batch operator (broadcast bench set, left-anti) applies
+    // unchanged and no state store is involved
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val kept = scala.collection.mutable.Set.empty[Long]
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        kept ++= graft.pipeline.Decontam.decontaminate(batch, bench, n = 5)
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "alpha beta gamma delta epsilon leaked from the eval set"),
+        (2L, "entirely fresh training text with no benchmark overlap here"))
+      q.processAllAvailable()
+      input.addData((3L, "zeta epsilon delta gamma beta reversed so no 5-gram matches"))
+      q.processAllAvailable()
+      assert(kept.toSet == Set(2L, 3L), s"streaming decontam kept: $kept")
+    } finally q.stop()
+  }
+
+  test("streaming PII redaction: stateless per-batch column pipeline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = graft.pipeline.Redact.piiStats(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "reach me at jo@corp.example or +12025550147"),
+                    (2L, "nothing sensitive"))
+      q.processAllAvailable()
+      val rows = spark.table("pii").orderBy("doc_id").collect()
+      assert(rows(0).getAs[Long]("n_email") == 1L &&
+             rows(0).getAs[Long]("n_phone") == 1L)
+      assert(rows(1).getAs[Long]("n_pii") == 0L)
+    } finally q.stop()
+  }
 }
