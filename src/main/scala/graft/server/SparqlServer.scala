@@ -636,23 +636,53 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
           respond(ex, 200, "application/sparql-results+json", Results.toJson(sols))
       case AskForm =>
         val b = ask(spark, store, text)
-        respond(ex, 200, "application/sparql-results+json",
-          s"""{"head":{},"boolean":$b}""")
+        if (accept.contains("xml"))
+          respond(ex, 200, "application/sparql-results+xml",
+            "<?xml version=\"1.0\"?><sparql xmlns=\"http://www.w3.org/2005/" +
+              s"sparql-results#\"><head/><boolean>$b</boolean></sparql>")
+        else
+          respond(ex, 200, "application/sparql-results+json",
+            s"""{"head":{},"boolean":$b}""")
       case ConstructForm =>
-        respond(ex, 200, "application/n-triples",
-          serializeTriples(construct(spark, store, text)))
+        respondGraph(ex, accept, construct(spark, store, text))
       case DescribeForm =>
-        respond(ex, 200, "application/n-triples",
-          serializeTriples(describe(spark, store, text)))
+        respondGraph(ex, accept, describe(spark, store, text))
     }
   }
 
-  private def serializeTriples(df: DataFrame): String =
+  /** RDF-graph conneg (the reference's ConnegUtil picks an openrdf RIO
+    * writer from Accept; bigdata-sails/.../ConnegUtil.java): text/turtle →
+    * subject-grouped Turtle, default → N-Triples (every N-Triples doc is
+    * also valid Turtle, but the grouped form is what a Turtle consumer
+    * expects).
+    */
+  private def respondGraph(ex: HttpExchange, accept: String, df: DataFrame): Unit =
+    if (accept.contains("turtle"))
+      respond(ex, 200, "text/turtle", serializeTurtle(df))
+    else
+      respond(ex, 200, "application/n-triples", serializeTriples(df))
+
+  private def collectTriples(df: DataFrame): Array[(String, String, String)] =
     df.select(NTriples.termToString(col("s")), NTriples.termToString(col("p")),
               NTriples.termToString(col("o")))
       .collect()
-      .map(r => s"${r.getString(0)} ${r.getString(1)} ${r.getString(2)} .")
-      .mkString("\n")
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+
+  private def serializeTriples(df: DataFrame): String =
+    collectTriples(df).map(t => s"${t._1} ${t._2} ${t._3} .").mkString("\n")
+
+  /** Subject-grouped Turtle: one block per subject, predicates joined with
+    * `;`, objects of a repeated predicate with `,`. Term syntax reuses the
+    * N-Triples lexical forms (valid Turtle).
+    */
+  private def serializeTurtle(df: DataFrame): String =
+    collectTriples(df).groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (s, triples) =>
+        val byPred = triples.groupBy(_._2).toSeq.sortBy(_._1).map {
+          case (p, ts) => s"$p " + ts.map(_._3).distinct.sorted.mkString(", ")
+        }
+        s"$s " + byPred.mkString(" ;\n    ") + " ."
+    }.mkString("\n")
 
   private def decodeParams(s: String): Map[String, String] =
     s.split("&").filter(_.nonEmpty).map { kv =>

@@ -243,28 +243,70 @@ object Paths {
     * trade on an engine where every round is a scheduled job.
     */
   private def closureLoop(edges: DataFrame, keyed: Boolean, maxIters: Int): DataFrame = {
-    val e = materialize(edges.distinct())
+    // Dictionary-encode the term endpoints (and graph key) into dense long
+    // ids for the duration of the loop: closure state is the hot frame —
+    // shuffled, deduped, and checkpointed EVERY round — and as (long, long)
+    // rows it is ~5x smaller than as lexical-form term structs, with cheap
+    // hash/compare. Ids come from a materialized distinct-node dictionary
+    // (monotonically_increasing_id is only stable on a materialized frame),
+    // and the dictionary rejoins once at the end. Node dictionaries are
+    // node-sized, not closure-sized, so they broadcast.
+    val cols = if (keyed) Seq("g", "src", "dst") else Seq("src", "dst")
+    val e0 = edges.distinct()
+    val dict = materialize(
+      cols.map(c => e0.select(col(c).as("t"))).reduce(_ unionByName _)
+        .distinct().withColumn("id", monotonically_increasing_id()))
+    val enc = cols.foldLeft(e0) { (df, c) =>
+      df.join(broadcast(dict).withColumnRenamed("id", s"__$c"),
+              df(c) <=> dict("t"))
+        .drop(c, "t").withColumnRenamed(s"__$c", c)
+    }.select(cols.map(col): _*)
+
+    // Exact-power-prefix doubling over min-distance labels. Naive doubling
+    // (freshall ∪ allfresh) rederives every length-L pair once per split
+    // point — ~2^(r-1) copies per pair at round r, a ~100M-row intermediate
+    // on a 3.3M-pair closure. Instead each pair carries dist = its shortest
+    // path length, and round r composes ONLY the pairs with dist EXACTLY
+    // 2^r against the accumulated closure: a path of true length
+    // L ∈ (2^r, 2^(r+1)] splits uniquely as a shortest 2^r-prefix (in the
+    // exact-2^r set by induction) plus a ≤2^r suffix, so join output stays
+    // proportional to the number of NEW pairs (times the shortest-path tie
+    // count), not to the number of splits. min(dist) aggregation keeps
+    // labels exact; overestimated derivations lose the min or fall to the
+    // anti-join. Same ceil(log2 D) round count.
+    val e = materialize(enc.withColumn("dist", lit(1L)))
     var all = e
-    var fresh = e
+    var lastFresh = e
     var i = 0
-    while (i < maxIters) {
-      def compose(l: DataFrame, r: DataFrame): DataFrame = {
-        val joinCond =
-          if (keyed) col("l.dst") === col("r.src") && col("l.g") === col("r.g")
-          else col("l.dst") === col("r.src")
-        val head = if (keyed) Seq(col("l.g").as("g")) else Nil
-        l.as("l").join(r.as("r"), joinCond)
-          .select(head ++ Seq(col("l.src").as("src"), col("r.dst").as("dst")): _*)
+    var done = false
+    while (i < maxIters && !done) {
+      // dist = 2^i pairs live only in the last round's fresh frame (its
+      // dists are (2^(i-1), 2^i]) — no need to scan the whole closure
+      val exact = lastFresh.filter(col("dist") === (1L << i))
+      val joinCond =
+        if (keyed) col("l.dst") === col("r.src") && col("l.g") === col("r.g")
+        else col("l.dst") === col("r.src")
+      val head = if (keyed) Seq(col("l.g").as("g")) else Nil
+      val grown = exact.as("l").join(all.as("r"), joinCond)
+        .select(head ++ Seq(col("l.src").as("src"), col("r.dst").as("dst"),
+                            (col("l.dist") + col("r.dist")).as("dist")): _*)
+      val fresh = materialize(
+        grown.groupBy(cols.map(col): _*).agg(min(col("dist")).as("dist"))
+          .join(all, cols, "left_anti"))
+      if (fresh.isEmpty) done = true
+      else {
+        // both sides are checkpointed, so the union is a shallow two-leaf
+        // lineage — re-checkpointing the whole closure every round would
+        // rewrite O(closure · log D) rows for nothing
+        all = all.unionByName(fresh); lastFresh = fresh; i += 1
       }
-      // fresh∘all covers any length L <= 2^(k+1): split L into a first
-      // part in (2^(k-1), 2^k] (fresh by induction) and a remainder
-      // <= 2^k (in all); all∘fresh catches the symmetric splits
-      val grown = compose(fresh, all).unionByName(compose(all, fresh)).distinct()
-      fresh = materialize(grown.except(all))
-      if (fresh.isEmpty) return all
-      all = materialize(all.unionByName(fresh))
-      i += 1
     }
-    all
+
+    // decode: one broadcast-dictionary join per endpoint column
+    cols.foldLeft(all.drop("dist")) { (df, c) =>
+      df.join(broadcast(dict).withColumnRenamed("t", s"__$c"),
+              df(c) === dict("id"))
+        .drop(c, "id").withColumnRenamed(s"__$c", c)
+    }.select(cols.map(col): _*)
   }
 }

@@ -53,15 +53,31 @@ class ServerSpec extends SparkSpecBase {
                           accept = "application/sparql-results+xml")
       assert(xml.contains("<sparql") && xml.contains(EX + "bob"))
 
-      // ASK
+      // ASK → JSON with the spec's "boolean" key (trac 704:
+      // TestAskJsonTrac704.java — the reference emitted text/plain); XML
+      // boolean document on Accept; POST url-encoded behaves like GET
       val ask = s"PREFIX ex: <$EX> ASK { ex:alice ex:worksFor ex:acme }"
       val (_, askBody) = http("GET", s"$base/sparql?query=${enc(ask)}")
-      assert(askBody.contains("true"))
+      assert(askBody.contains("\"boolean\":true"))
+      val (_, askXml) = http("GET", s"$base/sparql?query=${enc(ask)}",
+                             accept = "application/sparql-results+xml")
+      assert(askXml.contains("<boolean>true</boolean>") && askXml.contains("<sparql"))
+      val (_, askPost) = http("POST", s"$base/sparql", Some(s"query=${enc(ask)}"))
+      assert(askPost.contains("\"boolean\":true"))
 
-      // CONSTRUCT → N-Triples
+      // CONSTRUCT → N-Triples; subject-grouped Turtle on Accept (ConnegUtil
+      // RIO-writer selection surface)
       val cons = s"PREFIX ex: <$EX> CONSTRUCT { ?x ex:member ex:acme } WHERE { ?x ex:worksFor ex:acme }"
       val (_, nt) = http("GET", s"$base/sparql?query=${enc(cons)}")
       assert(nt.contains(s"<${EX}alice> <${EX}member> <${EX}acme> ."))
+      val consMulti = s"PREFIX ex: <$EX> CONSTRUCT { ex:acme ex:member ?x } WHERE { ?x ex:worksFor ex:acme }"
+      val (_, ttl) = http("GET", s"$base/sparql?query=${enc(consMulti)}",
+                          accept = "text/turtle")
+      // one subject block, objects comma-joined under the repeated predicate
+      assert(ttl.contains(s"<${EX}acme> <${EX}member> <${EX}alice>, <${EX}bob> ."))
+      // round-trip: the Turtle body parses back to the same triple set
+      val parsed = graft.rdf.Turtle.parseDoc(ttl).toSet
+      assert(parsed.size == 2)
 
       // POST update mutates the served store
       val upd = s"""INSERT DATA { <${EX}carol> <${EX}worksFor> <${EX}acme> . }"""
