@@ -41,15 +41,22 @@ object Redact {
     * total, and the redacted text's md5. Input column must be `text`.
     */
   def piiStats(docs: DataFrame): DataFrame = {
-    val stages = patterns.scanLeft(col("text")) {
-      case (t, (_, pat, tag)) => regexp_replace(t, pat, tag)
+    // each stage lands in a real column referenced twice (its count + the
+    // next replace), so Catalyst keeps the projections separate and every
+    // regexp_replace runs ONCE per row — folding the chain into one select
+    // would re-evaluate the whole replace prefix per count (~2.5x the
+    // regex work, the dominant cost at corpus scale)
+    var df = docs.withColumn("__t", col("text"))
+    patterns.foreach { case (kind, pat, tag) =>
+      df = df
+        .withColumn(s"n_$kind", regexp_count(col("__t"), lit(pat)).cast("long"))
+        .withColumn("__t", regexp_replace(col("__t"), pat, tag))
     }
-    val counts = patterns.zip(stages.init).map { case ((kind, pat, _), stage) =>
-      regexp_count(stage, lit(pat)).cast("long").as(s"n_$kind")
-    }
-    val out = docs.select(
-      (col("doc_id") +: counts :+ md5(redact(col("text"))).as("redacted_md5")): _*)
-    out.withColumn("n_pii",
-      patterns.map { case (kind, _, _) => col(s"n_$kind") }.reduce(_ + _))
+    df.select(
+      col("doc_id") +:
+        patterns.map { case (kind, _, _) => col(s"n_$kind") } :+
+        md5(col("__t")).as("redacted_md5") :+
+        patterns.map { case (kind, _, _) => col(s"n_$kind") }.reduce(_ + _)
+          .as("n_pii"): _*)
   }
 }

@@ -227,6 +227,56 @@ object Paths {
   def transitiveClosure(edges: DataFrame, maxIters: Int = 64): DataFrame =
     closureLoop(edges, keyed = false, maxIters)
 
+  /** Reachability from one BOUND endpoint — the reference ALP operator's
+    * frontier expansion (ArbitraryLengthPathOp feeds incoming bindings into
+    * the path instead of closing the whole graph; bigdata/src/java/com/
+    * bigdata/bop/paths/ArbitraryLengthPathOp.java:58-84). A top-level
+    * `+`/`*` with a constant endpoint must NOT materialize the whole-graph
+    * closure and then filter: at corpus scale that touches every edge's
+    * closure to answer one seed. Here each round joins a frontier (tiny,
+    * broadcast) against the base relation, so evaluation touches only the
+    * reachable subgraph; rounds = the seed's eccentricity.
+    *
+    * Returns the strictly-one-or-more pairs (seed, x) — `fromSrc = false`
+    * walks the inverse relation and returns (x, seed). Zero-length
+    * contributions are the caller's (the translator's constant-identity
+    * supplement covers them for every dialect). A seed reachable from
+    * itself through a cycle IS emitted (dedup is against emitted nodes,
+    * which the seed joins only once).
+    */
+  def seededClosure(quads: DataFrame, inner: Path, graph: Option[Pat],
+                    seed: org.apache.spark.sql.Column, fromSrc: Boolean,
+                    maxIters: Int = 1 << 16): DataFrame = {
+    val scoped = graph match {
+      case Some(C(t)) => quads.filter(col("c") === t)
+      case _          => quads.filter(col("c").isNull)
+    }
+    val base0 = compileFlat(scoped, inner)
+    val base = if (fromSrc) base0
+               else base0.select(col("dst").as("src"), col("src").as("dst"))
+    val e = materialize(base.distinct())
+    val spark = quads.sparkSession
+    var frontier = materialize(spark.range(1).select(seed.as("n")))
+    var out: DataFrame = null
+    var i = 0
+    var done = false
+    while (i < maxIters && !done) {
+      var next = e.join(broadcast(frontier), col("src") <=> col("n"))
+        .select(col("dst").as("n")).distinct()
+      if (out != null) next = next.join(out, Seq("n"), "left_anti")
+      val nextM = materialize(next)
+      if (nextM.isEmpty) done = true
+      else {
+        out = if (out == null) nextM else out.unionByName(nextM)
+        frontier = nextM
+        i += 1
+      }
+    }
+    val reached = if (out == null) e.limit(0).select(col("src").as("n")) else out
+    if (fromSrc) reached.select(seed.as("src"), col("n").as("dst"))
+    else reached.select(col("n").as("src"), seed.as("dst"))
+  }
+
   /** Closure loop shared by the flat and per-graph variants: when `keyed`,
     * frames carry a `g` column and path composition also matches on it.
     *

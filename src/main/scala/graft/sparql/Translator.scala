@@ -45,7 +45,24 @@ object Translator {
         .reduce((l, r) => join(l, r, "inner", None))
 
     case PathPattern(s, path, o, g) =>
-      var pairs = Paths.compile(quads, path, g) // (src, dst[, g]) term structs
+      // a top-level closure with a constant endpoint evaluates SEEDED
+      // (frontier expansion from the bound term, ALP-style) — never the
+      // whole-graph closure filtered after the fact; zero-length rows come
+      // from the constant-identity supplement below, which makes the two
+      // plans return identical pair sets in every dialect
+      val closureInner = path match {
+        case OneOrMore(p) => Some(p)
+        case ZeroOrMore(p) => Some(p)
+        case _ => None
+      }
+      val flatGraph = !g.exists(_.isInstanceOf[V])
+      var pairs = (closureInner, s, o) match {
+        case (Some(p), C(t), _) if flatGraph =>
+          Paths.seededClosure(quads, p, g, t, fromSrc = true)
+        case (Some(p), _, C(t)) if flatGraph =>
+          Paths.seededClosure(quads, p, g, t, fromSrc = false)
+        case _ => Paths.compile(quads, path, g) // (src, dst[, g]) term structs
+      }
       // a zero-length-capable path from a BOUND endpoint always matches the
       // endpoint itself, even if it never occurs in the path's relation —
       // supplement the pair set with the constant's identity pair

@@ -174,6 +174,38 @@ class RdfAlgebraSpec extends SparkSpecBase {
     assert(lexOf(ends.df, "y").contains(ex(s"n$n")))
   }
 
+  test("seeded closure: cycle re-enters the seed, components stay disjoint, object-bound walks inverse") {
+    // a -> b -> c -> a (cycle) and an unrelated island x -> y
+    val g = NTriples.parseLines(spark,
+      spark.createDataset(Seq(
+        s"<${ex("a")}> <${ex("next")}> <${ex("b")}> .",
+        s"<${ex("b")}> <${ex("next")}> <${ex("c")}> .",
+        s"<${ex("c")}> <${ex("next")}> <${ex("a")}> .",
+        s"<${ex("x")}> <${ex("next")}> <${ex("y")}> ."))(
+        Encoders.STRING).toDF("value"))
+    // + from a: the cycle brings a itself back; the island never appears
+    val plus = Translator.translate(g,
+      PathPattern(C(Term.iri(ex("a"))), OneOrMore(Link(ex("next"))), V("y")))
+    assert(lexOf(plus.df, "y").sorted == Seq(ex("a"), ex("b"), ex("c")))
+    // * from a: same set (identity already in the cycle's answer)
+    val star = Translator.translate(g,
+      PathPattern(C(Term.iri(ex("a"))), ZeroOrMore(Link(ex("next"))), V("y")))
+    assert(lexOf(star.df, "y").sorted == Seq(ex("a"), ex("b"), ex("c")))
+    // * from the island's leaf: zero-length only
+    val leaf = Translator.translate(g,
+      PathPattern(C(Term.iri(ex("y"))), ZeroOrMore(Link(ex("next"))), V("z")))
+    assert(lexOf(leaf.df, "z") == Seq(ex("y")))
+    // object-bound: ?x next+ y walks the inverse — only the island's root
+    val objBound = Translator.translate(g,
+      PathPattern(V("x"), OneOrMore(Link(ex("next"))), C(Term.iri(ex("y")))))
+    assert(lexOf(objBound.df, "x") == Seq(ex("x")))
+    // both endpoints bound: reachable and unreachable
+    assert(Translator.translate(g, PathPattern(C(Term.iri(ex("a"))),
+      OneOrMore(Link(ex("next"))), C(Term.iri(ex("c"))))).df.count() == 1)
+    assert(Translator.translate(g, PathPattern(C(Term.iri(ex("a"))),
+      OneOrMore(Link(ex("next"))), C(Term.iri(ex("y"))))).df.count() == 0)
+  }
+
   test("path connectives: alternative, zero-or-one, negated set") {
     // alt: worksFor | knows from alice
     val alt = Translator.translate(fixture,
