@@ -39,7 +39,9 @@ object Graphs {
         .join(depths.select("node"), Seq("node"), "left_anti")
         .withColumn("depth", lit(d + 1))
       frontier = materialize(next)
-      depths = materialize(depths.unionByName(frontier))
+      // frontier is checkpointed, so the union is a shallow lineage —
+      // re-checkpointing the whole depth frame would rewrite O(V log V)
+      depths = depths.unionByName(frontier)
       d += 1
     }
     depths
@@ -53,6 +55,15 @@ object Graphs {
       edges.select(col("src"), col("dst"), col("weight").cast(LongType)))
     var dist = materialize(
       e.sparkSession.range(1).select(lit(source).as("node"), lit(0L).as("dist")))
+    // convergence by XOR-of-row-hashes fingerprint: distances only decrease,
+    // so an unchanged fingerprint means no row changed — one cheap aggregate
+    // per round instead of an except() shuffle (same argument as
+    // connectedComponents' checksum)
+    def checksum(df: DataFrame): Long = {
+      val row = df.agg(bit_xor(xxhash64(col("node"), col("dist")))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    var sum0 = checksum(dist)
     var i = 0
     while (i < maxHops) {
       val relaxed = dist.join(e, dist("node") === e("src"))
@@ -60,8 +71,9 @@ object Graphs {
         .unionByName(dist)
         .groupBy("node").agg(min(col("dist")).as("dist"))
       val next = materialize(relaxed)
-      // converged when no distance improved
-      if (next.except(dist).isEmpty) return next
+      val sum1 = checksum(next)
+      if (sum1 == sum0) return next
+      sum0 = sum1
       dist = next
       i += 1
     }
