@@ -59,6 +59,29 @@ object Sampling {
     docs.filter(unit(col(keyCol), ":sample") < rate)
   }
 
+  /** Token-budget sampling: per group, keep documents in salted-hash order
+    * until the group's cumulative token count reaches the budget — the
+    * "take N tokens of source X" step of training-mixture construction,
+    * reproducible across runs and partitionings. A document that would
+    * overshoot the budget is dropped (the kept set's total is <= budget).
+    *
+    * One shuffle on the group key; the running sum is a window over the
+    * group's hash order (Spark's window sort spills, it does not OOM). For
+    * groups of billions of documents, pre-filter with weightedSample at
+    * roughly budget/group-tokens before the exact pass.
+    */
+  def tokenBudgetSample(docs: DataFrame, budgetPerGroup: Long,
+                        groupCol: String = "source",
+                        keyCol: String = "doc_id"): DataFrame = {
+    val nTok = size(TextPrep.words(col("text"))).cast("long")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(TextPrep.hash64(concat(col(keyCol).cast("string"),
+                                      lit(":budget"))), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("__cum", sum(nTok).over(w))
+      .filter(col("__cum") <= budgetPerGroup).drop("__cum")
+  }
+
   /** Deterministic train/val/test split: cumulative hash-range buckets in
     * the given order (fractions should sum to 1; the last label absorbs
     * the remainder). A pure projection — the split column can be computed

@@ -204,7 +204,13 @@ object Pipeline {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy("split").agg(count(lit(1)).as("n"),
           sum(col("doc_id")).as("id_sum"))
-        .orderBy("split"))
+        .orderBy("split")),
+    "sample_token_budget" -> ((s, d) =>
+      Sampling.tokenBudgetSample(docs(s, d), budgetPerGroup = 500L)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum(size(graft.pipeline.TextPrep.words(col("text"))).cast("long"))
+            .as("n_tokens"))
+        .orderBy("source"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -680,6 +686,19 @@ object Pipeline {
              < (CASE WHEN source = 'src0' THEN 1.0
                      WHEN source = 'src1' THEN 0.5 ELSE 0.1 END)
          ORDER BY doc_id""",
+
+    "sample_token_budget" ->
+      raw"""WITH t AS (SELECT doc_id, source,
+              len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              w -> len(w) > 0)) AS n_tok,
+              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 15) AS BIGINT) AS h
+            FROM documents),
+         c AS (SELECT doc_id, source, n_tok,
+              SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t)
+         SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         FROM c WHERE cum <= 500 GROUP BY 1 ORDER BY 1""",
 
     "split_train_val" ->
       """WITH u AS (SELECT doc_id,
