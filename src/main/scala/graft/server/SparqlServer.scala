@@ -530,6 +530,11 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
         tenant.generation.incrementAndGet() // invalidates cached CBDs
       }
       respond(ex, 200, "text/plain", "update ok")
+    } else if (params.contains("uuid")) {
+      // QueryServlet.ATTR_UUID: hand the client a server-minted id it can
+      // pass back as queryId= to pre-name a query for /status?cancelQuery
+      // (QueryServlet.java:134 and StatusServlet's cancel protocol)
+      respond(ex, 200, "text/plain", java.util.UUID.randomUUID().toString)
     } else if (params.contains("ESTCARD")) {
       def term(k: String) = params.get(k).map(v => Term.iri(v))
       val n = QuadStore.estcard(tenant.store.get(), term("s"), term("p"), term("o"))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.queries.Pipeline
 
 /** Semantics checks for the training-data pipeline operators at sf0.001.
@@ -202,6 +202,25 @@ class PipelineSpec extends SparkSpecBase {
     assert(r3.getAs[Long]("n_email") == 2L && r3.getAs[Long]("n_ipv4") == 0L)
     val plan = Redact.piiStats(sample).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "piiStats must be a pure column pipeline")
+  }
+
+  test("token-budget sampling: kept set per group respects the budget and hash order") {
+    val sampled = Sampling.tokenBudgetSample(docs, budgetPerGroup = 300L)
+    val toks = size(graft.pipeline.TextPrep.words(col("text"))).cast("long")
+    val perSrc = sampled.groupBy("source").agg(sum(toks).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSrc.values.forall(_ <= 300L), s"budget exceeded: $perSrc")
+    // deterministic across invocations
+    val again = Sampling.tokenBudgetSample(docs, budgetPerGroup = 300L)
+    assert(sampled.select("doc_id").orderBy("doc_id").collect().toSeq ==
+           again.select("doc_id").orderBy("doc_id").collect().toSeq)
+    // greedy-prefix property: adding any dropped doc of the same source
+    // that precedes the cut in hash order would exceed the budget — spot
+    // check: a larger budget keeps a superset
+    val bigger = Sampling.tokenBudgetSample(docs, budgetPerGroup = 600L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val smaller = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(smaller.subsetOf(bigger))
   }
 
   test("vocabulary ranks tokens by total count with deterministic ties") {

@@ -95,6 +95,10 @@ class ServerSpec extends SparkSpecBase {
       val (_, ctxs) = http("GET", s"$base/sparql?CONTEXTS")
       assert(ctxs.contains(s"<${EX}g1>"))
 
+      // ?uuid mints a server-side query id (QueryServlet.ATTR_UUID)
+      val (cuu, uuid) = http("GET", s"$base/sparql?uuid")
+      assert(cuu == 200 && uuid.trim.matches("[0-9a-f-]{36}"))
+
       // status endpoint
       val (_, st) = http("GET", s"$base/status")
       assert(st.contains("\"statements\":4"))
