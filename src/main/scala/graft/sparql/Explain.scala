@@ -86,8 +86,18 @@ object Explain {
     n match {
       case Bgp(tps, fixed) =>
         s"${pad}BGP(${tps.size} patterns${if (fixed) ", fixedOrder" else ""})"
-      case PathPattern(_, p, _, g) =>
-        s"${pad}Path(${p.getClass.getSimpleName}${g.map(x => s", graph=$x").getOrElse("")})"
+      case PathPattern(s, p, o, g) =>
+        // mirrors Translator's plan choice: a top-level closure with a
+        // constant endpoint evaluates seeded (frontier from the bound term)
+        val closure = p match {
+          case _: OneOrMore | _: ZeroOrMore => true
+          case _ => false
+        }
+        val seeded = closure && !g.exists(_.isInstanceOf[V]) &&
+          (s.isInstanceOf[C] || o.isInstanceOf[C])
+        s"${pad}Path(${p.getClass.getSimpleName}" +
+          s"${g.map(x => s", graph=$x").getOrElse("")}" +
+          s"${if (seeded) ", seeded" else ""})"
       case Filter(_, c) => s"${pad}Filter\n${pretty(c, depth + 1)}"
       case Join(l, r) => s"${pad}Join\n${pretty(l, depth + 1)}\n${pretty(r, depth + 1)}"
       case LeftJoin(l, r, cond, ex) =>

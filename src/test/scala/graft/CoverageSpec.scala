@@ -200,6 +200,14 @@ class CoverageSpec extends SparkSpecBase {
     assert(ex2.existsMarkers == 2)
     assert(out2.contains("FilterExists(markers=2:"))
     assert(out2.contains("exists markers: 2"))
+    // a bound-endpoint closure path surfaces the seeded-frontier plan
+    // choice; a var-var closure stays on the full doubling closure
+    val ex3 = graft.sparql.Explain.explain(spark, quads, s"""
+      PREFIX ex: <$EX> SELECT ?y WHERE { ex:a ex:p+ ?y }""")
+    assert(ex3.render.contains("Path(OneOrMore, seeded)"))
+    val ex4 = graft.sparql.Explain.explain(spark, quads, s"""
+      PREFIX ex: <$EX> SELECT ?x ?y WHERE { ?x ex:p+ ?y }""")
+    assert(ex4.render.contains("Path(OneOrMore)"))
   }
 
   test("CSV sink round-trips term rendering distributed") {
