@@ -68,6 +68,24 @@ object TextAnalysis {
     * ratio, type/token ratio, and mean word length band. Deterministic
     * arithmetic only.
     */
+  /** The composite quality score of a (text, token-array) pair — the single
+    * formula behind qualityScore / curate / TrainingPrep (length band 0.3,
+    * alphabetic ratio 0.3, type/token ratio 0.2, word-length band 0.2).
+    */
+  def qualityExpr(text: Column, ws: Column): Column = {
+    val nTok = size(ws).cast(DoubleType)
+    val alphaRatio =
+      length(regexp_replace(lower(text), "[^a-z]", "")).cast(DoubleType) /
+        greatest(length(text), lit(1)).cast(DoubleType)
+    val ttr = size(array_distinct(ws)).cast(DoubleType) / greatest(size(ws), lit(1))
+    val meanLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast(DoubleType) /
+      greatest(size(ws), lit(1))
+    val lenScore = when(nTok >= 20 && nTok <= 1000, 1.0)
+      .when(nTok >= 5, 0.5).otherwise(0.0)
+    val wordLenScore = when(meanLen >= 3 && meanLen <= 10, 1.0).otherwise(0.5)
+    round(lenScore * 0.3 + alphaRatio * 0.3 + ttr * 0.2 + wordLenScore * 0.2, 6)
+  }
+
   def qualityScore(docs: DataFrame): DataFrame = {
     val ws = col("ws")
     val nTok = size(ws).cast(DoubleType)

@@ -223,6 +223,22 @@ class PipelineSpec extends SparkSpecBase {
     assert(smaller.subsetOf(bigger))
   }
 
+  test("training prep composes dedup, decontam, quality, and budget coherently") {
+    import graft.pipeline.TrainingPrep
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val out = TrainingPrep.prepare(docs, bench, budgetPerGroup = 500L).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("n_tokens") <= 500L))
+    // impossible quality bar empties the corpus
+    assert(TrainingPrep.prepare(docs, bench, minQuality = 1.1).count() == 0)
+    // an empty bench set removes nothing by decontamination: totals can
+    // only grow relative to the bench-filtered run
+    val noBench = TrainingPrep.prepare(docs, bench.limit(0), budgetPerGroup = 500L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    val withBench = out.map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    assert(withBench.keySet.subsetOf(noBench.keySet))
+  }
+
   test("vocabulary ranks tokens by total count with deterministic ties") {
     val v = TextAnalysis.vocabulary(docs, topK = 10).collect()
     assert(v.length <= 10 && v.nonEmpty)
