@@ -41,6 +41,10 @@ object Fixpoint {
     while (i < maxIters) {
       val fresh = materialize(step(all, delta).except(all))
       if (fresh.isEmpty) return all
+      // the accumulator IS re-checkpointed here, unlike Paths.closureLoop's
+      // shallow union: rule steps scan `all` once per rule branch (~20x a
+      // round for the OWL set), so a K-leaf union would be re-read K*20
+      // times — measured slower than paying one checkpoint write per round
       all = materialize(all.unionByName(fresh))
       delta = fresh
       i += 1
@@ -71,7 +75,7 @@ object Fixpoint {
       if (fresh.isEmpty) done = true
       else {
         news += fresh
-        all = materialize(all.unionByName(fresh))
+        all = materialize(all.unionByName(fresh)) // see semiNaiveFrom note
         delta = fresh
         i += 1
       }
