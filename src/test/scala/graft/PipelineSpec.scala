@@ -239,6 +239,22 @@ class PipelineSpec extends SparkSpecBase {
     assert(withBench.keySet.subsetOf(noBench.keySet))
   }
 
+  test("redaction and decontamination are idempotent") {
+    import graft.pipeline.{Decontam, Redact}
+    // redaction tags contain no redactable characters, so a second pass is
+    // a no-op on every document
+    val once = docs.select(col("doc_id"),
+      Redact.redact(concat(col("text"),
+        lit(" x@y.zz 1.2.3.4 123-45-6789 +123456789"))).as("r"))
+    val twice = once.select(col("doc_id"), Redact.redact(col("r")).as("r"))
+    assert(once.orderBy("doc_id").collect().toSeq ==
+           twice.orderBy("doc_id").collect().toSeq)
+    // decontaminating an already-clean corpus removes nothing
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val clean = Decontam.decontaminate(docs, bench, n = 5)
+    assert(Decontam.decontaminate(clean, bench, n = 5).count() == clean.count())
+  }
+
   test("vocabulary ranks tokens by total count with deterministic ties") {
     val v = TextAnalysis.vocabulary(docs, topK = 10).collect()
     assert(v.length <= 10 && v.nonEmpty)
