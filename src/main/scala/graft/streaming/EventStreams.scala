@@ -166,4 +166,33 @@ object EventStreams {
           }
       }
   }
+
+  /** Token-budget admission at ingest (the streaming face of
+    * Sampling.tokenBudgetSample): per group key, admit arriving documents
+    * until the group's running token count reaches the budget, then drop —
+    * state is ONE long per group. Within a batch, docs admit in doc_id
+    * order for determinism. A document that would overshoot the budget is
+    * dropped, but later smaller docs may still fit (first-fit, so the
+    * admitted total never exceeds the budget).
+    */
+  final case class GroupDoc(doc_id: Long, group: String, text: String)
+
+  def streamingTokenBudget(docs: Dataset[GroupDoc],
+                           budgetPerGroup: Long): Dataset[GroupDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[Long, GroupDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, batch: Iterator[GroupDoc], state: GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val admitted = Vector.newBuilder[GroupDoc]
+          batch.toVector.sortBy(_.doc_id).foreach { d =>
+            val n = d.text.trim.split("\\s+").count(_.nonEmpty).toLong
+            if (used + n <= budgetPerGroup) { used += n; admitted += d }
+          }
+          state.update(used)
+          admitted.result().iterator
+      }
+  }
 }

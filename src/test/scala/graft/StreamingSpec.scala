@@ -295,6 +295,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming token-budget admission: per-group running sum across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.GroupDoc
+    val input = MemoryStream[GroupDoc]
+    val q = EventStreams.streamingTokenBudget(input.toDS(), budgetPerGroup = 5L)
+      .writeStream.format("memory").queryName("budgeted")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: a(3 tokens) admits, b(3) would overshoot 5 -> dropped,
+      // c(2) still fits first-fit after the drop
+      input.addData(GroupDoc(1, "g1", "one two three"),
+                    GroupDoc(2, "g1", "four five six"),
+                    GroupDoc(3, "g1", "seven eight"))
+      q.processAllAvailable()
+      // batch 2: budget exhausted for g1; fresh group g2 admits
+      input.addData(GroupDoc(4, "g1", "x"), GroupDoc(5, "g2", "a b c"))
+      q.processAllAvailable()
+      val out = spark.table("budgeted").as[GroupDoc].collect()
+        .map(d => d.doc_id).toSet
+      assert(out == Set(1L, 3L, 5L), s"admitted: $out")
+    } finally q.stop()
+  }
+
   test("streaming PII redaction: stateless per-batch column pipeline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
