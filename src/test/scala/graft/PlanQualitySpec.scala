@@ -157,6 +157,33 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"), s"curation lost hash aggregation:\n$p")
   }
 
+  test("decontamination and training prep broadcast the bench set, never nested loops") {
+    for (name <- Seq("decontam_clean", "pipeline_training_prep")) {
+      val df = graft.queries.Pipeline.queries(name)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+             s"$name lost the broadcast bench n-gram join:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+             s"$name degraded to a nested-loop join:\n$p")
+    }
+  }
+
+  test("token-budget sampling windows once on the group key; redaction never shuffles") {
+    val tb = graft.queries.Pipeline.queries("sample_token_budget")(spark, sfDir)
+    tb.collect()
+    val p = tb.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), s"token budget lost its running-sum window:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    val pii = graft.queries.Pipeline.queries("text_pii_redact")(spark, sfDir)
+    pii.collect()
+    // redaction itself is shuffle-free; the query's orderBy adds the one
+    // exchange, so count exchanges rather than forbidding them
+    val exchanges = "Exchange".r.findAllIn(
+      pii.queryExecution.executedPlan.toString).size
+    assert(exchanges <= 2, "PII redaction plan grew unexpected shuffles")
+  }
+
   test("bds:search reads a load-time parquet index — no per-query corpus tokenization") {
     // the reference builds its full-text index ONCE at load
     // (FullTextIndex.java:240); the bds:search service must read that
