@@ -204,6 +204,17 @@ class RdfAlgebraSpec extends SparkSpecBase {
       OneOrMore(Link(ex("next"))), C(Term.iri(ex("c"))))).df.count() == 1)
     assert(Translator.translate(g, PathPattern(C(Term.iri(ex("a"))),
       OneOrMore(Link(ex("next"))), C(Term.iri(ex("y"))))).df.count() == 0)
+    // constant GRAPH scope: the seeded walk stays inside the named graph
+    val g1 = Term.iri(ex("g1"))
+    val named = g.filter(col("s") === Term.iri(ex("a")) ||
+                         col("s") === Term.iri(ex("x")))
+      .withColumn("c", g1)
+    val store = g.unionByName(named)
+    val scoped = Translator.translate(store,
+      PathPattern(C(Term.iri(ex("a"))), OneOrMore(Link(ex("next"))), V("y"),
+                  g = Some(C(g1))))
+    // only a->b is in g1 (b's and c's edges are default-graph only)
+    assert(lexOf(scoped.df, "y") == Seq(ex("b")))
   }
 
   test("path connectives: alternative, zero-or-one, negated set") {
