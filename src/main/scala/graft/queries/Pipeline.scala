@@ -102,6 +102,16 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    "dedup_cluster_stats" -> ((s, d) => {
+      // duplicate-cluster size distribution — the number a curation run
+      // reports ("how duplicated is this corpus?")
+      Dedup.dedupClusters(docs(s, d), sigs = Some(minhashSketch(s, d)),
+                          shingleRel = Some(shingleIndex(s, d)))
+        .groupBy("keep_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
     // ---- similarity search ----
     "ann_topk" -> ((s, d) => {
       val e = emb(s, d)
@@ -300,6 +310,43 @@ object Pipeline {
            SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node)
          SELECT node AS doc_id, MIN(r) AS keep_id FROM reach
          GROUP BY node ORDER BY doc_id""",
+
+    // same pipeline, rolled up to the cluster-size histogram
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $wsSql, $shSql,
+         mh AS (SELECT doc_id, i,
+                  MIN(${h64("concat(i, '|', shingle)")}) AS minhash
+                FROM sh_t CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+         bands AS (SELECT doc_id, i // 4 AS band, list(minhash ORDER BY i) AS band_key
+                   FROM mh GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh_t GROUP BY 1),
+         shared AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_shared
+                    FROM cand c
+                      JOIN sh_t a ON a.doc_id = c.id_a
+                      JOIN sh_t b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+                    GROUP BY 1, 2),
+         verified AS (SELECT c.id_a, c.id_b FROM cand c
+                        JOIN sizes sa ON sa.doc_id = c.id_a
+                        JOIN sizes sb ON sb.doc_id = c.id_b
+                        LEFT JOIN shared s ON s.id_a = c.id_a AND s.id_b = c.id_b
+                      WHERE ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+                        / (sa.n_sh + sb.n_sh - COALESCE(s.n_shared, 0)), 6) >= 0.5),
+         e AS (SELECT id_a AS src, id_b AS dst FROM verified
+               UNION SELECT id_b, id_a FROM verified),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         reach(node, r) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node)
+         SELECT cluster_size, COUNT(*) AS n_clusters FROM (
+           SELECT keep_id, COUNT(*) AS cluster_size FROM (
+             SELECT node, MIN(r) AS keep_id FROM reach GROUP BY node)
+           GROUP BY keep_id)
+         GROUP BY 1 ORDER BY 1""",
 
     "dedup_embedding_cosine" ->
       s"""WITH $embSql
