@@ -35,12 +35,18 @@ object TextAnalysis {
     */
   def tokenStats(docs: DataFrame): DataFrame = {
     val ws = col("ws")
+    // empty/null documents exist in any real corpus: a bare `/ size(ws)`
+    // is a DIVIDE_BY_ZERO crash under ANSI mode — ratios are null there
+    // (n_tokens/n_distinct stay 0 for empty, null for null text)
+    val n = size(ws)
     withWs(docs).select(
       col("doc_id"),
-      size(ws).cast(LongType).as("n_tokens"),
+      n.cast(LongType).as("n_tokens"),
       size(array_distinct(ws)).cast(LongType).as("n_distinct"),
-      round(size(array_distinct(ws)).cast(DoubleType) / size(ws), 6).as("ttr"),
-      round(aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast(DoubleType) / size(ws), 6)
+      when(n > 0, round(size(array_distinct(ws)).cast(DoubleType) / n, 6))
+        .as("ttr"),
+      when(n > 0, round(aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+                          .cast(DoubleType) / n, 6))
         .as("mean_token_len"))
   }
 

@@ -239,6 +239,31 @@ class PipelineSpec extends SparkSpecBase {
     assert(withBench.keySet.subsetOf(noBench.keySet))
   }
 
+  test("pipeline ops survive null and empty documents") {
+    import graft.pipeline.{Decontam, Redact, Sampling}
+    val messy = spark.createDataFrame(Seq(
+      (1L, "hello world foo bar baz", "en", "s1", 23L),
+      (2L, null.asInstanceOf[String], "en", "s1", 0L),
+      (3L, "", "en", "s1", 0L)
+    )).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // tokenStats used to throw DIVIDE_BY_ZERO (ANSI) on empty token arrays
+    val ts = TextAnalysis.tokenStats(messy).orderBy("doc_id").collect()
+    assert(ts.length == 3)
+    assert(ts(0).getAs[Long]("n_tokens") == 5L)
+    assert(ts(2).getAs[Long]("n_tokens") == 0L && ts(2).isNullAt(ts(2).fieldIndex("ttr")))
+    // the rest of the op surface at least evaluates
+    TextAnalysis.qualityScore(messy).collect()
+    TextAnalysis.fingerprint(messy).collect()
+    TextAnalysis.repetitionStats(messy).collect()
+    TextAnalysis.vocabulary(messy, 5).collect()
+    Redact.piiStats(messy).collect()
+    Sampling.tokenBudgetSample(messy, 10L).collect()
+    // a null/empty doc has no n-grams: never contaminated, always kept
+    val kept = Decontam.decontaminate(messy, messy.limit(1), n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("redaction and decontamination are idempotent") {
     import graft.pipeline.{Decontam, Redact}
     // redaction tags contain no redactable characters, so a second pass is
