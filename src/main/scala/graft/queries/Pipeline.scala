@@ -447,8 +447,8 @@ object Pipeline {
          SELECT doc_id,
            CAST(len(ws) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
-           ROUND(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS ttr,
-           ROUND(CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws), 6)
+           ROUND(CAST(len(list_distinct(ws)) AS DOUBLE) / NULLIF(len(ws), 0), 6) AS ttr,
+           ROUND(CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / NULLIF(len(ws), 0), 6)
              AS mean_token_len
          FROM ws_t ORDER BY doc_id""",
 
