@@ -537,7 +537,8 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
       respond(ex, 200, "text/plain", java.util.UUID.randomUUID().toString)
     } else if (params.contains("ESTCARD")) {
       def term(k: String) = params.get(k).map(v => Term.iri(v))
-      val n = QuadStore.estcard(tenant.store.get(), term("s"), term("p"), term("o"))
+      val n = QuadStore.estcard(tenant.store.get(), term("s"), term("p"),
+                                term("o"), term("c"))
       respond(ex, 200, "application/json", s"""{"rangeCount":$n}""")
     } else if (params.contains("CONTEXTS")) {
       val gs = QuadStore.contexts(tenant.store.get())

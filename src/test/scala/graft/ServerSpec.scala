@@ -86,10 +86,14 @@ class ServerSpec extends SparkSpecBase {
       val (_, json2) = http("GET", s"$base/sparql?query=${enc(q)}")
       assert(json2.contains(EX + "carol"))
 
-      // ESTCARD with a bound predicate
+      // ESTCARD with a bound predicate; with a bound context it counts
+      // inside the named graph only (QueryServlet.java:1220 decodes c=)
       val (_, card) = http("GET",
         s"$base/sparql?ESTCARD&p=${enc(EX + "worksFor")}")
       assert(card.contains("\"rangeCount\":3"))
+      val (_, cardC) = http("GET",
+        s"$base/sparql?ESTCARD&c=${enc(EX + "g1")}")
+      assert(cardC.contains("\"rangeCount\":1"))
 
       // CONTEXTS lists the named graph
       val (_, ctxs) = http("GET", s"$base/sparql?CONTEXTS")
