@@ -15,8 +15,11 @@ import graft.sparql.{Parser, Results, Update}
   * NanoSparqlServer.java:79, RESTServlet.java:43, QueryServlet.java:88).
   *
   * Endpoints (on the JDK's built-in HTTP server; zero dependencies):
-  *   GET  /sparql?query=...       SELECT→JSON (Accept: xml→XML), ASK→JSON,
-  *                                CONSTRUCT/DESCRIBE→N-Triples
+  *   GET  /sparql?query=...       SELECT→JSON (Accept: xml→XML), ASK→JSON/XML,
+  *                                CONSTRUCT/DESCRIBE→N-Triples (Accept:
+  *                                turtle→Turtle); `&timestamp=<gen>` reads a
+  *                                historical commit point (bounded history);
+  *                                `&uuid` mints a queryId
   *   POST /sparql                 form body `query=` (as GET) or `update=`
   *                                (SPARQL UPDATE; mutates the served store)
   *   GET  /sparql                 (no params) SPARQL 1.1 Service
@@ -94,6 +97,20 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
   private final class Namespace(init: DataFrame) {
     val store = new AtomicReference[DataFrame](init)
     val generation = new AtomicLong(0L)
+    // bounded snapshot history for `timestamp=` historical reads (the
+    // reference's commit-point reads, QueryServlet.getTimestamp →
+    // getTripleStore(ns, timestamp)): store frames are immutable, so a
+    // generation → frame map IS the commit history; keep the last 8
+    private val history =
+      new java.util.concurrent.ConcurrentSkipListMap[Long, DataFrame]()
+    history.put(0L, init)
+    def commitSnapshot(): Unit = {
+      history.put(generation.get(), store.get())
+      while (history.size > 8) history.pollFirstEntry()
+    }
+    /** The store as of generation `ts` (floor semantics), if not evicted. */
+    def storeAt(ts: Long): Option[DataFrame] =
+      Option(history.floorEntry(ts)).map(_.getValue)
   }
 
   val DefaultNamespace = "kb"
@@ -395,6 +412,7 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
         val (st2, n) = f(st); modified = n; st2
       }
       tenant.generation.incrementAndGet() // invalidates cached CBDs + SD
+      tenant.commitSnapshot()
     }
     respond(ex, 200, "application/xml",
       s"""<?xml version="1.0"?><data modified="$modified" """ +
@@ -528,6 +546,7 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
       withManagedQuery(ex, ns, params("update"), params) {
         tenant.store.updateAndGet(st => Update.execute(spark, st, params("update")))
         tenant.generation.incrementAndGet() // invalidates cached CBDs
+        tenant.commitSnapshot()
       }
       respond(ex, 200, "text/plain", "update ok")
     } else if (params.contains("uuid")) {
@@ -567,7 +586,21 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
           graft.sparql.Explain.explain(spark, tenant.store.get(), q).render)
       case Some(q) =>
         nQueries.incrementAndGet()
-        withManagedQuery(ex, ns, q, params)(runQuery(ex, tenant.store.get(), q))
+        // timestamp= reads a historical commit point (floor semantics over
+        // the bounded snapshot history; 410 once evicted) — the reference's
+        // getTimestamp → getTripleStore(ns, timestamp) historical reads
+        params.get("timestamp").map(_.toLong) match {
+          case Some(ts) =>
+            tenant.storeAt(ts) match {
+              case Some(st) =>
+                withManagedQuery(ex, ns, q, params)(runQuery(ex, st, q))
+              case None =>
+                respond(ex, 410, "text/plain",
+                  s"commit point $ts evicted from the snapshot history")
+            }
+          case None =>
+            withManagedQuery(ex, ns, q, params)(runQuery(ex, tenant.store.get(), q))
+        }
     }
   }
 

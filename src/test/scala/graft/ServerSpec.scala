@@ -103,6 +103,14 @@ class ServerSpec extends SparkSpecBase {
       val (cuu, uuid) = http("GET", s"$base/sparql?uuid")
       assert(cuu == 200 && uuid.trim.matches("[0-9a-f-]{36}"))
 
+      // timestamp= reads a historical commit point: generation 0 predates
+      // carol's insert, the current store includes her
+      val (ct0, hist) = http("GET",
+        s"$base/sparql?query=${enc(q)}&timestamp=0")
+      assert(ct0 == 200 && !hist.contains(EX + "carol") &&
+             hist.contains(EX + "alice"),
+             s"historical read leaked a later commit: $hist")
+
       // status endpoint
       val (_, st) = http("GET", s"$base/status")
       assert(st.contains("\"statements\":4"))
