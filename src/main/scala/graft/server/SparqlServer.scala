@@ -589,8 +589,11 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
         // timestamp= reads a historical commit point (floor semantics over
         // the bounded snapshot history; 410 once evicted) — the reference's
         // getTimestamp → getTripleStore(ns, timestamp) historical reads
-        params.get("timestamp").map(_.toLong) match {
-          case Some(ts) =>
+        params.get("timestamp")
+          .map(v => scala.util.Try(v.toLong)) match {
+          case Some(scala.util.Failure(_)) =>
+            respond(ex, 400, "text/plain", "malformed timestamp")
+          case Some(scala.util.Success(ts)) =>
             tenant.storeAt(ts) match {
               case Some(st) =>
                 withManagedQuery(ex, ns, q, params)(runQuery(ex, st, q))

@@ -110,6 +110,9 @@ class ServerSpec extends SparkSpecBase {
       assert(ct0 == 200 && !hist.contains(EX + "carol") &&
              hist.contains(EX + "alice"),
              s"historical read leaked a later commit: $hist")
+      val (ctBad, _) = http("GET",
+        s"$base/sparql?query=${enc(q)}&timestamp=nonsense")
+      assert(ctBad == 400)
 
       // status endpoint
       val (_, st) = http("GET", s"$base/status")
