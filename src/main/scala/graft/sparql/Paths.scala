@@ -205,6 +205,13 @@ object Paths {
 
   import graft.util.Fixpoint.materialize
 
+  /** Frontier rows above which seededClosure stops broadcasting each round
+    * and shuffle-joins instead: ~1M single-term rows ≈ tens of MB — far
+    * under the broadcast cap, comfortably over any "bounded endpoint on a
+    * sane graph" frontier.
+    */
+  val SeededBroadcastMaxRows: Long = 1L << 20
+
   /** Incremental closure maintenance on edge insert: given an existing
     * closure and newly added edges, derive only the pairs the new edges
     * enable — closure ∪ (closure? · new · closure?) via delta-seeded
@@ -233,9 +240,11 @@ object Paths {
     * bigdata/bop/paths/ArbitraryLengthPathOp.java:58-84). A top-level
     * `+`/`*` with a constant endpoint must NOT materialize the whole-graph
     * closure and then filter: at corpus scale that touches every edge's
-    * closure to answer one seed. Here each round joins a frontier (tiny,
-    * broadcast) against the base relation, so evaluation touches only the
-    * reachable subgraph; rounds = the seed's eccentricity.
+    * closure to answer one seed. Here each round joins the frontier against
+    * the base relation — broadcast while it stays under `broadcastMaxRows`,
+    * a plain shuffle join once a high-branching graph blows it up — so
+    * evaluation touches only the reachable subgraph; rounds = the seed's
+    * eccentricity.
     *
     * Returns the strictly-one-or-more pairs (seed, x) — `fromSrc = false`
     * walks the inverse relation and returns (x, seed). Zero-length
@@ -246,7 +255,8 @@ object Paths {
     */
   def seededClosure(quads: DataFrame, inner: Path, graph: Option[Pat],
                     seed: org.apache.spark.sql.Column, fromSrc: Boolean,
-                    maxIters: Int = 1 << 16): DataFrame = {
+                    maxIters: Int = 1 << 16,
+                    broadcastMaxRows: Long = SeededBroadcastMaxRows): DataFrame = {
     val scoped = graph match {
       case Some(C(t)) => quads.filter(col("c") === t)
       case _          => quads.filter(col("c").isNull)
@@ -257,15 +267,24 @@ object Paths {
     val e = materialize(base.distinct())
     val spark = quads.sparkSession
     var frontier = materialize(spark.range(1).select(seed.as("n")))
+    var frontierRows = 1L
     var out: DataFrame = null
     var i = 0
     var done = false
     while (i < maxIters && !done) {
-      var next = e.join(broadcast(frontier), col("src") <=> col("n"))
+      // broadcast only while the frontier is genuinely small: near the seed
+      // it is, but on a high-branching graph one round can reach millions of
+      // nodes, and an unconditional broadcast() would OOM the driver (or hit
+      // the 8 GB broadcast cap) at corpus scale — past the threshold the
+      // round degrades gracefully to a plain shuffle join
+      val probe = if (frontierRows <= broadcastMaxRows) broadcast(frontier)
+                  else frontier
+      var next = e.join(probe, col("src") <=> col("n"))
         .select(col("dst").as("n")).distinct()
       if (out != null) next = next.join(out, Seq("n"), "left_anti")
       val nextM = materialize(next)
-      if (nextM.isEmpty) done = true
+      frontierRows = nextM.count()
+      if (frontierRows == 0L) done = true
       else {
         out = if (out == null) nextM else out.unionByName(nextM)
         frontier = nextM
@@ -306,12 +325,113 @@ object Paths {
     val dict = materialize(
       cols.map(c => e0.select(col(c).as("t"))).reduce(_ unionByName _)
         .distinct().withColumn("id", monotonically_increasing_id()))
-    val enc = cols.foldLeft(e0) { (df, c) =>
+    val enc = materialize(cols.foldLeft(e0) { (df, c) =>
       df.join(broadcast(dict).withColumnRenamed("id", s"__$c"),
               df(c) <=> dict("t"))
         .drop(c, "t").withColumnRenamed(s"__$c", c)
-    }.select(cols.map(col): _*)
+    }.select(cols.map(col): _*))
 
+    val closedIds =
+      (if (keyed) None else chainClosure(enc, maxIters))
+        .getOrElse(doublingClosure(enc, cols, keyed, maxIters))
+
+    // decode: one broadcast-dictionary join per endpoint column
+    cols.foldLeft(closedIds) { (df, c) =>
+      df.join(broadcast(dict).withColumnRenamed("t", s"__$c"),
+              df(c) === dict("id"))
+        .drop(c, "id").withColumnRenamed(s"__$c", c)
+    }.select(cols.map(col): _*)
+  }
+
+  /** What the last closure evaluation on this JVM chose — observability for
+    * plan-guard specs ("a functional relation must take the chain path, no
+    * fixpoint rounds over the pair set").
+    */
+  @volatile private[graft] var lastClosureStrategy: String = ""
+
+  /** Chain-shaped closure fast path. When the edge relation is FUNCTIONAL
+    * in both directions (max out-degree 1 and max in-degree 1 — two cheap
+    * aggregates to detect), the graph is a disjoint union of simple chains
+    * and simple cycles, and the general doubling loop — which shuffles,
+    * dedups, and anti-joins the GROWING pair set every round — is massive
+    * overkill: per-user event chains, linked-list provenance, version
+    * threads are all this shape. Instead:
+    *
+    *   1. pointer-jump on the NODE-sized frame to label every node with its
+    *      (chain head, position): O(log L) rounds, each a node-sized
+    *      self-join — the closure-sized pair set is never part of loop
+    *      state;
+    *   2. one self-join per chain on `head_a = head_b AND pos_a < pos_b`
+    *      emits every closure pair exactly once — no dedup, no anti-join,
+    *      output-bound by construction.
+    *
+    * Cycles have no head, so their pointers never converge; the loop
+    * detects that (monotone position sum goes stable only when every
+    * pointer rests on a head) and returns None — the caller falls back to
+    * the general doubling loop, which handles cycles. Convergence sums
+    * positions as decimal(38,0): exact, no silent long overflow at any
+    * realistic node count.
+    *
+    * Scale posture: a single L-node chain puts L rows on one join key and
+    * emits L²/2 pairs — inherent to the answer, not the algorithm (any
+    * closure pays output size); AQE skew-join splitting applies. Input `e`
+    * must be materialized, distinct, (src: long, dst: long).
+    */
+  private def chainClosure(e: DataFrame, maxIters: Int): Option[DataFrame] = {
+    def maxDeg(c: String): Long =
+      e.groupBy(col(c)).count()
+        .agg(coalesce(max("count"), lit(0L))).first().getLong(0)
+    if (maxDeg("src") > 1L || maxDeg("dst") > 1L) {
+      lastClosureStrategy = "doubling"
+      return None
+    }
+    // a chain of L edges converges in ceil(log2 L) jumps, so a loop still
+    // unconverged past that bound has hit a cycle — give up THEN, not after
+    // maxIters wasted rounds (also keeps pos ≤ 2·edges, far from long
+    // overflow, since unconverged cycle positions double every round)
+    val edgeCount = e.count()
+    val jumpBound = math.min(maxIters,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(edgeCount, 1L)) + 2)
+    // each node's pointer: its unique predecessor (dist 1), or itself for a
+    // head (dist 0); pointer jumping composes (n → ptr) with (ptr → ptr')
+    val nodes = e.select(col("src").as("n"))
+      .unionByName(e.select(col("dst").as("n"))).distinct()
+    val preds = e.select(col("dst").as("n"), col("src").as("p0"))
+    var st = materialize(nodes.join(preds, Seq("n"), "left_outer")
+      .select(col("n"), coalesce(col("p0"), col("n")).as("ptr"),
+              when(col("p0").isNull, 0L).otherwise(1L).as("pos")))
+    def posSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("pos").cast("decimal(38,0)")),
+                      lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
+        .first().getDecimal(0)
+    var last = posSum(st)
+    var i = 0
+    while (i < jumpBound) {
+      val jumped = st.as("a").join(st.as("b"), col("a.ptr") === col("b.n"))
+        .select(col("a.n").as("n"), col("b.ptr").as("ptr"),
+                (col("a.pos") + col("b.pos")).as("pos"))
+      st = materialize(jumped)
+      val cur = posSum(st)
+      if (cur.compareTo(last) == 0) {
+        // every pointer rests on a head → pure chains; emit pairs directly
+        lastClosureStrategy = "chain"
+        return Some(st.as("a")
+          .join(st.as("b"),
+                col("a.ptr") === col("b.ptr") && col("a.pos") < col("b.pos"))
+          .select(col("a.n").as("src"), col("b.n").as("dst")))
+      }
+      last = cur
+      i += 1
+    }
+    // never converged → at least one cycle; let the general loop handle it
+    lastClosureStrategy = "doubling"
+    None
+  }
+
+  /** General-graph closure: exact-power-prefix doubling (below). */
+  private def doublingClosure(enc: DataFrame, cols: Seq[String], keyed: Boolean,
+                              maxIters: Int): DataFrame = {
+    lastClosureStrategy = "doubling"
     // Exact-power-prefix doubling over min-distance labels. Naive doubling
     // (freshall ∪ allfresh) rederives every length-L pair once per split
     // point — ~2^(r-1) copies per pair at round r, a ~100M-row intermediate
@@ -351,12 +471,6 @@ object Paths {
         all = all.unionByName(fresh); lastFresh = fresh; i += 1
       }
     }
-
-    // decode: one broadcast-dictionary join per endpoint column
-    cols.foldLeft(all.drop("dist")) { (df, c) =>
-      df.join(broadcast(dict).withColumnRenamed("t", s"__$c"),
-              df(c) === dict("id"))
-        .drop(c, "id").withColumnRenamed(s"__$c", c)
-    }.select(cols.map(col): _*)
+    all.drop("dist")
   }
 }

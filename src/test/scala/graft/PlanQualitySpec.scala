@@ -424,6 +424,56 @@ class PlanQualitySpec extends SparkSpecBase {
            s"marker binding re-grew the 2^K union fan-out:\n$p")
   }
 
+  test("functional relations take the chain closure — no fixpoint over the pair set") {
+    import spark.implicits._
+    import graft.sparql.Paths
+    // two disjoint simple chains: 1→2→3→4→5 and 10→11→12
+    val chains = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+                     (10L, 11L), (11L, 12L)).toDF("src", "dst")
+    val closed = Paths.transitiveClosure(chains).as[(Long, Long)].collect().toSet
+    assert(Paths.lastClosureStrategy == "chain",
+           "max-degree-1 relation must take the chain fast path")
+    assert(closed == Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L),
+                         (2L, 4L), (2L, 5L), (3L, 4L), (3L, 5L), (4L, 5L),
+                         (10L, 11L), (10L, 12L), (11L, 12L)))
+
+    // branching (out-degree 2) relation must NOT take it
+    val tree = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("src", "dst")
+    val treeClosed = Paths.transitiveClosure(tree).as[(Long, Long)].collect().toSet
+    assert(Paths.lastClosureStrategy == "doubling")
+    assert(treeClosed == Set((1L, 2L), (1L, 3L), (2L, 4L), (1L, 4L)))
+
+    // a functional CYCLE has no head: pointer jumping detects it within
+    // ceil(log2 E)+2 rounds and falls back to doubling, which closes it
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val cycClosed = Paths.transitiveClosure(cyc).as[(Long, Long)].collect().toSet
+    assert(Paths.lastClosureStrategy == "doubling")
+    assert(cycClosed ==
+      (for (a <- 1L to 3L; b <- 1L to 3L) yield (a, b)).toSet)
+  }
+
+  test("seededClosure shuffle fallback (big frontier) matches the broadcast path") {
+    import graft.rdf.{NTriples, Term}
+    import graft.sparql.{Paths, Algebra}
+    import org.apache.spark.sql.Encoders
+    // fan-out graph: root → 8 mids → 64 leaves (frontier grows past 1 row)
+    val nt = (1 to 8).map(i => s"<http://x/root> <http://x/e> <http://x/m$i> .") ++
+      (for (i <- 1 to 8; j <- 1 to 8)
+        yield s"<http://x/m$i> <http://x/e> <http://x/l${i}_$j> .")
+    val quads = NTriples.parseLines(spark,
+      spark.createDataset(nt)(Encoders.STRING).toDF("value"))
+    val seed = Term.iri("http://x/root")
+    def runWith(maxBroadcastRows: Long): Set[String] =
+      Paths.seededClosure(quads, Algebra.Link("http://x/e"), None, seed,
+                          fromSrc = true, broadcastMaxRows = maxBroadcastRows)
+        .select(Term.lex(org.apache.spark.sql.functions.col("dst")))
+        .collect().map(_.getString(0)).toSet
+    val viaShuffle = runWith(0L)    // every round takes the fallback join
+    val viaBroadcast = runWith(Paths.SeededBroadcastMaxRows)
+    assert(viaShuffle == viaBroadcast && viaShuffle.size == 72,
+           s"fallback path diverged: ${viaShuffle.size} vs ${viaBroadcast.size}")
+  }
+
   test("salted join equals plain join and spreads hot keys") {
     import spark.implicits._
     // hot key: 10k rows of key=1 against a 3-row dimension
