@@ -104,9 +104,19 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
     private val history =
       new java.util.concurrent.ConcurrentSkipListMap[Long, DataFrame]()
     history.put(0L, init)
-    def commitSnapshot(): Unit = {
-      history.put(generation.get(), store.get())
+    // Commits serialize per tenant: the store swap, the generation bump,
+    // and the history entry must be one atomic step — handlers run on a
+    // cached thread pool, and two interleaved updates re-reading shared
+    // state could map a generation onto the OTHER commit's frame (or skip
+    // a generation entirely), so a later `timestamp=<gen>` read would
+    // silently serve the wrong commit point under floor semantics.
+    // Queries never take this lock; they read the atomics lock-free.
+    private val commitLock = new Object
+    def commit(f: DataFrame => DataFrame): DataFrame = commitLock.synchronized {
+      val st2 = store.updateAndGet(st => f(st))
+      history.put(generation.incrementAndGet(), st2)
       while (history.size > 8) history.pollFirstEntry()
+      st2
     }
     /** The store as of generation `ts` (floor semantics), if not evicted. */
     def storeAt(ts: Long): Option[DataFrame] =
@@ -408,11 +418,10 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
     nUpdates.incrementAndGet()
     var modified = 0L
     withManagedQuery(ex, ns, label, params) {
-      tenant.store.updateAndGet { st =>
+      // commit() also bumps the generation, invalidating cached CBDs + SD
+      tenant.commit { st =>
         val (st2, n) = f(st); modified = n; st2
       }
-      tenant.generation.incrementAndGet() // invalidates cached CBDs + SD
-      tenant.commitSnapshot()
     }
     respond(ex, 200, "application/xml",
       s"""<?xml version="1.0"?><data modified="$modified" """ +
@@ -544,9 +553,8 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
     if (params.contains("update") && ex.getRequestMethod == "POST") {
       nUpdates.incrementAndGet()
       withManagedQuery(ex, ns, params("update"), params) {
-        tenant.store.updateAndGet(st => Update.execute(spark, st, params("update")))
-        tenant.generation.incrementAndGet() // invalidates cached CBDs
-        tenant.commitSnapshot()
+        // commit() also bumps the generation, invalidating cached CBDs
+        tenant.commit(st => Update.execute(spark, st, params("update")))
       }
       respond(ex, 200, "text/plain", "update ok")
     } else if (params.contains("uuid")) {

@@ -301,6 +301,44 @@ class ServerSpec extends SparkSpecBase {
     } finally srv.stop()
   }
 
+  test("namespace destroy racing an in-flight query strands nothing") {
+    // store frames are immutable and bds/Catalog artifacts retire through
+    // the grace window, so destroying a namespace must only unmap it: a
+    // query already evaluating against the tenant keeps its frame and
+    // completes with the right answer (the reference's tx-protected
+    // destroyRepository semantics)
+    val srv = new SparqlServer(spark, parse(Seq.empty)).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      assert(http("POST", s"$base/namespace", Some("name=doomed"))._1 == 201)
+      // a 400-node next-chain: the (p)+ closure takes multiple fixpoint
+      // rounds — long enough to overlap the destroy
+      val nt = (1 until 400)
+        .map(i => s"<${EX}n$i> <${EX}next> <${EX}n${i + 1}> .").mkString("\n")
+      assert(http("POST", s"$base/namespace/doomed/sparql", Some(nt),
+                  ctype = "text/plain")._1 == 200)
+      val q = s"PREFIX ex: <$EX> SELECT (COUNT(*) AS ?n) WHERE { ?x ex:next+ ?y }"
+      @volatile var result: (Int, String) = (0, "")
+      val t = new Thread(() => {
+        result = http("GET", s"$base/namespace/doomed/sparql?query=${enc(q)}")
+      })
+      t.start()
+      // wait until the query is admitted (status lists it), then destroy
+      // the namespace under it
+      val deadline = System.currentTimeMillis() + 30000
+      while (!http("GET", s"$base/status?showQueries")._2.contains("ex:next+") &&
+             System.currentTimeMillis() < deadline) Thread.sleep(10)
+      assert(http("DELETE", s"$base/namespace/doomed")._1 == 200)
+      // new requests 404 immediately...
+      assert(http("GET", s"$base/namespace/doomed/sparql?query=${enc(q)}")._1 == 404)
+      t.join(120000)
+      // ...but the in-flight query still answers, and correctly:
+      // closure of a 400-node chain = 400·399/2 pairs
+      assert(result._1 == 200 && result._2.contains("79800"),
+             s"in-flight query broken by destroy: $result")
+    } finally srv.stop()
+  }
+
   test("REST data API: insert/delete/put with RDF bodies and access paths") {
     val srv = new SparqlServer(spark, parse(Seq.empty)).start()
     try {
