@@ -55,14 +55,13 @@ object Graphs {
       edges.select(col("src"), col("dst"), col("weight").cast(LongType)))
     var dist = materialize(
       e.sparkSession.range(1).select(lit(source).as("node"), lit(0L).as("dist")))
-    // convergence by XOR-of-row-hashes fingerprint: distances only decrease,
-    // so an unchanged fingerprint means no row changed — one cheap aggregate
-    // per round instead of an except() shuffle (same argument as
-    // connectedComponents' checksum)
-    def checksum(df: DataFrame): Long = {
-      val row = df.agg(bit_xor(xxhash64(col("node"), col("dist")))).head()
-      if (row.isNullAt(0)) 0L else row.getLong(0)
-    }
+    // convergence by (XOR-of-row-hashes, count) fingerprint: distances only
+    // decrease and nodes only get added, so an unchanged fingerprint means
+    // no row changed — one cheap aggregate per round instead of an except()
+    // shuffle; see Fixpoint.fingerprint for the residual 2^-64 collision
+    // bound and why the paired count kills cardinality-cancellation classes
+    def checksum(df: DataFrame): (Long, Long) =
+      graft.util.Fixpoint.fingerprint(df, col("node"), col("dist"))
     var sum0 = checksum(dist)
     var i = 0
     while (i < maxHops) {
@@ -103,15 +102,13 @@ object Graphs {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     var labels = materialize(nodes.withColumn("component", col("node")))
-    // convergence: XOR of per-row (node, component) hashes — one cheap
-    // aggregate instead of an except(). Unlike sum(component) it cannot
-    // overflow at billions of 64-bit hashed node ids (an int64 sum can
-    // wrap and, improbably, false-converge); with the row count fixed, an
-    // unchanged fingerprint means no label changed (2^-64 collision odds)
-    def checksum(df: DataFrame): Long = {
-      val row = df.agg(bit_xor(xxhash64(col("node"), col("component")))).head()
-      if (row.isNullAt(0)) 0L else row.getLong(0)
-    }
+    // convergence: (XOR of per-row (node, component) hashes, count) — one
+    // cheap aggregate instead of an except(). Unlike sum(component) the XOR
+    // cannot overflow at billions of 64-bit hashed node ids; the paired
+    // count pins cardinality; see Fixpoint.fingerprint for the residual
+    // 2^-64 per-round collision bound
+    def checksum(df: DataFrame): (Long, Long) =
+      graft.util.Fixpoint.fingerprint(df, col("node"), col("component"))
     var sum0 = checksum(labels)
     var i = 0
     var done = false

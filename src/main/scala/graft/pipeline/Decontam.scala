@@ -35,10 +35,15 @@ object Decontam {
   /** The (doc_id, shingle) relation: distinct word n-grams per document.
     * Documents shorter than n tokens contribute no rows (they cannot share
     * an n-gram with anything).
+    *
+    * Deliberately NO repartition here: the downstream doc_id aggregations
+    * partial-aggregate map-side, so they shuffle doc-sized count rows —
+    * pre-shuffling the full shingle relation to co-locate docs would move
+    * strictly more bytes than it saves (and `materialize` drops partitioning
+    * metadata anyway, so the exchange wouldn't even be elided).
     */
   def shingleSet(docs: DataFrame, n: Int): DataFrame =
-    docs.repartition(col("doc_id"))
-      .select(col("doc_id"), words(col("text")).as("ws"))
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), explode(shingles(col("ws"), n)).as("shingle"))
 
   /** Per-document overlap against the benchmark corpus's n-gram set:

@@ -69,6 +69,10 @@ object Sampling {
     * group's hash order (Spark's window sort spills, it does not OOM). For
     * groups of billions of documents, pre-filter with weightedSample at
     * roughly budget/group-tokens before the exact pass.
+    *
+    * EventStreams.streamingTokenBudget implements the same cutoff (same
+    * salted-hash order, running total includes skipped docs): a single
+    * micro-batch admits exactly this operator's sample.
     */
   def tokenBudgetSample(docs: DataFrame, budgetPerGroup: Long,
                         groupCol: String = "source",

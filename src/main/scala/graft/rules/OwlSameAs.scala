@@ -31,14 +31,13 @@ object OwlSameAs {
     var labels = Fixpoint.materialize(
       edges.select(col("src").as("node")).unionByName(edges.select(col("dst").as("node")))
         .distinct().withColumn("canon", col("node")))
-    // convergence by XOR-of-row-hashes fingerprint: canon labels only
-    // decrease under min_by, so an unchanged fingerprint means no label
-    // changed — one cheap aggregate per round instead of an except()
-    // shuffle (same argument as Graphs.connectedComponents)
-    def checksum(df: DataFrame): Long = {
-      val row = df.agg(bit_xor(xxhash64(col("node"), col("canon")))).head()
-      if (row.isNullAt(0)) 0L else row.getLong(0)
-    }
+    // convergence by (XOR-of-row-hashes, count) fingerprint: canon labels
+    // only decrease under min_by and the node set is fixed, so an unchanged
+    // fingerprint means no label changed — one cheap aggregate per round
+    // instead of an except() shuffle; see Fixpoint.fingerprint for the
+    // residual 2^-64 collision bound
+    def checksum(df: DataFrame): (Long, Long) =
+      Fixpoint.fingerprint(df, col("node"), col("canon"))
     var sum0 = checksum(labels)
     var done = false
     var i = 0

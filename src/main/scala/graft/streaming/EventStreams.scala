@@ -167,15 +167,30 @@ object EventStreams {
       }
   }
 
-  /** Token-budget admission at ingest (the streaming face of
-    * Sampling.tokenBudgetSample): per group key, admit arriving documents
-    * until the group's running token count reaches the budget, then drop —
-    * state is ONE long per group. Within a batch, docs admit in doc_id
-    * order for determinism. A document that would overshoot the budget is
-    * dropped, but later smaller docs may still fit (first-fit, so the
-    * admitted total never exceeds the budget).
+  /** Token-budget admission at ingest — the streaming face of
+    * Sampling.tokenBudgetSample with IDENTICAL cutoff semantics: docs order
+    * by the batch operator's salted hash (hash64(key || ":budget"), key),
+    * the running total accumulates EVERY doc seen (admitted or skipped),
+    * and a doc admits iff the total through it stays within budget
+    * (prefix truncation, not first-fit). A stream arriving as one
+    * micro-batch therefore admits exactly the batch operator's sample
+    * (pinned by StreamingSpec); across micro-batches the running total
+    * carries over, so the result equals the batch operator applied to the
+    * batches in arrival order — arrival interleaving is the one degree of
+    * freedom inherent to streaming. State is ONE long per group.
     */
   final case class GroupDoc(doc_id: Long, group: String, text: String)
+
+  /** Executor-side twin of TextPrep.hash64 over s"$id:budget" (md5, first
+    * 15 hex digits as a long) — keeps stream and batch admission order
+    * bit-identical.
+    */
+  private def budgetHash(id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:budget".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
 
   def streamingTokenBudget(docs: Dataset[GroupDoc],
                            budgetPerGroup: Long): Dataset[GroupDoc] = {
@@ -185,13 +200,13 @@ object EventStreams {
       .flatMapGroupsWithState[Long, GroupDoc](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, batch: Iterator[GroupDoc], state: GroupState[Long]) =>
-          var used = state.getOption.getOrElse(0L)
+          var cum = state.getOption.getOrElse(0L)
           val admitted = Vector.newBuilder[GroupDoc]
-          batch.toVector.sortBy(_.doc_id).foreach { d =>
-            val n = d.text.trim.split("\\s+").count(_.nonEmpty).toLong
-            if (used + n <= budgetPerGroup) { used += n; admitted += d }
+          batch.toVector.sortBy(d => (budgetHash(d.doc_id), d.doc_id)).foreach { d =>
+            cum += d.text.trim.split("\\s+").count(_.nonEmpty).toLong
+            if (cum <= budgetPerGroup) admitted += d
           }
-          state.update(used)
+          state.update(cum)
           admitted.result().iterator
       }
   }

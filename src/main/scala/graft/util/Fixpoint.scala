@@ -20,6 +20,27 @@ object Fixpoint {
   def materialize(df: DataFrame): DataFrame =
     org.apache.spark.sql.graft.Internal.freshIdCheckpoint(df)
 
+  /** Convergence fingerprint for monotone label frames (SSSP distances,
+    * CC/sameAs canon labels): (XOR of per-row xxhash64, row count) in ONE
+    * cheap aggregate, replacing a per-round except() shuffle.
+    *
+    * The paired count eliminates every cancellation class where the row
+    * cardinality changes (offsetting insert/remove pairs cannot slip
+    * through). With counts equal, declaring convergence early requires the
+    * XORed 64-bit hash deltas of the rows that DID change to cancel
+    * exactly — ~2^-64 per round on hash-random inputs, and the monotone
+    * label discipline (values only decrease) rules out value swaps
+    * re-creating the same multiset. Callers accept that residual risk in
+    * exchange for one aggregate per round; the oracle gates re-verify
+    * end results exactly.
+    */
+  def fingerprint(df: DataFrame,
+                  cols: org.apache.spark.sql.Column*): (Long, Long) = {
+    import org.apache.spark.sql.functions.{bit_xor, count, lit, xxhash64}
+    val row = df.agg(bit_xor(xxhash64(cols: _*)), count(lit(1))).head()
+    (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
+  }
+
   /** Semi-naive iteration: `all` accumulates, `step(all, delta)` produces
     * candidate new rows; loop ends when no new rows appear (or maxIters).
     */

@@ -167,6 +167,19 @@ class PlanQualitySpec extends SparkSpecBase {
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
              s"$name degraded to a nested-loop join:\n$p")
     }
+    // zero-tolerance path, bare operator (no oracle orderBy): the train
+    // corpus is NEVER shuffled — the only shuffle exchanges are the two
+    // bench-sized distincts (bench shingles; contaminated doc ids), both
+    // feeding BroadcastExchanges. A repartition of the train shingle
+    // relation sneaking back in adds a third and fails this count.
+    val dd = graft.Tables.load(spark, sfDir, "documents")
+    val clean = graft.pipeline.Decontam.decontaminate(
+      dd.filter(col("doc_id") % 10 =!= 0), dd.filter(col("doc_id") % 10 === 0), n = 5)
+    clean.collect()
+    val cp = clean.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(cp).size
+    assert(shuffles <= 2,
+           s"zero-tolerance decontaminate grew train-side shuffles ($shuffles):\n$cp")
   }
 
   test("token-budget sampling windows once on the group key; redaction never shuffles") {

@@ -304,13 +304,25 @@ class StreamingSpec extends SparkSpecBase {
       .writeStream.format("memory").queryName("budgeted")
       .outputMode(OutputMode.Append()).start()
     try {
-      // batch 1: a(3 tokens) admits, b(3) would overshoot 5 -> dropped,
-      // c(2) still fits first-fit after the drop
-      input.addData(GroupDoc(1, "g1", "one two three"),
-                    GroupDoc(2, "g1", "four five six"),
-                    GroupDoc(3, "g1", "seven eight"))
+      // batch 1 in the batch operator's salted-hash order is [3, 1, 2]:
+      // doc3(2 tokens, cum 2) admits, doc1(3, cum 5) admits, doc2(3, cum 8)
+      // crosses the budget — prefix truncation, identical to
+      // Sampling.tokenBudgetSample (asserted below)
+      val batch1 = Seq(GroupDoc(1, "g1", "one two three"),
+                       GroupDoc(2, "g1", "four five six"),
+                       GroupDoc(3, "g1", "seven eight"))
+      input.addData(batch1: _*)
       q.processAllAvailable()
-      // batch 2: budget exhausted for g1; fresh group g2 admits
+      val afterB1 = spark.table("budgeted").as[GroupDoc].collect()
+        .map(_.doc_id).toSet
+      // single-micro-batch equivalence with the batch operator, exactly
+      val batchOp = graft.pipeline.Sampling.tokenBudgetSample(
+        batch1.toDF(), budgetPerGroup = 5L, groupCol = "group")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(afterB1 == batchOp,
+             s"stream admitted $afterB1 but batch operator samples $batchOp")
+      // batch 2: g1's running total (8, including the skipped doc2) already
+      // crossed the budget, so doc4 is past the cutoff; fresh group g2 admits
       input.addData(GroupDoc(4, "g1", "x"), GroupDoc(5, "g2", "a b c"))
       q.processAllAvailable()
       val out = spark.table("budgeted").as[GroupDoc].collect()
