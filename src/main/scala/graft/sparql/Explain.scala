@@ -13,20 +13,31 @@ object Explain {
   final case class Explanation(algebra: String, certainVars: Set[String],
                                maybeVars: Set[String], physicalPlan: String,
                                hints: Map[String, String] = Map.empty,
-                               existsMarkers: Int = 0) {
+                               existsMarkers: Int = 0,
+                               rto: Option[Translator.RtoDecision] = None) {
     def render: String = {
       val hintSection =
         if (hints.isEmpty) ""
         else hints.toSeq.sorted
           .map { case (k, v) => s"$k = $v" }
           .mkString("== query hints ==\n", "\n", "\n")
+      val rtoSection = rto.map { d =>
+        val lines = d.order.zip(d.prefixCards).zipWithIndex.map {
+          case ((pat, card), i) =>
+            val kind = if (i < d.searched) "prefix card" else "pattern card"
+            f"  ${i + 1}. $pat  ($kind ~ $card sampled)"
+        }
+        s"== runtime optimizer (sampled join-order search) ==\n" +
+          s"searched exhaustively over ${d.searched} patterns\n" +
+          lines.mkString("\n") + "\n"
+      }.getOrElse("")
       val markerLine =
         if (existsMarkers == 0) ""
         else s"exists markers: $existsMarkers " +
           s"(one hash left_outer join each, linear in markers)\n"
       s"""== SPARQL algebra ==
          |$algebra
-         |$hintSection== variable scope ==
+         |$hintSection$rtoSection== variable scope ==
          |certain: ${certainVars.toSeq.sorted.mkString(", ")}
          |maybe:   ${maybeVars.toSeq.sorted.mkString(", ")}
          |$markerLine== physical plan (Catalyst) ==
@@ -36,9 +47,9 @@ object Explain {
 
   def explain(spark: SparkSession, quads: DataFrame, queryText: String): Explanation = {
     val q = Parser.parse(spark, queryText)
+    val runtime = q.hints.get("optimizer").contains("Runtime")
     val res =
-      if (q.hints.get("optimizer").contains("Runtime"))
-        Translator.translateSampled(quads, q.node)
+      if (runtime) Translator.translateSampled(quads, q.node)
       else Translator.translate(quads, q.node)
     Explanation(
       algebra = pretty(q.node, 0),
@@ -47,7 +58,10 @@ object Explain {
       physicalPlan = res.df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
       hints = q.hints,
-      existsMarkers = countMarkers(q.node))
+      existsMarkers = countMarkers(q.node),
+      // the translate above ran on this thread, so this is THIS query's
+      // decision (last BGP wins for multi-BGP queries)
+      rto = if (runtime) Translator.lastRtoDecision else None)
   }
 
   /** Total EXISTS marker binds in the tree — each costs exactly one

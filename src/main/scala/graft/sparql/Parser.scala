@@ -950,7 +950,22 @@ object Parser {
       var filters = Vector.empty[Expr]
       var existsFilters = Vector.empty[(Node, Boolean)]
       var existsCondFilters = Vector.empty[(Expr, Vector[(String, Node)])]
-      def add(n: Node): Unit = cur = Some(cur.fold(n)(c => Join(c, n)))
+      // Adjacent triples blocks in one group are ONE basic graph pattern
+      // (SPARQL 1.1 §18.2.2.6 collects consecutive TriplesBlocks into a
+      // single BGP) — merge them instead of nesting Joins. Semantics are
+      // identical (BGP join = inner join, and Join is associative), but
+      // this is what gives join-order optimization its real scope: without
+      // it, dot-separated statements with different subjects would always
+      // join in written order, one subject-block at a time. Non-BGP nodes
+      // (OPTIONAL/MINUS/paths/services) break the adjacency as usual.
+      def add(n: Node): Unit = {
+        def merge(c: Node): Node = (c, n) match {
+          case (Bgp(l, f), Bgp(r, _)) => Bgp(l ++ r, f)
+          case (Join(a, Bgp(l, f)), Bgp(r, _)) => Join(a, Bgp(l ++ r, f))
+          case _ => Join(c, n)
+        }
+        cur = Some(cur.fold(n)(merge))
+      }
       // grammar: GGP-sub = TriplesBlock? (GraphPatternNotTriples '.'?
       // TriplesBlock?)* — one optional '.' after a keyword construct;
       // adjacent triples blocks REQUIRE the separating '.' (syn-bad-02/03),

@@ -495,13 +495,49 @@ object Translator {
   def withRuntimeSampling[T](quads: DataFrame, fraction: Double = 0.01)(body: => T): T =
     rtoContext.withValue(Some((quads, fraction)))(body)
 
-  /** Estimate per-pattern cardinalities in ONE pass over a seeded sample:
-    * sum(when(pattern-predicate, 1)) per pattern, then greedy cheapest-
-    * first ordering that keeps each next pattern connected to bound vars.
+  /** One RTO ordering decision, surfaced by EXPLAIN: the chosen pattern
+    * order and each position's SAMPLED cardinality — for searched positions
+    * the cardinality of the join PREFIX through that pattern, for greedy
+    * tail positions the pattern's own sampled count (cutoff-truncated
+    * counts on the seeded sample, not full-store estimates).
+    */
+  final case class RtoDecision(order: Seq[String], prefixCards: Seq[Long],
+                               searched: Int)
+  private val rtoDecisionTL =
+    new ThreadLocal[Option[RtoDecision]] { override def initialValue() = None }
+  /** The most recent BGP ordering decision made by the sampled optimizer on
+    * this thread (last BGP wins — the EXPLAIN surface).
+    */
+  def lastRtoDecision: Option[RtoDecision] = rtoDecisionTL.get()
+
+  private val RtoSearchLimit = 6   // exhaustive subset-DP width
+  private val RtoSampleCap = 50000 // sample rows fed to pattern matching
+  private val RtoCutoff = 50000    // intermediate truncation (cutoff sampling)
+
+  /** Bounded runtime join-order SEARCH over sampled binding tables — the
+    * RTO proper (the reference explores join orderings with cutoff
+    * sampling at runtime, /root/reference/bigdata/src/java/com/bigdata/bop/
+    * joinGraph/rto/JGraph.java:268), replacing greedy cheapest-first:
+    * per-pattern matches against a seeded capped sample are collected once
+    * (one tiny job per pattern on the cached sample), then a
+    * Selinger-style subset DP over up to RtoSearchLimit patterns picks the
+    * order minimizing the SUM of intermediate cardinalities as MEASURED by
+    * in-memory joins on those sample tables (cutoff-truncated, the
+    * reference's limit-step sampling); any remaining patterns append
+    * greedily cheapest-connected-first. The search itself is driver-side
+    * arithmetic over ≤2^6 subsets — no Spark jobs.
+    *
+    * Greedy cheapest-first goes wrong exactly on skewed mid-joins: a
+    * low-cardinality pattern with high join fan-out beats a slightly
+    * larger pattern whose join collapses the intermediate; measuring
+    * prefix cardinalities on the sample catches that (HintsSpec pins a
+    * fixture where the orders differ and the searched one is cheaper).
     */
   private def orderPatternsSampled(quads: DataFrame, fraction: Double,
                                    tps: Seq[TriplePattern]): Seq[TriplePattern] = {
-    val sample = if (fraction >= 1.0) quads else quads.sample(fraction, seed = 42L)
+    val sample = graft.util.Fixpoint.materialize(
+      (if (fraction >= 1.0) quads else quads.sample(fraction, seed = 42L))
+        .limit(RtoSampleCap))
     def pred(tp: TriplePattern): Column = {
       val posCond = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o).collect {
         case (pos, C(t)) => col(pos) === t
@@ -513,29 +549,115 @@ object Translator {
       }
       (posCond ++ gCond).reduce(_ && _)
     }
-    val cardCols = tps.zipWithIndex.map { case (tp, i) =>
-      sum(when(pred(tp), 1L).otherwise(0L)).as(s"c$i")
+    def varPositions(tp: TriplePattern): Seq[(String, String)] =
+      (Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o) ++ tp.g.map("c" -> _))
+        .collect { case (pos, V(n)) => (n, pos) }
+    def varsOf(tp: TriplePattern): Set[String] = varPositions(tp).map(_._1).toSet
+
+    // sampled binding table of one pattern: vars + matched rows (capped)
+    final case class Table(vars: Seq[String], rows: Array[Seq[Any]], card: Long)
+    def tableOf(tp: TriplePattern): Table = {
+      val byVar = varPositions(tp).groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (n, ps) => (n, ps.map(_._2)) }
+      // a variable repeated across positions constrains the sample match too
+      val eqConds = byVar.collect { case (_, ps) if ps.size > 1 =>
+        ps.sliding(2).map(w => col(w(0)) <=> col(w(1))).reduce(_ && _) }
+      val cond = (Seq(pred(tp)) ++ eqConds).reduce(_ && _)
+      val df =
+        if (byVar.isEmpty) sample.filter(cond).select(lit(1L).as("__k"))
+        else sample.filter(cond).select(byVar.map { case (n, ps) => col(ps.head).as(n) }: _*)
+      val rows = df.limit(RtoCutoff).collect()
+        .map(r => (0 until r.length).map(r.get): IndexedSeq[Any])
+      Table(byVar.map(_._1),
+            rows.map(_.toSeq), rows.length.toLong)
     }
-    val counts = sample.agg(cardCols.head, cardCols.tail: _*).head()
-    val card = tps.indices.map(i => counts.getLong(i)).toVector
-    def vars(tp: TriplePattern): Set[String] =
-      (Seq(tp.s, tp.p, tp.o) ++ tp.g.toSeq).collect { case V(n) => n }.toSet
-    val remaining = scala.collection.mutable.LinkedHashMap(tps.zipWithIndex.map(_.swap): _*)
-    val ordered = Vector.newBuilder[TriplePattern]
-    var bound = Set.empty[String]
-    while (remaining.nonEmpty) {
-      // prefer connected patterns; among them the cheapest sampled count
-      val candidates = remaining.toSeq
-      val connected = candidates.filter { case (_, tp) =>
-        bound.isEmpty || (vars(tp) intersect bound).nonEmpty
+    // in-memory hash join; rows truncate at the cutoff, card stays the
+    // true (lower-bound-under-upstream-truncation) sample join count
+    def joinT(a: Table, b: Table): Table = {
+      val shared = a.vars.filter(b.vars.contains)
+      val aIdx = shared.map(a.vars.indexOf)
+      val bIdx = shared.map(b.vars.indexOf)
+      val bKeep = b.vars.zipWithIndex.filterNot { case (v, _) => shared.contains(v) }
+      val bMap = b.rows.groupBy(r => bIdx.map(r))
+      val out = Array.newBuilder[Seq[Any]]
+      var n = 0L
+      var kept = 0
+      a.rows.foreach { ar =>
+        val ms = bMap.getOrElse(aIdx.map(ar), Array.empty[Seq[Any]])
+        n += ms.length
+        ms.foreach { br =>
+          if (kept < RtoCutoff) { out += (ar ++ bKeep.map(k => br(k._2))); kept += 1 }
+        }
       }
-      val pool = if (connected.nonEmpty) connected else candidates
-      val (idx, best) = pool.minBy { case (i, _) => (card(i), i) }
-      remaining.remove(idx)
-      ordered += best
-      bound ++= vars(best)
+      Table(a.vars ++ bKeep.map(_._1), out.result(), n)
     }
-    ordered.result()
+
+    val tables0 = tps.map(tableOf)
+    val byCard = tps.indices.sortBy(i => (tables0(i).card, i))
+    val local = byCard.take(math.min(tps.size, RtoSearchLimit)).toArray
+    val tailIdx = byCard.drop(local.length)
+    val nS = local.length
+    val full = (1 << nS) - 1
+    val tableBy = new Array[Table](full + 1)
+    val costBy = Array.fill(full + 1)(Long.MaxValue)
+    val orderArr = new Array[List[Int]](full + 1)
+    for (j <- 0 until nS) {
+      val m = 1 << j
+      tableBy(m) = tables0(local(j))
+      costBy(m) = tableBy(m).card
+      orderArr(m) = List(j)
+    }
+    val varsByLocal = local.map(i => varsOf(tps(i)))
+    for (m <- 3 to full if Integer.bitCount(m) >= 2) {
+      // subset join content is split-independent; compute it once from the
+      // canonical lowest-bit split
+      val lb = Integer.numberOfTrailingZeros(m)
+      tableBy(m) = joinT(tableBy(m & ~(1 << lb)), tableBy(1 << lb))
+      // best LAST pattern: connected preferred, then min accumulated cost
+      var bestJ = -1; var bestCost = Long.MaxValue; var bestConn = false
+      for (j <- 0 until nS if (m & (1 << j)) != 0) {
+        val prev = m & ~(1 << j)
+        if (costBy(prev) != Long.MaxValue) {
+          val prevVars = orderArr(prev).iterator.flatMap(varsByLocal).toSet
+          val conn = varsByLocal(j).exists(prevVars) || prevVars.isEmpty
+          if ((conn && !bestConn) ||
+              (conn == bestConn && costBy(prev) < bestCost)) {
+            bestJ = j; bestCost = costBy(prev); bestConn = conn
+          }
+        }
+      }
+      costBy(m) = bestCost + tableBy(m).card
+      orderArr(m) = orderArr(m & ~(1 << bestJ)) :+ bestJ
+    }
+    val dpOrder = if (full >= 1) orderArr(full).map(local) else Nil
+
+    // greedy tail for BGPs wider than the search limit
+    var bound = dpOrder.flatMap(i => varsOf(tps(i))).toSet
+    val rem = scala.collection.mutable.LinkedHashSet(tailIdx: _*)
+    val tail = Vector.newBuilder[Int]
+    while (rem.nonEmpty) {
+      val conn = rem.filter(i => varsOf(tps(i)).exists(bound))
+      val pool = if (conn.nonEmpty) conn else rem
+      val pick = pool.minBy(i => (tables0(i).card, i))
+      rem -= pick; tail += pick; bound ++= varsOf(tps(pick))
+    }
+    val order = dpOrder ++ tail.result()
+
+    def fmtPat(p: Pat): String = p match {
+      case V(n) => "?" + n
+      case C(t) =>
+        "(\\S+) AS lex".r.findFirstMatchIn(t.toString)
+          .map(m => "<" + m.group(1) + ">").getOrElse("<const>")
+    }
+    def label(tp: TriplePattern): String =
+      s"{${fmtPat(tp.s)} ${fmtPat(tp.p)} ${fmtPat(tp.o)}}"
+    val prefixCards =
+      dpOrder.indices.map { k =>
+        tableBy(dpOrder.take(k + 1).map(i => 1 << local.indexOf(i)).sum).card
+      } ++ tail.result().map(i => tables0(i).card)
+    rtoDecisionTL.set(Some(RtoDecision(order.map(i => label(tps(i))),
+                                       prefixCards, dpOrder.length)))
+    order.map(tps)
   }
 
   private def orderPatterns(tps: Seq[TriplePattern]): Seq[TriplePattern] = {

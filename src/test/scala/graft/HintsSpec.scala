@@ -83,6 +83,49 @@ class HintsSpec extends SparkSpecBase {
     assert(a.collect().toSeq == b.collect().toSeq)
   }
 
+  test("Runtime join-order search dodges a skewed mid-join the greedy order hits") {
+    // A: 20 x's all in one group (join fan-out on ?g); B: that group fans
+    // to 30 y's; C: 40 flag rows, exactly ONE on an x. Every pattern has
+    // boundness 1, so the static order is the written order A,B,C — whose
+    // mid-join A⋈B is 20×30 = 600 rows. Cheapest-per-pattern greedy agrees
+    // (card(B)=30 < card(C)=40). The measured search instead runs the flag
+    // join second: prefix cards 20 → 1 → 30.
+    val nt = (1 to 20).map(i => s"<${EX}x$i> <${EX}inGroup> <${EX}g0> .") ++
+      (1 to 30).map(j => s"<${EX}g0> <${EX}groupOf> <${EX}y$j> .") ++
+      Seq(s"<${EX}x1> <${EX}flag> <${EX}on> .") ++
+      (1 to 39).map(k => s"<${EX}z$k> <${EX}flag> <${EX}on> .")
+    val quads = NTriples.parseLines(spark,
+      spark.createDataset(nt)(Encoders.STRING).toDF("value"))
+    // the skewed mid-join the written order pays, measured
+    assert(Parser.select(spark, quads, P +
+      "SELECT ?x ?g ?y WHERE { ?x ex:inGroup ?g . ?g ex:groupOf ?y }")
+      .count() == 600L)
+    val q = Parser.parse(spark, P +
+      """SELECT ?y WHERE {
+           ?x ex:inGroup ?g . ?g ex:groupOf ?y . ?x ex:flag ?f .
+         }""")
+    val res = graft.sparql.Translator.translateSampled(quads, q.node, fraction = 1.0)
+    assert(res.df.count() == 30L)
+    val d = graft.sparql.Translator.lastRtoDecision.get
+    assert(d.searched == 3, s"expected full search over 3 patterns: $d")
+    assert(d.order(1).contains("flag"),
+           s"search should run the selective flag join second, got: ${d.order}")
+    assert(d.prefixCards == Seq(20L, 1L, 30L),
+           s"measured prefix cards should be 20 -> 1 -> 30: ${d.prefixCards}")
+    // EXPLAIN prints the chosen order with the estimates
+    val e = Explain.explain(spark, quads, P +
+      """SELECT ?y WHERE { hint:Query hint:optimizer "Runtime" .
+           ?x ex:inGroup ?g . ?g ex:groupOf ?y . ?x ex:flag ?f . }""")
+    assert(e.render.contains("runtime optimizer (sampled join-order search)"))
+    assert(e.render.contains("flag"), e.render)
+    // ordering never changes results
+    val hinted = res.df.select(Term.lex(col("y"))).collect().map(_.getString(0)).sorted
+    val unhinted = Parser.select(spark, quads, P +
+      "SELECT ?y WHERE { ?x ex:inGroup ?g . ?g ex:groupOf ?y . ?x ex:flag ?f }")
+      .select(Term.lex(col("y"))).collect().map(_.getString(0)).sorted
+    assert(hinted.toSeq == unhinted.toSeq)
+  }
+
   test("runFirst/runLast record as pass-through hints") {
     val q = Parser.parse(spark, P +
       """SELECT ?c WHERE {
