@@ -565,9 +565,11 @@ object Pipeline {
            substr(base64(encode(text)), 1, 8) AS head_b64
          FROM documents ORDER BY doc_id""",
 
-    // mirrors Multimodal.fakeDecode's integer math exactly: per-quarter
-    // byte slice [lo, min(max(lo+1, hi), nb)), mean in micro-units via
-    // integer division, ONE fp division at the end — bit-identical doubles
+    // mirrors the REAL WAV path exactly: the container is the canonical
+    // 44-byte PCM header + 2 bytes/sample (n_bytes = 44 + 2·nb); each text
+    // byte b becomes sample b·257 − 32768; per-quarter RMS = floor to 6
+    // decimals of sqrt(sumSq // len) — integer-exact up to ONE IEEE sqrt,
+    // bit-identical across engines
     "multimodal_features" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
                 octet_length(encode(text)) AS nb FROM documents),
@@ -577,18 +579,19 @@ object Pipeline {
                  LEAST(GREATEST((quarter*nb)//4 + 1, ((quarter+1)*nb)//4), nb) AS hi
                FROM q),
          bytes AS (SELECT doc_id, hx, unnest(range(0, nb)) AS i FROM b),
-         bvals AS (SELECT doc_id, i,
-                 CAST('0x' || substring(hx, CAST(2*i+1 AS BIGINT), 2) AS INTEGER) AS v
+         svals AS (SELECT doc_id, i,
+                 CAST(CAST('0x' || substring(hx, CAST(2*i+1 AS BIGINT), 2) AS INTEGER)
+                      * 257 - 32768 AS BIGINT) AS v
                FROM bytes),
          feat AS (SELECT bo.doc_id AS doc_id, bo.quarter AS quarter,
-                 SUM(v.v) AS s, COUNT(*) AS len
-               FROM bounds bo JOIN bvals v
+                 SUM(v.v * v.v) AS sq, COUNT(*) AS len
+               FROM bounds bo JOIN svals v
                  ON v.doc_id = bo.doc_id AND v.i >= bo.lo AND v.i < bo.hi
                GROUP BY 1, 2)
-         SELECT bo.doc_id, CAST(bo.nb AS BIGINT) AS n_bytes,
+         SELECT bo.doc_id, CAST(44 + 2*bo.nb AS BIGINT) AS n_bytes,
            CAST(bo.quarter AS BIGINT) AS quarter,
-           COALESCE(CAST(CAST((f.s * 1000000) // f.len AS BIGINT) AS DOUBLE)
-                    / 1000000.0, 0.0) AS feature
+           COALESCE(CAST(CAST(floor(sqrt(CAST(f.sq // f.len AS DOUBLE)) * 1000000)
+                              AS BIGINT) AS DOUBLE) / 1000000.0, 0.0) AS feature
          FROM bounds bo LEFT JOIN feat f
            ON f.doc_id = bo.doc_id AND f.quarter = bo.quarter
          ORDER BY bo.doc_id, bo.quarter""",

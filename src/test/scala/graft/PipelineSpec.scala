@@ -100,13 +100,52 @@ class PipelineSpec extends SparkSpecBase {
     assert(f1 == f2)
   }
 
-  test("multimodal features: 4 deterministic features per doc, n_bytes matches meta") {
+  test("multimodal features: 4 deterministic features per doc, n_bytes is the WAV size") {
     val feat = Multimodal.extractFeatures(spark, docs)
     assert(feat.count() == docs.count())
     val r = feat.orderBy("doc_id").first()
     assert(r.getAs[scala.collection.Seq[Double]]("features").length == 4)
+    // n_bytes = real container size: 44-byte canonical PCM header + 2/sample
     val meta = Multimodal.blobMeta(docs).orderBy("doc_id").first()
-    assert(r.getLong(1) == meta.getLong(1))
+    assert(r.getLong(1) == 44L + 2L * meta.getLong(1))
+  }
+
+  test("WAV codec: synthesis round-trips through the real chunk-walking parser") {
+    val payload = Array[Byte](0, 1, 2, -1, 127, -128)
+    val wav = Multimodal.wavFromBytes(payload)
+    // the container IS a valid canonical WAV
+    assert(new String(wav, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(wav, 8, 4, "US-ASCII") == "WAVE")
+    assert(wav.length == 44 + 2 * payload.length)
+    val samples = Multimodal.decodeWav(wav).get
+    assert(samples.toSeq == payload.toSeq.map(b => (b & 0xff) * 257 - 32768))
+
+    // parser walks chunks: an inserted LIST chunk between fmt and data
+    // must not break decoding (fixed-offset "parsers" fail this)
+    val pre = wav.take(36) // RIFF..fmt chunk end
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val shifted = java.nio.ByteBuffer
+      .allocate(wav.length + list.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(pre).put(list).put(wav.drop(36)).array()
+    // fix the RIFF size field for the inserted chunk
+    java.nio.ByteBuffer.wrap(shifted).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, shifted.length - 8)
+    assert(Multimodal.decodeWav(shifted).get.toSeq == samples.toSeq)
+
+    // malformed containers are rejected, not misread
+    assert(Multimodal.decodeWav("JUNKJUNKJUNKJUNK".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(wav.take(20)).isEmpty)
+    val eightBit = wav.clone()
+    java.nio.ByteBuffer.wrap(eightBit).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(34, 8) // bits-per-sample field
+    assert(Multimodal.decodeWav(eightBit).isEmpty)
+
+    // per-quarter RMS, hand-checked: samples (3,4) -> meanSq (9+16)//2 = 12
+    // (integer division), sqrt = 3.4641016..., floored to 6 decimals
+    assert(Multimodal.quarterRms(Array(3, 4, 3, 4, 3, 4, 3, 4)).toSeq ==
+           Seq(3.464101, 3.464101, 3.464101, 3.464101))
+    assert(Multimodal.quarterRms(Array.empty[Int]).toSeq == Seq(0.0, 0.0, 0.0, 0.0))
   }
 
   test("sampling: split partitions exactly, stratified bounds per stratum, " +
