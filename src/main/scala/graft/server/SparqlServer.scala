@@ -346,6 +346,17 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
           respond(ex, 200, "application/n-triples", body)
       }
     })
+    // workbench (the reference serves bigdata-war/src/index.html at the
+    // app root): endpoint directory plus query/update forms posting to
+    // /sparql with namespace routing, xhtml result tables, explain, and
+    // the Runtime-optimizer hint — API-equivalent, original markup
+    server.createContext("/", (ex: HttpExchange) => safely(ex) {
+      ex.getRequestURI.getPath match {
+        case "/" | "/workbench" | "/index.html" =>
+          respond(ex, 200, "text/html", workbenchHtml)
+        case p => respond(ex, 404, "text/plain", s"no such resource $p")
+      }
+    })
     // request-per-thread (the reference runs on Jetty's thread pool): a
     // long-running query must not block /status or a cancelQuery for it
     server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
@@ -354,6 +365,53 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
       }))
     server.start()
     this
+  }
+
+  /** The workbench page: self-contained HTML, no external assets. Mirrors
+    * the reference's index.html SURFACE (query form with namespace /
+    * explain / RTO / XHTML controls, update form, endpoint directory) with
+    * original markup. The RTO checkbox injects the optimizer=Runtime query
+    * hint client-side via the tiny inline script.
+    */
+  private lazy val workbenchHtml: String = {
+    val nss = namespaceNames.map(n => s"<code>$n</code>").mkString(", ")
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"/><title>graft SPARQL workbench</title>
+       |<style>
+       | body { font-family: sans-serif; margin: 2em; max-width: 60em; }
+       | textarea { width: 100%; font-family: monospace; }
+       | fieldset { margin-bottom: 1.5em; }
+       |</style></head>
+       |<body>
+       |<h1>graft SPARQL workbench</h1>
+       |<p>Endpoints:
+       | <a href="/sparql">/sparql</a> (service description),
+       | <a href="/namespace">/namespace</a> (tenants: $nss),
+       | <a href="/status?showQueries">/status</a>,
+       | <a href="/counters">/counters</a></p>
+       |<fieldset><legend>Query</legend>
+       |<form action="/sparql" method="post" id="qf">
+       |<textarea name="query" rows="8">SELECT * WHERE { ?s ?p ?o } LIMIT 10</textarea>
+       |<p>Namespace <input type="text" name="namespace" placeholder="kb"/>
+       |   <label><input type="checkbox" name="xhtml" value="true" checked/> XHTML table</label>
+       |   <label><input type="checkbox" name="explain" value="true"/> Explain</label>
+       |   <label><input type="checkbox" id="rto"/> Runtime optimizer</label>
+       |   <input type="submit" value="Run query"/></p>
+       |</form></fieldset>
+       |<fieldset><legend>Update</legend>
+       |<form action="/sparql" method="post">
+       |<textarea name="update" rows="6">INSERT DATA { <http://example/s> <http://example/p> "o" }</textarea>
+       |<p>Namespace <input type="text" name="namespace" placeholder="kb"/>
+       |   <input type="submit" value="Run update"/></p>
+       |</form></fieldset>
+       |<script>
+       |document.getElementById('qf').addEventListener('submit', function () {
+       |  var q = this.query, h = 'hint:Query hint:optimizer "Runtime" .';
+       |  if (document.getElementById('rto').checked && q.value.indexOf(h) < 0)
+       |    q.value = q.value.replace('{', '{ ' + h + ' ');
+       |});
+       |</script>
+       |</body></html>""".stripMargin
   }
 
   /** MIME types accepted as RDF payloads on the data API (the body formats
@@ -550,6 +608,22 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
       handleDataPost(ex, tenant, ns, mime); return
     }
     val params = formParams(ex)
+    // workbench form face: the reference's index.html posts a `namespace`
+    // field with each query/update (tenant routing without the per-tenant
+    // URL); unknown names 404 exactly like the /namespace/<ns>/sparql path
+    params.get("namespace").filter(n2 => n2.nonEmpty && n2 != ns) match {
+      case Some(n2) =>
+        namespaces.get(n2) match {
+          case null => respond(ex, 404, "text/plain", s"no namespace $n2")
+          case t2 => handleSparqlParams(ex, t2, n2, params)
+        }
+      case None => handleSparqlParams(ex, tenant, ns, params)
+    }
+  }
+
+  private def handleSparqlParams(ex: HttpExchange, tenant: Namespace,
+                                 ns: String, params: Map[String, String]): Unit = {
+    val method = ex.getRequestMethod
     if (params.contains("update") && ex.getRequestMethod == "POST") {
       nUpdates.incrementAndGet()
       withManagedQuery(ex, ns, params("update"), params) {
@@ -604,13 +678,14 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
           case Some(scala.util.Success(ts)) =>
             tenant.storeAt(ts) match {
               case Some(st) =>
-                withManagedQuery(ex, ns, q, params)(runQuery(ex, st, q))
+                withManagedQuery(ex, ns, q, params)(runQuery(ex, st, q, params))
               case None =>
                 respond(ex, 410, "text/plain",
                   s"commit point $ts evicted from the snapshot history")
             }
           case None =>
-            withManagedQuery(ex, ns, q, params)(runQuery(ex, tenant.store.get(), q))
+            withManagedQuery(ex, ns, q, params)(
+              runQuery(ex, tenant.store.get(), q, params))
         }
     }
   }
@@ -669,14 +744,23 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
       b.result().mkString("\n")
     })
 
-  private def runQuery(ex: HttpExchange, store: DataFrame, text: String): Unit = {
+  private def runQuery(ex: HttpExchange, store: DataFrame, text: String,
+                       params: Map[String, String] = Map.empty): Unit = {
     import Parser._
     val form = parse(spark, text).form
     val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+    // the workbench face: xhtml=true (the form checkbox) renders SELECT/ASK
+    // as an HTML table (the reference transforms SPARQL-XML through
+    // bigdata-war/src/result-to-html.xsl). Param-gated ONLY — many HTTP
+    // clients (java.net defaults included) send Accept: text/html on API
+    // calls, so header-based switching would break machine consumers
+    val wantHtml = params.get("xhtml").contains("true")
     form match {
       case SelectForm =>
         val sols = select(spark, store, text)
-        if (accept.contains("xml"))
+        if (wantHtml)
+          respond(ex, 200, "text/html", Results.toXhtml(sols))
+        else if (accept.contains("xml"))
           respond(ex, 200, "application/sparql-results+xml", Results.toXml(sols))
         else if (accept.contains("tab-separated"))
           respond(ex, 200, "text/tab-separated-values", Results.toTsv(sols))
@@ -686,7 +770,11 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
           respond(ex, 200, "application/sparql-results+json", Results.toJson(sols))
       case AskForm =>
         val b = ask(spark, store, text)
-        if (accept.contains("xml"))
+        if (wantHtml)
+          respond(ex, 200, "text/html",
+            s"<!DOCTYPE html><html><body><table border=\"1\">" +
+              s"<tr><th>boolean</th></tr><tr><td>$b</td></tr></table></body></html>")
+        else if (accept.contains("xml"))
           respond(ex, 200, "application/sparql-results+xml",
             "<?xml version=\"1.0\"?><sparql xmlns=\"http://www.w3.org/2005/" +
               s"sparql-results#\"><head/><boolean>$b</boolean></sparql>")

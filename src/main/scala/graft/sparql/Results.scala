@@ -39,6 +39,24 @@ object Results {
     })
   }
 
+  /** XHTML results table — the workbench face (the reference renders
+    * SPARQL-XML through bigdata-war/src/result-to-html.xsl; here the table
+    * renders directly). Terms print in N-Triples lexical form, escaped.
+    */
+  def toXhtml(solutions: DataFrame): String = {
+    val vars = solutions.columns.toSeq
+    val header = vars.map(v => s"<th>${xesc(v)}</th>").mkString
+    val cells = vars.map(v => coalesce(NTriples.termToString(col(v)), lit("")))
+    val rows = solutions.select(cells: _*).collect().map { r =>
+      vars.indices.map(i => s"<td>${xesc(r.getString(i))}</td>")
+        .mkString("<tr>", "", "</tr>")
+    }
+    "<!DOCTYPE html><html><head><meta charset=\"utf-8\"/>" +
+      "<title>query results</title></head><body><table border=\"1\">" +
+      s"<thead><tr>$header</tr></thead><tbody>${rows.mkString("\n")}" +
+      "</tbody></table></body></html>"
+  }
+
   /** SPARQL 1.1 Query Results JSON. */
   def toJson(solutions: DataFrame): String = {
     val vars = solutions.columns.toSeq

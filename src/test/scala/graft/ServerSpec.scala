@@ -301,6 +301,48 @@ class ServerSpec extends SparkSpecBase {
     } finally srv.stop()
   }
 
+  test("workbench: root page, namespace form routing, xhtml result tables") {
+    val quads = parse(Seq(s"""<${EX}alice> <${EX}worksFor> <${EX}acme> ."""))
+    val srv = new SparqlServer(spark, quads).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      // the root serves the self-contained workbench page
+      val (c0, page) = http("GET", s"$base/")
+      assert(c0 == 200 && page.contains("workbench") &&
+             page.contains("name=\"query\"") && page.contains("name=\"update\"") &&
+             page.contains("Runtime optimizer"), page.take(200))
+      assert(http("GET", s"$base/no-such-page")._1 == 404)
+      // form-shaped POST: xhtml=true renders an HTML results table
+      val q = s"SELECT ?x WHERE { ?x <${EX}worksFor> <${EX}acme> }"
+      val (c1, html) = http("POST", s"$base/sparql",
+        Some(s"query=${enc(q)}&xhtml=true"))
+      assert(c1 == 200 && html.contains("<table") &&
+             html.contains(s"&lt;${EX}alice&gt;"), html)
+      // xhtml is PARAM-gated: a browser-ish Accept header alone must NOT
+      // flip an API response to HTML (java.net clients send text/html too)
+      val (_, json2) = http("GET", s"$base/sparql?query=${enc(q)}",
+        accept = "text/html,application/xhtml+xml")
+      assert(!json2.contains("<table"), json2.take(200))
+      // GET with the param gets the table
+      val (_, html2) = http("GET", s"$base/sparql?query=${enc(q)}&xhtml=true")
+      assert(html2.contains("<table"), html2.take(200))
+      // the namespace form field routes to that tenant (reference workbench
+      // semantics); unknown names 404
+      assert(http("POST", s"$base/namespace", Some("name=green"))._1 == 201)
+      assert(http("POST", s"$base/sparql",
+        Some(s"update=${enc(s"INSERT DATA { <${EX}x> <${EX}p> <${EX}y> }")}&namespace=green"))._1 == 200)
+      val (_, greenJson) = http("POST", s"$base/sparql",
+        Some(s"query=${enc("SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }")}&namespace=green"))
+      assert(greenJson.contains("\"1\""), greenJson)
+      // ...and the default namespace was not touched by the routed update
+      val (_, kbJson) = http("POST", s"$base/sparql",
+        Some(s"query=${enc("SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }")}"))
+      assert(kbJson.contains("\"1\""), kbJson)
+      assert(http("POST", s"$base/sparql",
+        Some(s"query=${enc(q)}&namespace=ghost"))._1 == 404)
+    } finally srv.stop()
+  }
+
   test("namespace destroy racing an in-flight query strands nothing") {
     // store frames are immutable and bds/Catalog artifacts retire through
     // the grace window, so destroying a namespace must only unmap it: a
