@@ -105,6 +105,15 @@ object Bench {
       java.nio.file.Paths.get(target),
       jsonLine(6, "\"" + sfDir + "\"").getBytes("UTF-8"))
     catch { case _: Throwable => }
+    // full-precision run history for the two-run protocol: BENCH_LAST.json
+    // only holds the latest run, so the pair's FIRST run would otherwise
+    // survive only as integer-truncated stdout
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_PAIRS.jsonl"),
+      (jsonLine(6, "\"" + sfDir + "\"") + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => }
     spark.stop()
     // A noisy run can push many per-query values to 2-3 integer digits,
     // which at ~90 queries overflows the ~1928 usable chars of the tail
