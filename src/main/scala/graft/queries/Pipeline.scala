@@ -158,6 +158,14 @@ object Pipeline {
                 posexplode(col("features")).as(Seq("quarter", "feature")))
         .withColumn("quarter", col("quarter").cast("long"))
         .orderBy("doc_id", "quarter")),
+    // real PNG path: synthesize → chunk-walk/inflate/defilter decode →
+    // per-quarter mean luminance; width/height come from the parsed IHDR
+    "multimodal_image_features" -> ((s, d) =>
+      Multimodal.extractImageFeatures(s, docs(s, d))
+        .select(col("doc_id"), col("width"), col("height"),
+                posexplode(col("features")).as(Seq("quarter", "feature")))
+        .withColumn("quarter", col("quarter").cast("long"))
+        .orderBy("doc_id", "quarter")),
 
     // ---- benchmark decontamination / cross-corpus dedup ----
     // benchmark set = every 10th doc (the synthetic stand-in for a held-out
@@ -592,6 +600,39 @@ object Pipeline {
            CAST(bo.quarter AS BIGINT) AS quarter,
            COALESCE(CAST(CAST(floor(sqrt(CAST(f.sq // f.len AS DOUBLE)) * 1000000)
                               AS BIGINT) AS DOUBLE) / 1000000.0, 0.0) AS feature
+         FROM bounds bo LEFT JOIN feat f
+           ON f.doc_id = bo.doc_id AND f.quarter = bo.quarter
+         ORDER BY bo.doc_id, bo.quarter""",
+
+    // mirrors the REAL PNG path: pixel i = text byte i (zero-padded to the
+    // 16-wide raster), width 16, height ceil(nb/16); per-quarter mean over
+    // ALL n = w·h pixels in integer micro-units (padding zeros dilute the
+    // last quarter exactly as the decoder sees them)
+    "multimodal_image_features" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                octet_length(encode(text)) AS nb FROM documents),
+         dims AS (SELECT doc_id, hx, nb, 16 AS w,
+                GREATEST(1, (nb+15)//16) AS h FROM b),
+         q AS (SELECT doc_id, nb, w, h, w*h AS n,
+                unnest([0,1,2,3]) AS quarter FROM dims),
+         bounds AS (SELECT doc_id, nb, w, h, n, quarter,
+                 (quarter*n)//4 AS lo,
+                 LEAST(GREATEST((quarter*n)//4 + 1, ((quarter+1)*n)//4), n) AS hi
+               FROM q),
+         bytes AS (SELECT doc_id, hx, unnest(range(0, nb)) AS i FROM b),
+         bvals AS (SELECT doc_id, i,
+                 CAST('0x' || substring(hx, CAST(2*i+1 AS BIGINT), 2) AS INTEGER) AS v
+               FROM bytes),
+         feat AS (SELECT bo.doc_id AS doc_id, bo.quarter AS quarter,
+                 SUM(v.v) AS s
+               FROM bounds bo JOIN bvals v
+                 ON v.doc_id = bo.doc_id AND v.i >= bo.lo AND v.i < bo.hi
+               GROUP BY 1, 2)
+         SELECT bo.doc_id, CAST(bo.w AS INTEGER) AS width,
+           CAST(bo.h AS INTEGER) AS height,
+           CAST(bo.quarter AS BIGINT) AS quarter,
+           CAST(CAST((COALESCE(f.s, 0) * 1000000) // (bo.hi - bo.lo) AS BIGINT)
+                AS DOUBLE) / 1000000.0 AS feature
          FROM bounds bo LEFT JOIN feat f
            ON f.doc_id = bo.doc_id AND f.quarter = bo.quarter
          ORDER BY bo.doc_id, bo.quarter""",

@@ -148,6 +148,37 @@ class PipelineSpec extends SparkSpecBase {
     assert(Multimodal.quarterRms(Array.empty[Int]).toSeq == Seq(0.0, 0.0, 0.0, 0.0))
   }
 
+  test("PNG codec: round-trip, defiltering of Sub/Up/Average/Paeth, rejection") {
+    // round-trip: pixels come back exactly, padded to the 16-wide raster
+    val payload = (0 until 40).map(i => ((i * 7) % 256).toByte).toArray
+    val png = Multimodal.pngFromBytes(payload)
+    val (w, h, px) = Multimodal.decodePng(png).get
+    assert(w == 16 && h == 3 && px.length == 48)
+    assert(px.take(40).toSeq == payload.toSeq.map(_ & 0xff))
+    assert(px.drop(40).forall(_ == 0))
+
+    // hand-built 2x4 image using every non-zero filter type:
+    //   row0 Sub:     raw (5, 250)  -> px (5, 255)
+    //   row1 Up:      raw (10, 1)   -> px (15, 0)
+    //   row2 Average: raw (10, 10)  -> px (17, 18)   (floor((a+b)/2) + raw)
+    //   row3 Paeth:   raw (1, 2)    -> px (18, 20)
+    val raw = Array[Byte](
+      1, 5, 250.toByte,
+      2, 10, 1,
+      3, 10, 10,
+      4, 1, 2)
+    val filtered = Multimodal.assemblePng(2, 4, raw)
+    val (_, _, fp) = Multimodal.decodePng(filtered).get
+    assert(fp.toSeq == Seq(5, 255, 15, 0, 17, 18, 18, 20),
+           s"defiltering wrong: ${fp.toSeq}")
+
+    // malformed containers are rejected, not misread
+    assert(Multimodal.decodePng("NOTAPNGNOTAPNG!!".getBytes).isEmpty)
+    assert(Multimodal.decodePng(png.take(30)).isEmpty)
+    val rgb = png.clone(); rgb(25 + 0) = 2 // color type field -> RGB
+    assert(Multimodal.decodePng(rgb).isEmpty)
+  }
+
   test("sampling: split partitions exactly, stratified bounds per stratum, " +
        "weighted/split plans are shuffle-free") {
     import graft.pipeline.Sampling
