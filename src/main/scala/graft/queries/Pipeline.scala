@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.pipeline.{Decontam, Dedup, Multimodal, Redact, Sampling, Similarity, TextAnalysis, TrainingPrep}
+import graft.pipeline.{Decontam, Dedup, LanguageModel, Multimodal, Packing, Redact, Sampling, Similarity, TextAnalysis, TrainingPrep}
 
 /** Training-data-pipeline operator suite over `documents` and `embeddings`,
   * each with a DuckDB oracle (see the md5-hash parity note in
@@ -145,6 +145,8 @@ object Pipeline {
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d)).orderBy("doc_id")),
+    "text_perplexity" -> ((s, d) =>
+      LanguageModel.crossEntropy(docs(s, d), docs(s, d)).orderBy("doc_id")),
     "pipeline_curation" -> ((s, d) => TextAnalysis.curate(docs(s, d)).orderBy("lang")),
 
     // ---- multimodal ----
@@ -236,7 +238,10 @@ object Pipeline {
         .groupBy("source").agg(count(lit(1)).as("n_docs"),
           sum(size(graft.pipeline.TextPrep.words(col("text"))).cast("long"))
             .as("n_tokens"))
-        .orderBy("source"))
+        .orderBy("source")),
+    "pipeline_pack_sequences" -> ((s, d) =>
+      Packing.packedManifest(docs(s, d), seqLen = 200L)
+        .orderBy("source", "seq_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -855,6 +860,47 @@ object Pipeline {
          SELECT CASE WHEN pos < 0.8 THEN 'train'
                      WHEN pos < 0.9 THEN 'val' ELSE 'test' END AS split,
            COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
-         FROM u GROUP BY 1 ORDER BY 1"""
+         FROM u GROUP BY 1 ORDER BY 1""",
+
+    "pipeline_pack_sequences" ->
+      raw"""WITH t AS (SELECT doc_id, source,
+              len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              w -> len(w) > 0)) AS n_tok,
+              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 15) AS BIGINT) AS h
+            FROM documents),
+         c AS (SELECT doc_id, source, n_tok,
+              CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+            FROM t WHERE n_tok > 0),
+         x AS (SELECT doc_id, source, n_tok, e, e - n_tok AS st,
+              unnest(generate_series((e - n_tok) // 200, (e - 1) // 200)) AS seq_id
+            FROM c)
+         SELECT source, seq_id, COUNT(*) AS n_docs,
+           CAST(SUM(LEAST(e, (seq_id + 1) * 200) - GREATEST(st, seq_id * 200)) AS BIGINT) AS n_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "text_perplexity" ->
+      raw"""WITH tok AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                          w -> len(w) > 0) AS ws
+            FROM documents),
+         idx AS (SELECT doc_id, ws,
+              unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM tok WHERE len(ws) >= 2),
+         pairs AS (SELECT doc_id, ws[i] AS a, ws[i + 1] AS b FROM idx),
+         uni AS (SELECT w, COUNT(*) AS c_w
+            FROM (SELECT unnest(ws) AS w FROM tok) GROUP BY 1),
+         voc AS (SELECT COUNT(*) AS v FROM uni),
+         big AS (SELECT a, b, COUNT(*) AS c_ab FROM pairs GROUP BY 1, 2),
+         sc AS (SELECT p.doc_id,
+              ln(CAST(COALESCE(big.c_ab, 0) + 1 AS DOUBLE) /
+                 CAST(COALESCE(uni.c_w, 0) + (SELECT v FROM voc) AS DOUBLE)) AS lp
+            FROM pairs p
+            LEFT JOIN big ON big.a = p.a AND big.b = p.b
+            LEFT JOIN uni ON uni.w = p.a)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(-AVG(lp), 6) AS cross_entropy
+         FROM sc GROUP BY 1 ORDER BY 1"""
   )
 }

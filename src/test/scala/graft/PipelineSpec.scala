@@ -368,4 +368,73 @@ class PipelineSpec extends SparkSpecBase {
       assert(r.getAs[Long]("n_docs") > 0)
     }
   }
+
+  test("packing: sequences are exactly seqLen except each group's last, " +
+       "token totals conserved, spans contiguous, deterministic") {
+    import graft.pipeline.{Packing, TextPrep}
+    val L = 50L
+    val packed = Packing.packSequences(docs, L).cache()
+    val manifest = Packing.packedManifest(docs, L)
+      .orderBy("source", "seq_id").collect()
+
+    // full sequences carry exactly L tokens; only a group's last may be short
+    manifest.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val last = rows.map(_.getAs[Long]("seq_id")).max
+      rows.foreach { r =>
+        val n = r.getAs[Long]("n_tokens")
+        if (r.getAs[Long]("seq_id") < last) assert(n == L)
+        else assert(n > 0 && n <= L)
+      }
+      // seq ids are dense from 0
+      assert(rows.map(_.getAs[Long]("seq_id")).sorted.sameElements(0L to last))
+    }
+
+    // conservation: packed token mass == corpus token mass (nonempty docs)
+    val corpusTokens = docs
+      .select(size(TextPrep.words(col("text"))).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(manifest.map(_.getAs[Long]("n_tokens")).sum == corpusTokens)
+
+    // each document occupies a contiguous sequence range within its group
+    packed.groupBy("doc_id").agg(min("seq_id").as("lo"), max("seq_id").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("hi") - r.getAs[Long]("lo") + 1 == r.getAs[Long]("n"))
+      }
+
+    // replay-stable
+    val again = Packing.packSequences(docs, L)
+    assert(packed.orderBy("source", "seq_id", "doc_id").collect().toSeq ==
+           again.orderBy("source", "seq_id", "doc_id").collect().toSeq)
+    packed.unpersist()
+  }
+
+  test("language model: n_bigrams = tokens-1, self-corpus entropy bounded by " +
+       "smoothed-vocab ceiling, unseen text scores strictly worse") {
+    import graft.pipeline.{LanguageModel, TextPrep}
+    val scored = LanguageModel.crossEntropy(docs, docs).cache()
+    val tokCounts = docs.select(col("doc_id"),
+        size(TextPrep.words(lower(col("text")))).cast("long").as("n"))
+      .filter(col("n") >= 2)
+    // every >=2-token doc is scored, with exactly n-1 bigrams
+    val joined = scored.join(tokCounts, "doc_id").collect()
+    assert(joined.length == tokCounts.count())
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") == r.getAs[Long]("n") - 1)
+      assert(r.getAs[Double]("cross_entropy") > 0.0)
+    }
+
+    // gibberish absent from the reference must cost more nats than the
+    // corpus's own median document
+    val ss = spark
+    import ss.implicits._
+    val junk = Seq((999999L, "zzqx glorbb wibblefrag snorp zzqx glorbb krel"))
+      .toDF("doc_id", "text")
+    val junkH = LanguageModel.crossEntropy(junk, docs)
+      .head().getAs[Double]("cross_entropy")
+    val selfMedian = scored.stat.approxQuantile("cross_entropy", Array(0.5), 0.0)(0)
+    assert(junkH > selfMedian,
+      s"unseen text ($junkH nats) should exceed corpus median ($selfMedian)")
+    scored.unpersist()
+  }
 }

@@ -499,4 +499,29 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(salted.count() == plain.count())
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
+
+  test("sequence packing windows per group and explodes spans — no self-join, " +
+       "no cartesian, bounded exchanges") {
+    val df = graft.queries.Pipeline.queries("pipeline_pack_sequences")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), s"packing lost its running-offset window:\n$p")
+    assert(p.contains("Generate"), s"packing lost the span explode:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+           s"packing must not pair documents:\n$p")
+    // group-key window + final agg + orderBy: the whole manifest is <=4 exchanges
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 4, s"packing plan grew unexpected shuffles ($exchanges):\n$p")
+  }
+
+  test("perplexity scoring is two equi-joins against the model — hash joins, " +
+       "no nested loops") {
+    val df = graft.queries.Pipeline.queries("text_perplexity")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+           s"LM scoring must stay equi-joins:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+           s"expected hash/merge joins against the model relations:\n$p")
+  }
 }
