@@ -256,4 +256,31 @@ object TextAnalysis {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("n_total").desc, col("token"))).cast(LongType))
   }
+
+  /** GPT-2-shaped subword pre-tokenization: contractions split off, a
+    * word/number/punctuation run (with its leading space) is one piece,
+    * residual whitespace runs are one piece. Deliberately RE2-portable —
+    * no lookahead (the one construct in the original GPT-2 pattern RE2
+    * lacks) — and leftmost-first in both Java regex and RE2, so the DuckDB
+    * oracle reproduces piece boundaries exactly.
+    */
+  val subwordPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Per-document subword statistics: pre-tokenizer piece count and
+    * fertility (pieces per whitespace word — the tokenizer-pressure signal
+    * a corpus report tracks; high fertility = scriptio continua, code, or
+    * junk). One projection, no explode, codegen'd end to end; null text
+    * yields null counts (the corpus-reality discipline of tokenStats).
+    */
+  def subwordStats(docs: DataFrame): DataFrame = {
+    val pieces = size(regexp_extract_all(col("text"), lit(subwordPattern), lit(0)))
+    val nWords = size(words(col("text")))
+    docs.select(
+      col("doc_id"),
+      when(col("text").isNotNull, pieces.cast(LongType)).as("n_pieces"),
+      when(col("text").isNotNull, nWords.cast(LongType)).as("n_words"),
+      when(col("text").isNotNull && nWords > 0,
+           round(pieces.cast(DoubleType) / nWords, 6)).as("fertility"))
+  }
 }

@@ -147,6 +147,8 @@ object Pipeline {
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d)).orderBy("doc_id")),
     "text_perplexity" -> ((s, d) =>
       LanguageModel.crossEntropy(docs(s, d), docs(s, d)).orderBy("doc_id")),
+    "text_subword_stats" -> ((s, d) =>
+      TextAnalysis.subwordStats(docs(s, d)).orderBy("doc_id")),
     "pipeline_curation" -> ((s, d) => TextAnalysis.curate(docs(s, d)).orderBy("lang")),
 
     // ---- multimodal ----
@@ -901,6 +903,21 @@ object Pipeline {
             LEFT JOIN uni ON uni.w = p.a)
          SELECT doc_id, COUNT(*) AS n_bigrams,
            ROUND(-AVG(lp), 6) AS cross_entropy
-         FROM sc GROUP BY 1 ORDER BY 1"""
+         FROM sc GROUP BY 1 ORDER BY 1""",
+
+    "text_subword_stats" ->
+      raw"""WITH s AS (SELECT doc_id,
+              CASE WHEN text IS NULL THEN NULL
+                   ELSE CAST(len(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                     AS BIGINT) END AS n_pieces,
+              CASE WHEN text IS NULL THEN NULL
+                   ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                             w -> len(w) > 0)) AS BIGINT) END AS n_words
+            FROM documents)
+         SELECT doc_id, n_pieces, n_words,
+           CASE WHEN n_words > 0
+                THEN ROUND(CAST(n_pieces AS DOUBLE) / n_words, 6) END AS fertility
+         FROM s ORDER BY doc_id"""
   )
 }

@@ -437,4 +437,29 @@ class PipelineSpec extends SparkSpecBase {
       s"unseen text ($junkH nats) should exceed corpus median ($selfMedian)")
     scored.unpersist()
   }
+
+  test("subword stats: contractions split, fertility >= 1, null text -> null counts") {
+    import graft.pipeline.TextAnalysis
+    val ss = spark
+    import ss.implicits._
+    val fixture = Seq(
+      (1L, "Don't stop-me now, it's 42.7 degrees!"),
+      (2L, "plain words only here"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.subwordStats(fixture).orderBy("doc_id").collect()
+    // doc 1: Don | 't | stop | - | me | now | , | it | 's | 42 | . | 7 | degrees | ! = 14 pieces, 6 words
+    assert(r(0).getAs[Long]("n_pieces") == 14L && r(0).getAs[Long]("n_words") == 6L)
+    // doc 2: one piece per word
+    assert(r(1).getAs[Long]("n_pieces") == 4L &&
+           r(1).getAs[Double]("fertility") == 1.0)
+    assert(r(2).isNullAt(r(2).fieldIndex("n_pieces")) &&
+           r(2).isNullAt(r(2).fieldIndex("fertility")))
+    assert(r(3).getAs[Long]("n_pieces") == 0L &&
+           r(3).isNullAt(r(3).fieldIndex("fertility")))
+    // corpus-wide: every non-null doc has pieces >= words (splitting only adds)
+    val bad = TextAnalysis.subwordStats(docs)
+      .filter(col("n_pieces").isNotNull && col("n_pieces") < col("n_words")).count()
+    assert(bad == 0L, "subword pre-tokenization can only split words, never merge")
+  }
 }
