@@ -115,11 +115,22 @@ object Graphs {
     while (i < maxIters && !done) {
       val fromNbr = labels.join(e, labels("node") === e("src"))
         .select(e("dst").as("node"), labels("component"))
+      // the jump covers EVERY node (component ids are always node ids, so
+      // the inner join never drops a row) and is monotone non-increasing
+      // (component(component(v)) <= component(v)) — unioning the current
+      // label frame in would be redundant volume in the round's shuffle
       val jump = labels.as("a")
         .join(labels.as("b"), col("a.component") === col("b.node"))
         .select(col("a.node").as("node"), col("b.component").as("component"))
+      // second jump (label of label of label): quadruples the effective
+      // doubling per round on chain-shaped components for one extra
+      // node-sized join — rounds are the dominant cost at any scale where
+      // per-round scheduling/shuffle setup outweighs row volume
+      val jump2 = jump.as("a")
+        .join(labels.as("b"), col("a.component") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.component").as("component"))
       val next = materialize(
-        labels.unionByName(fromNbr).unionByName(jump)
+        fromNbr.unionByName(jump2)
           .groupBy("node").agg(min(col("component")).as("component")))
       val sum1 = checksum(next)
       if (sum1 == sum0) done = true
