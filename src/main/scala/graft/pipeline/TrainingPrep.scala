@@ -22,12 +22,14 @@ import TextPrep._
   */
 object TrainingPrep {
 
-  /** Returns the per-source rollup of the prepared corpus: documents kept,
-    * tokens kept, mean quality. `bench` documents themselves are always
-    * dropped (their n-grams self-hit the bench set).
+  /** The prepared corpus itself — the document frame surviving every
+    * stage (dedup → decontam → quality → budget), still carrying text,
+    * quality, and the shared token array, so downstream stages (packing,
+    * mixture sampling, export) compose onto the same single plan.
     */
-  def prepare(docs: DataFrame, bench: DataFrame, n: Int = 5,
-              minQuality: Double = 0.5, budgetPerGroup: Long = 1000L): DataFrame = {
+  def prepareDocs(docs: DataFrame, bench: DataFrame, n: Int = 5,
+                  minQuality: Double = 0.5,
+                  budgetPerGroup: Long = 1000L): DataFrame = {
     val keep = docs
       .groupBy(md5(substring(col("text"), 1, 50)).as("ck"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -38,10 +40,29 @@ object TrainingPrep {
       .withColumn("ws", words(lower(col("text"))))
       .withColumn("quality", TextAnalysis.qualityExpr(col("text"), col("ws")))
       .filter(col("quality") >= minQuality)
-    val sampled = Sampling.tokenBudgetSample(scored, budgetPerGroup)
-    sampled.groupBy("source")
+    Sampling.tokenBudgetSample(scored, budgetPerGroup)
+  }
+
+  /** Returns the per-source rollup of the prepared corpus: documents kept,
+    * tokens kept, mean quality. `bench` documents themselves are always
+    * dropped (their n-grams self-hit the bench set).
+    */
+  def prepare(docs: DataFrame, bench: DataFrame, n: Int = 5,
+              minQuality: Double = 0.5, budgetPerGroup: Long = 1000L): DataFrame =
+    prepareDocs(docs, bench, n, minQuality, budgetPerGroup)
+      .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
            sum(size(col("ws")).cast(LongType)).as("n_tokens"),
            round(avg(col("quality")), 6).as("avg_quality"))
-  }
+
+  /** The full deliverable: prepared corpus laid out as fixed-length packed
+    * training sequences ([[Packing.packedManifest]] over [[prepareDocs]]) —
+    * curation and packing as ONE Catalyst plan, three corpus shuffles total
+    * (dedup key, budget group, pack group).
+    */
+  def prepareAndPack(docs: DataFrame, bench: DataFrame, seqLen: Long,
+                     n: Int = 5, minQuality: Double = 0.5,
+                     budgetPerGroup: Long = 1000L): DataFrame =
+    Packing.packedManifest(
+      prepareDocs(docs, bench, n, minQuality, budgetPerGroup), seqLen)
 }

@@ -243,7 +243,13 @@ object Pipeline {
         .orderBy("source")),
     "pipeline_pack_sequences" -> ((s, d) =>
       Packing.packedManifest(docs(s, d), seqLen = 200L)
-        .orderBy("source", "seq_id"))
+        .orderBy("source", "seq_id")),
+    "pipeline_training_pack" -> ((s, d) => {
+      val dd = docs(s, d)
+      TrainingPrep.prepareAndPack(dd, dd.filter(col("doc_id") % 10 === 0),
+                                  seqLen = 128L)
+        .orderBy("source", "seq_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -840,6 +846,63 @@ object Pipeline {
          SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
            ROUND(AVG(quality), 6) AS avg_quality
          FROM c WHERE cum <= 1000 GROUP BY 1 ORDER BY 1""",
+
+    "pipeline_training_pack" ->
+      raw"""WITH keep AS (SELECT MIN(doc_id) AS doc_id
+              FROM documents GROUP BY md5(substr(text, 1, 50))),
+         d AS (SELECT doc.doc_id, doc.source, doc.text
+               FROM documents doc JOIN keep ON doc.doc_id = keep.doc_id),
+         ws_all AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(text), '\s+'), w -> len(w) > 0) AS ws
+            FROM documents),
+         sh_b AS (SELECT DISTINCT
+              unnest(list_transform(range(1, greatest(len(ws) - 3, 1)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS shingle
+            FROM ws_all WHERE len(ws) >= 5 AND doc_id % 10 = 0),
+         ws_d AS (SELECT d.doc_id,
+              list_filter(regexp_split_to_array(trim(d.text), '\s+'), w -> len(w) > 0) AS ws
+            FROM d),
+         sh_d AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, greatest(len(ws) - 3, 1)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS shingle
+            FROM ws_d WHERE len(ws) >= 5),
+         contaminated AS (SELECT DISTINCT doc_id FROM sh_d JOIN sh_b USING (shingle)),
+         clean AS (SELECT * FROM d
+                   WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)),
+         q AS (SELECT doc_id, source,
+              len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              w -> len(w) > 0)) AS n_tok,
+              ROUND((CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> len(w) > 0)) BETWEEN 20 AND 1000 THEN 1.0
+                          WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> len(w) > 0)) >= 5 THEN 0.5 ELSE 0.0 END) * 0.3
+                + (CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                   / greatest(len(text), 1)) * 0.3
+                + (CAST(len(list_distinct(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> len(w) > 0))) AS DOUBLE)
+                   / greatest(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> len(w) > 0)), 1)) * 0.2
+                + (CASE WHEN CAST(list_sum(list_transform(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> len(w) > 0), x -> len(x))) AS DOUBLE)
+                        / greatest(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> len(w) > 0)), 1) BETWEEN 3 AND 10
+                        THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
+              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 15) AS BIGINT) AS h
+            FROM clean),
+         f AS (SELECT * FROM q WHERE quality >= 0.5),
+         c AS (SELECT doc_id, source, n_tok,
+              SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+            FROM f),
+         kept AS (SELECT doc_id, source, n_tok FROM c WHERE cum <= 1000),
+         pk AS (SELECT doc_id, source, n_tok,
+              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 15) AS BIGINT) AS ph
+            FROM kept WHERE n_tok > 0),
+         pc AS (SELECT doc_id, source, n_tok,
+              CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY ph, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+            FROM pk),
+         px AS (SELECT doc_id, source, e, e - n_tok AS st,
+              unnest(generate_series((e - n_tok) // 128, (e - 1) // 128)) AS seq_id
+            FROM pc)
+         SELECT source, seq_id, COUNT(*) AS n_docs,
+           CAST(SUM(LEAST(e, (seq_id + 1) * 128) - GREATEST(st, seq_id * 128)) AS BIGINT) AS n_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM px GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "sample_token_budget" ->
       raw"""WITH t AS (SELECT doc_id, source,

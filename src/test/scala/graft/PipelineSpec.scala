@@ -462,4 +462,18 @@ class PipelineSpec extends SparkSpecBase {
       .filter(col("n_pieces").isNotNull && col("n_pieces") < col("n_words")).count()
     assert(bad == 0L, "subword pre-tokenization can only split words, never merge")
   }
+
+  test("prepareAndPack conserves the prepared corpus's token mass and " +
+       "respects the per-source budget") {
+    import graft.pipeline.TrainingPrep
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val roll = TrainingPrep.prepare(docs, bench, budgetPerGroup = 500L)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n_tokens")).toMap
+    val packed = TrainingPrep.prepareAndPack(docs, bench, seqLen = 64L,
+        budgetPerGroup = 500L)
+      .groupBy("source").agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("t")).toMap
+    assert(packed == roll, s"packed token mass $packed != prepared $roll")
+    assert(roll.values.forall(_ <= 500L))
+  }
 }

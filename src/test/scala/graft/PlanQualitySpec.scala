@@ -514,6 +514,22 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(exchanges <= 4, s"packing plan grew unexpected shuffles ($exchanges):\n$p")
   }
 
+  test("training prep + packing compose into one plan: bench n-grams still " +
+       "broadcast, bounded exchanges, no cartesian") {
+    val df = graft.queries.Pipeline.queries("pipeline_training_pack")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"decontam lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // true shuffles only (BroadcastExchange/ReusedExchange don't move the
+    // corpus): dedup agg + key join + decontam side frames/anti + budget
+    // window + pack window + manifest agg + 2 sorts — 13 today, most over
+    // tiny side frames; the guard trips if the composition starts
+    // re-shuffling the corpus per stage
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(shuffles <= 13, s"composed pipeline grew unexpected shuffles ($shuffles):\n$p")
+  }
+
   test("perplexity scoring is two equi-joins against the model — hash joins, " +
        "no nested loops") {
     val df = graft.queries.Pipeline.queries("text_perplexity")(spark, sfDir)
