@@ -210,4 +210,53 @@ object EventStreams {
           admitted.result().iterator
       }
   }
+
+  /** A document's span in its group's packed token stream. */
+  final case class PackedSpan(doc_id: Long, group: String, seq_first: Long,
+                              seq_last: Long, start_offset: Long, n_tok: Long)
+
+  /** Executor-side twin of TextPrep.hash64 over s"$id:pack" — keeps stream
+    * and batch packing order bit-identical.
+    */
+  private def packHash(id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:pack".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Sequence-packing assignment at ingest — the streaming face of
+    * Packing.packSequences: each arriving document is laid at its group's
+    * current token offset (ONE long of state per group) and emits the
+    * sequence span it occupies. Within a micro-batch, documents lay out in
+    * the batch operator's salted-hash order, so a stream arriving as one
+    * batch produces exactly the batch operator's spans (pinned by
+    * StreamingSpec); across micro-batches the offset carries over —
+    * packing equals the batch operator applied to the batches in arrival
+    * order, the same contract streamingTokenBudget keeps. Zero-token
+    * documents occupy no span and emit nothing.
+    */
+  def streamingPackAssign(docs: Dataset[GroupDoc],
+                          seqLen: Long): Dataset[PackedSpan] = {
+    require(seqLen > 0, "seqLen must be positive")
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[Long, PackedSpan](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, batch: Iterator[GroupDoc], state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = Vector.newBuilder[PackedSpan]
+          batch.toVector.sortBy(d => (packHash(d.doc_id), d.doc_id)).foreach { d =>
+            val n = d.text.trim.split("\\s+").count(_.nonEmpty).toLong
+            if (n > 0) {
+              out += PackedSpan(d.doc_id, g, off / seqLen,
+                                (off + n - 1) / seqLen, off, n)
+              off += n
+            }
+          }
+          state.update(off)
+          out.result().iterator
+      }
+  }
 }

@@ -331,6 +331,44 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming pack assignment: single-batch spans equal the batch " +
+       "operator, offsets carry across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{GroupDoc, PackedSpan}
+    val input = MemoryStream[GroupDoc]
+    val q = EventStreams.streamingPackAssign(input.toDS(), seqLen = 4L)
+      .writeStream.format("memory").queryName("packed")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val batch1 = Seq(GroupDoc(1, "g1", "one two three"),
+                       GroupDoc(2, "g1", "four five six seven eight"),
+                       GroupDoc(3, "g1", ""),
+                       GroupDoc(4, "g2", "a b"))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      val spans = spark.table("packed").as[PackedSpan].collect()
+        .map(s => s.doc_id -> (s.seq_first, s.seq_last)).toMap
+      // single-micro-batch equivalence with Packing.packSequences, exactly
+      val batchOp = graft.pipeline.Packing.packSequences(
+          batch1.toDF(), seqLen = 4L, groupCol = "group")
+        .groupBy("doc_id")
+        .agg(org.apache.spark.sql.functions.min("seq_id").as("lo"),
+             org.apache.spark.sql.functions.max("seq_id").as("hi"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(spans == batchOp, s"stream spans $spans != batch $batchOp")
+      assert(!spans.contains(3L), "zero-token doc must occupy no span")
+      // batch 2: g1 resumes at offset 8 (2 full sequences), g2 at 2
+      input.addData(GroupDoc(5, "g1", "nine ten"), GroupDoc(6, "g2", "c d e"))
+      q.processAllAvailable()
+      val all = spark.table("packed").as[PackedSpan].collect()
+        .map(s => s.doc_id -> s).toMap
+      assert(all(5L).start_offset == 8L && all(5L).seq_first == 2L)
+      assert(all(6L).start_offset == 2L && all(6L).seq_first == 0L &&
+             all(6L).seq_last == 1L, s"g2 span: ${all(6L)}")
+    } finally q.stop()
+  }
+
   test("streaming PII redaction: stateless per-batch column pipeline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
