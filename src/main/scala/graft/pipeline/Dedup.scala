@@ -322,4 +322,53 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then within each
+    * cluster treat any pair with cosine ≥ `threshold` as semantic
+    * duplicates and keep the member with the LOWER similarity to the
+    * cluster centroid — the paper's diversity-preserving rule (the kept
+    * exemplar is the least prototypical of the pair, so the surviving set
+    * spreads over the cluster instead of collapsing onto its center).
+    *
+    * Clusters come from the deterministic seed centroids
+    * ([[Similarity.ivfCentroids]]: the `k` lowest vec_ids) so every value
+    * is bit-checkable by the DuckDB oracle; swap in
+    * [[Similarity.kmeansCentroids]] for refined clusters when oracle
+    * parity is not required — the dedup logic is centroid-source-agnostic.
+    *
+    * Drop rule, made total: x is dropped iff some same-cluster y has
+    * pairCos(x,y) ≥ threshold and (centSim_y, vec_id_y) < (centSim_x,
+    * vec_id_x) lexicographically — i.e. every duplicate pair keeps its
+    * minimum under that order, and the comparison is deterministic even
+    * when two members tie on rounded centroid similarity.
+    *
+    * Scale posture: centroids broadcast (k rows); assignment is one
+    * map-side crossJoin + one hash aggregation; candidate pairs come from
+    * an equi-join on the cluster id, so the work is Σ_c |cluster_c|² —
+    * never all-pairs, and k grows with the corpus to bound cluster size
+    * (the paper runs k=50k on LAION). One corpus shuffle on cid, one
+    * hash-aggregated loser set joined back as a broadcast-able anti set.
+    */
+  def semanticDedup(emb: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val cent = Similarity.ivfCentroids(emb, k)
+    val assigned = emb
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .join(Similarity.ivfAssign(emb, cent), "vec_id")
+      .join(cent.select(col("cid"), col("cv").cast(ArrayType(DoubleType)).as("cv")), "cid")
+      .withColumn("cent_sim", Similarity.cosine(col("v"), col("cv")))
+      .select("vec_id", "cid", "v", "cent_sim")
+    val losers = assigned.as("a")
+      .join(assigned.as("b"),
+            col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id") &&
+            (col("b.cent_sim") < col("a.cent_sim") ||
+             (col("b.cent_sim") === col("a.cent_sim") &&
+              col("b.vec_id") < col("a.vec_id"))))
+      .filter(Similarity.cosine(col("a.v"), col("b.v")) >= threshold)
+      .select(col("a.vec_id")).distinct()
+      .withColumn("__dropped", lit(1))
+    assigned.join(losers, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid"), col("cent_sim"),
+              when(col("__dropped").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))
+  }
 }

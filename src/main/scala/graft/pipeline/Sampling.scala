@@ -102,4 +102,45 @@ object Sampling {
       }
     docs.withColumn("split", label)
   }
+
+  /** Domain-mixture construction: given target WEIGHTS per source (the
+    * relative proportions of the training mix — "3 parts wiki, 1 part
+    * crawl") and a total token budget, derive each source's token budget
+    * as its weight-normalized share (`floor(w/Σw · total)`), then admit
+    * that source's documents in salted-hash order until the cumulative
+    * token count would exceed the share. Sources absent from the weight
+    * map contribute nothing (budget 0) — a mixture is a whitelist.
+    *
+    * This is the step between curation and packing in a training-data
+    * pipeline: the upstream filters decide what COULD be trained on, the
+    * mixture decides how much of each domain actually IS. Reference
+    * analogy: the reference's per-source sampling knobs live outside the
+    * engine (harness configs, e.g. `bigdata-perf/CI/govtrack/README.txt`);
+    * here the mixture is a first-class relational operator.
+    *
+    * Scale posture: one shuffle on the source key; the per-source cutoff
+    * is a window running sum in salted-hash order (spills, does not OOM).
+    * The budget arithmetic is a constant-folded CASE column — no second
+    * pass over the corpus, no driver-side collect. A mega-source sorts on
+    * one reducer; mitigate exactly as [[tokenBudgetSample]] documents
+    * (pre-filter with [[weightedSample]] near the expected rate).
+    */
+  def domainMixture(docs: DataFrame, weights: Map[String, Double],
+                    totalTokens: Long, sourceCol: String = "source",
+                    keyCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0),
+            "mixture weights must be non-negative")
+    val wSum = weights.values.sum
+    val budget = weights.foldLeft(lit(0L)) { case (els, (src, w)) =>
+      when(col(sourceCol) === src,
+           lit(math.floor(w / wSum * totalTokens).toLong)).otherwise(els)
+    }
+    val nTok = size(TextPrep.words(col("text"))).cast("long")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(TextPrep.hash64(concat(col(keyCol).cast("string"),
+                                      lit(":mix"))), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("__cum", sum(nTok).over(w))
+      .filter(col("__cum") <= budget).drop("__cum")
+  }
 }

@@ -111,6 +111,11 @@ object Pipeline {
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size")
     }),
+    "dedup_semantic" -> ((s, d) =>
+      // SemDeDup: cluster, then within-cluster near-dups keep the member
+      // least similar to the centroid (diversity-preserving)
+      Dedup.semanticDedup(emb(s, d), k = 8, threshold = 0.35)
+        .orderBy("vec_id")),
 
     // ---- similarity search ----
     "ann_topk" -> ((s, d) => {
@@ -235,6 +240,19 @@ object Pipeline {
         .groupBy("split").agg(count(lit(1)).as("n"),
           sum(col("doc_id")).as("id_sum"))
         .orderBy("split")),
+    "pipeline_domain_mix" -> ((s, d) =>
+      // mixture construction: 4:2:1:1 over four whitelisted sources
+      // (weight sum a power of two, so each share is exact in binary and
+      // the oracle's hardcoded budgets can't drift by one ulp of floor)
+      Sampling.domainMixture(docs(s, d),
+          Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0),
+          totalTokens = 4000L)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum(size(graft.pipeline.TextPrep.words(col("text"))).cast("long"))
+            .as("n_tokens"))
+        .orderBy("source")),
+    "bpe_train_merges" -> ((s, d) =>
+      graft.pipeline.Bpe.train(s, docs(s, d), merges = 8).orderBy("rank")),
     "sample_token_budget" -> ((s, d) =>
       Sampling.tokenBudgetSample(docs(s, d), budgetPerGroup = 500L)
         .groupBy("source").agg(count(lit(1)).as("n_docs"),
@@ -251,6 +269,42 @@ object Pipeline {
         .orderBy("source", "seq_id")
     })
   )
+
+  /** DuckDB replay of [[graft.pipeline.Bpe.train]]: the K merge rounds are
+    * unrolled as CTE chains (state s0..sK, pair counts p_k, top pick t_k),
+    * with the greedy leftmost merge as the same left-to-right list fold the
+    * Spark side uses (`list_reduce` over single-symbol lists seeded with an
+    * empty accumulator). Deterministic tie-break (count desc, l, r) makes
+    * every round a pure function of the corpus, so the replay is exact.
+    */
+  private def bpeOracle(rounds: Int): String = {
+    val head = raw"""ws_t AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(text), '\s+'), w -> len(w) > 0) AS ws
+      FROM documents),
+      wf AS (SELECT w AS word, COUNT(*) AS freq
+             FROM (SELECT unnest(ws) AS w FROM ws_t) GROUP BY 1),
+      s0 AS (SELECT word, freq,
+        list_append(list_transform(range(1, len(word) + 1), i -> word[i]), '</w>') AS st
+      FROM wf)"""
+    val steps = (1 to rounds).map { k =>
+      s"""p$k AS (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS c
+        FROM (SELECT freq, unnest(list_transform(range(1, len(st)),
+                i -> {'l': st[i], 'r': st[i+1]})) AS p FROM s${k - 1})
+        GROUP BY 1, 2),
+      t$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+      s$k AS (SELECT word, freq,
+        list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform(st, s -> [s])),
+          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.l AND x[1] = t.r
+            THEN list_append(acc[1:len(acc)-1], t.l || t.r)
+            ELSE list_append(acc, x[1]) END) AS st
+        FROM s${k - 1} CROSS JOIN t$k t)"""
+    }
+    val sel = (1 to rounds).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right",
+            l || r AS merged, c AS pair_count FROM t$k"""
+    }.mkString(" UNION ALL ")
+    (head +: steps).mkString("WITH ", ",\n", "\n") + sel + " ORDER BY rank"
+  }
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -926,6 +980,51 @@ object Pipeline {
                      WHEN pos < 0.9 THEN 'val' ELSE 'test' END AS split,
            COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          FROM u GROUP BY 1 ORDER BY 1""",
+
+    "pipeline_domain_mix" ->
+      raw"""WITH t AS (SELECT doc_id, source,
+              len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              w -> len(w) > 0)) AS n_tok,
+              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15) AS BIGINT) AS h,
+              CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 1000
+                          WHEN 'src2' THEN 500 WHEN 'src3' THEN 500
+                          ELSE 0 END AS b
+            FROM documents),
+         c AS (SELECT doc_id, source, n_tok, b,
+              SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t)
+         SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         FROM c WHERE cum <= b GROUP BY 1 ORDER BY 1""",
+
+    "dedup_semantic" ->
+      s"""WITH $embSql,
+         cent AS (SELECT vec_id AS cid, v AS cv FROM e_t WHERE vec_id < 8),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT e_t.vec_id, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY e_t.vec_id
+                 ORDER BY ${cosSql("e_t.v", "cent.cv")} DESC, cent.cid) AS rn
+             FROM e_t CROSS JOIN cent)
+           WHERE rn = 1),
+         assigned AS (
+           SELECT e_t.vec_id, a.cid, e_t.v, ${cosSql("e_t.v", "cent.cv")} AS cent_sim
+           FROM e_t JOIN assign a ON a.vec_id = e_t.vec_id
+             JOIN cent ON cent.cid = a.cid),
+         losers AS (
+           SELECT DISTINCT a.vec_id
+           FROM assigned a JOIN assigned b
+             ON a.cid = b.cid AND a.vec_id <> b.vec_id
+            AND (b.cent_sim < a.cent_sim
+                 OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id))
+           WHERE ${cosSql("a.v", "b.v")} >= 0.35)
+         SELECT a.vec_id, a.cid, a.cent_sim,
+           CASE WHEN l.vec_id IS NOT NULL THEN CAST(0 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS kept
+         FROM assigned a LEFT JOIN losers l ON l.vec_id = a.vec_id
+         ORDER BY a.vec_id""",
+
+    "bpe_train_merges" -> bpeOracle(8),
 
     "pipeline_pack_sequences" ->
       raw"""WITH t AS (SELECT doc_id, source,

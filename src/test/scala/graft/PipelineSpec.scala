@@ -476,4 +476,94 @@ class PipelineSpec extends SparkSpecBase {
     assert(packed == roll, s"packed token mass $packed != prepared $roll")
     assert(roll.values.forall(_ <= 500L))
   }
+
+  test("BPE: greedy leftmost merge is non-overlapping; training reproduces " +
+       "the hand-computed merge table; tokenize round-trips the merges") {
+    import graft.pipeline.Bpe
+    import spark.implicits._
+    // non-overlap: (a,a) over "aaaa b aa" merges disjoint leftmost pairs
+    val syms = Seq(Tuple1(Seq("a", "a", "a", "a", "b", "a", "a"))).toDF("st")
+    val merged = syms.select(Bpe.applyMerge(col("st"), "a", "a").as("m"))
+      .head.getSeq[String](0)
+    assert(merged == Seq("aa", "aa", "b", "aa"), s"got $merged")
+    // corpus: "low" x3, "lower" x2 -> classic Sennrich example shape
+    val corpus = Seq("low low low", "lower lower").toDF("text")
+      .withColumn("doc_id", lit(1L))
+    val m = Bpe.train(spark, corpus, merges = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+                           r.getString(3), r.getLong(4)))
+    // pair counts round 1: (l,o)=5, (o,w)=5, (w,</w>)=3, (w,e)=2, (e,r)=2,
+    // (r,</w>)=2 -> lexicographic tie-break picks (l,o) before (o,w)
+    assert(m(0) == (1L, "l", "o", "lo", 5L), s"got ${m(0)}")
+    assert(m(1) == (2L, "lo", "w", "low", 5L), s"got ${m(1)}")
+    assert(m(2) == (3L, "low", "</w>", "low</w>", 3L), s"got ${m(2)}")
+    assert(m(3) == (4L, "e", "r", "er", 2L), s"got ${m(3)}")
+    // tokenize with the trained table: "low" collapses to its word token
+    val toks = Seq(Tuple1("low")).toDF("w")
+      .select(Bpe.tokenize(col("w"), m.map(x => (x._2, x._3)).toSeq).as("t"))
+      .head.getSeq[String](0)
+    assert(toks == Seq("low</w>"), s"got $toks")
+  }
+
+  test("semantic dedup: kept set is near-dup-free per cluster and every " +
+       "dropped member has a lower-ordered same-cluster witness") {
+    import graft.pipeline.{Dedup => D, Similarity => S}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val r = D.semanticDedup(emb, k = 4, threshold = 0.3)
+    val v = emb.select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val withV = r.join(v, "vec_id")
+    // kept x kept within a cluster: no pair may reach the threshold
+    val keptDup = withV.filter(col("kept") === 1).as("a")
+      .join(withV.filter(col("kept") === 1).as("b"),
+            col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(S.cosine(col("a.v"), col("b.v")) >= 0.3).count()
+    assert(keptDup == 0, "two kept members of one cluster are near-dups")
+    // every dropped member has a witness: same cluster, cos >= t, lower order
+    val orphans = withV.filter(col("kept") === 0).as("a")
+      .join(withV.as("b"),
+            col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id") &&
+            (col("b.cent_sim") < col("a.cent_sim") ||
+             (col("b.cent_sim") === col("a.cent_sim") &&
+              col("b.vec_id") < col("a.vec_id"))) &&
+            S.cosine(col("a.v"), col("b.v")) >= 0.3, "left_semi")
+    assert(orphans.count() == withV.filter(col("kept") === 0).count(),
+           "a dropped member has no qualifying witness")
+    // partition: every vector classified exactly once
+    assert(r.count() == emb.count())
+  }
+
+  test("domain mixture: per-source token budgets hold, non-whitelisted " +
+       "sources are excluded, and admission follows salted-hash order") {
+    val mix = Sampling.domainMixture(docs,
+      Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0),
+      totalTokens = 4000L)
+    val budgets = Map("src0" -> 2000L, "src1" -> 1000L,
+                      "src2" -> 500L, "src3" -> 500L)
+    val got = mix.groupBy("source")
+      .agg(sum(size(graft.pipeline.TextPrep.words(col("text"))).cast("long")).as("t"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("t")).toMap
+    assert(got.keySet.subsetOf(budgets.keySet), s"non-whitelisted source kept: $got")
+    got.foreach { case (src, t) =>
+      assert(t <= budgets(src), s"$src exceeded its share: $t > ${budgets(src)}")
+    }
+    // hash-order admission: kept and excluded docs of one source never
+    // interleave out of order — the max kept hash is below the min excluded
+    // hash among docs that would have fit had order been adversarial
+    val h = graft.pipeline.TextPrep.hash64(
+      concat(col("doc_id").cast("string"), lit(":mix")))
+    val src0 = docs.filter(col("source") === "src0")
+    val keptIds = mix.filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = src0.select(col("doc_id"), h.as("h"),
+        size(graft.pipeline.TextPrep.words(col("text"))).cast("long").as("t"))
+      .orderBy("h", "doc_id").collect()
+    var cum = 0L
+    rows.foreach { row =>
+      cum += row.getAs[Long]("t")
+      val expectKept = cum <= 2000L
+      assert(keptIds.contains(row.getLong(0)) == expectKept,
+             s"doc ${row.getLong(0)} admission diverges from hash-order prefix")
+    }
+  }
 }
