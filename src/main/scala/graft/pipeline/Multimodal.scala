@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: opaque binary payloads with typed metadata and
   * a partition-wise feature-extraction operator.
   *
-  * Audio is REAL: blobs are RIFF/WAVE containers (canonical PCM header +
-  * 16-bit LE mono samples) and `decodeWav` is an actual chunk-walking WAV
-  * parser — header validation, fmt negotiation, data-chunk extraction,
-  * per-quarter RMS over decoded samples. The container has no image/video
-  * codecs, so `sampleFrames`' per-frame feature stays a clearly-marked
-  * deterministic stand-in; its windowing/batching plumbing is real.
+  * All three modalities run REAL codecs (pure JVM, no external deps):
+  * audio blobs are RIFF/WAVE containers decoded by an actual chunk-walking
+  * WAV parser (header validation, fmt negotiation, int16 PCM); images are
+  * CRC-correct PNGs decoded via chunk walk + inflate + full five-filter
+  * defiltering; video blobs are RIFF/AVI containers (hdrl stream headers +
+  * movi frame chunks) carrying uncompressed 8-bit bottom-up DIB frames,
+  * decoded by `decodeAvi` with stride-padding and row-flip handling.
   *
   * Scale posture: `extractFeatures` is mapPartitions over the binary column —
   * the payload never moves through a shuffle; feature extraction happens
@@ -291,9 +292,194 @@ object Multimodal {
     spark.createDataFrame(rdd, imageFeatureSchema)
   }
 
-  /** Fallback for non-WAV blobs (video codecs are not available in
-    * this environment): deterministic per-quarter mean byte value — the
-    * documented stand-in, NOT a parser.
+  // ---- real AVI codec (RIFF container, uncompressed 8-bit DIB frames) ----
+
+  /** Synthesize a REAL RIFF/AVI container: MainAVIHeader + one 'vids'
+    * stream (handler 'DIB ', BITMAPINFOHEADER with 8-bit palette) and one
+    * '00db' chunk per frame of uncompressed bottom-up DIB pixel data,
+    * rows padded to the DWORD stride — a valid AVI any demuxer accepts.
+    * Frame f's top-down pixel i is payload byte f·(w·h)+i, zero-padded.
+    */
+  def aviFromBytes(data: Array[Byte], w: Int = 16, h: Int = 8): Array[Byte] = {
+    val frameSize = w * h
+    val nFrames = math.max(1, (data.length + frameSize - 1) / frameSize)
+    val stride = (w + 3) / 4 * 4
+    val frames = (0 until nFrames).map { f =>
+      val dib = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val src = f * frameSize + y * w + x
+          // bottom-up: image row y lands in DIB row (h-1-y)
+          dib((h - 1 - y) * stride + x) =
+            if (src < data.length) data(src) else 0
+          x += 1
+        }
+        y += 1
+      }
+      dib
+    }
+    assembleAvi(w, h, frames)
+  }
+
+  /** Assemble RIFF('AVI ') { LIST hdrl { avih, LIST strl { strh, strf } },
+    * LIST movi { 00db... } } with correct sizes (spec hook: lets tests
+    * build frames with asymmetric rows to prove the decoder's row flip).
+    */
+  private[graft] def assembleAvi(w: Int, h: Int,
+                                 dibFrames: Seq[Array[Byte]]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val stride = (w + 3) / 4 * 4
+    def le(n: Int): ByteBuffer =
+      ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    val avih = le(56)
+      .putInt(33333)                 // dwMicroSecPerFrame (30 fps)
+      .putInt(stride * h * 30)       // dwMaxBytesPerSec
+      .putInt(0)                     // dwPaddingGranularity
+      .putInt(0)                     // dwFlags
+      .putInt(dibFrames.length)      // dwTotalFrames
+      .putInt(0).putInt(1)           // dwInitialFrames, dwStreams
+      .putInt(stride * h)            // dwSuggestedBufferSize
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved
+    val strh = le(56)
+      .put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0) // flags, prio+lang, initialFrames
+      .putInt(1).putInt(30)          // scale, rate = 30 fps
+      .putInt(0).putInt(dibFrames.length) // start, length
+      .putInt(stride * h).putInt(-1).putInt(0) // bufSize, quality, sampleSize
+      .putShort(0).putShort(0)
+      .putShort(w.toShort).putShort(h.toShort) // rcFrame
+    val strf = le(40 + 256 * 4)
+      .putInt(40).putInt(w).putInt(h) // biSize, biWidth, biHeight(+ = bottom-up)
+      .putShort(1).putShort(8)        // biPlanes, biBitCount
+      .putInt(0)                      // biCompression = BI_RGB
+      .putInt(stride * h).putInt(0).putInt(0)
+      .putInt(256).putInt(0)          // biClrUsed, biClrImportant
+    for (i <- 0 until 256)            // grayscale palette (B,G,R,0)
+      strf.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte)
+
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val b = le(8 + body.length + (body.length & 1))
+      b.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      b.array()
+    }
+    def list(kind: String, children: Array[Byte]): Array[Byte] = {
+      val b = le(12 + children.length)
+      b.put("LIST".getBytes("US-ASCII")).putInt(4 + children.length)
+        .put(kind.getBytes("US-ASCII")).put(children)
+      b.array()
+    }
+    val strl = list("strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array()))
+    val hdrl = list("hdrl", chunk("avih", avih.array()) ++ strl)
+    val movi = list("movi", dibFrames.flatMap(f => chunk("00db", f)).toArray)
+    val body = hdrl ++ movi
+    val out = le(12 + body.length)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("AVI ".getBytes("US-ASCII")).put(body)
+    out.array()
+  }
+
+  /** REAL AVI decoder for the uncompressed 8-bit DIB profile: RIFF/'AVI '
+    * magic check, LIST walk into hdrl (avih dims, strf negotiation:
+    * biBitCount=8, BI_RGB) and movi (every '##db'/'##dc' frame chunk,
+    * each validated against stride·h), then per-frame DIB decode —
+    * bottom-up row flip plus DWORD stride padding — to top-down row-major
+    * pixels. Returns (width, height, frames); None outside the profile.
+    */
+  def decodeAvi(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] = {
+    if (bytes.length < 12) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    var w = -1; var h = -1; var fmtOk = false
+    val frames = Seq.newBuilder[Array[Byte]]
+    var bad = false
+    def walk(off0: Int, end: Int, inMovi: Boolean): Unit = {
+      var off = off0
+      while (!bad && off + 8 <= end) {
+        val id = fourcc(off)
+        val size = buf.getInt(off + 4)
+        if (size < 0 || off + 8 + size > end) { bad = true; return }
+        if (id == "LIST" && size >= 4) {
+          val kind = fourcc(off + 8)
+          walk(off + 12, off + 8 + size, inMovi || kind == "movi")
+        } else if (id == "avih" && size >= 40) {
+          w = buf.getInt(off + 8 + 32); h = buf.getInt(off + 8 + 36)
+        } else if (id == "strf" && size >= 40) {
+          val bits = buf.getShort(off + 8 + 14) & 0xffff
+          val compression = buf.getInt(off + 8 + 16)
+          fmtOk = bits == 8 && compression == 0
+        } else if (inMovi && id.length == 4 &&
+                   id.take(2).forall(_.isDigit) &&
+                   (id.endsWith("db") || id.endsWith("dc"))) {
+          frames += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size)
+        }
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, bytes.length, inMovi = false)
+    if (bad || !fmtOk || w <= 0 || h <= 0 || w.toLong * h >= (1L << 26))
+      return None
+    val stride = (w + 3) / 4 * 4
+    val dibs = frames.result()
+    if (dibs.isEmpty || dibs.exists(_.length != stride * h)) return None
+    Some((w, h, dibs.map { dib =>
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          px(y * w + x) = dib((h - 1 - y) * stride + x) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      px
+    }))
+  }
+
+  val videoFrameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("frame_mean", DoubleType)))
+
+  /** Frame sampling over video blobs: synthesize the AVI at the source
+    * (the ingest stand-in), run the REAL demuxer+DIB decoder, and emit
+    * every `stride`-th decoded frame with its mean luminance in exact
+    * integer micro-units — the 1:N explode shape a video pipeline
+    * produces, now with a real codec behind it. Payloads the decoder
+    * rejects contribute no rows (a corrupt file drops, never crashes).
+    */
+  def sampleVideoFrames(spark: SparkSession, docs: DataFrame,
+                        stride: Int = 4, w: Int = 16, h: Int = 8): DataFrame = {
+    val withB = withBlob(docs).select("doc_id", "blob")
+    val rdd = withB.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val avi = aviFromBytes(if (payload == null) Array.empty else payload, w, h)
+        decodeAvi(avi).toSeq.flatMap { case (dw, dh, frames) =>
+          (0 until frames.length by stride).map { f =>
+            val px = frames(f)
+            var s = 0L
+            var i = 0
+            while (i < px.length) { s += px(i); i += 1 }
+            val mean = (s * 1000000L / px.length).toDouble / 1e6
+            Row(id, f.toLong, dw, dh, mean)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, videoFrameSchema)
+  }
+
+  /** Fallback for blobs the WAV parser rejects: deterministic per-quarter
+    * mean byte value — a documented stand-in, NOT a parser.
     */
   private def byteStatFallback(bytes: Array[Byte]): Array[Double] = {
     val n = bytes.length
@@ -307,36 +493,6 @@ object Multimodal {
         micro.toDouble / 1e6
       }
     }.toArray
-  }
-
-  val frameSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("frame_idx", IntegerType),
-    StructField("frame_feature", DoubleType)))
-
-  /** Frame sampling over a video-shaped blob: emit every `stride`-th
-    * "frame" (fixed-size byte window) with a stub feature. One row per
-    * sampled frame — the 1:N explode shape a video pipeline produces; the
-    * windowing/batching is real, the decode is the deterministic fake.
-    */
-  def sampleFrames(spark: SparkSession, docs: DataFrame,
-                   frameBytes: Int = 16, stride: Int = 4): DataFrame = {
-    val withB = withBlob(docs).select("doc_id", "blob")
-    val rdd = withB.rdd.mapPartitions { it =>
-      it.flatMap { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val nFrames = math.max(1, bytes.length / frameBytes)
-        (0 until nFrames by stride).map { f =>
-          val slice = bytes.slice(f * frameBytes, math.min((f + 1) * frameBytes, bytes.length))
-          val feat =
-            if (slice.isEmpty) 0.0
-            else math.round(slice.map(b => (b & 0xff).toDouble).sum / slice.length * 1e6) / 1e6
-          Row(id, f, feat)
-        }
-      }
-    }
-    spark.createDataFrame(rdd, frameSchema)
   }
 
   /** Partition-wise feature extraction over audio blobs: synthesize the WAV

@@ -175,6 +175,11 @@ object Pipeline {
                 posexplode(col("features")).as(Seq("quarter", "feature")))
         .withColumn("quarter", col("quarter").cast("long"))
         .orderBy("doc_id", "quarter")),
+    // real AVI path: synthesize → RIFF demux (hdrl/strf negotiation, movi
+    // walk) → bottom-up DIB decode → mean luminance of every 4th frame
+    "multimodal_video_frames" -> ((s, d) =>
+      Multimodal.sampleVideoFrames(s, docs(s, d), stride = 4)
+        .orderBy("doc_id", "frame_idx")),
 
     // ---- benchmark decontamination / cross-corpus dedup ----
     // benchmark set = every 10th doc (the synthetic stand-in for a held-out
@@ -703,6 +708,30 @@ object Pipeline {
          FROM bounds bo LEFT JOIN feat f
            ON f.doc_id = bo.doc_id AND f.quarter = bo.quarter
          ORDER BY bo.doc_id, bo.quarter""",
+
+    // mirrors the REAL AVI path: frame f of 16x8 covers text bytes
+    // [f*128, (f+1)*128) zero-padded (the encoder pads the last DIB frame),
+    // every 4th frame sampled, mean luminance in integer micro-units over
+    // the fixed 128-pixel frame
+    "multimodal_video_frames" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                octet_length(encode(text)) AS nb FROM documents),
+         f AS (SELECT doc_id, nb,
+                unnest(range(0, GREATEST((nb + 127)//128, 1), 4)) AS frame_idx
+              FROM b),
+         bytes AS (SELECT doc_id, hx, unnest(range(0, nb)) AS i FROM b),
+         bv AS (SELECT doc_id, i,
+                CAST('0x' || substring(hx, CAST(2*i+1 AS BIGINT), 2) AS INTEGER) AS v
+              FROM bytes),
+         s AS (SELECT f.doc_id, f.frame_idx, SUM(bv.v) AS bsum
+              FROM f LEFT JOIN bv ON bv.doc_id = f.doc_id
+                AND bv.i >= f.frame_idx*128 AND bv.i < (f.frame_idx+1)*128
+              GROUP BY 1, 2)
+         SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(CAST((COALESCE(bsum, 0) * 1000000) // 128 AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS frame_mean
+         FROM s ORDER BY doc_id, frame_idx""",
 
     // repetition signals over lowercase tokens and sequential word
     // 2-grams (list comprehensions mirror the Spark higher-order exprs)

@@ -415,12 +415,12 @@ class IncrementalSpec extends SparkSpecBase {
 
   test("frame sampling: stride windows with deterministic features") {
     val docs = Tables.load(spark, sfDir, "documents").limit(5)
-    val frames = graft.pipeline.Multimodal.sampleFrames(spark, docs, 16, 4)
+    val frames = graft.pipeline.Multimodal.sampleVideoFrames(spark, docs, stride = 4)
     assert(frames.count() >= 5)
     val f = frames.filter(col("frame_idx") === 0).count()
     assert(f == 5) // every doc has frame 0
     // deterministic across runs
-    val again = graft.pipeline.Multimodal.sampleFrames(spark, docs, 16, 4)
+    val again = graft.pipeline.Multimodal.sampleVideoFrames(spark, docs, stride = 4)
     assert(frames.except(again).isEmpty)
   }
 

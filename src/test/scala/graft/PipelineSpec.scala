@@ -477,6 +477,42 @@ class PipelineSpec extends SparkSpecBase {
     assert(roll.values.forall(_ <= 500L))
   }
 
+  test("AVI codec: round-trip with final-frame padding, bottom-up row flip " +
+       "with stride padding, rejection of non-AVI and wrong bit depths") {
+    import graft.pipeline.Multimodal
+    // round trip: 300 payload bytes at 16x8 -> 3 frames, last zero-padded
+    val payload = Array.tabulate(300)(i => ((i * 7 + 3) % 251).toByte)
+    val avi = Multimodal.aviFromBytes(payload, w = 16, h = 8)
+    val Some((w, h, frames)) = Multimodal.decodeAvi(avi)
+    assert((w, h, frames.length) == (16, 8, 3))
+    for (f <- 0 until 3; i <- 0 until 128) {
+      val src = f * 128 + i
+      val expect = if (src < payload.length) payload(src) & 0xff else 0
+      assert(frames(f)(i) == expect, s"frame $f pixel $i")
+    }
+    // bottom-up + stride: w=3 (stride 4), h=2; DIB stores the bottom image
+    // row first and pads each row to the DWORD boundary
+    val dib = Array[Byte](1, 2, 3, 99 /*pad*/, 4, 5, 6, 98 /*pad*/)
+    val Some((_, _, flipped)) =
+      Multimodal.decodeAvi(Multimodal.assembleAvi(3, 2, Seq(dib)))
+    assert(flipped.head.toSeq == Seq(4, 5, 6, 1, 2, 3),
+           s"row flip/stride wrong: ${flipped.head.toSeq}")
+    // rejection: truncation, wrong magic, non-8-bit depth
+    assert(Multimodal.decodeAvi(avi.take(40)).isEmpty)
+    val notAvi = avi.clone(); notAvi(8) = 'W'
+    assert(Multimodal.decodeAvi(notAvi).isEmpty)
+    val bits24 = Multimodal.aviFromBytes(payload)
+    // strf's biBitCount lives 14 bytes into the chunk body; flip it to 24
+    val strfAt = {
+      var i = 0
+      while (!(bits24(i) == 's' && bits24(i+1) == 't' && bits24(i+2) == 'r' &&
+               bits24(i+3) == 'f')) i += 1
+      i + 8
+    }
+    bits24(strfAt + 14) = 24
+    assert(Multimodal.decodeAvi(bits24).isEmpty)
+  }
+
   test("BPE: greedy leftmost merge is non-overlapping; training reproduces " +
        "the hand-computed merge table; tokenize round-trips the merges") {
     import graft.pipeline.Bpe
