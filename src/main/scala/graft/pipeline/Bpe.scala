@@ -109,4 +109,34 @@ object Bpe {
     merges.foldLeft(initialSymbols(word)) { case (st, (l, r)) =>
       applyMerge(st, l, r)
     }
+
+  /** Corpus tokenization statistics with a freshly trained merge table —
+    * the full train→infer round trip as one operator: per document, the
+    * word count, BPE piece count, and fertility (pieces per word).
+    *
+    * Scale posture: the expensive part is NOT re-running the tokenizer
+    * over every word occurrence — pieces are computed once per DISTINCT
+    * word (the Zipf-bounded vocabulary, exactly the frame training
+    * already aggregates), then joined back to the exploded corpus on the
+    * word key. Catalyst/AQE picks broadcast when the vocab fits (always
+    * at bench scale; at 100 TB a vocab of tens of millions of short rows
+    * still usually broadcasts — otherwise it is a standard dim join).
+    * The trained table itself is K rows on the driver, the same artifact
+    * any tokenizer ships.
+    */
+  def tokenizeStats(spark: SparkSession, docs: DataFrame,
+                    merges: Int): DataFrame = {
+    val table = train(spark, docs, merges).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = docs.select(col("doc_id"),
+                            explode(TextPrep.words(col("text"))).as("word"))
+    val vocab = words.select("word").distinct()
+      .withColumn("n_p", size(tokenize(col("word"), table)).cast(LongType))
+    words.join(vocab, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_p")).as("n_pieces"))
+      .withColumn("fertility",
+        round(col("n_pieces").cast(DoubleType) / col("n_words"), 6))
+      .select("doc_id", "n_words", "n_pieces", "fertility")
+  }
 }

@@ -258,6 +258,11 @@ object Pipeline {
         .orderBy("source")),
     "bpe_train_merges" -> ((s, d) =>
       graft.pipeline.Bpe.train(s, docs(s, d), merges = 8).orderBy("rank")),
+    "bpe_tokenize_stats" -> ((s, d) =>
+      // the train->infer round trip: tokenize the corpus with the table
+      // trained on it; pieces computed per DISTINCT word then joined back
+      graft.pipeline.Bpe.tokenizeStats(s, docs(s, d), merges = 8)
+        .orderBy("doc_id")),
     "sample_token_budget" -> ((s, d) =>
       Sampling.tokenBudgetSample(docs(s, d), budgetPerGroup = 500L)
         .groupBy("source").agg(count(lit(1)).as("n_docs"),
@@ -282,7 +287,16 @@ object Pipeline {
     * empty accumulator). Deterministic tie-break (count desc, l, r) makes
     * every round a pure function of the corpus, so the replay is exact.
     */
-  private def bpeOracle(rounds: Int): String = {
+  private def bpeOracle(rounds: Int): String =
+    bpeCtes(rounds) + "\n" + (1 to rounds).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right",
+            l || r AS merged, c AS pair_count FROM t$k"""
+    }.mkString(" UNION ALL ") + " ORDER BY rank"
+
+  /** The shared CTE chain: corpus → (word,freq) → states s0..s_rounds with
+    * per-round pair counts p_k and top picks t_k.
+    */
+  private def bpeCtes(rounds: Int): String = {
     val head = raw"""ws_t AS (SELECT doc_id,
         list_filter(regexp_split_to_array(trim(text), '\s+'), w -> len(w) > 0) AS ws
       FROM documents),
@@ -304,12 +318,21 @@ object Pipeline {
             ELSE list_append(acc, x[1]) END) AS st
         FROM s${k - 1} CROSS JOIN t$k t)"""
     }
-    val sel = (1 to rounds).map { k =>
-      s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right",
-            l || r AS merged, c AS pair_count FROM t$k"""
-    }.mkString(" UNION ALL ")
-    (head +: steps).mkString("WITH ", ",\n", "\n") + sel + " ORDER BY rank"
+    (head +: steps).mkString("WITH ", ",\n", "")
   }
+
+  /** DuckDB replay of [[graft.pipeline.Bpe.tokenizeStats]]: train the same
+    * `rounds` merges (shared CTE chain), read each word's piece count off
+    * the final state, and join back to the exploded corpus.
+    */
+  private def bpeTokenizeOracle(rounds: Int): String =
+    s"""${bpeCtes(rounds)},
+      wp AS (SELECT word, CAST(len(st) AS BIGINT) AS n_p FROM s$rounds),
+      d AS (SELECT doc_id, unnest(ws) AS w FROM ws_t)
+      SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(wp.n_p) AS BIGINT) AS n_pieces,
+        ROUND(CAST(SUM(wp.n_p) AS DOUBLE) / COUNT(*), 6) AS fertility
+      FROM d JOIN wp ON wp.word = d.w
+      GROUP BY 1 ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -1054,6 +1077,7 @@ object Pipeline {
          ORDER BY a.vec_id""",
 
     "bpe_train_merges" -> bpeOracle(8),
+    "bpe_tokenize_stats" -> bpeTokenizeOracle(8),
 
     "pipeline_pack_sequences" ->
       raw"""WITH t AS (SELECT doc_id, source,

@@ -211,6 +211,56 @@ object EventStreams {
       }
   }
 
+  /** Executor-side twin of TextPrep.hash64 over s"$id:mix" — keeps stream
+    * and batch mixture admission order bit-identical.
+    */
+  private def mixHash(id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:mix".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Domain-mixture admission at ingest — the streaming face of
+    * Sampling.domainMixture with IDENTICAL cutoff semantics: each source's
+    * token budget is its weight-normalized share of `totalTokens`
+    * (`floor(w/Σw · total)`; absent sources get 0 — a mixture is a
+    * whitelist), docs order by the batch operator's salted hash
+    * (hash64(key || ":mix"), key) within a micro-batch, the running total
+    * accumulates EVERY doc seen, and a doc admits iff the total through
+    * it stays within the share (prefix truncation, not first-fit). A
+    * stream arriving as one micro-batch admits exactly the batch
+    * operator's mixture (pinned by StreamingSpec); across batches the
+    * total carries over — the result equals the batch operator applied to
+    * the batches in arrival order. State is ONE long per source.
+    */
+  def streamingDomainMixture(docs: Dataset[GroupDoc],
+                             weights: Map[String, Double],
+                             totalTokens: Long): Dataset[GroupDoc] = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0),
+            "mixture weights must be non-negative")
+    val wSum = weights.values.sum
+    val budgets = weights.map { case (src, w) =>
+      src -> math.floor(w / wSum * totalTokens).toLong
+    }
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[Long, GroupDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, batch: Iterator[GroupDoc], state: GroupState[Long]) =>
+          val budget = budgets.getOrElse(src, 0L)
+          var cum = state.getOption.getOrElse(0L)
+          val admitted = Vector.newBuilder[GroupDoc]
+          batch.toVector.sortBy(d => (mixHash(d.doc_id), d.doc_id)).foreach { d =>
+            cum += d.text.trim.split("\\s+").count(_.nonEmpty).toLong
+            if (cum <= budget) admitted += d
+          }
+          state.update(cum)
+          admitted.result().iterator
+      }
+  }
+
   /** A document's span in its group's packed token stream. */
   final case class PackedSpan(doc_id: Long, group: String, seq_first: Long,
                               seq_last: Long, start_offset: Long, n_tok: Long)

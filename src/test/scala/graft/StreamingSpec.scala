@@ -331,6 +331,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming domain mixture: single-batch admission equals the batch " +
+       "operator, budgets carry across batches, non-whitelisted drops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.GroupDoc
+    val weights = Map("g1" -> 3.0, "g2" -> 1.0) // of 8 tokens: g1=6, g2=2
+    val input = MemoryStream[GroupDoc]
+    val stream = EventStreams.streamingDomainMixture(input.toDS(), weights,
+                                                     totalTokens = 8L)
+      .writeStream.format("memory").queryName("mixed")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val batch1 = Seq(GroupDoc(1, "g1", "one two three"),
+                       GroupDoc(2, "g1", "four five six"),
+                       GroupDoc(3, "g1", "seven eight"),
+                       GroupDoc(4, "g2", "a b c"),   // 3 > share 2: drops
+                       GroupDoc(5, "g3", "x"))       // not in the mixture
+      input.addData(batch1: _*)
+      stream.processAllAvailable()
+      val got = spark.table("mixed").as[GroupDoc].collect().map(_.doc_id).toSet
+      val batchOp = graft.pipeline.Sampling.domainMixture(
+        batch1.toDF(), weights, totalTokens = 8L, sourceCol = "group")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == batchOp, s"stream admitted $got, batch operator $batchOp")
+      assert(!got.exists(Set(4L, 5L)), s"over-budget or non-whitelisted admitted: $got")
+      // batch 2: g1's cumulative (8 incl. skipped) has crossed its share of
+      // 6, so nothing more admits even though doc6 alone would fit
+      input.addData(GroupDoc(6, "g1", "y"))
+      stream.processAllAvailable()
+      val after = spark.table("mixed").as[GroupDoc].collect().map(_.doc_id).toSet
+      assert(after == got, s"late doc admitted past the share: $after")
+    } finally stream.stop()
+  }
+
   test("streaming pack assignment: single-batch spans equal the batch " +
        "operator, offsets carry across batches") {
     import spark.implicits._
