@@ -352,12 +352,16 @@ object Dedup {
     */
   def semanticDedup(emb: DataFrame, k: Int, threshold: Double): DataFrame = {
     val cent = Similarity.ivfCentroids(emb, k)
-    val assigned = emb
+    // materialized ONCE: the frame is referenced three times below (both
+    // sides of the pair join and the final classification), and Spark
+    // re-evaluates an unshared subtree per reference — without this, the
+    // corpus would be scanned and centroid-scored 4x
+    val assigned = graft.util.Fixpoint.materialize(emb
       .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
       .join(Similarity.ivfAssign(emb, cent), "vec_id")
       .join(cent.select(col("cid"), col("cv").cast(ArrayType(DoubleType)).as("cv")), "cid")
       .withColumn("cent_sim", Similarity.cosine(col("v"), col("cv")))
-      .select("vec_id", "cid", "v", "cent_sim")
+      .select("vec_id", "cid", "v", "cent_sim"))
     val losers = assigned.as("a")
       .join(assigned.as("b"),
             col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id") &&

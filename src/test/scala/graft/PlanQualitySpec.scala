@@ -197,6 +197,34 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(exchanges <= 2, "PII redaction plan grew unexpected shuffles")
   }
 
+  test("semantic dedup pairs come from a cid equi-join; domain mixture " +
+       "shuffles once on the source key") {
+    val sd = graft.queries.Pipeline.queries("dedup_semantic")(spark, sfDir)
+    sd.collect()
+    val p = sd.queryExecution.executedPlan.toString
+    // the candidate self-join must key on the cluster id — an unkeyed
+    // (cartesian) pair enumeration would be all-pairs at corpus scale
+    assert(!p.contains("CartesianProduct"), s"all-pairs candidate join:\n$p")
+    // the assignment frame is materialized once, so no centroid-broadcast
+    // nested loop may survive into the pair join's plan — a BNLJ here
+    // means either the materialization regressed (corpus re-scanned per
+    // reference) or the vec x vec join degenerated to nested loops
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj == 0, s"unexpected nested-loop join ($bnlj BNLJ):\n$p")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+             .findAllIn(p).nonEmpty, s"no hash/merge join on cid:\n$p")
+
+    val mix = graft.queries.Pipeline.queries("pipeline_domain_mix")(spark, sfDir)
+    mix.collect()
+    val mp = mix.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(mp.contains("Window"), s"mixture lost its running-sum window:\n$mp")
+    // one hash exchange for the source-key window (the rollup reuses that
+    // partitioning — no second aggregation shuffle) + the final sort's
+    // range exchange; the mixture itself adds no more
+    val exchanges = "Exchange".r.findAllIn(mp).size
+    assert(exchanges <= 2, s"domain mixture grew unexpected shuffles ($exchanges):\n$mp")
+  }
+
   test("bds:search reads a load-time parquet index — no per-query corpus tokenization") {
     // the reference builds its full-text index ONCE at load
     // (FullTextIndex.java:240); the bds:search service must read that
