@@ -125,6 +125,63 @@ object Sampling {
     * one reducer; mitigate exactly as [[tokenBudgetSample]] documents
     * (pre-filter with [[weightedSample]] near the expected rate).
     */
+  /** DSIR-shaped importance resampling (Xie et al. 2023, arXiv:2302.03169,
+    * "Data Selection via Importance Resampling"): select the source
+    * documents whose hashed-unigram distribution looks most like a TARGET
+    * corpus. Words hash into `buckets` bins; each bin gets add-one-smoothed
+    * counts under both corpora, and a word votes +1/-1/0 for its document
+    * by which corpus explains its bin better. A document's score is its
+    * exact integer vote sum; the `n` highest-scoring documents (ties →
+    * lowest doc_id) are the resample.
+    *
+    * The paper scores log(p_target/p_source) per feature; the vote is the
+    * SIGN of that ratio, compared by exact 128-bit cross-multiplication
+    * ((c_t+1)(T_s+B) vs (c_s+1)(T_t+B)) instead of floating logs — the
+    * same exactness-preserving discipline as the 60-bit md5 hashes: no
+    * libm call whose last ulp could differ across engines, so the oracle
+    * replays the ranking bit-for-bit. (Magnitude-weighted scoring is a
+    * one-line swap — replace the sign with the log ratio — at the cost of
+    * cross-engine exactness.)
+    *
+    * Scale posture: bucket-count tables are `buckets` rows (broadcast);
+    * the corpus is exploded to words once, joined map-side to the
+    * broadcast bins, and hash-aggregated back to one row per doc — one
+    * corpus shuffle (the doc_id re-aggregation). The target corpus is
+    * touched once for its histogram, never joined row-to-row. Top-n is
+    * TakeOrdered (per-partition heaps, no global sort).
+    */
+  def importanceResample(docs: DataFrame, target: DataFrame, buckets: Int,
+                         n: Int): DataFrame = {
+    require(buckets > 0 && n > 0, "buckets and n must be positive")
+    val dec = "decimal(38,0)"
+    def bucketCounts(d: DataFrame): DataFrame =
+      d.select(explode(TextPrep.words(col("text"))).as("w"))
+        .select((TextPrep.hash64(col("w")) % buckets).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+    val tc = bucketCounts(target).select(col("b"), col("c").as("c_t"))
+    val sc = bucketCounts(docs).select(col("b"), col("c").as("c_s"))
+    val totT = target.select(coalesce(sum(size(TextPrep.words(col("text")))), lit(0))
+      .cast("long")).head.getLong(0)
+    val totS = docs.select(coalesce(sum(size(TextPrep.words(col("text")))), lit(0))
+      .cast("long")).head.getLong(0)
+    val bins = tc.join(sc, Seq("b"), "full_outer")
+      .select(col("b"),
+        ((coalesce(col("c_t"), lit(0L)) + 1).cast(dec) * lit(totS + buckets).cast(dec))
+          .as("lhs"),
+        ((coalesce(col("c_s"), lit(0L)) + 1).cast(dec) * lit(totT + buckets).cast(dec))
+          .as("rhs"))
+      .withColumn("vote",
+        when(col("lhs") > col("rhs"), 1L)
+          .when(col("lhs") < col("rhs"), -1L).otherwise(0L))
+      .select("b", "vote")
+    docs.select(col("doc_id"), explode(TextPrep.words(col("text"))).as("w"))
+      .select(col("doc_id"), (TextPrep.hash64(col("w")) % buckets).as("b"))
+      .join(broadcast(bins), "b")
+      .groupBy("doc_id").agg(sum(col("vote")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(n)
+  }
+
   def domainMixture(docs: DataFrame, weights: Map[String, Double],
                     totalTokens: Long, sourceCol: String = "source",
                     keyCol: String = "doc_id"): DataFrame = {

@@ -263,6 +263,13 @@ object Pipeline {
       // trained on it; pieces computed per DISTINCT word then joined back
       graft.pipeline.Bpe.tokenizeStats(s, docs(s, d), merges = 8)
         .orderBy("doc_id")),
+    "sample_importance" -> ((s, d) => {
+      // DSIR-shaped selection: target distribution = every 10th doc (the
+      // synthetic held-out stand-in, as in decontam); 64 hash bins, top 100
+      val dd = docs(s, d)
+      Sampling.importanceResample(dd, dd.filter(col("doc_id") % 10 === 0),
+                                  buckets = 64, n = 100)
+    }),
     "sample_token_budget" -> ((s, d) =>
       Sampling.tokenBudgetSample(docs(s, d), budgetPerGroup = 500L)
         .groupBy("source").agg(count(lit(1)).as("n_docs"),
@@ -1009,6 +1016,31 @@ object Pipeline {
            CAST(SUM(LEAST(e, (seq_id + 1) * 128) - GREATEST(st, seq_id * 128)) AS BIGINT) AS n_tokens,
            CAST(SUM(doc_id) AS BIGINT) AS id_sum
          FROM px GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // DSIR votes replayed with the same exact cross-multiplication
+    // (HUGEINT there, decimal(38,0) in Spark — both exact at this width)
+    "sample_importance" ->
+      s"""WITH $wsSql,
+         tgt AS (SELECT doc_id, ws FROM ws_t WHERE doc_id % 10 = 0),
+         tw AS (SELECT ${h64("w")} % 64 AS b
+                FROM (SELECT unnest(ws) AS w FROM tgt)),
+         tc AS (SELECT b, COUNT(*) AS c_t FROM tw GROUP BY 1),
+         sw AS (SELECT doc_id, ${h64("w")} % 64 AS b
+                FROM (SELECT doc_id, unnest(ws) AS w FROM ws_t)),
+         scn AS (SELECT b, COUNT(*) AS c_s FROM sw GROUP BY 1),
+         tot AS (SELECT (SELECT COALESCE(SUM(len(ws)), 0) FROM tgt) AS t_t,
+                        (SELECT COALESCE(SUM(len(ws)), 0) FROM ws_t) AS t_s),
+         bins AS (SELECT COALESCE(tc.b, scn.b) AS b,
+             CASE WHEN CAST(COALESCE(c_t, 0) + 1 AS HUGEINT) * (t_s + 64)
+                     > CAST(COALESCE(c_s, 0) + 1 AS HUGEINT) * (t_t + 64) THEN 1
+                  WHEN CAST(COALESCE(c_t, 0) + 1 AS HUGEINT) * (t_s + 64)
+                     < CAST(COALESCE(c_s, 0) + 1 AS HUGEINT) * (t_t + 64) THEN -1
+                  ELSE 0 END AS vote
+           FROM tc FULL OUTER JOIN scn ON tc.b = scn.b CROSS JOIN tot),
+         scored AS (SELECT doc_id, CAST(SUM(vote) AS BIGINT) AS score
+                    FROM sw JOIN bins USING (b) GROUP BY 1)
+         SELECT doc_id, score FROM scored
+         ORDER BY score DESC, doc_id LIMIT 100""",
 
     "sample_token_budget" ->
       raw"""WITH t AS (SELECT doc_id, source,

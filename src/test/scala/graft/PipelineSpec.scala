@@ -477,6 +477,30 @@ class PipelineSpec extends SparkSpecBase {
     assert(roll.values.forall(_ <= 500L))
   }
 
+  test("importance resampling ranks target-like docs above off-distribution " +
+       "docs and is deterministic") {
+    import spark.implicits._
+    // target speaks vocab A; source mixes A-docs and B-docs
+    val target = Seq((100L, "alpha beta gamma delta"),
+                     (101L, "alpha beta epsilon zeta")).toDF("doc_id", "text")
+    val source = Seq(
+      (1L, "alpha beta gamma"),          // target-like
+      (2L, "alpha epsilon delta zeta"),  // target-like
+      (3L, "xray yankee zulu quebec"),   // off-distribution
+      (4L, "zulu quebec xray tango")     // off-distribution
+    ).toDF("doc_id", "text")
+    val r = Sampling.importanceResample(source, target, buckets = 64, n = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(Set(1L, 2L).forall(a => Set(3L, 4L).forall(b => r(a) > r(b))),
+           s"target-like docs not ranked above off-distribution: $r")
+    // top-n cut is deterministic (ties by doc_id) and repeatable
+    val top2a = Sampling.importanceResample(source, target, buckets = 64, n = 2)
+      .collect().map(_.getLong(0)).toSet
+    val top2b = Sampling.importanceResample(source, target, buckets = 64, n = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top2a == Set(1L, 2L) && top2a == top2b)
+  }
+
   test("AVI codec: round-trip with final-frame padding, bottom-up row flip " +
        "with stride padding, rejection of non-AVI and wrong bit depths") {
     import graft.pipeline.Multimodal
