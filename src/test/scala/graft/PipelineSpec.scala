@@ -565,6 +565,51 @@ class PipelineSpec extends SparkSpecBase {
     assert(toks == Seq("low</w>"), s"got $toks")
   }
 
+  test("BPE training matches an in-memory reference model on randomized corpora") {
+    import graft.pipeline.Bpe
+    import spark.implicits._
+    // reference model: same spec — per-position pair counts weighted by
+    // word frequency, (count desc, l, r) tie-break, greedy leftmost fold
+    def refTrain(words: Seq[String], merges: Int): Seq[(String, String, Long)] = {
+      var state: Map[String, (Vector[String], Long)] =
+        words.groupBy(identity).map { case (w, ws) =>
+          w -> (w.map(_.toString).toVector :+ "</w>", ws.size.toLong)
+        }
+      val out = Vector.newBuilder[(String, String, Long)]
+      for (_ <- 1 to merges) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        state.values.foreach { case (syms, f) =>
+          syms.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+          }
+        }
+        if (counts.nonEmpty) {
+          val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((l, r, c))
+          state = state.map { case (w, (syms, f)) =>
+            val merged = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == l && x == r)
+                acc.init :+ (l + r)
+              else acc :+ x
+            }
+            w -> (merged, f)
+          }
+        }
+      }
+      out.result()
+    }
+    val rng = new scala.util.Random(20260815L)
+    for (trial <- 1 to 6) {
+      val words = Seq.fill(5 + rng.nextInt(25))(
+        Seq.fill(1 + rng.nextInt(5))(('a' + rng.nextInt(4)).toChar).mkString)
+      val df = Seq(words.mkString(" ")).toDF("text").withColumn("doc_id", lit(1L))
+      val got = Bpe.train(spark, df, merges = 4).orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      val want = refTrain(words, merges = 4)
+      assert(got == want, s"trial $trial diverged on corpus $words:\n got $got\nwant $want")
+    }
+  }
+
   test("semantic dedup: kept set is near-dup-free per cluster and every " +
        "dropped member has a lower-ordered same-cluster witness") {
     import graft.pipeline.{Dedup => D, Similarity => S}
