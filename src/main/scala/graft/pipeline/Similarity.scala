@@ -164,6 +164,106 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "score")
   }
 
+  // ---- product quantization (IVF-PQ — the billion-scale ANN design) ----
+
+  /** Squared L2 between two equal-length vectors, rounded to 6 decimals:
+    * a left-to-right fold of squared diffs, bit-reproducible by DuckDB's
+    * `list_sum(list_transform(...))` (same op sequence — the cosSql
+    * precedent). Subvectors here are `dim/m` wide, so the interpreted
+    * higher-order fold is cheap; swap in a native Expression (the
+    * DotProduct pattern) if PQ distances ever dominate a profile.
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+                    lit(0.0), (acc, v) => acc + v), 6)
+
+  /** PQ codebooks: the vector space splits into `m` subspaces of dim/m
+    * contiguous dimensions; subspace j's `k` centroids are the j-th
+    * subvectors of the k lowest vec_ids — deterministic seeds, the same
+    * discipline as [[ivfCentroids]] (swap in per-subspace k-means for
+    * trained codebooks; the encode/score machinery is codebook-agnostic).
+    * Output (j, code, cv): m·k rows — always broadcastable.
+    */
+  def pqCodebooks(emb: DataFrame, m: Int, k: Int): DataFrame =
+    asDouble(emb).filter(col("vec_id") < k)
+      .select(col("vec_id").cast(IntegerType).as("code"),
+              explode(sequence(lit(0), lit(m - 1))).as("j"), col("v"))
+      .withColumn("cv", expr(s"slice(v, j * (size(v) div $m) + 1, size(v) div $m)"))
+      .select("j", "code", "cv")
+
+  /** PQ encoding: each vector compresses to `m` one-byte codes — the
+    * nearest codebook centroid per subspace (rounded L2, ties → lowest
+    * code). One broadcast join against the m·k codebook rows and two hash
+    * aggregations; the corpus never shuffles by anything but vec_id. At
+    * 100 TB this is THE storage story: 64 doubles (512 B) become m bytes,
+    * and the scan side of ANN reads codes, not vectors.
+    */
+  def pqEncode(emb: DataFrame, m: Int, k: Int,
+               codebooks: Option[DataFrame] = None): DataFrame = {
+    val cb = codebooks.getOrElse(pqCodebooks(emb, m, k))
+    asDouble(emb)
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"), col("v"))
+      .withColumn("sv", expr(s"slice(v, j * (size(v) div $m) + 1, size(v) div $m)"))
+      .join(broadcast(cb), "j")
+      .withColumn("d", l2sq(col("sv"), col("cv")))
+      .groupBy("vec_id", "j")
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+      .groupBy("vec_id")
+      .agg(transform(sort_array(collect_list(struct(col("j"), col("code")))),
+                     x => x.getField("code")).as("codes"))
+  }
+
+  /** IVF-PQ top-k with asymmetric distance computation (ADC), the
+    * Jégou/Douze/Schmid design: queries stay exact, the corpus is its PQ
+    * codes, and each query precomputes an m·k lookup table of
+    * subspace distances so scoring a corpus vector is m table reads — no
+    * vector arithmetic on the scan side. IVF restricts scoring to the
+    * `nProbe` nearest centroid lists.
+    *
+    * Scale posture: codebooks and per-query LUTs broadcast (m·k rows and
+    * #queries·m·k doubles); the corpus shuffles ONCE by centroid list and
+    * is scanned as codes. score = Σ_j lut[j·k + code_j], an approximate
+    * squared L2 (ascending = nearest). Every distance rounds to 6
+    * decimals, so ranking replays exactly in DuckDB.
+    */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, nlist: Int, nProbe: Int,
+                m: Int, k: Int, topk: Int): DataFrame = {
+    val cent = ivfCentroids(emb, nlist)
+    val assign = ivfAssign(emb, cent)
+    val cb = pqCodebooks(emb, m, k)
+    val enc = pqEncode(emb, m, k, Some(cb)).join(assign, "vec_id")
+    val q = asDouble(queries).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // per-query LUT: d(q's j-th subvector, codebook (j, code)), flattened
+    // in (j, code) order so lut[j*k + code + 1] is the distance
+    val luts = q
+      .select(col("q_id"), col("qv"), explode(sequence(lit(0), lit(m - 1))).as("j"))
+      .withColumn("sv", expr(s"slice(qv, j * (size(qv) div $m) + 1, size(qv) div $m)"))
+      .join(broadcast(cb), "j")
+      .withColumn("d", l2sq(col("sv"), col("cv")))
+      .groupBy("q_id")
+      .agg(transform(sort_array(collect_list(struct(
+             (col("j") * k + col("code")).as("idx"), col("d")))),
+           x => x.getField("d")).as("lut"))
+    val wq = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select("q_id", "cid")
+    val qside = probes.join(luts, "q_id")
+    val scored = enc.join(broadcast(qside),
+        enc("cid") === qside("cid") && col("vec_id") =!= col("q_id"))
+      .withColumn("score", round(
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, j) => acc + element_at(col("lut"),
+            (j * k + element_at(col("codes"), j + 1) + 1).cast(IntegerType))), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("score").asc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= topk)
+      .select("q_id", "rank", "vec_id", "score")
+  }
+
   /** LSH-bucketed top-k: exact ranking restricted to buckets within
     * Hamming distance `probes` of the query's bucket (0 = the query bucket
     * only; 1 = multiprobe over all single-bit-flip neighbors — the standard

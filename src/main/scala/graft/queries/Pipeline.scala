@@ -146,6 +146,14 @@ object Pipeline {
         .orderBy("q_id", "rank")
     }),
 
+    "ann_ivf_pq" -> ((s, d) => {
+      // IVF-PQ with ADC: 8 subspaces x 16 codes, 2 probed lists of 8 —
+      // the corpus is scanned as codes, queries read their LUTs
+      val e = emb(s, d)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), nlist = 8,
+                           nProbe = 2, m = 8, k = 16, topk = 10)
+        .orderBy("q_id", "rank")
+    }),
     "ann_ivf" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), nlist = 8,
@@ -482,6 +490,55 @@ object Pipeline {
          SELECT q_id, rank, vec_id, score FROM (
            SELECT q_id, vec_id, score,
              CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id)
+                  AS BIGINT) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    // mirrors Similarity.ivfPqTopK: 8x16 seed codebooks (subvectors of
+    // vec_id < 16), per-subspace rounded-L2 argmin encoding, per-query
+    // flattened LUT in (j, code) order, ADC score = sum of 8 lut reads
+    // over the 2 probed lists, rank ascending (squared L2: lower=nearer)
+    "ann_ivf_pq" ->
+      s"""WITH $embSql,
+         cb AS (SELECT j, CAST(vec_id AS INTEGER) AS code, v[j*8+1 : (j+1)*8] AS cv
+                FROM e_t CROSS JOIN range(8) r(j) WHERE vec_id < 16),
+         encd AS (SELECT e_t.vec_id, cb.j, cb.code,
+                ROUND(list_sum(list_transform(range(1, 9),
+                  i -> (e_t.v[j*8+i] - cb.cv[i]) * (e_t.v[j*8+i] - cb.cv[i]))), 6) AS d
+              FROM e_t CROSS JOIN cb),
+         enc1 AS (SELECT vec_id, j, code FROM (
+                SELECT vec_id, j, code,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+                FROM encd) WHERE rn = 1),
+         codes AS (SELECT vec_id, list(code ORDER BY j) AS codes FROM enc1 GROUP BY 1),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM e_t WHERE vec_id < 8),
+         assign AS (SELECT vec_id, cid FROM (
+                SELECT e_t.vec_id, cent.cid,
+                  ROW_NUMBER() OVER (PARTITION BY e_t.vec_id
+                    ORDER BY ${cosSql("e_t.v", "cent.cv")} DESC, cent.cid) AS rn
+                FROM e_t CROSS JOIN cent) WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e_t WHERE vec_id < 5),
+         lutd AS (SELECT q.q_id, cb.j, cb.code,
+                ROUND(list_sum(list_transform(range(1, 9),
+                  i -> (q.qv[j*8+i] - cb.cv[i]) * (q.qv[j*8+i] - cb.cv[i]))), 6) AS d
+              FROM q CROSS JOIN cb),
+         luts AS (SELECT q_id, list(d ORDER BY j*16 + code) AS lut FROM lutd GROUP BY 1),
+         probes AS (SELECT q_id, cid FROM (
+                SELECT q.q_id, cent.cid,
+                  ROW_NUMBER() OVER (PARTITION BY q.q_id
+                    ORDER BY ${cosSql("q.qv", "cent.cv")} DESC, cent.cid) AS rn
+                FROM q CROSS JOIN cent) WHERE rn <= 2),
+         scored AS (SELECT p.q_id, c.vec_id,
+                ROUND(list_sum(list_transform(range(0, 8),
+                  j -> l.lut[j*16 + c.codes[j+1] + 1])), 6) AS score
+              FROM probes p
+                JOIN assign a ON a.cid = p.cid
+                JOIN codes c ON c.vec_id = a.vec_id
+                JOIN luts l ON l.q_id = p.q_id
+              WHERE c.vec_id <> p.q_id)
+         SELECT q_id, rank, vec_id, score FROM (
+           SELECT q_id, vec_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score, vec_id)
                   AS BIGINT) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY q_id, rank""",

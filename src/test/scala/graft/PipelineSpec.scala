@@ -477,6 +477,30 @@ class PipelineSpec extends SparkSpecBase {
     assert(roll.values.forall(_ <= 500L))
   }
 
+  test("PQ encoding: m codes per vector in [0,k); codebook vectors encode " +
+       "to themselves in their own subspace; IVF-PQ returns full ranked lists") {
+    import graft.pipeline.{Similarity => S}
+    val enc = S.pqEncode(emb, m = 8, k = 16).collect()
+    assert(enc.length == emb.count())
+    enc.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16),
+             s"bad code vector: $codes")
+    }
+    // a codebook seed vector's distance to its own subvector is 0, so it
+    // must encode to its own code in every subspace
+    val self = enc.filter(_.getLong(0) < 16)
+    self.foreach { r =>
+      assert(r.getSeq[Int](1).forall(_ == r.getLong(0).toInt),
+             s"seed ${r.getLong(0)} not self-coded: ${r.getSeq[Int](1)}")
+    }
+    val pq = S.ivfPqTopK(emb, emb.filter(col("vec_id") < 3), nlist = 8,
+                         nProbe = 2, m = 8, k = 16, topk = 5)
+    val perQ = pq.collect().groupBy(_.getLong(0))
+    assert(perQ.keySet == Set(0L, 1L, 2L) &&
+           perQ.values.forall(_.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)))
+  }
+
   test("importance resampling ranks target-like docs above off-distribution " +
        "docs and is deterministic") {
     import spark.implicits._
