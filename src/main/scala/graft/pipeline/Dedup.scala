@@ -375,4 +375,42 @@ object Dedup {
       .select(col("vec_id"), col("cid"), col("cent_sim"),
               when(col("__dropped").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))
   }
+
+  /** Cross-document duplicated-span statistics — the exact-substring dedup
+    * signal (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better") at word-n-gram granularity: for each document, how many
+    * of its n-gram start positions begin a span that also occurs in ANOTHER
+    * document. Corpora curated with ExactSubstr drop or trim documents whose
+    * duplicated-span fraction is high; this operator computes that fraction.
+    *
+    * Scale posture (100 TB): the span relation is never materialized as
+    * strings across the shuffle — spans travel as the shared 60-bit md5 hash
+    * (deterministic, oracle-reproducible). Three hash aggregations and one
+    * equi-join on the hash, all map-side combinable:
+    *   (doc, gram_h) multiplicity → gram_h distinct-doc count (the "appears
+    *   elsewhere" set) → per-doc duplicated-start sum joined back left_outer
+    * (docs with no duplicated span keep 0, not a dropped row). Nothing here
+    * is all-pairs, and the gram key is Zipf-skewed only for stock phrases —
+    * absorbed by the partial aggregation before the shuffle.
+    */
+  def dupSpanStats(docs: DataFrame, n: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), words(lower(col("text"))).as("ws"))
+      .select(col("doc_id"), explode(ngrams(col("ws"), n)).as("gram"))
+      .select(col("doc_id"), hash64(col("gram")).as("gram_h"))
+    val perDoc = grams.groupBy("doc_id", "gram_h").agg(count(lit(1)).as("c"))
+    val shared = perDoc.groupBy("gram_h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).select("gram_h")
+    val dupPerDoc = perDoc.join(shared, "gram_h")
+      .groupBy("doc_id").agg(sum(col("c")).as("dup_spans"))
+    docs.select(col("doc_id"),
+                greatest(size(words(lower(col("text")))) - (n - 1), lit(0))
+                  .cast(LongType).as("n_spans"))
+      .join(dupPerDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_spans"),
+              coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+              when(col("n_spans") > 0,
+                   round(coalesce(col("dup_spans"), lit(0L)).cast(DoubleType) /
+                         col("n_spans"), 6)).as("dup_frac"))
+  }
 }

@@ -273,6 +273,61 @@ object TextAnalysis {
     * junk). One projection, no explode, codegen'd end to end; null text
     * yields null counts (the corpus-reality discipline of tokenStats).
     */
+  /** Top-k TF-IDF terms per document (tf × ln(N/df), deterministic rank:
+    * rounded score desc, then token asc). The relevance-term surface behind
+    * keyword extraction and topic-balance reporting in corpus curation.
+    *
+    * Scale posture: tf and df are two hash aggregations on the token key
+    * (Zipf skew absorbed map-side); the corpus size N is a one-row frame
+    * broadcast into the scoring join; the per-document rank window
+    * partitions on doc_id, so no global sort. Ranking compares the ROUNDED
+    * score — a 1-ulp ln() difference between engines cannot flip a rank.
+    */
+  def tfidfTopK(docs: DataFrame, topK: Int): DataFrame = {
+    val tok = withWs(docs, lower_ = true)
+      .select(col("doc_id"), explode(col("ws")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_corpus"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_corpus").cast(DoubleType) /
+                              col("df").cast(DoubleType)), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("token"))).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+              col("tfidf"), col("rank"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS): hash
+    * every word k-gram, slide a window of w consecutive gram hashes, keep
+    * each window's minimum — the selected set is guaranteed to share a
+    * fingerprint with any other document that shares a run of w+k-1 words.
+    * Emitted as the distinct (doc_id, fp) value set (position-free form);
+    * fingerprint matches join on fp to find local-overlap candidates.
+    *
+    * Pure per-document array expressions (no explode until the final value
+    * set, no shuffle before it) — the hash uses the shared 60-bit md5 so the
+    * value set replays exactly in ANSI SQL. Documents shorter than k words
+    * have no grams (no rows); with fewer than w grams the single window is
+    * the whole gram list, per the original algorithm's boundary case.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val ws = col("ws")
+    val gh = transform(TextPrep.ngrams(ws, k), g => hash64(g))
+    val nWin = greatest(size(col("gh")) - (w - 1), lit(1))
+    val mins = transform(sequence(lit(0), nWin - 1),
+      j => array_min(slice(col("gh"), j + 1, lit(w))))
+    withWs(docs, lower_ = true)
+      .select(col("doc_id"), gh.as("gh"))
+      .filter(size(col("gh")) > 0)
+      .select(col("doc_id"), explode(array_distinct(mins)).as("fp"))
+  }
+
   def subwordStats(docs: DataFrame): DataFrame = {
     val pieces = size(regexp_extract_all(col("text"), lit(subwordPattern), lit(0)))
     val nWords = size(words(col("text")))

@@ -24,13 +24,20 @@ object TextPrep {
   def words(text: Column): Column =
     filter(split(trim(text), "\\s+"), w => length(w) > 0)
 
-  /** Distinct word n-gram shingles of a token array column. */
-  def shingles(ws: Column, n: Int): Column = {
+  /** Word n-grams of a token array column WITH multiplicity (one entry per
+    * start position) — the span-level relation behind duplicated-span
+    * analysis, where each occurrence counts.
+    */
+  def ngrams(ws: Column, n: Int): Column = {
     val joined = transform(
       sequence(lit(0), greatest(size(ws) - n, lit(-1))),
       i => concat_ws(" ", (0 until n).map(j => element_at(ws, (i + lit(j + 1)))): _*))
-    array_distinct(when(size(ws) >= n, joined).otherwise(array().cast(ArrayType(StringType))))
+    when(size(ws) >= n, joined).otherwise(array().cast(ArrayType(StringType)))
   }
+
+  /** Distinct word n-gram shingles of a token array column. */
+  def shingles(ws: Column, n: Int): Column =
+    array_distinct(ngrams(ws, n))
 
   /** Canonical whitespace-normalized lowercase form (fingerprint input). */
   def normalized(text: Column): Column =

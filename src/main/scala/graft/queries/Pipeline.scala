@@ -171,6 +171,13 @@ object Pipeline {
       LanguageModel.crossEntropy(docs(s, d), docs(s, d)).orderBy("doc_id")),
     "text_subword_stats" -> ((s, d) =>
       TextAnalysis.subwordStats(docs(s, d)).orderBy("doc_id")),
+    "text_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTopK(docs(s, d), topK = 3).orderBy("doc_id", "rank")),
+    "text_winnow" -> ((s, d) =>
+      TextAnalysis.winnowFingerprints(docs(s, d), k = 4, w = 4)
+        .orderBy("doc_id", "fp")),
+    "dedup_dupspan" -> ((s, d) =>
+      Dedup.dupSpanStats(docs(s, d), n = 5).orderBy("doc_id")),
     "pipeline_curation" -> ((s, d) => TextAnalysis.curate(docs(s, d)).orderBy("lang")),
 
     // ---- multimodal ----
@@ -858,6 +865,70 @@ object Pipeline {
                    list_filter(bc, x -> x > 1), x -> x)), 0) AS DOUBLE)
                  / GREATEST(len(bg), 1), 6) AS dup_bigram_frac
          FROM c ORDER BY doc_id""",
+
+    // top-3 TF-IDF terms per doc; rank on the ROUNDED score so a 1-ulp
+    // ln() divergence between engines cannot flip a rank
+    "text_tfidf" ->
+      raw"""WITH w AS (SELECT doc_id,
+              unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> len(x) > 0)) AS token
+            FROM documents),
+         tf_t AS (SELECT doc_id, token, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+         df_t AS (SELECT token, COUNT(*) AS df FROM tf_t GROUP BY 1),
+         n_t AS (SELECT COUNT(*) AS n_corpus FROM documents),
+         sc AS (SELECT tf_t.doc_id, tf_t.token, tf_t.tf, df_t.df,
+                  ROUND(tf_t.tf * ln(CAST(n_t.n_corpus AS DOUBLE) / df_t.df), 6)
+                    AS tfidf
+                FROM tf_t JOIN df_t USING (token) CROSS JOIN n_t),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, token) AS rank FROM sc)
+         SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           tfidf, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    // winnowing (k=4 word grams, window w=4): distinct per-window minimum
+    // gram hashes; boundary case: fewer than w grams -> one whole-list window
+    "text_winnow" ->
+      raw"""WITH w AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                          x -> len(x) > 0) AS ws
+            FROM documents),
+         g AS (SELECT doc_id,
+              list_transform(range(1, greatest(len(ws) - 2, 1)),
+                i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' ||
+                          ws[i+2] || ' ' || ws[i+3]), 1, 15) AS BIGINT)) AS gh
+            FROM w WHERE len(ws) >= 4),
+         m AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(gh) - 3, 1) + 1),
+                j -> list_min(gh[j:j+3]))) AS fps
+            FROM g)
+         SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp""",
+
+    // cross-document duplicated 5-gram spans (multiplicity preserved;
+    // "duplicated" = the span text occurs in >= 2 distinct docs)
+    "dedup_dupspan" ->
+      raw"""WITH w AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                          x -> len(x) > 0) AS ws
+            FROM documents),
+         g AS (SELECT doc_id,
+              CAST('0x' || substr(md5(gr), 1, 15) AS BIGINT) AS gram_h
+            FROM (SELECT doc_id,
+                    unnest(list_transform(range(1, greatest(len(ws) - 3, 1)),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                           ws[i+3] || ' ' || ws[i+4])) AS gr
+                  FROM w)),
+         pd AS (SELECT doc_id, gram_h, COUNT(*) AS c FROM g GROUP BY 1, 2),
+         sh AS (SELECT gram_h FROM pd GROUP BY 1 HAVING COUNT(*) >= 2),
+         dd AS (SELECT pd.doc_id, SUM(pd.c) AS dup_spans
+                FROM pd JOIN sh USING (gram_h) GROUP BY 1)
+         SELECT w.doc_id,
+           CAST(GREATEST(len(ws) - 4, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(dd.dup_spans, 0) AS BIGINT) AS dup_spans,
+           CASE WHEN len(ws) > 4 THEN
+             ROUND(CAST(COALESCE(dd.dup_spans, 0) AS DOUBLE) / (len(ws) - 4), 6)
+           END AS dup_frac
+         FROM w LEFT JOIN dd USING (doc_id) ORDER BY doc_id""",
 
     // decontamination: distinct word 5-grams; bench = every 10th doc.
     // docs shorter than 5 tokens have no shingles (absent from overlap,
