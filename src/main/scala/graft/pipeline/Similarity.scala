@@ -104,6 +104,15 @@ object Similarity {
     * centroid. Each iteration is one broadcast-assign plus one
     * groupBy-mean — the standard distributed Lloyd step; the result plugs
     * straight into `ivfTopK`'s centroid frame.
+    *
+    * The per-dimension mean is EXACT and partitioning-independent: each
+    * component is quantized once to a 2^20-scaled long (float → double is
+    * exact, ×2^20 shifts the exponent without rounding, HALF_UP round to
+    * integer), the longs sum order-free, and the mean is two IEEE
+    * divisions — so the trained centroids are bit-reproducible on any
+    * cluster layout AND by an external ANSI-SQL oracle. A naive avg() over
+    * doubles would drift with Spark's aggregation order, making training
+    * non-replayable (a silent model-versioning hazard at scale).
     */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val corpus = asDouble(emb)
@@ -112,7 +121,9 @@ object Similarity {
       val assign = ivfAssignFrom(corpus, cent)
       val means = corpus.join(assign, "vec_id")
         .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy("cid", "d").agg(avg(col("x")).as("m"))
+        .groupBy("cid", "d")
+        .agg(((sum(round(col("x") * 1048576.0).cast(LongType)).cast(DoubleType) /
+               count(lit(1))) / 1048576.0).as("m"))
         .groupBy("cid")
         .agg(transform(sort_array(collect_list(struct(col("d"), col("m")))),
                        e => e.getField("m")).as("nv"))

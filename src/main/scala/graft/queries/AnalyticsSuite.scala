@@ -140,6 +140,25 @@ object AnalyticsSuite {
         .orderBy("rank")
     }),
 
+    "fts_bm25" -> ((s, d) => {
+      // BM25 over the same load-time tf index + additive side tables
+      // (df, docs, per-doc length) — query-time cost is the query terms'
+      // postings plus vocabulary/side-table joins, never a full-index pass
+      val tf = Catalog.table(s, d, "fts_tf_index") {
+        FullText.buildTfIndex(
+          Tables.load(s, d, "documents").select(col("doc_id").as("doc"), col("text")))
+      }
+      val stats = FullText.TfStats(
+        Catalog.table(s, d, "fts_tf_df") {
+          tf.groupBy("term").agg(count_distinct(col("doc")).as("df")) },
+        Catalog.table(s, d, "fts_tf_docs") { tf.select("doc").distinct() })
+      val dl = Catalog.table(s, d, "fts_doc_len") {
+        tf.groupBy("doc").agg(sum(col("tf")).as("dl")) }
+      FullText.searchBm25(tf, Seq("spark", "join", "fast"), maxRank = 20,
+                          stats = Some(stats), docLens = Some(dl))
+        .orderBy("rank")
+    }),
+
     "owl_transitive_locatedin" -> ((s, d) => {
       // declare locatedIn transitive; the OWL closure derives
       // customer→region hops through nations. Output: entities located
@@ -365,6 +384,34 @@ object AnalyticsSuite {
          SELECT term, doc, COUNT(*) AS tf FROM allt
          GROUP BY 1, 2 ORDER BY term, doc"""
     },
+
+    // BM25 (k1=1.2, b=0.75, Lucene +1 idf floor) over the tf postings;
+    // N and avgdl derive from the distinct docs actually indexed
+    "fts_bm25" ->
+      """WITH tok AS (SELECT doc_id AS doc,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    t -> len(t) > 0)) AS term
+           FROM documents),
+         tf AS (SELECT term, doc, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         dfr AS (SELECT term, COUNT(DISTINCT doc) AS df FROM tf GROUP BY 1),
+         dl AS (SELECT doc, SUM(tf) AS dl FROM tf GROUP BY 1),
+         st AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                       COUNT(*) AS n FROM dl),
+         sc AS (SELECT m.doc,
+                  ROUND(SUM(
+                    ln((CAST(st.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                    * (m.tf * 2.2)
+                    / (m.tf + 1.2 * (0.25 + (0.75 * l.dl) / st.avgdl))), 6)
+                    AS score
+                FROM tf m JOIN dfr d USING (term) JOIN dl l ON m.doc = l.doc
+                  CROSS JOIN st
+                WHERE m.term IN ('spark', 'join', 'fast')
+                GROUP BY 1)
+         SELECT doc, score, rank FROM (
+           SELECT doc, score,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS BIGINT) AS rank
+           FROM sc)
+         WHERE rank <= 20 ORDER BY rank""",
 
     "fts_search" ->
       """WITH tok AS (SELECT doc_id AS doc,

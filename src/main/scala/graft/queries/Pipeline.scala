@@ -161,6 +161,15 @@ object Pipeline {
         .orderBy("q_id", "rank")
     }),
 
+    "ann_kmeans_train" -> ((s, d) =>
+      // two Lloyd rounds, k=4: bit-reproducible training (quantized-long
+      // centroid sums), exploded to (cid, dim, value) scalar rows
+      Similarity.kmeansCentroids(emb(s, d), k = 4, iters = 2)
+        .select(col("cid"),
+                posexplode(col("cv")).as(Seq("d", "m")))
+        .select(col("cid"), col("d").cast("long").as("d"), col("m"))
+        .orderBy("cid", "d")),
+
     // ---- text analysis ----
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
@@ -549,6 +558,42 @@ object Pipeline {
                   AS BIGINT) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    // mirrors Similarity.kmeansCentroids: seeds vec_id<4, two unrolled
+    // Lloyd rounds; the per-dim mean is the exact quantized-long form
+    // ((Σ round(x·2^20)) / count) / 2^20 so every double replays here
+    "ann_kmeans_train" ->
+      s"""WITH $embSql,
+         c0 AS (SELECT vec_id AS cid, v AS cv FROM e_t WHERE vec_id < 4),
+         a1 AS (SELECT vec_id, v, cid FROM (
+                 SELECT e_t.vec_id, e_t.v, c0.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e_t.vec_id
+                     ORDER BY ${cosSql("e_t.v", "c0.cv")} DESC, c0.cid) AS rn
+                 FROM e_t CROSS JOIN c0) WHERE rn = 1),
+         m1 AS (SELECT cid, i - 1 AS d,
+                  (CAST(SUM(CAST(round(v[CAST(i AS INTEGER)] * 1048576.0)
+                                 AS BIGINT)) AS DOUBLE)
+                   / COUNT(*)) / 1048576.0 AS m
+                FROM a1, range(1, 65) t(i) GROUP BY 1, 2),
+         n1 AS (SELECT cid, list(m ORDER BY d) AS nv FROM m1 GROUP BY 1),
+         c1 AS (SELECT c0.cid, COALESCE(n1.nv, c0.cv) AS cv
+                FROM c0 LEFT JOIN n1 USING (cid)),
+         a2 AS (SELECT vec_id, v, cid FROM (
+                 SELECT e_t.vec_id, e_t.v, c1.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e_t.vec_id
+                     ORDER BY ${cosSql("e_t.v", "c1.cv")} DESC, c1.cid) AS rn
+                 FROM e_t CROSS JOIN c1) WHERE rn = 1),
+         m2 AS (SELECT cid, i - 1 AS d,
+                  (CAST(SUM(CAST(round(v[CAST(i AS INTEGER)] * 1048576.0)
+                                 AS BIGINT)) AS DOUBLE)
+                   / COUNT(*)) / 1048576.0 AS m
+                FROM a2, range(1, 65) t(i) GROUP BY 1, 2),
+         n2 AS (SELECT cid, list(m ORDER BY d) AS nv FROM m2 GROUP BY 1),
+         c2 AS (SELECT c1.cid, COALESCE(n2.nv, c1.cv) AS cv
+                FROM c1 LEFT JOIN n2 USING (cid))
+         SELECT c2.cid, CAST(t.i - 1 AS BIGINT) AS d,
+           c2.cv[CAST(t.i AS INTEGER)] AS m
+         FROM c2, range(1, 65) t(i) ORDER BY cid, d""",
 
     // mirrors Similarity.ivfTopK: seed centroids (vec_id < 8), rounded-
     // cosine assignment with cid tiebreak, 2 probes, exact rank inside

@@ -641,6 +641,46 @@ object FullText {
     rankSlice(scored, maxRank)
   }
 
+  /** BM25 ranking over a tf index (Robertson/Walker Okapi weighting with
+    * the Lucene +1 idf floor): score(q,d) = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1−b+b·dl/avgdl)), idf(t) = ln((N−df+0.5)/(df+0.5)+1).
+    * The probabilistic-relevance counterpart of the reference's cosine
+    * Hiterator surface (FullTextIndex.java:892) — same slicing contract.
+    *
+    * Scale posture mirrors `searchTf`: postings touch only the query
+    * terms' lists; df/N come from the additive `stats` side tables and
+    * per-document lengths from the `docLens` side table (doc, dl = Σtf) —
+    * also pure-additive under `appendDocs`' new-ids contract — so no
+    * full-index aggregation runs at query time (omitting either derives
+    * it inline: correct but full-scan, for throwaway indexes only).
+    * avgdl is an exact long-sum ratio, so scores replay in ANSI SQL.
+    */
+  def searchBm25(tfIndex: DataFrame, query: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75, maxRank: Int = Int.MaxValue,
+                 matchAll: Boolean = false, stats: Option[TfStats] = None,
+                 docLens: Option[DataFrame] = None): DataFrame = {
+    val st = stats.getOrElse(buildTfStats(tfIndex))
+    val terms = query.map(_.toLowerCase).distinct
+    val n = st.docs.count()
+    val dl = docLens.getOrElse(
+      tfIndex.groupBy("doc").agg(sum(col("tf")).as("dl")))
+    // exact: long sum / long count, two IEEE divisions — replayable
+    val avgdl = dl.agg(
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val matched = matchedPostings(tfIndex, terms, matchAll)
+    val scored = matched.join(st.df, "term").join(dl, "doc")
+      .crossJoin(broadcast(avgdl))
+      .withColumn("idf",
+        log((lit(n.toDouble) - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            (lit(b) * col("dl")) / col("avgdl"))))
+      .groupBy("doc").agg(round(sum(col("contrib")), 6).as("score"))
+    rankSlice(scored, maxRank)
+  }
+
   /** Search the index: cosine(query, doc) with minCosine/maxRank slicing
     * (Hiterator semantics). Query term weights are 1·idf (tf=1 per term).
     *
