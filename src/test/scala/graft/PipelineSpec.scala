@@ -695,4 +695,62 @@ class PipelineSpec extends SparkSpecBase {
              s"doc ${row.getLong(0)} admission diverges from hash-order prefix")
     }
   }
+
+  test("winnowing guarantee: docs sharing a w+k-1 word run share a fingerprint") {
+    import spark.implicits._
+    // k=4, w=4: any shared run of 7 words must produce a shared fingerprint
+    val shared = "red orange yellow green blue indigo violet"
+    val d = Seq(
+      (1L, s"aa bb cc $shared dd ee"),
+      (2L, s"$shared xx yy zz ww qq rr"),
+      (3L, "unrelated words entirely disjoint from both documents here"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(d, k = 4, w = 4)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared 7-word run produced no shared fp")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+           "disjoint doc shares a fingerprint")
+  }
+
+  test("duplicated-span stats: verbatim duplicate saturates, unique doc is zero") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight"), // verbatim copy of 1
+      (3L, "nine ten eleven twelve thirteen fourteen"))
+      .toDF("doc_id", "text")
+    val r = Dedup.dupSpanStats(d, n = 5).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == ((4L, 4L)) && r(2L) == ((4L, 4L)),
+           s"verbatim duplicates should have every span duplicated: $r")
+    assert(r(3L) == ((2L, 0L)), s"unique doc should have zero duplicated spans: $r")
+  }
+
+  test("tf-idf: corpus-universal tokens score zero; rank 1 is the doc's max") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "common alpha alpha alpha"),
+      (2L, "common beta beta"),
+      (3L, "common gamma")).toDF("doc_id", "text")
+    val rows = TextAnalysis.tfidfTopK(d, topK = 4).collect()
+    // 'common' appears in every doc -> idf = ln(1) = 0
+    assert(rows.filter(_.getString(1) == "common").forall(_.getDouble(4) == 0.0))
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.values.forall { rs =>
+      val top = rs.minBy(_.getLong(5))
+      top.getDouble(4) == rs.map(_.getDouble(4)).max
+    })
+  }
+
+  test("bm25 scores exactly the docs matching a query term, all positive") {
+    val tf = search.FullText.buildTfIndex(
+      docs.select(col("doc_id").as("doc"), col("text")))
+    val matched = tf.filter(col("term").isin("spark", "join", "fast"))
+      .select("doc").distinct().collect().map(_.getLong(0)).toSet
+    val scored = search.FullText.searchBm25(tf, Seq("spark", "join", "fast"))
+      .collect()
+    assert(scored.map(_.getLong(0)).toSet == matched,
+           "BM25 candidate set diverges from the matched-postings set")
+    assert(scored.forall(_.getDouble(1) > 0.0), "BM25 idf floor keeps scores > 0")
+  }
 }
