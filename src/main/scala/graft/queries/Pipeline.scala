@@ -187,6 +187,20 @@ object Pipeline {
         .orderBy("doc_id", "fp")),
     "dedup_dupspan" -> ((s, d) =>
       Dedup.dupSpanStats(docs(s, d), n = 5).orderBy("doc_id")),
+    "quality_classifier_nb" -> ((s, d) => {
+      // seed = even doc_ids labeled "is it src0?"; model + stats are
+      // load-time artifacts (trained once per corpus), scoring reads them
+      // as broadcasts
+      val dd = docs(s, d)
+      val labeled = dd.filter(col("doc_id") % 2 === 0)
+        .withColumn("label", when(col("source") === "src0", 1).otherwise(0))
+      val model = Catalog.table(s, d, "nb_model")(
+        graft.pipeline.Classifier.trainNaiveBayes(labeled))
+      val stats = Catalog.table(s, d, "nb_stats")(
+        graft.pipeline.Classifier.nbStats(labeled, model))
+      graft.pipeline.Classifier.scoreNaiveBayes(dd, model, stats)
+        .orderBy("doc_id")
+    }),
     "pipeline_curation" -> ((s, d) => TextAnalysis.curate(docs(s, d)).orderBy("lang")),
 
     // ---- multimodal ----
@@ -974,6 +988,41 @@ object Pipeline {
              ROUND(CAST(COALESCE(dd.dup_spans, 0) AS DOUBLE) / (len(ws) - 4), 6)
            END AS dup_frac
          FROM w LEFT JOIN dd USING (doc_id) ORDER BY doc_id""",
+
+    // Naive Bayes seed classifier: add-one smoothing, denominators factored
+    // into the |d| mass term so unseen tokens contribute exactly 0
+    "quality_classifier_nb" ->
+      raw"""WITH w AS (SELECT doc_id, source,
+              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                          x -> len(x) > 0) AS ws
+            FROM documents),
+         lab AS (SELECT doc_id, ws,
+                   CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS label
+                 FROM w WHERE doc_id % 2 = 0),
+         ltok AS (SELECT label, unnest(ws) AS token FROM lab),
+         model AS (SELECT token,
+                     SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c0,
+                     SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c1
+                   FROM ltok GROUP BY 1),
+         st AS (SELECT SUM(c0) AS n0, SUM(c1) AS n1, COUNT(*) AS v FROM model),
+         dc AS (SELECT SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS d0,
+                       SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS d1
+                FROM lab),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest(ws) AS token FROM w) GROUP BY 1, 2),
+         seen AS (SELECT tf.doc_id,
+                    SUM(tf.tf * (ln(m.c1 + 1.0) - ln(m.c0 + 1.0))) AS s
+                  FROM tf JOIN model m USING (token) GROUP BY 1),
+         sc AS (SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+                  ROUND(ln(CAST(dc.d1 AS DOUBLE) / dc.d0)
+                        + COALESCE(seen.s, 0.0)
+                        + len(w.ws) * (ln(CAST(st.n0 + st.v AS DOUBLE))
+                                       - ln(CAST(st.n1 + st.v AS DOUBLE))), 6)
+                    AS score
+                FROM w LEFT JOIN seen USING (doc_id) CROSS JOIN st CROSS JOIN dc)
+         SELECT doc_id, n_tokens, score,
+           CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         FROM sc ORDER BY doc_id""",
 
     // decontamination: distinct word 5-grams; bench = every 10th doc.
     // docs shorter than 5 tokens have no shingles (absent from overlap,

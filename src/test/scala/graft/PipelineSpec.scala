@@ -742,6 +742,29 @@ class PipelineSpec extends SparkSpecBase {
     })
   }
 
+  test("naive bayes classifier separates seed vocabularies and is replayable") {
+    import spark.implicits._
+    import graft.pipeline.Classifier
+    val seed = Seq(
+      (1L, "good clean prose with structure", 1),
+      (2L, "good thoughtful clean writing here", 1),
+      (3L, "spam spam click buy now", 0),
+      (4L, "buy click spam offer now", 0)).toDF("doc_id", "text", "label")
+    val model = Classifier.trainNaiveBayes(seed)
+    val stats = Classifier.nbStats(seed, model)
+    val unseen = Seq((10L, "clean good prose"), (11L, "click buy spam"),
+                     (12L, "entirely novel vocabulary")).toDF("doc_id", "text")
+    val r = Classifier.scoreNaiveBayes(unseen, model, stats)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(10L) > 0 && r(11L) < 0, s"classifier failed to separate: $r")
+    // all-unseen doc falls back to prior + mass term only (classes are
+    // balanced here, so mass dominates and the value is finite)
+    assert(!r(12L).isNaN && !r(12L).isInfinite)
+    val r2 = Classifier.scoreNaiveBayes(unseen, model, stats)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r == r2, "scoring is not deterministic across runs")
+  }
+
   test("bm25 scores exactly the docs matching a query term, all positive") {
     val tf = search.FullText.buildTfIndex(
       docs.select(col("doc_id").as("doc"), col("text")))
