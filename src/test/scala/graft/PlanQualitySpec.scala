@@ -568,4 +568,39 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
            s"expected hash/merge joins against the model relations:\n$p")
   }
+
+  test("dup-span shuffle carries hashes, not span strings") {
+    val df = graft.queries.Pipeline.queries("dedup_dupspan")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the (doc, gram) aggregations and the shared-gram join key on gram_h
+    assert("Exchange hashpartitioning\\([^)]*gram_h".r.findFirstIn(p).isDefined,
+           s"span aggregation does not key on the 60-bit hash:\n$p")
+    assert(!"Exchange hashpartitioning\\([^)]*gram[^_h]".r.findFirstIn(p).isDefined,
+           s"a shuffle carries the raw span string:\n$p")
+  }
+
+  test("naive bayes scoring broadcasts the model; corpus shuffles once per agg") {
+    val df = graft.queries.Pipeline.queries("quality_classifier_nb")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+           s"vocabulary model join lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the 1-row stats frame crosses in as a broadcast nested loop (the
+    // standard scalar-broadcast plan, printed once per AQE plan section);
+    // any NON-Cross nested loop means a real join degraded
+    val badBnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).filterNot(_.contains("Cross"))
+    assert(badBnlj.isEmpty, s"non-Cross nested-loop join:\n$p")
+  }
+
+  test("winnowing is projection-only until the fingerprint explode — no shuffle") {
+    val df = graft.pipeline.TextAnalysis.winnowFingerprints(
+      Tables.load(spark, sfDir, "documents"), k = 4, w = 4)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+           s"winnowing should not shuffle (pure per-doc arrays):\n$p")
+  }
 }
