@@ -318,14 +318,30 @@ object TextAnalysis {
     */
   def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
     val ws = col("ws")
-    val gh = transform(TextPrep.ngrams(ws, k), g => hash64(g))
-    val nWin = greatest(size(col("gh")) - (w - 1), lit(1))
-    val mins = transform(sequence(lit(0), nWin - 1),
-      j => array_min(slice(col("gh"), j + 1, lit(w))))
-    withWs(docs, lower_ = true)
-      .select(col("doc_id"), gh.as("gh"))
-      .filter(size(col("gh")) > 0)
-      .select(col("doc_id"), explode(array_distinct(mins)).as("fp"))
+    // Two rejected shapes, both measured at sf1: (a) referencing a
+    // projected gram-hash column from the per-window lambda re-inlines
+    // (and re-hashes) the gram array per WINDOW after projection collapse
+    // — O(len²) md5 per doc, 20s; (b) let-binding it via a one-element
+    // array fixes the hashing but leaves a doubly-nested higher-order
+    // lambda that runs interpreted per (window, element) — still 20s.
+    // The codegen shape: explode hashed grams with positions and take a
+    // sliding rowsBetween min — ONE doc-keyed shuffle of the (long, long)
+    // gram relation (dup-span's volume class), everything else
+    // whole-stage-generated. 1.4s at sf1.
+    val grams = withWs(docs, lower_ = true)
+      .select(col("doc_id"),
+              transform(TextPrep.ngrams(ws, k), g => hash64(g)).as("gha"))
+      .select(col("doc_id"), size(col("gha")).as("ng"),
+              posexplode(col("gha")).as(Seq("pos", "gh")))
+    val slide = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    grams
+      .withColumn("m", min(col("gh")).over(slide))
+      // valid window starts only; a doc with fewer than w grams keeps its
+      // single whole-list window at pos 0 (the algorithm's boundary case)
+      .filter(col("pos") <= greatest(col("ng") - w, lit(0)))
+      .select(col("doc_id"), col("m").as("fp"))
+      .distinct()
   }
 
   def subwordStats(docs: DataFrame): DataFrame = {

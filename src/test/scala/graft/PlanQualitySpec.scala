@@ -595,12 +595,17 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(badBnlj.isEmpty, s"non-Cross nested-loop join:\n$p")
   }
 
-  test("winnowing is projection-only until the fingerprint explode — no shuffle") {
+  test("winnowing: grams hash before the shuffle; sliding min stays codegen'd") {
     val df = graft.pipeline.TextAnalysis.winnowFingerprints(
       Tables.load(spark, sfDir, "documents"), k = 4, w = 4)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange hashpartitioning"),
-           s"winnowing should not shuffle (pure per-doc arrays):\n$p")
+    // the doc-keyed window + distinct shuffles carry (long, long) rows —
+    // never the gram strings (they hash before posexplode)
+    assert(!p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+             .exists(_.contains("gram")),
+           s"a shuffle carries raw gram strings:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+           s"sliding-min window disappeared:\n$p")
   }
 }
