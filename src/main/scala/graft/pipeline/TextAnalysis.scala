@@ -317,29 +317,37 @@ object TextAnalysis {
     * the whole gram list, per the original algorithm's boundary case.
     */
   def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
-    val ws = col("ws")
-    // Two rejected shapes, both measured at sf1: (a) referencing a
-    // projected gram-hash column from the per-window lambda re-inlines
-    // (and re-hashes) the gram array per WINDOW after projection collapse
-    // — O(len²) md5 per doc, 20s; (b) let-binding it via a one-element
-    // array fixes the hashing but leaves a doubly-nested higher-order
-    // lambda that runs interpreted per (window, element) — still 20s.
-    // The codegen shape: explode hashed grams with positions and take a
-    // sliding rowsBetween min — ONE doc-keyed shuffle of the (long, long)
-    // gram relation (dup-span's volume class), everything else
-    // whole-stage-generated. 1.4s at sf1.
+    // Three rejected shapes, all measured: (a) per-window array lambdas —
+    // CollapseProject re-inlines (and re-hashes) the gram array per
+    // window, O(len²) md5 per doc; (b) the same with a one-element-array
+    // let-binding — fixes the hashing but leaves a doubly-nested
+    // higher-order lambda interpreted per (window, element); (c) posexplode
+    // of a projected gram-hash ARRAY — InferFiltersFromGenerate copies the
+    // whole gram expression into a scan DataFilter with `ws` inlined, so
+    // every element_at re-runs split+filter over the full text: O(len²)
+    // interpreted work per doc per evaluation site (14-22s at sf0.1).
+    // The codegen shape has NO array lambdas past tokenization: explode
+    // words once, build each gram with lead() over the doc-keyed window,
+    // hash it, and take a sliding rowsBetween min — both window ops share
+    // one sort, so the whole operator is ONE doc-keyed shuffle of narrow
+    // (long, int, long) rows with every expression whole-stage-generated.
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val gramWords = col("word") +: (1 until k).map(j => lead(col("word"), j).over(byPos))
     val grams = withWs(docs, lower_ = true)
-      .select(col("doc_id"),
-              transform(TextPrep.ngrams(ws, k), g => hash64(g)).as("gha"))
-      .select(col("doc_id"), size(col("gha")).as("ng"),
-              posexplode(col("gha")).as(Seq("pos", "gh")))
+      .select(col("doc_id"), size(col("ws")).as("nw"),
+              posexplode(col("ws")).as(Seq("pos", "word")))
+      .withColumn("gh", hash64(concat_ws(" ", gramWords: _*)))
+      // valid gram starts only (lead past the end is null and concat_ws
+      // would silently shorten the gram); docs with < k words vanish here
+      .filter(col("pos") <= col("nw") - k)
     val slide = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     grams
       .withColumn("m", min(col("gh")).over(slide))
       // valid window starts only; a doc with fewer than w grams keeps its
       // single whole-list window at pos 0 (the algorithm's boundary case)
-      .filter(col("pos") <= greatest(col("ng") - w, lit(0)))
+      .filter(col("pos") <= greatest(col("nw") - (k - 1) - w, lit(0)))
       .select(col("doc_id"), col("m").as("fp"))
       .distinct()
   }

@@ -595,17 +595,23 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(badBnlj.isEmpty, s"non-Cross nested-loop join:\n$p")
   }
 
-  test("winnowing: grams hash before the shuffle; sliding min stays codegen'd") {
+  test("winnowing: no array lambdas past tokenization; both windows share one sort") {
     val df = graft.pipeline.TextAnalysis.winnowFingerprints(
       Tables.load(spark, sfDir, "documents"), k = 4, w = 4)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    // the doc-keyed window + distinct shuffles carry (long, long) rows —
-    // never the gram strings (they hash before posexplode)
-    assert(!p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
-             .exists(_.contains("gram")),
-           s"a shuffle carries raw gram strings:\n$p")
-    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
-           s"sliding-min window disappeared:\n$p")
+    // grams are built with lead() AFTER the word explode — if a gram array
+    // expression reappears (transform/element_at over ws), CollapseProject /
+    // InferFiltersFromGenerate re-inline the tokenizer per element and the
+    // operator degrades to O(len²) interpreted work per doc (measured
+    // 14-22s vs ~1s at sf0.1)
+    assert(!p.contains("element_at"),
+           s"per-element array access reappeared (gram-array shape):\n$p")
+    // lead-gram + sliding-min windows use the same (doc_id, pos) spec, so
+    // exactly one doc-keyed exchange feeds them plus one for the final
+    // distinct — any third hash exchange means the windows stopped sharing
+    val nEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(nEx <= 2, s"expected <=2 hash exchanges (doc window + distinct), got $nEx:\n$p")
+    assert(p.contains("Window"), s"sliding-min window disappeared:\n$p")
   }
 }
