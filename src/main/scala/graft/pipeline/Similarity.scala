@@ -153,9 +153,10 @@ object Similarity {
     * recall/cost knob, and the reason IVF scans survive 100 TB corpora.
     */
   def ivfTopK(emb: DataFrame, queries: DataFrame, nlist: Int, nProbe: Int,
-              k: Int, centroids: Option[DataFrame] = None): DataFrame = {
+              k: Int, centroids: Option[DataFrame] = None,
+              assigned: Option[DataFrame] = None): DataFrame = {
     val cent = centroids.getOrElse(ivfCentroids(emb, nlist))
-    val assign = ivfAssign(emb, cent)
+    val assign = assigned.getOrElse(ivfAssign(emb, cent))
     val corpus = asDouble(emb).join(assign, "vec_id")
     val q = asDouble(queries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -238,11 +239,18 @@ object Similarity {
     * decimals, so ranking replays exactly in DuckDB.
     */
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, nlist: Int, nProbe: Int,
-                m: Int, k: Int, topk: Int): DataFrame = {
-    val cent = ivfCentroids(emb, nlist)
-    val assign = ivfAssign(emb, cent)
-    val cb = pqCodebooks(emb, m, k)
-    val enc = pqEncode(emb, m, k, Some(cb)).join(assign, "vec_id")
+                m: Int, k: Int, topk: Int,
+                centroids: Option[DataFrame] = None,
+                codebooks: Option[DataFrame] = None,
+                encoded: Option[DataFrame] = None): DataFrame = {
+    // a deployed index builds centroids/codebooks/codes at LOAD time (the
+    // IVF-PQ index IS those artifacts); pass them in to keep query-time
+    // cost at LUT-build + probed-list scan
+    val cent = centroids.getOrElse(ivfCentroids(emb, nlist))
+    val cb = codebooks.getOrElse(pqCodebooks(emb, m, k))
+    val enc = encoded.getOrElse {
+      pqEncode(emb, m, k, Some(cb)).join(ivfAssign(emb, cent), "vec_id")
+    }
     val q = asDouble(queries).select(col("vec_id").as("q_id"), col("v").as("qv"))
     // per-query LUT: d(q's j-th subvector, codebook (j, code)), flattened
     // in (j, code) order so lut[j*k + code + 1] is the distance

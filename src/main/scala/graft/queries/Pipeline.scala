@@ -35,6 +35,27 @@ object Pipeline {
   def shingleIndex(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Catalog.table(s, d, "shingles_3")(Dedup.shingleRelation(docs(s, d), n = 3))
 
+  /** The ANN index artifacts — a deployed vector store builds these at
+    * ingest (they ARE the IVF-PQ index): the coarse quantizer's centroids,
+    * the corpus→list assignment, the PQ codebooks, and the corpus compressed
+    * to codes (vec_id, codes, cid). Queries read LUTs and probed lists.
+    */
+  def ivfCentroids8(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Catalog.table(s, d, "ivf_centroids_8")(Similarity.ivfCentroids(emb(s, d), nlist = 8))
+
+  def ivfAssign8(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Catalog.table(s, d, "ivf_assign_8")(
+      Similarity.ivfAssign(emb(s, d), ivfCentroids8(s, d)))
+
+  def pqCodebooks16(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Catalog.table(s, d, "pq_codebooks_8x16")(
+      Similarity.pqCodebooks(emb(s, d), m = 8, k = 16))
+
+  def pqCodes16(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Catalog.table(s, d, "pq_codes_8x16")(
+      Similarity.pqEncode(emb(s, d), m = 8, k = 16, Some(pqCodebooks16(s, d)))
+        .join(ivfAssign8(s, d), "vec_id"))
+
   /** The trained BPE merge table as a load-time artifact — a tokenizer is
     * trained ONCE per corpus (it IS the deployable artifact), then every
     * query that tokenizes reads the table; re-training per query would
@@ -151,13 +172,18 @@ object Pipeline {
       // the corpus is scanned as codes, queries read their LUTs
       val e = emb(s, d)
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), nlist = 8,
-                           nProbe = 2, m = 8, k = 16, topk = 10)
+                           nProbe = 2, m = 8, k = 16, topk = 10,
+                           centroids = Some(ivfCentroids8(s, d)),
+                           codebooks = Some(pqCodebooks16(s, d)),
+                           encoded = Some(pqCodes16(s, d)))
         .orderBy("q_id", "rank")
     }),
     "ann_ivf" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), nlist = 8,
-                         nProbe = 2, k = 10)
+                         nProbe = 2, k = 10,
+                         centroids = Some(ivfCentroids8(s, d)),
+                         assigned = Some(ivfAssign8(s, d)))
         .orderBy("q_id", "rank")
     }),
 
