@@ -393,6 +393,70 @@ object Dedup {
     * is all-pairs, and the gram key is Zipf-skewed only for stock phrases —
     * absorbed by the partial aggregation before the shuffle.
     */
+  /** ExactSubstr-style duplicated-span TRIM (Lee et al. 2021 §4.1,
+    * "Deduplicating Training Data Makes Language Models Better"): remove
+    * from every document the words covered by a duplicated span of >= n
+    * words, keeping the corpus-first occurrence of each span. The paper
+    * builds a corpus suffix array; the distributed reduction is fixed-n
+    * anchor grams — every position inside a duplicated span of length >= n
+    * is covered by some duplicated n-gram start, and only such positions
+    * are, so marking duplicated n-gram starts and sweeping a width-n
+    * coverage window removes EXACTLY the >= n-word duplicated spans
+    * (n = the paper's minimum match length).
+    *
+    * "First occurrence" = the (doc_id, pos)-minimum occurrence of the gram:
+    * its words stay; later occurrences (in other docs OR the same doc) are
+    * trimmed — the paper's keep-one-copy semantics.
+    *
+    * Scale posture (100 TB): words explode once and travel as narrow rows;
+    * grams are lead()-window hashes (one doc-keyed shuffle), the
+    * first-occurrence frame is one map-side-combinable min_by aggregation
+    * on the gram hash, the mark-back is a gram-hash equi-join (never
+    * all-pairs), and coverage + reassembly ride the SAME doc-keyed
+    * partitioning (one more shuffle). Zipf-skewed stock phrases are
+    * absorbed by the partial agg; AQE handles residual join skew.
+    */
+  def exactSubstrTrim(docs: DataFrame, n: Int): DataFrame = {
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val gramWords = col("word") +: (1 until n).map(j => lead(col("word"), j).over(byPos))
+    val wordRows = docs
+      .select(col("doc_id"), words(lower(col("text"))).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("nw"),
+              posexplode(col("ws")).as(Seq("pos", "word")))
+      .withColumn("gh",
+        when(col("pos") <= col("nw") - n,
+             hash64(concat_ws(" ", gramWords: _*))))
+    // corpus-first occurrence of each gram (and its multiplicity)
+    val first = wordRows.filter(col("gh").isNotNull)
+      .groupBy("gh")
+      .agg(min_by(struct(col("doc_id"), col("pos")), struct(col("doc_id"), col("pos"))).as("keep"),
+           count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2) // unique grams can't be duplicated starts
+      .select(col("gh"), col("keep.doc_id").as("kdoc"), col("keep.pos").as("kpos"))
+    val flagged = wordRows
+      .join(first, Seq("gh"), "left_outer")
+      .withColumn("dup",
+        when(col("kdoc").isNotNull &&
+             !(col("kdoc") === col("doc_id") && col("kpos") === col("pos")), 1)
+          .otherwise(0))
+    // a word is covered iff any duplicated span STARTS within the previous
+    // n-1 positions (inclusive of its own)
+    val cover = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(-(n - 1), 0)
+    flagged
+      .withColumn("covered", max(col("dup")).over(cover))
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ",
+          transform(
+            sort_array(collect_list(
+              when(col("covered") === 0, struct(col("pos"), col("word"))))),
+            e => e.getField("word"))).as("text_trimmed"),
+        count(lit(1)).cast(LongType).as("n_words"),
+        sum(col("covered")).cast(LongType).as("n_dropped"))
+  }
+
   def dupSpanStats(docs: DataFrame, n: Int): DataFrame = {
     val grams = docs
       .select(col("doc_id"), words(lower(col("text"))).as("ws"))

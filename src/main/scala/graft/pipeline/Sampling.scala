@@ -200,4 +200,87 @@ object Sampling {
     docs.withColumn("__cum", sum(nTok).over(w))
       .filter(col("__cum") <= budget).drop("__cum")
   }
+
+  /** UniMax language allocations (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): distribute a total token budget as uniformly as
+    * possible across languages, capping each language at `maxEpochs`
+    * passes over its corpus — the budget a capped language can't absorb
+    * waterfills to the rest. Replaces temperature sampling's tuned
+    * exponent with one interpretable knob (the epoch cap).
+    *
+    * Exact integer waterfilling: languages sorted by (capacity, lang);
+    * position k is fully satisfiable iff
+    * `cap_k <= floor((B - Σ_{i<k} cap_i) / (m - k + 1))` — after the first
+    * failure every remaining language gets that position's level, and the
+    * division remainder goes +1 each to the first languages in the same
+    * order. All arithmetic is on longs, so allocations replay exactly in
+    * ANSI SQL (and are partitioning-independent).
+    *
+    * Scale posture: the allocation frame is language-cardinality (one row
+    * per language — thousands at most), so the single-partition windows
+    * here are by construction driver-scale; the corpus contributes one
+    * map-side-combinable token-count aggregation.
+    */
+  def unimaxAllocations(docs: DataFrame, totalBudget: Long, maxEpochs: Int,
+                        langCol: String = "lang"): DataFrame = {
+    require(totalBudget >= 0 && maxEpochs >= 1, "budget >= 0, epochs >= 1")
+    val nTok = size(TextPrep.words(col("text"))).cast("long")
+    val caps = docs.groupBy(col(langCol).as("lang"))
+      .agg(sum(nTok).as("n_tok_lang"))
+      .withColumn("cap", col("n_tok_lang") * maxEpochs)
+    val order = Window.orderBy(col("cap"), col("lang"))
+    val wPrev = order.rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(lit(0))
+    val staged = caps
+      .withColumn("k", row_number().over(order))
+      .withColumn("cumprev", coalesce(sum(col("cap")).over(wPrev), lit(0L)))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("level",
+        floor((lit(totalBudget) - col("cumprev")).cast("double") /
+              (col("m") - col("k") + 1)).cast("long"))
+      .withColumn("fk", min(when(col("cap") > col("level"), col("k"))).over(wAll))
+    staged
+      .withColumn("flevel", max(when(col("k") === col("fk"), col("level"))).over(wAll))
+      .withColumn("frem",
+        max(when(col("k") === col("fk"),
+                 (lit(totalBudget) - col("cumprev")) % (col("m") - col("k") + 1)))
+          .over(wAll))
+      .withColumn("alloc",
+        when(col("fk").isNull || col("k") < col("fk"), col("cap"))
+          .otherwise(col("flevel") +
+                     when(col("k") - col("fk") < col("frem"), 1L).otherwise(0L)))
+      .select(col("lang"), col("n_tok_lang"), col("cap"), col("alloc"),
+              round(col("alloc").cast("double") / col("n_tok_lang"), 6).as("epochs"))
+  }
+
+  /** UniMax sampling: admit each language's documents in salted-hash order
+    * until the language's waterfilled allocation is reached (same prefix-
+    * truncation cutoff as [[tokenBudgetSample]] — a doc that would overshoot
+    * is dropped, as is everything after it in hash order). A language whose
+    * allocation equals its full `maxEpochs` capacity keeps every document
+    * (the `epochs` column says how many passes training should make).
+    *
+    * One corpus shuffle on the language key; the allocation frame joins as
+    * a broadcast (language-cardinality).
+    */
+  def unimaxSample(docs: DataFrame, totalBudget: Long, maxEpochs: Int,
+                   langCol: String = "lang",
+                   keyCol: String = "doc_id"): DataFrame = {
+    val alloc = unimaxAllocations(docs, totalBudget, maxEpochs, langCol)
+    val nTok = size(TextPrep.words(col("text"))).cast("long")
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(TextPrep.hash64(concat(col(keyCol).cast("string"),
+                                      lit(":unimax"))), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tok", nTok)
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .join(broadcast(alloc.select(col("lang").as(langCol), col("alloc"),
+                                   col("epochs"))),
+            langCol)
+      .filter(col("cum_tok") <= col("alloc"))
+      .select(col(keyCol), col(langCol), col("n_tok"), col("cum_tok"),
+              col("alloc"), col("epochs"))
+  }
 }

@@ -213,6 +213,8 @@ object Pipeline {
         .orderBy("doc_id", "fp")),
     "dedup_dupspan" -> ((s, d) =>
       Dedup.dupSpanStats(docs(s, d), n = 5).orderBy("doc_id")),
+    "dedup_substr_trim" -> ((s, d) =>
+      Dedup.exactSubstrTrim(docs(s, d), n = 5).orderBy("doc_id")),
     "quality_classifier_nb" -> ((s, d) => {
       // seed = even doc_ids labeled "is it src0?"; model + stats are
       // load-time artifacts (trained once per corpus), scoring reads them
@@ -349,6 +351,12 @@ object Pipeline {
           sum(size(graft.pipeline.TextPrep.words(col("text"))).cast("long"))
             .as("n_tokens"))
         .orderBy("source")),
+    "sample_unimax" -> ((s, d) =>
+      // budget 40k tokens, epoch cap 2: at sf0.01 the four small languages
+      // waterfill to their full 2-epoch capacity and en absorbs the rest
+      // truncated — the UniMax shape (at sf0.1 all five truncate uniformly)
+      Sampling.unimaxSample(docs(s, d), totalBudget = 40000L, maxEpochs = 2)
+        .orderBy("doc_id")),
     "pipeline_pack_sequences" -> ((s, d) =>
       Packing.packedManifest(docs(s, d), seqLen = 200L)
         .orderBy("source", "seq_id")),
@@ -1015,6 +1023,40 @@ object Pipeline {
            END AS dup_frac
          FROM w LEFT JOIN dd USING (doc_id) ORDER BY doc_id""",
 
+    // ExactSubstr trim: duplicated >=5-word spans removed, corpus-first
+    // occurrence (min doc_id, pos) kept; coverage = any duplicated span
+    // start within the previous 4 positions
+    "dedup_substr_trim" ->
+      raw"""WITH w AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                          x -> len(x) > 0) AS ws
+            FROM documents),
+         e AS (SELECT doc_id, len(ws) AS nw,
+                 unnest(range(1, len(ws) + 1)) AS pos, ws
+               FROM w WHERE len(ws) > 0),
+         t AS (SELECT doc_id, nw, pos, ws[pos] AS word,
+                 CASE WHEN pos <= nw - 4 THEN
+                   CAST('0x' || substr(md5(ws[pos] || ' ' || ws[pos+1] || ' ' ||
+                     ws[pos+2] || ' ' || ws[pos+3] || ' ' || ws[pos+4]), 1, 15)
+                     AS BIGINT)
+                 END AS gh
+               FROM e),
+         r AS (SELECT doc_id, pos, word,
+                 CASE WHEN gh IS NOT NULL AND
+                   ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) > 1
+                 THEN 1 ELSE 0 END AS dup
+               FROM t),
+         c AS (SELECT doc_id, pos, word,
+                 MAX(dup) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                   AS covered
+               FROM r)
+         SELECT doc_id,
+           COALESCE(string_agg(word, ' ' ORDER BY pos)
+                      FILTER (WHERE covered = 0), '') AS text_trimmed,
+           COUNT(*) AS n_words, CAST(SUM(covered) AS BIGINT) AS n_dropped
+         FROM c GROUP BY 1 ORDER BY 1""",
+
     // Naive Bayes seed classifier: add-one smoothing, denominators factored
     // into the |d| mass term so unseen tokens contribute exactly 0
     "quality_classifier_nb" ->
@@ -1311,6 +1353,42 @@ object Pipeline {
             FROM t)
          SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          FROM c WHERE cum <= 500 GROUP BY 1 ORDER BY 1""",
+
+    "sample_unimax" ->
+      raw"""WITH t AS (SELECT doc_id, lang,
+              len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              w -> len(w) > 0)) AS n_tok,
+              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':unimax'), 1, 15) AS BIGINT) AS h
+            FROM documents),
+         l AS (SELECT lang, SUM(n_tok) AS n_tok_lang,
+                      SUM(n_tok) * 2 AS cap FROM t GROUP BY 1),
+         s AS (SELECT *,
+                 ROW_NUMBER() OVER (ORDER BY cap, lang) AS k,
+                 COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumprev,
+                 COUNT(*) OVER () AS m
+               FROM l),
+         lv AS (SELECT *,
+                  CAST(FLOOR((40000 - cumprev) / (m - k + 1)) AS BIGINT) AS level
+                FROM s),
+         f AS (SELECT MIN(k) AS fk FROM lv WHERE cap > level),
+         fr AS (SELECT lv.level AS flevel,
+                       (40000 - lv.cumprev) % (lv.m - lv.k + 1) AS frem
+                FROM lv JOIN f ON lv.k = f.fk),
+         a AS (SELECT lv.lang, lv.n_tok_lang, lv.cap,
+                 CASE WHEN f.fk IS NULL OR lv.k < f.fk THEN lv.cap
+                      ELSE fr.flevel +
+                           CASE WHEN lv.k - f.fk < fr.frem THEN 1 ELSE 0 END
+                 END AS alloc
+               FROM lv CROSS JOIN f LEFT JOIN fr ON TRUE),
+         c AS (SELECT t.doc_id, t.lang, t.n_tok,
+                 SUM(t.n_tok) OVER (PARTITION BY t.lang ORDER BY t.h, t.doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum_tok,
+                 a.alloc,
+                 ROUND(CAST(a.alloc AS DOUBLE) / a.n_tok_lang, 6) AS epochs
+               FROM t JOIN a USING (lang))
+         SELECT doc_id, lang, n_tok, cum_tok, alloc, epochs
+         FROM c WHERE cum_tok <= alloc ORDER BY doc_id""",
 
     "split_train_val" ->
       """WITH u AS (SELECT doc_id,

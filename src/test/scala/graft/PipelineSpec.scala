@@ -776,4 +776,61 @@ class PipelineSpec extends SparkSpecBase {
            "BM25 candidate set diverges from the matched-postings set")
     assert(scored.forall(_.getDouble(1) > 0.0), "BM25 idf floor keeps scores > 0")
   }
+
+  test("exactSubstrTrim removes later copies of >=n-word shared spans, keeps the first") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 words, n = 5
+    val d = Seq(
+      (1L, s"intro $shared tail one"),
+      (2L, s"other prefix words $shared closing"),
+      (3L, s"repeat here $shared and again $shared done")).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrTrim(d, 5).orderBy("doc_id").collect()
+    // doc 1 is the corpus-first occurrence: untouched
+    assert(out(0).getString(1) == s"intro $shared tail one")
+    assert(out(0).getLong(3) == 0L)
+    // doc 2 loses exactly the shared 6-word run
+    assert(out(1).getString(1) == "other prefix words closing")
+    assert(out(1).getLong(3) == 6L)
+    // doc 3: BOTH copies trimmed (neither is the corpus-first occurrence)
+    assert(out(2).getString(1) == "repeat here and again done")
+    assert(out(2).getLong(3) == 12L)
+  }
+
+  test("unimax waterfilling: exact allocations on hand-computed scenarios") {
+    import spark.implicits._
+    def mk(id: Long, lang: String, n: Int) =
+      (id, Seq.fill(n)("w").mkString(" "), lang)
+    // one doc per language; caps at 2 epochs: a=20, b=100, c=2000
+    val d = Seq(mk(1, "a", 10), mk(2, "b", 50), mk(3, "c", 1000))
+      .toDF("doc_id", "text", "lang")
+    def allocs(budget: Long) =
+      Sampling.unimaxAllocations(d, budget, 2).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // B=300: a,b fully satisfied (20, 100); c absorbs the rest (180)
+    assert(allocs(300L) == Map("a" -> 20L, "b" -> 100L, "c" -> 180L))
+    // B=7: nobody satisfiable, level floor(7/3)=2, remainder 1 goes to the
+    // first language in (cap, lang) order
+    assert(allocs(7L) == Map("a" -> 3L, "b" -> 2L, "c" -> 2L))
+    // budget above total capacity: every language at its epoch cap
+    val full = Sampling.unimaxAllocations(d, 10000L, 2).collect()
+    assert(full.forall(r => r.getLong(3) == r.getLong(2)))
+    assert(full.forall(r => r.getDouble(4) == 2.0), "epochs at the cap = maxEpochs")
+    // budget conservation when truncated: allocations sum exactly to B
+    assert(allocs(300L).values.sum == 300L)
+    assert(allocs(7L).values.sum == 7L)
+  }
+
+  test("unimax sampling: per-language admitted tokens never exceed the allocation") {
+    val out = Sampling.unimaxSample(docs, totalBudget = 4000L, maxEpochs = 2)
+    val per = out.groupBy("lang")
+      .agg(sum("n_tok").as("t"), max("alloc").as("a"), max("cum_tok").as("c"))
+      .collect()
+    assert(per.nonEmpty)
+    per.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2),
+             s"lang ${r.getString(0)} admitted ${r.getLong(1)} > alloc ${r.getLong(2)}")
+      assert(r.getLong(3) == r.getLong(1),
+             "cum_tok of the last admitted doc equals the admitted total")
+    }
+  }
 }

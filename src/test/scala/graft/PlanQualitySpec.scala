@@ -595,6 +595,22 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(badBnlj.isEmpty, s"non-Cross nested-loop join:\n$p")
   }
 
+  test("unimax: allocation joins as broadcast; no shuffle carries document text") {
+    val df = graft.pipeline.Sampling.unimaxSample(
+      Tables.load(spark, sfDir, "documents"), totalBudget = 40000L, maxEpochs = 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the language-cardinality allocation frame must broadcast, never
+    // shuffle the corpus to meet it
+    assert(p.contains("BroadcastExchange"),
+           s"allocation frame did not broadcast:\n$p")
+    // the admission window shuffles (doc_id, lang, n_tok, hash) — if text
+    // rides the exchange the token count failed to project pre-shuffle
+    assert(!p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+             .exists(_.contains("text#")),
+           s"a shuffle carries raw document text:\n$p")
+  }
+
   test("winnowing: no array lambdas past tokenization; both windows share one sort") {
     val df = graft.pipeline.TextAnalysis.winnowFingerprints(
       Tables.load(spark, sfDir, "documents"), k = 4, w = 4)
