@@ -332,6 +332,12 @@ object Pipeline {
             .as("n_tokens"))
         .orderBy("source")),
     "bpe_train_merges" -> ((s, d) => bpeMerges(s, d).orderBy("rank")),
+    "tokenizer_unigram_train" -> ((s, d) =>
+      // the OTHER tokenizer family (Kudo 2018 / SentencePiece unigram):
+      // seed substrings -> 2 exact Baum-Welch rounds -> prune+renorm
+      graft.pipeline.Unigram.train(s, docs(s, d), maxLen = 4,
+          seedMulti = 48, emIters = 2, keepMulti = 32)
+        .orderBy("piece")),
     "bpe_tokenize_stats" -> ((s, d) =>
       // the train->infer round trip: tokenize the corpus with the table
       // trained on it (the load-time artifact); pieces computed per
@@ -1444,6 +1450,146 @@ object Pipeline {
          ORDER BY a.vec_id""",
 
     "bpe_train_merges" -> bpeOracle(8),
+
+    // unigram-LM trainer (Kudo 2018): seed -> 2 unrolled Baum-Welch rounds
+    // (forward/backward lattices as recursive CTEs carrying the prefix
+    // arrays; MATERIALIZED so recursion does not re-inline upstream CTEs)
+    // -> prune+renorm; every sum is quantized-long so the replay is exact
+    "tokenizer_unigram_train" ->
+      raw"""WITH RECURSIVE
+wf AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                  x -> len(x) > 0)) AS word
+    FROM documents) GROUP BY 1),
+sub AS MATERIALIZED (
+  SELECT substr(word, j, k) AS piece, CAST(SUM(freq) AS BIGINT) AS tot
+  FROM (SELECT word, freq, unnest(range(1, len(word) + 1)) AS j FROM wf)
+  CROSS JOIN (SELECT unnest(range(1, 5)) AS k)
+  WHERE k <= len(word) - j + 1
+  GROUP BY 1),
+sel AS MATERIALIZED (
+  SELECT piece, tot FROM sub WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, tot FROM (
+    SELECT piece, tot FROM sub WHERE len(piece) >= 2
+    ORDER BY tot DESC, piece LIMIT 48)),
+v0 AS MATERIALIZED (
+  SELECT piece, ROUND(CAST(tot AS DOUBLE) / (SELECT SUM(tot) FROM sel), 12) AS p
+  FROM sel),
+-- ============ EM round 1 ============
+fwd1 AS (
+  SELECT word, freq, 0 AS i, [CAST(1.0 AS DOUBLE)] AS al FROM wf
+  UNION ALL
+  SELECT f.word, f.freq, f.i + 1,
+    list_append(f.al,
+      (CASE WHEN 1 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 1 + 1] * p1.p, 0.0) ELSE 0.0 END)
+    + (CASE WHEN 2 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 2 + 1] * p2.p, 0.0) ELSE 0.0 END)
+    + (CASE WHEN 3 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 3 + 1] * p3.p, 0.0) ELSE 0.0 END)
+    + (CASE WHEN 4 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 4 + 1] * p4.p, 0.0) ELSE 0.0 END))
+  FROM fwd1 f
+  LEFT JOIN v0 p1 ON p1.piece = substr(f.word, f.i + 1, 1)
+  LEFT JOIN v0 p2 ON p2.piece = substr(f.word, f.i, 2)
+  LEFT JOIN v0 p3 ON p3.piece = substr(f.word, f.i - 1, 3)
+  LEFT JOIN v0 p4 ON p4.piece = substr(f.word, f.i - 2, 4)
+  WHERE f.i + 1 <= len(f.word)),
+bwd1 AS (
+  SELECT word, 0 AS i, [CAST(1.0 AS DOUBLE)] AS gl FROM wf
+  UNION ALL
+  SELECT f.word, f.i + 1,
+    list_append(f.gl,
+      (CASE WHEN 1 <= f.i + 1 THEN COALESCE(p1.p * f.gl[f.i + 1 - 1 + 1], 0.0) ELSE 0.0 END)
+    + (CASE WHEN 2 <= f.i + 1 THEN COALESCE(p2.p * f.gl[f.i + 1 - 2 + 1], 0.0) ELSE 0.0 END)
+    + (CASE WHEN 3 <= f.i + 1 THEN COALESCE(p3.p * f.gl[f.i + 1 - 3 + 1], 0.0) ELSE 0.0 END)
+    + (CASE WHEN 4 <= f.i + 1 THEN COALESCE(p4.p * f.gl[f.i + 1 - 4 + 1], 0.0) ELSE 0.0 END))
+  FROM bwd1 f
+  LEFT JOIN v0 p1 ON p1.piece = substr(f.word, len(f.word) - f.i, 1)
+  LEFT JOIN v0 p2 ON p2.piece = substr(f.word, len(f.word) - f.i, 2)
+  LEFT JOIN v0 p3 ON p3.piece = substr(f.word, len(f.word) - f.i, 3)
+  LEFT JOIN v0 p4 ON p4.piece = substr(f.word, len(f.word) - f.i, 4)
+  WHERE f.i + 1 <= len(f.word)),
+lat1 AS MATERIALIZED (
+  SELECT w.word, w.freq, fa.al, gb.gl
+  FROM wf w
+  JOIN (SELECT word, al FROM fwd1 WHERE i = len(word)) fa USING (word)
+  JOIN (SELECT word, gl FROM bwd1 WHERE i = len(word)) gb USING (word)),
+e1 AS (
+  SELECT piece, CAST(ROUND(cnt * 1e10) AS BIGINT) AS cq FROM (
+    SELECT substr(l.word, j + 1, k) AS piece,
+      ((CAST(l.freq AS DOUBLE) * l.al[j + 1]) * COALESCE(v.p, 0.0))
+        * l.gl[len(l.word) - (j + k) + 1] / l.al[len(l.word) + 1] AS cnt
+    FROM (SELECT *, unnest(range(0, len(word))) AS j FROM lat1) l
+    CROSS JOIN (SELECT unnest(range(1, 5)) AS k)
+    LEFT JOIN v0 v ON v.piece = substr(l.word, j + 1, k)
+    WHERE k <= len(l.word) - j AND l.al[len(l.word) + 1] > 0)
+  WHERE cnt > 0),
+c1 AS MATERIALIZED (SELECT piece, SUM(cq) AS cq FROM e1 GROUP BY 1),
+v1 AS MATERIALIZED (
+  SELECT v0.piece,
+    ROUND(CAST(COALESCE(c1.cq, 0) AS DOUBLE) / (SELECT SUM(cq) FROM c1), 12) AS p
+  FROM v0 LEFT JOIN c1 USING (piece)),
+-- ============ EM round 2 ============
+fwd2 AS (
+  SELECT word, freq, 0 AS i, [CAST(1.0 AS DOUBLE)] AS al FROM wf
+  UNION ALL
+  SELECT f.word, f.freq, f.i + 1,
+    list_append(f.al,
+      (CASE WHEN 1 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 1 + 1] * p1.p, 0.0) ELSE 0.0 END)
+    + (CASE WHEN 2 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 2 + 1] * p2.p, 0.0) ELSE 0.0 END)
+    + (CASE WHEN 3 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 3 + 1] * p3.p, 0.0) ELSE 0.0 END)
+    + (CASE WHEN 4 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 4 + 1] * p4.p, 0.0) ELSE 0.0 END))
+  FROM fwd2 f
+  LEFT JOIN v1 p1 ON p1.piece = substr(f.word, f.i + 1, 1)
+  LEFT JOIN v1 p2 ON p2.piece = substr(f.word, f.i, 2)
+  LEFT JOIN v1 p3 ON p3.piece = substr(f.word, f.i - 1, 3)
+  LEFT JOIN v1 p4 ON p4.piece = substr(f.word, f.i - 2, 4)
+  WHERE f.i + 1 <= len(f.word)),
+bwd2 AS (
+  SELECT word, 0 AS i, [CAST(1.0 AS DOUBLE)] AS gl FROM wf
+  UNION ALL
+  SELECT f.word, f.i + 1,
+    list_append(f.gl,
+      (CASE WHEN 1 <= f.i + 1 THEN COALESCE(p1.p * f.gl[f.i + 1 - 1 + 1], 0.0) ELSE 0.0 END)
+    + (CASE WHEN 2 <= f.i + 1 THEN COALESCE(p2.p * f.gl[f.i + 1 - 2 + 1], 0.0) ELSE 0.0 END)
+    + (CASE WHEN 3 <= f.i + 1 THEN COALESCE(p3.p * f.gl[f.i + 1 - 3 + 1], 0.0) ELSE 0.0 END)
+    + (CASE WHEN 4 <= f.i + 1 THEN COALESCE(p4.p * f.gl[f.i + 1 - 4 + 1], 0.0) ELSE 0.0 END))
+  FROM bwd2 f
+  LEFT JOIN v1 p1 ON p1.piece = substr(f.word, len(f.word) - f.i, 1)
+  LEFT JOIN v1 p2 ON p2.piece = substr(f.word, len(f.word) - f.i, 2)
+  LEFT JOIN v1 p3 ON p3.piece = substr(f.word, len(f.word) - f.i, 3)
+  LEFT JOIN v1 p4 ON p4.piece = substr(f.word, len(f.word) - f.i, 4)
+  WHERE f.i + 1 <= len(f.word)),
+lat2 AS MATERIALIZED (
+  SELECT w.word, w.freq, fa.al, gb.gl
+  FROM wf w
+  JOIN (SELECT word, al FROM fwd2 WHERE i = len(word)) fa USING (word)
+  JOIN (SELECT word, gl FROM bwd2 WHERE i = len(word)) gb USING (word)),
+e2 AS (
+  SELECT piece, CAST(ROUND(cnt * 1e10) AS BIGINT) AS cq FROM (
+    SELECT substr(l.word, j + 1, k) AS piece,
+      ((CAST(l.freq AS DOUBLE) * l.al[j + 1]) * COALESCE(v.p, 0.0))
+        * l.gl[len(l.word) - (j + k) + 1] / l.al[len(l.word) + 1] AS cnt
+    FROM (SELECT *, unnest(range(0, len(word))) AS j FROM lat2) l
+    CROSS JOIN (SELECT unnest(range(1, 5)) AS k)
+    LEFT JOIN v1 v ON v.piece = substr(l.word, j + 1, k)
+    WHERE k <= len(l.word) - j AND l.al[len(l.word) + 1] > 0)
+  WHERE cnt > 0),
+c2 AS MATERIALIZED (SELECT piece, SUM(cq) AS cq FROM e2 GROUP BY 1),
+v2 AS MATERIALIZED (
+  SELECT v1.piece,
+    ROUND(CAST(COALESCE(c2.cq, 0) AS DOUBLE) / (SELECT SUM(cq) FROM c2), 12) AS p
+  FROM v1 LEFT JOIN c2 USING (piece)),
+-- ============ prune + renormalize ============
+kept AS MATERIALIZED (
+  SELECT piece, p FROM v2 WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, p FROM (
+    SELECT piece, p FROM v2 WHERE len(piece) >= 2
+    ORDER BY p DESC, piece LIMIT 32)),
+zq AS (SELECT SUM(CAST(ROUND(p * 1e12) AS BIGINT)) AS zq FROM kept)
+SELECT piece, ROUND(p / (CAST(zq AS DOUBLE) / 1e12), 12) AS p
+FROM kept CROSS JOIN zq ORDER BY piece""",
+
     "bpe_tokenize_stats" -> bpeTokenizeOracle(8),
 
     "pipeline_pack_sequences" ->

@@ -777,6 +777,112 @@ class PipelineSpec extends SparkSpecBase {
     assert(scored.forall(_.getDouble(1) > 0.0), "BM25 idf floor keeps scores > 0")
   }
 
+  test("unigram-LM training matches an in-memory reference bit-for-bit on randomized corpora") {
+    import spark.implicits._
+    def round12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val K = 4
+    // exact mirror of Unigram.train's arithmetic (same fold orders, same
+    // quantization points) — any divergence is a determinism bug
+    def refTrain(wf: Map[String, Long], seedMulti: Int, emIters: Int,
+                 keepMulti: Int): Map[String, Double] = {
+      val tot = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((w, f) <- wf; j <- 0 until w.length;
+           k <- 1 to math.min(K, w.length - j))
+        tot(w.substring(j, j + k)) += f
+      val singles = tot.toSeq.filter(_._1.length == 1)
+      val multis = tot.toSeq.filter(_._1.length >= 2)
+        .sortBy { case (p, t) => (-t, p) }.take(seedMulti)
+      val z0 = (singles ++ multis).map(_._2).sum
+      var vocab = (singles ++ multis)
+        .map { case (p, t) => p -> round12(t.toDouble / z0) }.toMap
+      for (_ <- 1 to emIters) {
+        val cq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+        for ((w, f) <- wf) {
+          val L = w.length
+          val a = Array.fill(L + 1)(0.0); a(0) = 1.0
+          for (i <- 1 to L)
+            a(i) = (1 to math.min(K, i)).foldLeft(0.0) { (s, k) =>
+              s + a(i - k) * vocab.getOrElse(w.substring(i - k, i), 0.0) }
+          val g = Array.fill(L + 1)(0.0); g(0) = 1.0
+          for (i <- 1 to L)
+            g(i) = (1 to math.min(K, i)).foldLeft(0.0) { (s, k) =>
+              s + vocab.getOrElse(w.substring(L - i, L - i + k), 0.0) * g(i - k) }
+          def beta(j: Int) = g(L - j)
+          val zz = a(L)
+          if (zz > 0.0)
+            for (j <- 0 until L; k <- 1 to math.min(K, L - j)) {
+              val piece = w.substring(j, j + k)
+              val cnt = ((f.toDouble * a(j)) *
+                         vocab.getOrElse(piece, 0.0)) * beta(j + k) / zz
+              if (cnt > 0.0) cq(piece) += math.round(cnt * 1e10)
+            }
+        }
+        val totq = cq.values.sum
+        vocab = vocab.keys.map { p =>
+          p -> round12(cq(p).toDouble / totq) }.toMap
+      }
+      val s2 = vocab.toSeq.filter(_._1.length == 1)
+      val m2 = vocab.toSeq.filter(_._1.length >= 2)
+        .sortBy { case (p, pr) => (-pr, p) }.take(keepMulti)
+      val kept = s2 ++ m2
+      val zq = kept.map { case (_, pr) => math.round(pr * 1e12) }.sum
+      val z = zq.toDouble / 1e12
+      kept.map { case (p, pr) => p -> round12(pr / z) }.toMap
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val alpha = "abc"
+      val words = Seq.fill(30 + trial * 10) {
+        (1 to (1 + rnd.nextInt(6)))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val d = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val got = graft.pipeline.Unigram
+        .train(spark, d, maxLen = K, seedMulti = 10, emIters = 2, keepMulti = 6)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val wf = words.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val want = refTrain(wf, seedMulti = 10, emIters = 2, keepMulti = 6)
+      assert(got == want,
+             s"trial $trial diverged:\n got=${got.toSeq.sorted}\nwant=${want.toSeq.sorted}")
+    }
+  }
+
+  test("unigram Viterbi piece counts match the reference fold policy") {
+    import spark.implicits._
+    val d = Seq((1L, "abcab abab cab ab a")).toDF("doc_id", "text")
+    val model = graft.pipeline.Unigram.train(spark, d, maxLen = 4,
+      seedMulti = 8, emIters = 2, keepMulti = 4)
+    val vocab = model.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val vm = model.agg(map_from_entries(sort_array(
+      collect_list(struct(col("piece"), col("p"))))).as("vm"))
+    val words = Seq("abcab", "abab", "cab", "ab", "a").toDF("word")
+    val got = words.crossJoin(broadcast(vm))
+      .select(col("word"),
+        graft.pipeline.Unigram.viterbiPieces(col("word"), col("vm"), 4).as("c"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    def refViterbi(w: String): Int = {
+      val K = 4; val L = w.length
+      val v = Array.fill(L + 1)(0.0); val c = Array.fill(L + 1)(0)
+      v(0) = 1.0
+      for (i <- 1 to L) {
+        var bv = 0.0; var bc = 0
+        for (k <- 1 to math.min(K, i)) {
+          val cv = v(i - k) * vocab.getOrElse(w.substring(i - k, i), 0.0)
+          val cc = c(i - k) + 1
+          if (cv > bv || (cv == bv && cv > 0.0 && cc < bc)) { bv = cv; bc = cc }
+        }
+        v(i) = bv; c(i) = bc
+      }
+      c(L)
+    }
+    got.foreach { case (w, n) =>
+      assert(n == refViterbi(w), s"viterbi($w): got $n want ${refViterbi(w)}")
+      assert(n >= 1 && n <= w.length)
+    }
+  }
+
   test("exactSubstrTrim removes later copies of >=n-word shared spans, keeps the first") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta" // 6 words, n = 5
