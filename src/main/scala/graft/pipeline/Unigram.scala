@@ -170,6 +170,30 @@ object Unigram {
     kept.select(col("piece"), round(col("p") / z, 12).as("p"))
   }
 
+  /** Corpus tokenization statistics under a trained model — the unigram
+    * train→infer round trip (the [[Bpe.tokenizeStats]] analogue): Viterbi
+    * piece counts computed once per DISTINCT word (the Zipf-bounded
+    * frame), joined back to the exploded corpus. The model frame is the
+    * deployable artifact ([[graft.queries.Catalog]]-able).
+    */
+  def tokenizeStats(docs: DataFrame, model: DataFrame): DataFrame = {
+    val vm = model.agg(
+      map_from_entries(sort_array(collect_list(struct(col("piece"), col("p")))))
+        .as("vm"))
+    val words = docs.select(col("doc_id"),
+                            explode(TextPrep.words(col("text"))).as("word"))
+    val vocab = words.select("word").distinct()
+      .crossJoin(broadcast(vm))
+      .select(col("word"),
+              viterbiPieces(col("word"), col("vm"), 4).cast(LongType).as("n_p"))
+    words.join(vocab, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_p")).as("n_pieces"))
+      .withColumn("fertility",
+        round(col("n_pieces").cast(DoubleType) / col("n_words"), 6))
+      .select("doc_id", "n_words", "n_pieces", "fertility")
+  }
+
   /** Viterbi segmentation piece count for a word under a trained model,
     * as a pure column fold: v(i) = best probability over the last piece's
     * length k (k ascending, strict improvement — ties keep the earlier,

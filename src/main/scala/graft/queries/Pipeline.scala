@@ -51,6 +51,12 @@ object Pipeline {
     Catalog.table(s, d, "pq_codebooks_8x16")(
       Similarity.pqCodebooks(emb(s, d), m = 8, k = 16))
 
+  /** The trained unigram-LM model as a load-time artifact. */
+  def unigramModel(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Catalog.table(s, d, "unigram_model_4_48_2_32")(
+      graft.pipeline.Unigram.train(s, docs(s, d), maxLen = 4,
+        seedMulti = 48, emIters = 2, keepMulti = 32))
+
   def pqCodes16(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Catalog.table(s, d, "pq_codes_8x16")(
       Similarity.pqEncode(emb(s, d), m = 8, k = 16, Some(pqCodebooks16(s, d)))
@@ -334,10 +340,13 @@ object Pipeline {
     "bpe_train_merges" -> ((s, d) => bpeMerges(s, d).orderBy("rank")),
     "tokenizer_unigram_train" -> ((s, d) =>
       // the OTHER tokenizer family (Kudo 2018 / SentencePiece unigram):
-      // seed substrings -> 2 exact Baum-Welch rounds -> prune+renorm
-      graft.pipeline.Unigram.train(s, docs(s, d), maxLen = 4,
-          seedMulti = 48, emIters = 2, keepMulti = 32)
-        .orderBy("piece")),
+      // seed substrings -> 2 exact Baum-Welch rounds -> prune+renorm;
+      // the trained model is a load-time Catalog artifact (a tokenizer is
+      // trained once per corpus), shared with the round-trip query below
+      unigramModel(s, d).orderBy("piece")),
+    "tokenizer_unigram_stats" -> ((s, d) =>
+      graft.pipeline.Unigram.tokenizeStats(docs(s, d), unigramModel(s, d))
+        .orderBy("doc_id")),
     "bpe_tokenize_stats" -> ((s, d) =>
       // the train->infer round trip: tokenize the corpus with the table
       // trained on it (the load-time artifact); pieces computed per
@@ -427,6 +436,190 @@ object Pipeline {
         ROUND(CAST(SUM(wp.n_p) AS DOUBLE) / COUNT(*), 6) AS fertility
       FROM d JOIN wp ON wp.word = d.w
       GROUP BY 1 ORDER BY doc_id"""
+
+  // shared core of the unigram-LM oracle: seed vocab, two unrolled
+  // Baum-Welch rounds (recursive-CTE lattices), prune+renorm -> vf
+  private val unigramOracleCore: String = raw"""WITH RECURSIVE
+wf AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                  x -> len(x) > 0)) AS word
+    FROM documents) GROUP BY 1),
+sub AS MATERIALIZED (
+  SELECT substr(word, j, k) AS piece, CAST(SUM(freq) AS BIGINT) AS tot
+  FROM (SELECT word, freq, unnest(range(1, len(word) + 1)) AS j FROM wf)
+  CROSS JOIN (SELECT unnest(range(1, 5)) AS k)
+  WHERE k <= len(word) - j + 1
+  GROUP BY 1),
+sel AS MATERIALIZED (
+  SELECT piece, tot FROM sub WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, tot FROM (
+    SELECT piece, tot FROM sub WHERE len(piece) >= 2
+    ORDER BY tot DESC, piece LIMIT 48)),
+v0 AS MATERIALIZED (
+  SELECT piece, ROUND(CAST(tot AS DOUBLE) / (SELECT SUM(tot) FROM sel), 12) AS p
+  FROM sel),
+-- ============ EM round 1 ============
+fwd1 AS (
+  SELECT word, freq, 0 AS i, [CAST(1.0 AS DOUBLE)] AS al FROM wf
+  UNION ALL
+  SELECT f.word, f.freq, f.i + 1,
+    list_append(f.al,
+      (CASE WHEN 1 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 1 + 1] * p1.p, 0.0) ELSE 0.0 END)
+    + (CASE WHEN 2 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 2 + 1] * p2.p, 0.0) ELSE 0.0 END)
+    + (CASE WHEN 3 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 3 + 1] * p3.p, 0.0) ELSE 0.0 END)
+    + (CASE WHEN 4 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 4 + 1] * p4.p, 0.0) ELSE 0.0 END))
+  FROM fwd1 f
+  LEFT JOIN v0 p1 ON p1.piece = substr(f.word, f.i + 1, 1)
+  LEFT JOIN v0 p2 ON p2.piece = substr(f.word, f.i, 2)
+  LEFT JOIN v0 p3 ON p3.piece = substr(f.word, f.i - 1, 3)
+  LEFT JOIN v0 p4 ON p4.piece = substr(f.word, f.i - 2, 4)
+  WHERE f.i + 1 <= len(f.word)),
+bwd1 AS (
+  SELECT word, 0 AS i, [CAST(1.0 AS DOUBLE)] AS gl FROM wf
+  UNION ALL
+  SELECT f.word, f.i + 1,
+    list_append(f.gl,
+      (CASE WHEN 1 <= f.i + 1 THEN COALESCE(p1.p * f.gl[f.i + 1 - 1 + 1], 0.0) ELSE 0.0 END)
+    + (CASE WHEN 2 <= f.i + 1 THEN COALESCE(p2.p * f.gl[f.i + 1 - 2 + 1], 0.0) ELSE 0.0 END)
+    + (CASE WHEN 3 <= f.i + 1 THEN COALESCE(p3.p * f.gl[f.i + 1 - 3 + 1], 0.0) ELSE 0.0 END)
+    + (CASE WHEN 4 <= f.i + 1 THEN COALESCE(p4.p * f.gl[f.i + 1 - 4 + 1], 0.0) ELSE 0.0 END))
+  FROM bwd1 f
+  LEFT JOIN v0 p1 ON p1.piece = substr(f.word, len(f.word) - f.i, 1)
+  LEFT JOIN v0 p2 ON p2.piece = substr(f.word, len(f.word) - f.i, 2)
+  LEFT JOIN v0 p3 ON p3.piece = substr(f.word, len(f.word) - f.i, 3)
+  LEFT JOIN v0 p4 ON p4.piece = substr(f.word, len(f.word) - f.i, 4)
+  WHERE f.i + 1 <= len(f.word)),
+lat1 AS MATERIALIZED (
+  SELECT w.word, w.freq, fa.al, gb.gl
+  FROM wf w
+  JOIN (SELECT word, al FROM fwd1 WHERE i = len(word)) fa USING (word)
+  JOIN (SELECT word, gl FROM bwd1 WHERE i = len(word)) gb USING (word)),
+e1 AS (
+  SELECT piece, CAST(ROUND(cnt * 1e10) AS BIGINT) AS cq FROM (
+    SELECT substr(l.word, j + 1, k) AS piece,
+      ((CAST(l.freq AS DOUBLE) * l.al[j + 1]) * COALESCE(v.p, 0.0))
+        * l.gl[len(l.word) - (j + k) + 1] / l.al[len(l.word) + 1] AS cnt
+    FROM (SELECT *, unnest(range(0, len(word))) AS j FROM lat1) l
+    CROSS JOIN (SELECT unnest(range(1, 5)) AS k)
+    LEFT JOIN v0 v ON v.piece = substr(l.word, j + 1, k)
+    WHERE k <= len(l.word) - j AND l.al[len(l.word) + 1] > 0)
+  WHERE cnt > 0),
+c1 AS MATERIALIZED (SELECT piece, SUM(cq) AS cq FROM e1 GROUP BY 1),
+v1 AS MATERIALIZED (
+  SELECT v0.piece,
+    ROUND(CAST(COALESCE(c1.cq, 0) AS DOUBLE) / (SELECT SUM(cq) FROM c1), 12) AS p
+  FROM v0 LEFT JOIN c1 USING (piece)),
+-- ============ EM round 2 ============
+fwd2 AS (
+  SELECT word, freq, 0 AS i, [CAST(1.0 AS DOUBLE)] AS al FROM wf
+  UNION ALL
+  SELECT f.word, f.freq, f.i + 1,
+    list_append(f.al,
+      (CASE WHEN 1 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 1 + 1] * p1.p, 0.0) ELSE 0.0 END)
+    + (CASE WHEN 2 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 2 + 1] * p2.p, 0.0) ELSE 0.0 END)
+    + (CASE WHEN 3 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 3 + 1] * p3.p, 0.0) ELSE 0.0 END)
+    + (CASE WHEN 4 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 4 + 1] * p4.p, 0.0) ELSE 0.0 END))
+  FROM fwd2 f
+  LEFT JOIN v1 p1 ON p1.piece = substr(f.word, f.i + 1, 1)
+  LEFT JOIN v1 p2 ON p2.piece = substr(f.word, f.i, 2)
+  LEFT JOIN v1 p3 ON p3.piece = substr(f.word, f.i - 1, 3)
+  LEFT JOIN v1 p4 ON p4.piece = substr(f.word, f.i - 2, 4)
+  WHERE f.i + 1 <= len(f.word)),
+bwd2 AS (
+  SELECT word, 0 AS i, [CAST(1.0 AS DOUBLE)] AS gl FROM wf
+  UNION ALL
+  SELECT f.word, f.i + 1,
+    list_append(f.gl,
+      (CASE WHEN 1 <= f.i + 1 THEN COALESCE(p1.p * f.gl[f.i + 1 - 1 + 1], 0.0) ELSE 0.0 END)
+    + (CASE WHEN 2 <= f.i + 1 THEN COALESCE(p2.p * f.gl[f.i + 1 - 2 + 1], 0.0) ELSE 0.0 END)
+    + (CASE WHEN 3 <= f.i + 1 THEN COALESCE(p3.p * f.gl[f.i + 1 - 3 + 1], 0.0) ELSE 0.0 END)
+    + (CASE WHEN 4 <= f.i + 1 THEN COALESCE(p4.p * f.gl[f.i + 1 - 4 + 1], 0.0) ELSE 0.0 END))
+  FROM bwd2 f
+  LEFT JOIN v1 p1 ON p1.piece = substr(f.word, len(f.word) - f.i, 1)
+  LEFT JOIN v1 p2 ON p2.piece = substr(f.word, len(f.word) - f.i, 2)
+  LEFT JOIN v1 p3 ON p3.piece = substr(f.word, len(f.word) - f.i, 3)
+  LEFT JOIN v1 p4 ON p4.piece = substr(f.word, len(f.word) - f.i, 4)
+  WHERE f.i + 1 <= len(f.word)),
+lat2 AS MATERIALIZED (
+  SELECT w.word, w.freq, fa.al, gb.gl
+  FROM wf w
+  JOIN (SELECT word, al FROM fwd2 WHERE i = len(word)) fa USING (word)
+  JOIN (SELECT word, gl FROM bwd2 WHERE i = len(word)) gb USING (word)),
+e2 AS (
+  SELECT piece, CAST(ROUND(cnt * 1e10) AS BIGINT) AS cq FROM (
+    SELECT substr(l.word, j + 1, k) AS piece,
+      ((CAST(l.freq AS DOUBLE) * l.al[j + 1]) * COALESCE(v.p, 0.0))
+        * l.gl[len(l.word) - (j + k) + 1] / l.al[len(l.word) + 1] AS cnt
+    FROM (SELECT *, unnest(range(0, len(word))) AS j FROM lat2) l
+    CROSS JOIN (SELECT unnest(range(1, 5)) AS k)
+    LEFT JOIN v1 v ON v.piece = substr(l.word, j + 1, k)
+    WHERE k <= len(l.word) - j AND l.al[len(l.word) + 1] > 0)
+  WHERE cnt > 0),
+c2 AS MATERIALIZED (SELECT piece, SUM(cq) AS cq FROM e2 GROUP BY 1),
+v2 AS MATERIALIZED (
+  SELECT v1.piece,
+    ROUND(CAST(COALESCE(c2.cq, 0) AS DOUBLE) / (SELECT SUM(cq) FROM c2), 12) AS p
+  FROM v1 LEFT JOIN c2 USING (piece)),
+-- ============ prune + renormalize ============
+kept AS MATERIALIZED (
+  SELECT piece, p FROM v2 WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, p FROM (
+    SELECT piece, p FROM v2 WHERE len(piece) >= 2
+    ORDER BY p DESC, piece LIMIT 32)),
+zq AS (SELECT SUM(CAST(ROUND(p * 1e12) AS BIGINT)) AS zq FROM kept),
+vf AS MATERIALIZED (
+  SELECT piece, ROUND(p / (CAST(zq AS DOUBLE) / 1e12), 12) AS p
+  FROM kept CROSS JOIN zq)"""
+
+  private val unigramViterbiSql: String = raw""",
+cw AS MATERIALIZED (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 x -> len(x) > 0)) AS word
+  FROM documents),
+vit AS (
+  SELECT word, 0 AS i, [CAST(1.0 AS DOUBLE)] AS vl, [CAST(0 AS INT)] AS cl FROM wf
+  UNION ALL
+  SELECT word, i + 1, list_append(vl, b4v), list_append(cl, b4c) FROM (
+   SELECT *,
+     CASE WHEN cv4 > b3v OR (cv4 = b3v AND cv4 > 0 AND cc4 < b3c) THEN cv4 ELSE b3v END AS b4v,
+     CASE WHEN cv4 > b3v OR (cv4 = b3v AND cv4 > 0 AND cc4 < b3c) THEN cc4 ELSE b3c END AS b4c
+   FROM (
+    SELECT *,
+     CASE WHEN cv3 > b2v OR (cv3 = b2v AND cv3 > 0 AND cc3 < b2c) THEN cv3 ELSE b2v END AS b3v,
+     CASE WHEN cv3 > b2v OR (cv3 = b2v AND cv3 > 0 AND cc3 < b2c) THEN cc3 ELSE b2c END AS b3c
+    FROM (
+     SELECT *,
+      CASE WHEN cv2 > b1v OR (cv2 = b1v AND cv2 > 0 AND cc2 < b1c) THEN cv2 ELSE b1v END AS b2v,
+      CASE WHEN cv2 > b1v OR (cv2 = b1v AND cv2 > 0 AND cc2 < b1c) THEN cc2 ELSE b1c END AS b2c
+     FROM (
+      SELECT *,
+       CASE WHEN cv1 > 0.0 THEN cv1 ELSE 0.0 END AS b1v,
+       CASE WHEN cv1 > 0.0 THEN cc1 ELSE 0 END AS b1c
+      FROM (
+       SELECT f.word, f.i, f.vl, f.cl,
+         CASE WHEN 1 <= f.i + 1 THEN COALESCE(f.vl[f.i + 1] * p1.p, 0.0) ELSE 0.0 END AS cv1,
+         COALESCE(f.cl[f.i + 1], 0) + 1 AS cc1,
+         CASE WHEN 2 <= f.i + 1 THEN COALESCE(f.vl[f.i] * p2.p, 0.0) ELSE 0.0 END AS cv2,
+         COALESCE(f.cl[f.i], 0) + 1 AS cc2,
+         CASE WHEN 3 <= f.i + 1 THEN COALESCE(f.vl[f.i - 1] * p3.p, 0.0) ELSE 0.0 END AS cv3,
+         COALESCE(f.cl[f.i - 1], 0) + 1 AS cc3,
+         CASE WHEN 4 <= f.i + 1 THEN COALESCE(f.vl[f.i - 2] * p4.p, 0.0) ELSE 0.0 END AS cv4,
+         COALESCE(f.cl[f.i - 2], 0) + 1 AS cc4
+       FROM vit f
+       LEFT JOIN vf p1 ON p1.piece = substr(f.word, f.i + 1, 1)
+       LEFT JOIN vf p2 ON p2.piece = substr(f.word, f.i, 2)
+       LEFT JOIN vf p3 ON p3.piece = substr(f.word, f.i - 1, 3)
+       LEFT JOIN vf p4 ON p4.piece = substr(f.word, f.i - 2, 4)
+       WHERE f.i + 1 <= len(f.word))))))
+)
+SELECT cw.doc_id, COUNT(*) AS n_words, CAST(SUM(vp.n_p) AS BIGINT) AS n_pieces,
+  ROUND(CAST(SUM(vp.n_p) AS DOUBLE) / COUNT(*), 6) AS fertility
+FROM cw JOIN (SELECT word, cl[len(word) + 1] AS n_p
+              FROM vit WHERE i = len(word)) vp USING (word)
+GROUP BY 1 ORDER BY 1"""
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -1456,139 +1649,13 @@ object Pipeline {
     // arrays; MATERIALIZED so recursion does not re-inline upstream CTEs)
     // -> prune+renorm; every sum is quantized-long so the replay is exact
     "tokenizer_unigram_train" ->
-      raw"""WITH RECURSIVE
-wf AS MATERIALIZED (
-  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-    SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
-                  x -> len(x) > 0)) AS word
-    FROM documents) GROUP BY 1),
-sub AS MATERIALIZED (
-  SELECT substr(word, j, k) AS piece, CAST(SUM(freq) AS BIGINT) AS tot
-  FROM (SELECT word, freq, unnest(range(1, len(word) + 1)) AS j FROM wf)
-  CROSS JOIN (SELECT unnest(range(1, 5)) AS k)
-  WHERE k <= len(word) - j + 1
-  GROUP BY 1),
-sel AS MATERIALIZED (
-  SELECT piece, tot FROM sub WHERE len(piece) = 1
-  UNION ALL
-  SELECT piece, tot FROM (
-    SELECT piece, tot FROM sub WHERE len(piece) >= 2
-    ORDER BY tot DESC, piece LIMIT 48)),
-v0 AS MATERIALIZED (
-  SELECT piece, ROUND(CAST(tot AS DOUBLE) / (SELECT SUM(tot) FROM sel), 12) AS p
-  FROM sel),
--- ============ EM round 1 ============
-fwd1 AS (
-  SELECT word, freq, 0 AS i, [CAST(1.0 AS DOUBLE)] AS al FROM wf
-  UNION ALL
-  SELECT f.word, f.freq, f.i + 1,
-    list_append(f.al,
-      (CASE WHEN 1 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 1 + 1] * p1.p, 0.0) ELSE 0.0 END)
-    + (CASE WHEN 2 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 2 + 1] * p2.p, 0.0) ELSE 0.0 END)
-    + (CASE WHEN 3 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 3 + 1] * p3.p, 0.0) ELSE 0.0 END)
-    + (CASE WHEN 4 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 4 + 1] * p4.p, 0.0) ELSE 0.0 END))
-  FROM fwd1 f
-  LEFT JOIN v0 p1 ON p1.piece = substr(f.word, f.i + 1, 1)
-  LEFT JOIN v0 p2 ON p2.piece = substr(f.word, f.i, 2)
-  LEFT JOIN v0 p3 ON p3.piece = substr(f.word, f.i - 1, 3)
-  LEFT JOIN v0 p4 ON p4.piece = substr(f.word, f.i - 2, 4)
-  WHERE f.i + 1 <= len(f.word)),
-bwd1 AS (
-  SELECT word, 0 AS i, [CAST(1.0 AS DOUBLE)] AS gl FROM wf
-  UNION ALL
-  SELECT f.word, f.i + 1,
-    list_append(f.gl,
-      (CASE WHEN 1 <= f.i + 1 THEN COALESCE(p1.p * f.gl[f.i + 1 - 1 + 1], 0.0) ELSE 0.0 END)
-    + (CASE WHEN 2 <= f.i + 1 THEN COALESCE(p2.p * f.gl[f.i + 1 - 2 + 1], 0.0) ELSE 0.0 END)
-    + (CASE WHEN 3 <= f.i + 1 THEN COALESCE(p3.p * f.gl[f.i + 1 - 3 + 1], 0.0) ELSE 0.0 END)
-    + (CASE WHEN 4 <= f.i + 1 THEN COALESCE(p4.p * f.gl[f.i + 1 - 4 + 1], 0.0) ELSE 0.0 END))
-  FROM bwd1 f
-  LEFT JOIN v0 p1 ON p1.piece = substr(f.word, len(f.word) - f.i, 1)
-  LEFT JOIN v0 p2 ON p2.piece = substr(f.word, len(f.word) - f.i, 2)
-  LEFT JOIN v0 p3 ON p3.piece = substr(f.word, len(f.word) - f.i, 3)
-  LEFT JOIN v0 p4 ON p4.piece = substr(f.word, len(f.word) - f.i, 4)
-  WHERE f.i + 1 <= len(f.word)),
-lat1 AS MATERIALIZED (
-  SELECT w.word, w.freq, fa.al, gb.gl
-  FROM wf w
-  JOIN (SELECT word, al FROM fwd1 WHERE i = len(word)) fa USING (word)
-  JOIN (SELECT word, gl FROM bwd1 WHERE i = len(word)) gb USING (word)),
-e1 AS (
-  SELECT piece, CAST(ROUND(cnt * 1e10) AS BIGINT) AS cq FROM (
-    SELECT substr(l.word, j + 1, k) AS piece,
-      ((CAST(l.freq AS DOUBLE) * l.al[j + 1]) * COALESCE(v.p, 0.0))
-        * l.gl[len(l.word) - (j + k) + 1] / l.al[len(l.word) + 1] AS cnt
-    FROM (SELECT *, unnest(range(0, len(word))) AS j FROM lat1) l
-    CROSS JOIN (SELECT unnest(range(1, 5)) AS k)
-    LEFT JOIN v0 v ON v.piece = substr(l.word, j + 1, k)
-    WHERE k <= len(l.word) - j AND l.al[len(l.word) + 1] > 0)
-  WHERE cnt > 0),
-c1 AS MATERIALIZED (SELECT piece, SUM(cq) AS cq FROM e1 GROUP BY 1),
-v1 AS MATERIALIZED (
-  SELECT v0.piece,
-    ROUND(CAST(COALESCE(c1.cq, 0) AS DOUBLE) / (SELECT SUM(cq) FROM c1), 12) AS p
-  FROM v0 LEFT JOIN c1 USING (piece)),
--- ============ EM round 2 ============
-fwd2 AS (
-  SELECT word, freq, 0 AS i, [CAST(1.0 AS DOUBLE)] AS al FROM wf
-  UNION ALL
-  SELECT f.word, f.freq, f.i + 1,
-    list_append(f.al,
-      (CASE WHEN 1 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 1 + 1] * p1.p, 0.0) ELSE 0.0 END)
-    + (CASE WHEN 2 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 2 + 1] * p2.p, 0.0) ELSE 0.0 END)
-    + (CASE WHEN 3 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 3 + 1] * p3.p, 0.0) ELSE 0.0 END)
-    + (CASE WHEN 4 <= f.i + 1 THEN COALESCE(f.al[f.i + 1 - 4 + 1] * p4.p, 0.0) ELSE 0.0 END))
-  FROM fwd2 f
-  LEFT JOIN v1 p1 ON p1.piece = substr(f.word, f.i + 1, 1)
-  LEFT JOIN v1 p2 ON p2.piece = substr(f.word, f.i, 2)
-  LEFT JOIN v1 p3 ON p3.piece = substr(f.word, f.i - 1, 3)
-  LEFT JOIN v1 p4 ON p4.piece = substr(f.word, f.i - 2, 4)
-  WHERE f.i + 1 <= len(f.word)),
-bwd2 AS (
-  SELECT word, 0 AS i, [CAST(1.0 AS DOUBLE)] AS gl FROM wf
-  UNION ALL
-  SELECT f.word, f.i + 1,
-    list_append(f.gl,
-      (CASE WHEN 1 <= f.i + 1 THEN COALESCE(p1.p * f.gl[f.i + 1 - 1 + 1], 0.0) ELSE 0.0 END)
-    + (CASE WHEN 2 <= f.i + 1 THEN COALESCE(p2.p * f.gl[f.i + 1 - 2 + 1], 0.0) ELSE 0.0 END)
-    + (CASE WHEN 3 <= f.i + 1 THEN COALESCE(p3.p * f.gl[f.i + 1 - 3 + 1], 0.0) ELSE 0.0 END)
-    + (CASE WHEN 4 <= f.i + 1 THEN COALESCE(p4.p * f.gl[f.i + 1 - 4 + 1], 0.0) ELSE 0.0 END))
-  FROM bwd2 f
-  LEFT JOIN v1 p1 ON p1.piece = substr(f.word, len(f.word) - f.i, 1)
-  LEFT JOIN v1 p2 ON p2.piece = substr(f.word, len(f.word) - f.i, 2)
-  LEFT JOIN v1 p3 ON p3.piece = substr(f.word, len(f.word) - f.i, 3)
-  LEFT JOIN v1 p4 ON p4.piece = substr(f.word, len(f.word) - f.i, 4)
-  WHERE f.i + 1 <= len(f.word)),
-lat2 AS MATERIALIZED (
-  SELECT w.word, w.freq, fa.al, gb.gl
-  FROM wf w
-  JOIN (SELECT word, al FROM fwd2 WHERE i = len(word)) fa USING (word)
-  JOIN (SELECT word, gl FROM bwd2 WHERE i = len(word)) gb USING (word)),
-e2 AS (
-  SELECT piece, CAST(ROUND(cnt * 1e10) AS BIGINT) AS cq FROM (
-    SELECT substr(l.word, j + 1, k) AS piece,
-      ((CAST(l.freq AS DOUBLE) * l.al[j + 1]) * COALESCE(v.p, 0.0))
-        * l.gl[len(l.word) - (j + k) + 1] / l.al[len(l.word) + 1] AS cnt
-    FROM (SELECT *, unnest(range(0, len(word))) AS j FROM lat2) l
-    CROSS JOIN (SELECT unnest(range(1, 5)) AS k)
-    LEFT JOIN v1 v ON v.piece = substr(l.word, j + 1, k)
-    WHERE k <= len(l.word) - j AND l.al[len(l.word) + 1] > 0)
-  WHERE cnt > 0),
-c2 AS MATERIALIZED (SELECT piece, SUM(cq) AS cq FROM e2 GROUP BY 1),
-v2 AS MATERIALIZED (
-  SELECT v1.piece,
-    ROUND(CAST(COALESCE(c2.cq, 0) AS DOUBLE) / (SELECT SUM(cq) FROM c2), 12) AS p
-  FROM v1 LEFT JOIN c2 USING (piece)),
--- ============ prune + renormalize ============
-kept AS MATERIALIZED (
-  SELECT piece, p FROM v2 WHERE len(piece) = 1
-  UNION ALL
-  SELECT piece, p FROM (
-    SELECT piece, p FROM v2 WHERE len(piece) >= 2
-    ORDER BY p DESC, piece LIMIT 32)),
-zq AS (SELECT SUM(CAST(ROUND(p * 1e12) AS BIGINT)) AS zq FROM kept)
-SELECT piece, ROUND(p / (CAST(zq AS DOUBLE) / 1e12), 12) AS p
-FROM kept CROSS JOIN zq ORDER BY piece""",
+      (unigramOracleCore + "\nSELECT piece, p FROM vf ORDER BY piece"),
+
+    // the unigram round trip: Viterbi piece counts per word (sequential
+    // best-of-k fold unrolled as CASE chains, same tie policy as
+    // Unigram.viterbiPieces), aggregated per document
+    "tokenizer_unigram_stats" ->
+      (unigramOracleCore + unigramViterbiSql),
 
     "bpe_tokenize_stats" -> bpeTokenizeOracle(8),
 
