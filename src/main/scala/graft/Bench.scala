@@ -41,6 +41,7 @@ object Bench {
     step("simhash")(queries.Pipeline.simhashSketch(spark, sfDir).count())
     step("shingles")(queries.Pipeline.shingleIndex(spark, sfDir).count())
     step("annIndex")(queries.Pipeline.pqCodes16(spark, sfDir).count())
+    step("unigramModel")(queries.Pipeline.unigramModel(spark, sfDir).count())
     step("owlTransitive")(SparkEntry.queries("owl_transitive_locatedin")(spark, sfDir).count())
     step("owlEquivalence")(SparkEntry.queries("owl_equivalence_merge")(spark, sfDir).count())
     step("ftsTf")(SparkEntry.queries("fts_search_tf")(spark, sfDir).count())

@@ -261,6 +261,46 @@ object EventStreams {
       }
   }
 
+  /** Executor-side twin of TextPrep.hash64 over s"$id:unimax". */
+  private def unimaxHash(id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:unimax".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** UniMax admission at ingest — the streaming face of
+    * [[graft.pipeline.Sampling.unimaxSample]]. The language ALLOCATIONS are
+    * computed batch-side (waterfilling needs the corpus-wide language token
+    * masses, a global statistic no stream can know mid-flight — train the
+    * allocation on the corpus snapshot, then admit live) and enter as a
+    * plain map; each language's documents admit against its allocation in
+    * the batch operator's salted-hash order with the same prefix-truncation
+    * cutoff (the running total counts EVERY doc seen, skipped ones
+    * included). State is ONE long per language; a stream arriving as one
+    * micro-batch admits exactly the batch operator's sample (StreamingSpec
+    * pins the parity).
+    */
+  def streamingUnimax(docs: Dataset[GroupDoc],
+                      allocations: Map[String, Long]): Dataset[GroupDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[Long, GroupDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (lang: String, batch: Iterator[GroupDoc], state: GroupState[Long]) =>
+          val alloc = allocations.getOrElse(lang, 0L)
+          var cum = state.getOption.getOrElse(0L)
+          val admitted = Vector.newBuilder[GroupDoc]
+          batch.toVector.sortBy(d => (unimaxHash(d.doc_id), d.doc_id)).foreach { d =>
+            cum += d.text.trim.split("\\s+").count(_.nonEmpty).toLong
+            if (cum <= alloc) admitted += d
+          }
+          state.update(cum)
+          admitted.result().iterator
+      }
+  }
+
   /** A document's span in its group's packed token stream. */
   final case class PackedSpan(doc_id: Long, group: String, seq_first: Long,
                               seq_last: Long, start_offset: Long, n_tok: Long)

@@ -365,6 +365,44 @@ class StreamingSpec extends SparkSpecBase {
     } finally stream.stop()
   }
 
+  test("streaming unimax: single-batch admission equals the batch operator " +
+       "under its trained allocations; budgets carry across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.GroupDoc
+    val corpus = Seq(
+      GroupDoc(1, "en", "one two three four"),
+      GroupDoc(2, "en", "five six seven eight"),
+      GroupDoc(3, "en", "nine ten"),
+      GroupDoc(4, "de", "eins zwei"),
+      GroupDoc(5, "fr", "un"))
+    val docsDf = corpus.toDF().withColumnRenamed("group", "lang")
+    // allocation trained batch-side on the corpus snapshot
+    val alloc = graft.pipeline.Sampling
+      .unimaxAllocations(docsDf, totalBudget = 7L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val input = MemoryStream[GroupDoc]
+    val stream = graft.streaming.EventStreams
+      .streamingUnimax(input.toDS(), alloc)
+      .writeStream.format("memory").queryName("unimaxed")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(corpus: _*)
+      stream.processAllAvailable()
+      val got = spark.table("unimaxed").as[GroupDoc].collect().map(_.doc_id).toSet
+      val batchOp = graft.pipeline.Sampling
+        .unimaxSample(docsDf, totalBudget = 7L, maxEpochs = 2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == batchOp, s"stream admitted $got, batch operator $batchOp")
+      // a later doc in a language whose cumulative crossed its allocation
+      // stays out, even if it alone would fit
+      input.addData(GroupDoc(6, "en", "x"))
+      stream.processAllAvailable()
+      val after = spark.table("unimaxed").as[GroupDoc].collect().map(_.doc_id).toSet
+      assert(after == got, s"late doc admitted past the allocation: $after")
+    } finally stream.stop()
+  }
+
   test("streaming pack assignment: single-batch spans equal the batch " +
        "operator, offsets carry across batches") {
     import spark.implicits._
