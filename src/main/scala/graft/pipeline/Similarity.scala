@@ -289,6 +289,28 @@ object Similarity {
     * recall/cost knob: each extra bit of probing multiplies candidates
     * ~(planes+1)× and recovers neighbors that fell across one hyperplane).
     */
+  /** Recall@k of an approximate ANN result against the exact ranking —
+    * the index-quality metric a deployed vector store tracks when tuning
+    * its nProbe/planes/probes knobs. Both inputs are (q_id, vec_id, ...)
+    * top-k frames; per query: |approx ∩ exact| / |exact|.
+    *
+    * Scale posture: runs on the two top-k frames (#queries × k rows),
+    * never the corpus — one equi-join on (q_id, vec_id) and one
+    * aggregation; evaluating recall on a query SAMPLE is how index
+    * quality is monitored at 100 TB.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val ap = approx.select(col("q_id"), col("vec_id"), lit(1L).as("__hit"))
+    exact.select(col("q_id"), col("vec_id"))
+      .join(ap, Seq("q_id", "vec_id"), "left_outer")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+           sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+              round(col("n_hit").cast(DoubleType) / col("n_exact"), 6)
+                .as("recall"))
+  }
+
   def lshTopK(emb: DataFrame, queries: DataFrame, planes: Int, k: Int,
               probes: Int = 0): DataFrame = {
     val buckets = lshBuckets(emb, planes)

@@ -193,6 +193,18 @@ object Pipeline {
         .orderBy("q_id", "rank")
     }),
 
+    "ann_recall_ivf" -> ((s, d) => {
+      // index-quality evaluation: recall@10 of the IVF index (nProbe=2)
+      // against the exact ranking, on the standard query sample
+      val e = emb(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+      Similarity.recallAtK(
+          Similarity.ivfTopK(e, qs, nlist = 8, nProbe = 2, k = 10,
+                             centroids = Some(ivfCentroids8(s, d)),
+                             assigned = Some(ivfAssign8(s, d))),
+          Similarity.bruteForceTopK(e, qs, k = 10))
+        .orderBy("q_id")
+    }),
     "ann_kmeans_train" -> ((s, d) =>
       // two Lloyd rounds, k=4: bit-reproducible training (quantized-long
       // centroid sums), exploded to (cid, dim, value) scalar rows
@@ -873,6 +885,47 @@ GROUP BY 1 ORDER BY 1"""
                   AS BIGINT) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    // recall@10 of the IVF index vs the exact ranking — composes the
+    // ann_topk and ann_ivf oracle bodies and joins their top-k sets
+    "ann_recall_ivf" ->
+      s"""WITH $embSql,
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e_t WHERE vec_id < 5),
+         ex AS (SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+           FROM (SELECT q_id, vec_id, ${cosSql("qv", "v")} AS score
+                 FROM e_t CROSS JOIN q WHERE vec_id <> q_id))
+           WHERE rank <= 10),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM e_t WHERE vec_id < 8),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT e_t.vec_id, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY e_t.vec_id
+                 ORDER BY ${cosSql("e_t.v", "cent.cv")} DESC, cent.cid) AS rn
+             FROM e_t CROSS JOIN cent)
+           WHERE rn = 1),
+         probes AS (
+           SELECT q_id, qv, cid FROM (
+             SELECT q.q_id, q.qv, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY ${cosSql("q.qv", "cent.cv")} DESC, cent.cid) AS rn
+             FROM q CROSS JOIN cent)
+           WHERE rn <= 2),
+         ap AS (SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+           FROM (SELECT p.q_id, e_t.vec_id, ${cosSql("p.qv", "e_t.v")} AS score
+                 FROM probes p JOIN assign a ON a.cid = p.cid
+                   JOIN e_t ON e_t.vec_id = a.vec_id
+                 WHERE e_t.vec_id <> p.q_id))
+           WHERE rank <= 10)
+         SELECT ex.q_id, COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS recall
+         FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+         GROUP BY 1 ORDER BY 1""",
 
     "ann_lsh_topk" ->
       s"""WITH $embSql,
