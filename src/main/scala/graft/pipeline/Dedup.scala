@@ -420,6 +420,13 @@ object Dedup {
     val byPos = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val gramWords = col("word") +: (1 until n).map(j => lead(col("word"), j).over(byPos))
+    // NOTE: this frame is consumed by BOTH the first-occurrence aggregation
+    // and the mark-back join, and Spark recomputes the scan+explode+window
+    // pipeline per side. Measured trade: checkpointing it instead is ~2x
+    // SLOWER at sf0.1-sf1 (the write of the wide word relation costs more
+    // than the recompute) — at true corpus scale, materialize just the
+    // narrow (doc_id, pos, gh) gram relation for the aggregation side if
+    // the double tokenize ever dominates a profile
     val wordRows = docs
       .select(col("doc_id"), words(lower(col("text"))).as("ws"))
       .select(col("doc_id"), size(col("ws")).as("nw"),

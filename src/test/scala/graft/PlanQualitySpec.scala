@@ -595,6 +595,24 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(badBnlj.isEmpty, s"non-Cross nested-loop join:\n$p")
   }
 
+  test("substr trim: spans shuffle as hashes with map-side combine, never as gram strings") {
+    val df = graft.pipeline.Dedup.exactSubstrTrim(
+      Tables.load(spark, sfDir, "documents"), n = 5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the first-occurrence aggregation must combine map-side (partial
+    // min_by) — a non-partial agg would shuffle every gram occurrence raw
+    assert(p.contains("partial_min_by"),
+           s"first-occurrence agg lost its partial (map-side) phase:\n$p")
+    // gram text never rides an exchange: grams hash to gh before any
+    // shuffle (word strings DO ride the doc-keyed exchanges — reassembly
+    // needs them; the gram-keyed exchange carries only (gh, doc_id, pos))
+    val gramEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning(gh"))
+      .filter(_.contains("word"))
+    assert(gramEx.isEmpty, s"a gram-keyed shuffle carries word strings:\n$p")
+  }
+
   test("unimax: allocation joins as broadcast; no shuffle carries document text") {
     val df = graft.pipeline.Sampling.unimaxSample(
       Tables.load(spark, sfDir, "documents"), totalBudget = 40000L, maxEpochs = 2)
