@@ -193,6 +193,17 @@ object Pipeline {
         .orderBy("q_id", "rank")
     }),
 
+    "ann_recall_lsh" -> ((s, d) => {
+      // recall@10 of multiprobe LSH (8 planes, Hamming-1 probing) vs the
+      // exact ranking — paired with ann_recall_ivf these are the two
+      // knob-tuning dials (nProbe vs probe radius)
+      val e = emb(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+      Similarity.recallAtK(
+          Similarity.lshTopK(e, qs, planes = 8, k = 10, probes = 1),
+          Similarity.bruteForceTopK(e, qs, k = 10))
+        .orderBy("q_id")
+    }),
     "ann_recall_ivf" -> ((s, d) => {
       // index-quality evaluation: recall@10 of the IVF index (nProbe=2)
       // against the exact ranking, on the standard query sample
@@ -885,6 +896,40 @@ GROUP BY 1 ORDER BY 1"""
                   AS BIGINT) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    // recall@10 of multiprobe LSH vs the exact ranking — composes the
+    // ann_topk and ann_lsh_multiprobe oracle bodies
+    "ann_recall_lsh" ->
+      s"""WITH $embSql,
+         dots AS (SELECT vec_id, j,
+                    SUM(v[d + 1] * ((${h64("concat(j, ',', d)")} % 1000000) / 500000.0 - 1.0)) AS dot
+                  FROM e_t CROSS JOIN range(8) r(j) CROSS JOIN range(64) s(d)
+                  GROUP BY 1, 2),
+         bk AS (SELECT vec_id,
+                  SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS bucket
+                FROM dots GROUP BY 1),
+         eb AS (SELECT e_t.vec_id, v, bucket FROM e_t JOIN bk ON e_t.vec_id = bk.vec_id),
+         q AS (SELECT vec_id AS q_id, qv, q_bucket FROM (
+                 SELECT vec_id, v AS qv, bucket AS q_bucket FROM eb WHERE vec_id < 5)),
+         ap AS (SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+           FROM (SELECT q_id, eb.vec_id, ${cosSql("qv", "v")} AS score
+                 FROM eb JOIN q ON bit_count(xor(eb.bucket, q.q_bucket)) <= 1
+                               AND eb.vec_id <> q.q_id))
+           WHERE rank <= 10),
+         ex AS (SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+           FROM (SELECT q_id, e_t.vec_id, ${cosSql("qv", "e_t.v")} AS score
+                 FROM e_t CROSS JOIN q WHERE e_t.vec_id <> q.q_id))
+           WHERE rank <= 10)
+         SELECT ex.q_id, COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS recall
+         FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+         GROUP BY 1 ORDER BY 1""",
 
     // recall@10 of the IVF index vs the exact ranking — composes the
     // ann_topk and ann_ivf oracle bodies and joins their top-k sets
