@@ -176,7 +176,8 @@ object Unigram {
     * frame), joined back to the exploded corpus. The model frame is the
     * deployable artifact ([[graft.queries.Catalog]]-able).
     */
-  def tokenizeStats(docs: DataFrame, model: DataFrame): DataFrame = {
+  def tokenizeStats(docs: DataFrame, model: DataFrame,
+                    maxLen: Int = 4): DataFrame = {
     val vm = model.agg(
       map_from_entries(sort_array(collect_list(struct(col("piece"), col("p")))))
         .as("vm"))
@@ -185,7 +186,7 @@ object Unigram {
     val vocab = words.select("word").distinct()
       .crossJoin(broadcast(vm))
       .select(col("word"),
-              viterbiPieces(col("word"), col("vm"), 4).cast(LongType).as("n_p"))
+              viterbiPieces(col("word"), col("vm"), maxLen).cast(LongType).as("n_p"))
     words.join(vocab, "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("n_p")).as("n_pieces"))
