@@ -193,6 +193,21 @@ object Pipeline {
         .orderBy("q_id", "rank")
     }),
 
+    "ann_recall_pq" -> ((s, d) => {
+      // recall@10 of the PQ-compressed IVF index (ADC distances over 8-byte
+      // codes) vs the exact ranking — the third dial: what the 64x storage
+      // compression costs in recall
+      val e = emb(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+      Similarity.recallAtK(
+          Similarity.ivfPqTopK(e, qs, nlist = 8, nProbe = 2, m = 8, k = 16,
+                               topk = 10,
+                               centroids = Some(ivfCentroids8(s, d)),
+                               codebooks = Some(pqCodebooks16(s, d)),
+                               encoded = Some(pqCodes16(s, d))),
+          Similarity.bruteForceTopK(e, qs, k = 10))
+        .orderBy("q_id")
+    }),
     "ann_recall_lsh" -> ((s, d) => {
       // recall@10 of multiprobe LSH (8 planes, Hamming-1 probing) vs the
       // exact ranking — paired with ann_recall_ivf these are the two
@@ -896,6 +911,63 @@ GROUP BY 1 ORDER BY 1"""
                   AS BIGINT) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    // recall@10 of the PQ/ADC index vs the exact ranking — composes the
+    // ann_ivf_pq and ann_topk oracle bodies
+    "ann_recall_pq" ->
+      s"""WITH $embSql,
+         cb AS (SELECT j, CAST(vec_id AS INTEGER) AS code, v[j*8+1 : (j+1)*8] AS cv
+                FROM e_t CROSS JOIN range(8) r(j) WHERE vec_id < 16),
+         encd AS (SELECT e_t.vec_id, cb.j, cb.code,
+                ROUND(list_sum(list_transform(range(1, 9),
+                  i -> (e_t.v[j*8+i] - cb.cv[i]) * (e_t.v[j*8+i] - cb.cv[i]))), 6) AS d
+              FROM e_t CROSS JOIN cb),
+         enc1 AS (SELECT vec_id, j, code FROM (
+                SELECT vec_id, j, code,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+                FROM encd) WHERE rn = 1),
+         codes AS (SELECT vec_id, list(code ORDER BY j) AS codes FROM enc1 GROUP BY 1),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM e_t WHERE vec_id < 8),
+         assign AS (SELECT vec_id, cid FROM (
+                SELECT e_t.vec_id, cent.cid,
+                  ROW_NUMBER() OVER (PARTITION BY e_t.vec_id
+                    ORDER BY ${cosSql("e_t.v", "cent.cv")} DESC, cent.cid) AS rn
+                FROM e_t CROSS JOIN cent) WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e_t WHERE vec_id < 5),
+         lutd AS (SELECT q.q_id, cb.j, cb.code,
+                ROUND(list_sum(list_transform(range(1, 9),
+                  i -> (q.qv[j*8+i] - cb.cv[i]) * (q.qv[j*8+i] - cb.cv[i]))), 6) AS d
+              FROM q CROSS JOIN cb),
+         luts AS (SELECT q_id, list(d ORDER BY j*16 + code) AS lut FROM lutd GROUP BY 1),
+         probes AS (SELECT q_id, cid FROM (
+                SELECT q.q_id, cent.cid,
+                  ROW_NUMBER() OVER (PARTITION BY q.q_id
+                    ORDER BY ${cosSql("q.qv", "cent.cv")} DESC, cent.cid) AS rn
+                FROM q CROSS JOIN cent) WHERE rn <= 2),
+         ap AS (SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score, vec_id) AS rank
+           FROM (SELECT p.q_id, c.vec_id,
+                   ROUND(list_sum(list_transform(range(0, 8),
+                     j -> l.lut[j*16 + c.codes[j+1] + 1])), 6) AS score
+                 FROM probes p
+                   JOIN assign a ON a.cid = p.cid
+                   JOIN codes c ON c.vec_id = a.vec_id
+                   JOIN luts l ON l.q_id = p.q_id
+                 WHERE c.vec_id <> p.q_id))
+           WHERE rank <= 10),
+         ex AS (SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+           FROM (SELECT q_id, e_t.vec_id, ${cosSql("qv", "e_t.v")} AS score
+                 FROM e_t CROSS JOIN q WHERE e_t.vec_id <> q.q_id))
+           WHERE rank <= 10)
+         SELECT ex.q_id, COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS recall
+         FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+         GROUP BY 1 ORDER BY 1""",
 
     // recall@10 of multiprobe LSH vs the exact ranking — composes the
     // ann_topk and ann_lsh_multiprobe oracle bodies
