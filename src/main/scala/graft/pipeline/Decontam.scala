@@ -97,4 +97,47 @@ object Decontam {
     val bk = if (broadcastB) broadcast(bk0) else bk0
     a.withColumn("__ck", key).join(bk, Seq("__ck"), "left_anti").drop("__ck")
   }
+
+  /** Bloom-filter cross-corpus membership (Bloom 1970): flag rows of `a`
+    * whose content key POSSIBLY appears in corpus `b`, by testing `k`
+    * salted hash positions against an `mBits`-bit filter built from b's
+    * keys. One-sided like every Bloom filter: `possibly_dup = false` is
+    * definite (zero false negatives — the guarantee the spec pins), `true`
+    * carries the classical ~(1-e^(-kn/m))^k false-positive rate.
+    *
+    * This is [[crossCorpusDedup]]'s fixed-memory face: the exact left-anti
+    * must broadcast (or shuffle) every distinct key of `b`, which at a
+    * 100 TB reference corpus is itself terabytes; here `b` collapses to
+    * `mBits` bits (an `mBits/64`-long array literal baked into the plan —
+    * for a production 1e9-key filter at 1 % FP that is ~1.2 GB, still one
+    * broadcast instead of a key shuffle), and the probe side is a pure
+    * per-row projection: `k` md5 probes + `getbit` word tests, all
+    * codegen'd built-ins, ZERO exchanges on `a` (plan-guarded). Hashes use
+    * the shared 60-bit md5 ([[TextPrep.hash64]], salt `i || ":"`), so the
+    * DuckDB oracle replays the filter — including its false positives —
+    * bit-for-bit. Null keys probe to null positions and flag `false`,
+    * matching SQL `IN`-filter semantics on both engines.
+    */
+  def bloomFlag(a: DataFrame, b: DataFrame,
+                key: org.apache.spark.sql.Column,
+                mBits: Int, k: Int): DataFrame = {
+    require(mBits > 0 && mBits % 64 == 0, "mBits must pack 64-bit words")
+    def positions(keyCol: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(k - 1)),
+        i => pmod(hash64(concat(i.cast(StringType), lit(":"), keyCol)),
+                  lit(mBits.toLong)))
+    // build side: b's distinct set bits, collapsed to the literal bitset
+    // (the reference corpus never joins the probe side at any size)
+    val words = new Array[Long](mBits / 64)
+    b.select(explode(positions(key)).as("pos")).filter(col("pos").isNotNull)
+      .distinct().collect().map(_.getLong(0))
+      .foreach(p => words(p.toInt >> 6) |= 1L << (p.toInt & 63))
+    val wordsLit = typedLit(words.toSeq)
+    def bitAt(p: org.apache.spark.sql.Column) =
+      getbit(element_at(wordsLit, shiftright(p.cast(IntegerType), 6) + lit(1)),
+             p.bitwiseAND(lit(63L)).cast(IntegerType))
+    val hits = aggregate(positions(key), lit(0),
+      (acc, p) => acc + bitAt(p).cast(IntegerType))
+    a.withColumn("possibly_dup", coalesce(hits === lit(k), lit(false)))
+  }
 }

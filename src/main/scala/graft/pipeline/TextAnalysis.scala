@@ -257,6 +257,56 @@ object TextAnalysis {
           .orderBy(col("n_total").desc, col("token"))).cast(LongType))
   }
 
+  /** Count-Min sketch cells over the corpus token stream (Cormode &
+    * Muthukrishnan 2005): `depth` salted hash rows × `width` buckets; each
+    * cell holds the total occurrence count of the tokens hashing into it.
+    *
+    * This is [[vocabulary]]'s fixed-memory face: the exact aggregation
+    * shuffles one row per distinct (token, doc) — fine for word vocabularies,
+    * prohibitive when the key space is itself corpus-sized (URLs, n-grams,
+    * session ids). The sketch's aggregation key space is depth×width
+    * REGARDLESS of corpus size, so map-side partial aggregation collapses
+    * every task's stream to at most depth×width cells and the shuffle
+    * carries only those — frequency estimation with no token-keyed shuffle
+    * at any scale. Estimates (min over rows of the probed cells) carry the
+    * classical one-sided error: never below the true count, over by at most
+    * εN with probability 1-δ at width=⌈e/ε⌉, depth=⌈ln 1/δ⌉. Hashes use the
+    * shared 60-bit md5 (salt `r || ":cms:"`), so the DuckDB oracle replays
+    * every cell — including hash collisions — bit-for-bit.
+    */
+  def cmsCells(docs: DataFrame, depth: Int, width: Int): DataFrame =
+    withWs(docs, lower_ = true)
+      .select(explode(col("ws")).as("token"))
+      .select(col("token"),
+              explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("c", pmod(hash64(concat(col("r").cast(StringType),
+                                          lit(":cms:"), col("token"))),
+                            lit(width.toLong)))
+      .groupBy("r", "c").agg(count(lit(1)).as("n"))
+
+  /** Sketch-quality evaluation: for the exact top-k tokens, the Count-Min
+    * estimate next to the true count (`overcount = n_cms - n_total >= 0`,
+    * pinned by spec). The probe joins the top-k's depth positions against
+    * the broadcast cell frame and takes the per-token min — the same dial
+    * surface as the ANN recall queries: what the fixed-memory compression
+    * costs in accuracy at the chosen width.
+    */
+  def cmsTopKEvaluate(docs: DataFrame, topK: Int,
+                      depth: Int, width: Int): DataFrame = {
+    val cells = cmsCells(docs, depth, width)
+    val probes = vocabulary(docs, topK)
+      .select(col("token"), col("n_total"), col("rank"),
+              explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("c", pmod(hash64(concat(col("r").cast(StringType),
+                                          lit(":cms:"), col("token"))),
+                            lit(width.toLong)))
+    probes.join(broadcast(cells), Seq("r", "c"))
+      .groupBy("token", "n_total", "rank")
+      .agg(min(col("n")).as("n_cms"))
+      .withColumn("overcount", col("n_cms") - col("n_total"))
+      .select("token", "n_total", "n_cms", "overcount", "rank")
+  }
+
   /** GPT-2-shaped subword pre-tokenization: contractions split off, a
     * word/number/punctuation run (with its leading space) is one piece,
     * residual whitespace runs are one piece. Deliberately RE2-portable —

@@ -322,6 +322,18 @@ object Pipeline {
                                 md5(substring(col("text"), 1, 30)))
         .select("doc_id", "source").orderBy("doc_id")
     }),
+    "dedup_bloom" -> ((s, d) => {
+      // fixed-memory face of dedup_cross_corpus: same content key, but the
+      // reference corpus collapses to a 1024-bit Bloom filter (k=3); small m
+      // chosen to exercise real collisions — the oracle replays the false
+      // positives exactly
+      val dd = docs(s, d)
+      Decontam.bloomFlag(dd.filter(col("source") =!= "src0"),
+                         dd.filter(col("source") === "src0"),
+                         md5(substring(col("text"), 1, 30)),
+                         mBits = 1024, k = 3)
+        .select("doc_id", "source", "possibly_dup").orderBy("doc_id")
+    }),
 
     // ---- PII redaction ----
     // the synthetic corpus carries no PII, so the query injects a
@@ -339,6 +351,11 @@ object Pipeline {
     // ---- corpus vocabulary / distribution stats ----
     "vocab_topk" -> ((s, d) =>
       TextAnalysis.vocabulary(docs(s, d), topK = 50).orderBy("rank")),
+    "vocab_cms" -> ((s, d) =>
+      // Count-Min estimates vs exact counts for the top-50 tokens; width=32
+      // forces collisions on this corpus so overcount is a real signal
+      TextAnalysis.cmsTopKEvaluate(docs(s, d), topK = 50,
+                                   depth = 4, width = 32).orderBy("rank")),
     "corpus_length_stats" -> ((s, d) =>
       TextAnalysis.lengthStats(docs(s, d), by = "source").orderBy("source")),
 
@@ -1506,6 +1523,24 @@ GROUP BY 1 ORDER BY 1"""
                            AND md5(substr(b.text, 1, 30)) = md5(substr(a.text, 1, 30)))
          ORDER BY doc_id""",
 
+    // the Bloom filter replayed exactly: b's set bits as a position set,
+    // a's k salted probes counted against it (pos IN over a set with no
+    // match yields NULL for null keys → excluded by FILTER, matching the
+    // Spark side's coalesce(..., false))
+    "dedup_bloom" ->
+      """WITH bpos AS (
+           SELECT DISTINCT (CAST('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':'
+                    || md5(substr(b.text, 1, 30))), 1, 15) AS BIGINT) % 1024) AS pos
+           FROM documents b, range(3) t(i) WHERE b.source = 'src0'),
+         cand AS (
+           SELECT a.doc_id, a.source,
+             (CAST('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':'
+                || md5(substr(a.text, 1, 30))), 1, 15) AS BIGINT) % 1024) AS pos
+           FROM documents a, range(3) t(i) WHERE a.source <> 'src0')
+         SELECT doc_id, source,
+           (COUNT(*) FILTER (WHERE pos IN (SELECT pos FROM bpos)) = 3) AS possibly_dup
+         FROM cand GROUP BY doc_id, source ORDER BY doc_id""",
+
     // PII: identical injected trailer; counts on the progressively redacted
     // text (stage i counts pattern i after patterns < i replaced), mirroring
     // Redact.piiStats' scanLeft
@@ -1551,6 +1586,33 @@ GROUP BY 1 ORDER BY 1"""
          SELECT token, CAST(n_total AS BIGINT) AS n_total,
            CAST(n_docs AS BIGINT) AS n_docs, CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= 50 ORDER BY rank""",
+
+    // the Count-Min sketch replayed exactly: cells from the salted 60-bit
+    // md5 over the token stream, estimates = min over the probed cells
+    "vocab_cms" ->
+      raw"""WITH w AS (SELECT doc_id,
+              unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> len(x) > 0)) AS token
+            FROM documents),
+         cells AS (SELECT t.i AS r,
+              (CAST('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':cms:' || token),
+                    1, 15) AS BIGINT) % 32) AS c,
+              COUNT(*) AS n
+            FROM w, range(4) t(i) GROUP BY 1, 2),
+         agg AS (SELECT token, COUNT(*) AS n_total FROM w GROUP BY 1),
+         top AS (SELECT token, n_total,
+                   ROW_NUMBER() OVER (ORDER BY n_total DESC, token) AS rank
+                 FROM agg),
+         probes AS (SELECT token, n_total, rank, t.i AS r,
+              (CAST('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':cms:' || token),
+                    1, 15) AS BIGINT) % 32) AS c
+            FROM top, range(4) t(i) WHERE rank <= 50)
+         SELECT p.token, CAST(p.n_total AS BIGINT) AS n_total,
+           CAST(MIN(cells.n) AS BIGINT) AS n_cms,
+           CAST(MIN(cells.n) - p.n_total AS BIGINT) AS overcount,
+           CAST(p.rank AS BIGINT) AS rank
+         FROM probes p JOIN cells ON p.r = cells.r AND p.c = cells.c
+         GROUP BY p.token, p.n_total, p.rank ORDER BY rank""",
 
     // exact interpolated percentiles: Spark `percentile` and DuckDB
     // `quantile_cont` share the p*(n-1) linear-interpolation definition

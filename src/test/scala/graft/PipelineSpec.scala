@@ -44,6 +44,36 @@ class PipelineSpec extends SparkSpecBase {
            "DotProduct fell out of whole-stage codegen")
   }
 
+  test("bloom membership: no false negatives, zero exchanges on the probe side") {
+    import graft.pipeline.Decontam
+    val a = docs.filter(col("source") =!= "src0")
+    val b = docs.filter(col("source") === "src0")
+    val key = md5(substring(col("text"), 1, 30))
+    val flagged = Decontam.bloomFlag(a, b, key, mBits = 1024, k = 3)
+    // one-sided guarantee: every doc the exact left-anti removes must be
+    // flagged possibly_dup (false negatives would silently keep dups)
+    val dupIds = a.select("doc_id")
+      .except(Decontam.crossCorpusDedup(a, b, key).select("doc_id"))
+    val missed = dupIds
+      .join(flagged.filter(!col("possibly_dup")), "doc_id").count()
+    assert(missed == 0, s"bloom filter missed $missed exact duplicates")
+    // the probe is a pure projection: the corpus side never shuffles
+    val plan = flagged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+           "bloom probe side should have zero exchanges")
+  }
+
+  test("count-min estimates are never below the exact counts") {
+    val ev = TextAnalysis.cmsTopKEvaluate(docs, topK = 20, depth = 4, width = 32)
+    assert(ev.filter(col("n_cms") < col("n_total")).count() == 0,
+           "CMS produced an estimate below the true count")
+    // and at a collision-free width the estimates are exact
+    val wide = TextAnalysis.cmsTopKEvaluate(docs, topK = 20,
+                                            depth = 4, width = 1 << 16)
+    assert(wide.filter(col("overcount") =!= 0L).count() == 0,
+           "collision-free CMS should match exact counts")
+  }
+
   test("minhash LSH candidates contain every exact-high-Jaccard pair") {
     // LSH with 4 bands of 4 rows has near-certain recall at jaccard >= 0.9
     val exact = Dedup.ngramJaccardPairs(docs, 3, 0.9, "source")
