@@ -307,6 +307,67 @@ object TextAnalysis {
       .select("token", "n_total", "n_cms", "overcount", "rank")
   }
 
+  /** HyperLogLog cardinality estimation (Flajolet et al. 2007) with exact
+    * evaluation — the third fixed-memory sketch face (membership =
+    * [[Decontam.bloomFlag]], frequency = [[cmsCells]], cardinality = this):
+    * per group, `m` registers hold the max leading-zero rank of the hashed
+    * keys landing in each bucket, and the harmonic-mean estimate reads off
+    * distinct-count without ever shuffling the key. The register aggregation
+    * key space is groups×m REGARDLESS of key cardinality — map-side partial
+    * max absorbs the stream, exactly the shape `count(DISTINCT key)` cannot
+    * have (its shuffle carries every distinct key).
+    *
+    * Replayability: bucket = low log2(m) bits of the shared 60-bit md5
+    * ([[TextPrep.hash64]]); rank = leading zeros of the remaining bits + 1,
+    * computed via the exact `bin`/`lpad`/`ltrim` string route both engines
+    * share. The harmonic sum is kept in INTEGER arithmetic
+    * (Σ 2^(p+1−rank), empty registers included) so it is order-independent
+    * and bit-exact across engines; only the final α·m²·2^(p+1)/S division
+    * (and the standard linear-counting branch for small ranges) is floating
+    * point — one IEEE division, deterministic, rounded to 6 decimals like
+    * every float the oracle compares. Output per group: exact distinct
+    * count, the HLL estimate, and the signed relative error in percent
+    * (theoretical σ = 1.04/√m ≈ 13 % at m=64; the spec pins a 3σ envelope).
+    */
+  def hllCardinality(df: DataFrame, key: org.apache.spark.sql.Column,
+                     groupName: String, m: Int = 64): DataFrame = {
+    require(m > 0 && Integer.bitCount(m) == 1, "m must be a power of two")
+    val b = Integer.numberOfTrailingZeros(m)
+    val p = 60 - b // value bit-width after the bucket bits
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
+    val c = alpha * m * m * math.pow(2.0, p + 1) // scaled alpha*m^2 constant
+    val hv = hash64(key)
+    val v = shiftright(hv, b)
+    val rank = lit(p + 1) - length(ltrim(lpad(bin(v), p, "0"), "0"))
+    val regs = df
+      .select(col(groupName).as("grp"), pmod(hv, lit(m.toLong)).as("bucket"),
+              rank.as("rank"))
+      .groupBy("grp", "bucket").agg(max(col("rank")).as("r"))
+    val agg = regs.groupBy("grp").agg(
+      count(lit(1)).as("nb"),
+      sum(call_function("shiftleft", lit(1L),
+                        (lit(p + 1) - col("r")).cast(IntegerType))).as("s_present"))
+    val est = agg
+      .withColumn("v", lit(m.toLong) - col("nb"))
+      .withColumn("s", col("s_present") + col("v") * lit(1L << (p + 1)))
+      .withColumn("e",
+        when((lit(c) / col("s")) <= lit(2.5 * m) && col("v") > 0,
+             lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(lit(c) / col("s")))
+    val exact = df.groupBy(col(groupName).as("grp"))
+      .agg(countDistinct(key).as("n_exact"))
+    est.join(exact, "grp")
+      .select(col("grp").as(groupName), col("n_exact"),
+              round(col("e"), 6).as("n_hll"),
+              round((col("e") - col("n_exact")) / col("n_exact") * 100, 6)
+                .as("err_pct"))
+  }
+
   /** GPT-2-shaped subword pre-tokenization: contractions split off, a
     * word/number/punctuation run (with its leading space) is one piece,
     * residual whitespace runs are one piece. Deliberately RE2-portable —

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.pipeline.{Decontam, Dedup, LanguageModel, Multimodal, Packing, Redact, Sampling, Similarity, TextAnalysis, TrainingPrep}
+import graft.pipeline.{Decontam, Dedup, LanguageModel, Multimodal, Packing, Redact, Sampling, Similarity, TextAnalysis, TextPrep, TrainingPrep}
 
 /** Training-data-pipeline operator suite over `documents` and `embeddings`,
   * each with a DuckDB oracle (see the md5-hash parity note in
@@ -356,6 +356,15 @@ object Pipeline {
       // forces collisions on this corpus so overcount is a real signal
       TextAnalysis.cmsTopKEvaluate(docs(s, d), topK = 50,
                                    depth = 4, width = 32).orderBy("rank")),
+    "corpus_distinct_hll" -> ((s, d) => {
+      // HLL estimate vs exact distinct 5-gram shingle count per source —
+      // 64 registers per group replacing a distinct-key shuffle
+      val sh = docs(s, d).select(col("source"),
+        explode(TextPrep.shingles(TextPrep.words(col("text")), 5))
+          .as("shingle"))
+      TextAnalysis.hllCardinality(sh, col("shingle"), "source", m = 64)
+        .orderBy("source")
+    }),
     "corpus_length_stats" -> ((s, d) =>
       TextAnalysis.lengthStats(docs(s, d), by = "source").orderBy("source")),
 
@@ -1613,6 +1622,37 @@ GROUP BY 1 ORDER BY 1"""
            CAST(p.rank AS BIGINT) AS rank
          FROM probes p JOIN cells ON p.r = cells.r AND p.c = cells.c
          GROUP BY p.token, p.n_total, p.rank ORDER BY rank""",
+
+    // the HLL registers replayed exactly: bucket = low 6 bits of the 60-bit
+    // md5, rank via the shared bin/lpad/ltrim leading-zero route, harmonic
+    // sum in integer arithmetic (order-independent); the one double division
+    // uses the identical scaled-alpha constant on both engines
+    "corpus_distinct_hll" -> {
+      val c = 0.709 * 64 * 64 * math.pow(2.0, 55) // alpha_64 * m^2 * 2^(p+1)
+      raw"""WITH ws_t AS (SELECT source,
+              list_filter(regexp_split_to_array(trim(text), '\s+'), w -> len(w) > 0) AS ws
+            FROM documents),
+         sh AS (SELECT source,
+              unnest(list_transform(range(1, greatest(len(ws) - 3, 1)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS shingle
+            FROM ws_t WHERE len(ws) >= 5),
+         hv AS (SELECT source, shingle, ${h64("shingle")} AS h FROM sh),
+         regs AS (SELECT source, h % 64 AS bucket,
+              MAX(55 - length(ltrim(lpad(bin(h // 64), 54, '0'), '0'))) AS r
+            FROM hv GROUP BY 1, 2),
+         agg AS (SELECT source, COUNT(*) AS nb,
+              SUM(1::BIGINT << (55 - r)) AS s_present FROM regs GROUP BY 1),
+         est AS (SELECT source, (64 - nb) AS v,
+              s_present + (64 - nb) * (1::BIGINT << 55) AS s FROM agg),
+         fin AS (SELECT source,
+              CASE WHEN ($c / s) <= 160.0 AND v > 0
+                   THEN 64.0 * ln(64.0 / v) ELSE $c / s END AS e FROM est),
+         ex AS (SELECT source, COUNT(DISTINCT shingle) AS n_exact FROM sh GROUP BY 1)
+         SELECT f.source, CAST(ex.n_exact AS BIGINT) AS n_exact,
+           ROUND(e, 6) AS n_hll,
+           ROUND((e - ex.n_exact) / ex.n_exact * 100, 6) AS err_pct
+         FROM fin f JOIN ex ON f.source = ex.source ORDER BY f.source"""
+    },
 
     // exact interpolated percentiles: Spark `percentile` and DuckDB
     // `quantile_cont` share the p*(n-1) linear-interpolation definition

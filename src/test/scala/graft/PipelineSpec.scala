@@ -74,6 +74,19 @@ class PipelineSpec extends SparkSpecBase {
            "collision-free CMS should match exact counts")
   }
 
+  test("hyperloglog estimates stay inside the 3-sigma envelope per group") {
+    import graft.pipeline.TextPrep
+    val sh = docs.select(col("source"),
+      explode(TextPrep.shingles(TextPrep.words(col("text")), 5)).as("shingle"))
+    val ev = TextAnalysis.hllCardinality(sh, col("shingle"), "source", m = 64)
+    // theoretical sigma = 1.04/sqrt(64) ~ 13 %; the deterministic hash makes
+    // this exact on fixed data, but 3 sigma is the design envelope
+    val out = ev.filter(abs(col("err_pct")) > 39.0).count()
+    assert(out == 0, s"$out groups outside the 3-sigma HLL envelope")
+    // the estimate column exists for every group with a non-null value
+    assert(ev.filter(col("n_hll").isNull).count() == 0)
+  }
+
   test("minhash LSH candidates contain every exact-high-Jaccard pair") {
     // LSH with 4 bands of 4 rows has near-certain recall at jaccard >= 0.9
     val exact = Dedup.ngramJaccardPairs(docs, 3, 0.9, "source")
