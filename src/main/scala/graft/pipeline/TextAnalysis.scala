@@ -241,9 +241,11 @@ object TextAnalysis {
     * vocabulary). The token key is naturally skewed (Zipf); the partial
     * aggregation absorbs the skew before the shuffle.
     */
-  def vocabulary(docs: DataFrame, topK: Int): DataFrame = {
-    val tok = withWs(docs, lower_ = true)
-      .select(col("doc_id"), explode(col("ws")).as("token"))
+  def vocabulary(docs: DataFrame, topK: Int): DataFrame =
+    vocabularyFrom(withWs(docs, lower_ = true)
+      .select(col("doc_id"), explode(col("ws")).as("token")), topK)
+
+  private def vocabularyFrom(tok: DataFrame, topK: Int): DataFrame = {
     // two-level aggregate: (token, doc) partial counts combine map-side, so
     // the shuffle carries one row per distinct (token, doc), not per token
     // occurrence
@@ -275,8 +277,11 @@ object TextAnalysis {
     * every cell — including hash collisions — bit-for-bit.
     */
   def cmsCells(docs: DataFrame, depth: Int, width: Int): DataFrame =
-    withWs(docs, lower_ = true)
-      .select(explode(col("ws")).as("token"))
+    cmsCellsFrom(withWs(docs, lower_ = true)
+      .select(explode(col("ws")).as("token")), depth, width)
+
+  private def cmsCellsFrom(tok: DataFrame, depth: Int, width: Int): DataFrame =
+    tok
       .select(col("token"),
               explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .withColumn("c", pmod(hash64(concat(col("r").cast(StringType),
@@ -293,8 +298,13 @@ object TextAnalysis {
     */
   def cmsTopKEvaluate(docs: DataFrame, topK: Int,
                       depth: Int, width: Int): DataFrame = {
-    val cells = cmsCells(docs, depth, width)
-    val probes = vocabulary(docs, topK)
+    // one tokenization pass shared by the sketch and the exact side (the
+    // lineage break stops the exploded token generator re-inlining into
+    // both consumers' scans)
+    val tok = graft.util.Fixpoint.materialize(withWs(docs, lower_ = true)
+      .select(col("doc_id"), explode(col("ws")).as("token")))
+    val cells = cmsCellsFrom(tok, depth, width)
+    val probes = vocabularyFrom(tok, topK)
       .select(col("token"), col("n_total"), col("rank"),
               explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .withColumn("c", pmod(hash64(concat(col("r").cast(StringType),
@@ -341,11 +351,18 @@ object TextAnalysis {
       case _  => 0.7213 / (1 + 1.079 / m)
     }
     val c = alpha * m * m * math.pow(2.0, p + 1) // scaled alpha*m^2 constant
-    val hv = hash64(key)
+    // materialize the keyed projection ONCE: the frame feeds both the
+    // register aggregation and the exact evaluation side, and without the
+    // lineage break InferFiltersFromGenerate re-inlines an exploded key's
+    // generator into every consumer (the measured text_winnow trap — 15s
+    // instead of ~2s at sf0.1 on a shingle key)
+    val keyed = graft.util.Fixpoint.materialize(
+      df.select(col(groupName).as("grp"), key.as("__k")))
+    val hv = hash64(col("__k"))
     val v = shiftright(hv, b)
     val rank = lit(p + 1) - length(ltrim(lpad(bin(v), p, "0"), "0"))
-    val regs = df
-      .select(col(groupName).as("grp"), pmod(hv, lit(m.toLong)).as("bucket"),
+    val regs = keyed
+      .select(col("grp"), pmod(hv, lit(m.toLong)).as("bucket"),
               rank.as("rank"))
       .groupBy("grp", "bucket").agg(max(col("rank")).as("r"))
     val agg = regs.groupBy("grp").agg(
@@ -359,8 +376,8 @@ object TextAnalysis {
         when((lit(c) / col("s")) <= lit(2.5 * m) && col("v") > 0,
              lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
           .otherwise(lit(c) / col("s")))
-    val exact = df.groupBy(col(groupName).as("grp"))
-      .agg(countDistinct(key).as("n_exact"))
+    val exact = keyed.groupBy("grp")
+      .agg(countDistinct(col("__k")).as("n_exact"))
     est.join(exact, "grp")
       .select(col("grp").as(groupName), col("n_exact"),
               round(col("e"), 6).as("n_hll"),

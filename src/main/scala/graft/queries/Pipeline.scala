@@ -358,10 +358,14 @@ object Pipeline {
                                    depth = 4, width = 32).orderBy("rank")),
     "corpus_distinct_hll" -> ((s, d) => {
       // HLL estimate vs exact distinct 5-gram shingle count per source —
-      // 64 registers per group replacing a distinct-key shuffle
-      val sh = docs(s, d).select(col("source"),
-        explode(TextPrep.shingles(TextPrep.words(col("text")), 5))
-          .as("shingle"))
+      // 64 registers per group replacing a distinct-key shuffle. Project
+      // `ws` BEFORE shingling (the shingleSet discipline): inlining
+      // words(text) into the gram lambda re-splits the text per element_at,
+      // O(len^2) per doc — measured 16s vs 1s at sf0.1
+      val sh = docs(s, d)
+        .select(col("source"), TextPrep.words(col("text")).as("ws"))
+        .select(col("source"),
+                explode(TextPrep.shingles(col("ws"), 5)).as("shingle"))
       TextAnalysis.hllCardinality(sh, col("shingle"), "source", m = 64)
         .orderBy("source")
     }),

@@ -76,8 +76,10 @@ class PipelineSpec extends SparkSpecBase {
 
   test("hyperloglog estimates stay inside the 3-sigma envelope per group") {
     import graft.pipeline.TextPrep
-    val sh = docs.select(col("source"),
-      explode(TextPrep.shingles(TextPrep.words(col("text")), 5)).as("shingle"))
+    val sh = docs
+      .select(col("source"), TextPrep.words(col("text")).as("ws"))
+      .select(col("source"),
+              explode(TextPrep.shingles(col("ws"), 5)).as("shingle"))
     val ev = TextAnalysis.hllCardinality(sh, col("shingle"), "source", m = 64)
     // theoretical sigma = 1.04/sqrt(64) ~ 13 %; the deterministic hash makes
     // this exact on fixed data, but 3 sigma is the design envelope
