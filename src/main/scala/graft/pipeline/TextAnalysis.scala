@@ -272,22 +272,41 @@ object TextAnalysis {
     * carries only those — frequency estimation with no token-keyed shuffle
     * at any scale. Estimates (min over rows of the probed cells) carry the
     * classical one-sided error: never below the true count, over by at most
-    * εN with probability 1-δ at width=⌈e/ε⌉, depth=⌈ln 1/δ⌉. Hashes use the
-    * shared 60-bit md5 (salt `r || ":cms:"`), so the DuckDB oracle replays
-    * every cell — including hash collisions — bit-for-bit.
+    * εN with probability 1-δ at width=⌈e/ε⌉, depth=⌈ln 1/δ⌉. Each key is
+    * hashed ONCE with the shared 60-bit md5 and row r reads its own
+    * disjoint log2(width)-bit slice (see [[cmsBits]]), so the DuckDB oracle
+    * replays every cell — including hash collisions — with integer shifts,
+    * bit-for-bit.
     */
   def cmsCells(docs: DataFrame, depth: Int, width: Int): DataFrame =
     cmsCellsFrom(withWs(docs, lower_ = true)
       .select(explode(col("ws")).as("token")), depth, width)
 
-  private def cmsCellsFrom(tok: DataFrame, depth: Int, width: Int): DataFrame =
+  /** Bits per CMS row, with the power-of-two and 60-bit-budget checks the
+    * one-hash-per-key construction needs: row r reads bits
+    * [r·b, (r+1)·b) of the shared 60-bit md5 — one hash per occurrence
+    * instead of depth (measured 4× less hashing = the difference between a
+    * linear and a super-linear sf0.1→sf1 exponent), with the disjoint
+    * slices giving the per-row independence the sketch bound needs.
+    */
+  private def cmsBits(depth: Int, width: Int): Int = {
+    require(width > 1 && Integer.bitCount(width) == 1,
+            "width must be a power of two")
+    val b = Integer.numberOfTrailingZeros(width)
+    require(depth * b <= 60, s"depth*log2(width) = ${depth * b} exceeds the 60 hash bits")
+    b
+  }
+
+  private def cmsCellsFrom(tok: DataFrame, depth: Int, width: Int): DataFrame = {
+    val b = cmsBits(depth, width)
     tok
-      .select(col("token"),
-              explode(sequence(lit(0), lit(depth - 1))).as("r"))
-      .withColumn("c", pmod(hash64(concat(col("r").cast(StringType),
-                                          lit(":cms:"), col("token"))),
+      .select(hash64(col("token")).as("h"))
+      .select(col("h"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("c", pmod(call_function("shiftright", col("h"),
+                              (col("r") * lit(b)).cast(IntegerType)),
                             lit(width.toLong)))
       .groupBy("r", "c").agg(count(lit(1)).as("n"))
+  }
 
   /** Sketch-quality evaluation: for the exact top-k tokens, the Count-Min
     * estimate next to the true count (`overcount = n_cms - n_total >= 0`,
@@ -298,17 +317,20 @@ object TextAnalysis {
     */
   def cmsTopKEvaluate(docs: DataFrame, topK: Int,
                       depth: Int, width: Int): DataFrame = {
-    // one tokenization pass shared by the sketch and the exact side (the
-    // lineage break stops the exploded token generator re-inlining into
-    // both consumers' scans)
-    val tok = graft.util.Fixpoint.materialize(withWs(docs, lower_ = true)
-      .select(col("doc_id"), explode(col("ws")).as("token")))
+    // two scan passes (sketch + exact), each tokenizing from the projected
+    // ws array — a checkpoint of the token stream was measured strictly
+    // worse at both sf0.1 and sf1 (it pays a full token-frame write that
+    // the re-scan amortizes away)
+    val tok = withWs(docs, lower_ = true)
+      .select(col("doc_id"), explode(col("ws")).as("token"))
     val cells = cmsCellsFrom(tok, depth, width)
+    val b = cmsBits(depth, width)
     val probes = vocabularyFrom(tok, topK)
-      .select(col("token"), col("n_total"), col("rank"),
+      .withColumn("h", hash64(col("token")))
+      .select(col("token"), col("n_total"), col("rank"), col("h"),
               explode(sequence(lit(0), lit(depth - 1))).as("r"))
-      .withColumn("c", pmod(hash64(concat(col("r").cast(StringType),
-                                          lit(":cms:"), col("token"))),
+      .withColumn("c", pmod(call_function("shiftright", col("h"),
+                              (col("r") * lit(b)).cast(IntegerType)),
                             lit(width.toLong)))
     probes.join(broadcast(cells), Seq("r", "c"))
       .groupBy("token", "n_total", "rank")
@@ -351,34 +373,31 @@ object TextAnalysis {
       case _  => 0.7213 / (1 + 1.079 / m)
     }
     val c = alpha * m * m * math.pow(2.0, p + 1) // scaled alpha*m^2 constant
-    // materialize the keyed projection ONCE: the frame feeds both the
-    // register aggregation and the exact evaluation side, and without the
-    // lineage break InferFiltersFromGenerate re-inlines an exploded key's
-    // generator into every consumer (the measured text_winnow trap — 15s
-    // instead of ~2s at sf0.1 on a shingle key)
-    val keyed = graft.util.Fixpoint.materialize(
-      df.select(col(groupName).as("grp"), key.as("__k")))
+    val keyed = df.select(col(groupName).as("grp"), key.as("__k"))
     val hv = hash64(col("__k"))
     val v = shiftright(hv, b)
     val rank = lit(p + 1) - length(ltrim(lpad(bin(v), p, "0"), "0"))
+    // ONE pass over the keyed stream: buckets partition the key space by
+    // hash, so the exact evaluation count is the sum of per-bucket distinct
+    // counts — the register max and the exact side share the same
+    // (grp, bucket) aggregation instead of scanning the input twice
     val regs = keyed
       .select(col("grp"), pmod(hv, lit(m.toLong)).as("bucket"),
-              rank.as("rank"))
-      .groupBy("grp", "bucket").agg(max(col("rank")).as("r"))
+              rank.as("rank"), col("__k"))
+      .groupBy("grp", "bucket")
+      .agg(max(col("rank")).as("r"), countDistinct(col("__k")).as("nd"))
     val agg = regs.groupBy("grp").agg(
       count(lit(1)).as("nb"),
       sum(call_function("shiftleft", lit(1L),
-                        (lit(p + 1) - col("r")).cast(IntegerType))).as("s_present"))
-    val est = agg
+                        (lit(p + 1) - col("r")).cast(IntegerType))).as("s_present"),
+      sum(col("nd")).as("n_exact"))
+    agg
       .withColumn("v", lit(m.toLong) - col("nb"))
       .withColumn("s", col("s_present") + col("v") * lit(1L << (p + 1)))
       .withColumn("e",
         when((lit(c) / col("s")) <= lit(2.5 * m) && col("v") > 0,
              lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
           .otherwise(lit(c) / col("s")))
-    val exact = keyed.groupBy("grp")
-      .agg(countDistinct(col("__k")).as("n_exact"))
-    est.join(exact, "grp")
       .select(col("grp").as(groupName), col("n_exact"),
               round(col("e"), 6).as("n_hll"),
               round((col("e") - col("n_exact")) / col("n_exact") * 100, 6)

@@ -1600,16 +1600,16 @@ GROUP BY 1 ORDER BY 1"""
            CAST(n_docs AS BIGINT) AS n_docs, CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= 50 ORDER BY rank""",
 
-    // the Count-Min sketch replayed exactly: cells from the salted 60-bit
-    // md5 over the token stream, estimates = min over the probed cells
+    // the Count-Min sketch replayed exactly: one 60-bit md5 per token, row r
+    // reads its disjoint 5-bit slice (h >> 5r) % 32; estimates = min over
+    // the probed cells
     "vocab_cms" ->
       raw"""WITH w AS (SELECT doc_id,
               unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                      x -> len(x) > 0)) AS token
             FROM documents),
          cells AS (SELECT t.i AS r,
-              (CAST('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':cms:' || token),
-                    1, 15) AS BIGINT) % 32) AS c,
+              ((${h64("token")} >> (5 * t.i)) % 32) AS c,
               COUNT(*) AS n
             FROM w, range(4) t(i) GROUP BY 1, 2),
          agg AS (SELECT token, COUNT(*) AS n_total FROM w GROUP BY 1),
@@ -1617,8 +1617,7 @@ GROUP BY 1 ORDER BY 1"""
                    ROW_NUMBER() OVER (ORDER BY n_total DESC, token) AS rank
                  FROM agg),
          probes AS (SELECT token, n_total, rank, t.i AS r,
-              (CAST('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':cms:' || token),
-                    1, 15) AS BIGINT) % 32) AS c
+              ((${h64("token")} >> (5 * t.i)) % 32) AS c
             FROM top, range(4) t(i) WHERE rank <= 50)
          SELECT p.token, CAST(p.n_total AS BIGINT) AS n_total,
            CAST(MIN(cells.n) AS BIGINT) AS n_cms,

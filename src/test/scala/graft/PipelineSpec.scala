@@ -67,9 +67,10 @@ class PipelineSpec extends SparkSpecBase {
     val ev = TextAnalysis.cmsTopKEvaluate(docs, topK = 20, depth = 4, width = 32)
     assert(ev.filter(col("n_cms") < col("n_total")).count() == 0,
            "CMS produced an estimate below the true count")
-    // and at a collision-free width the estimates are exact
+    // and at a collision-free width the estimates are exact (14 bits/row
+    // keeps depth*log2(width) inside the 60-bit hash budget)
     val wide = TextAnalysis.cmsTopKEvaluate(docs, topK = 20,
-                                            depth = 4, width = 1 << 16)
+                                            depth = 4, width = 1 << 14)
     assert(wide.filter(col("overcount") =!= 0L).count() == 0,
            "collision-free CMS should match exact counts")
   }
