@@ -297,7 +297,7 @@ object TextAnalysis {
     b
   }
 
-  private def cmsCellsFrom(tok: DataFrame, depth: Int, width: Int): DataFrame = {
+  private[graft] def cmsCellsFrom(tok: DataFrame, depth: Int, width: Int): DataFrame = {
     val b = cmsBits(depth, width)
     tok
       .select(hash64(col("token")).as("h"))

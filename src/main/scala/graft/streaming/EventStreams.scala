@@ -167,6 +167,75 @@ object EventStreams {
       }
   }
 
+  /** JVM replica of [[graft.pipeline.TextPrep.hash64]]: first 15 hex digits
+    * of md5, parsed base-16 — bit-identical to the column expression, so
+    * driver-side state operators probe the same positions the batch plans
+    * compute.
+    */
+  private[graft] def hash64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Streaming Bloom dedup — the streaming face of
+    * `Decontam.bloomFlag` with the IDENTICAL probe construction
+    * (`hash64(i || ":" || key) % mBits`): drop documents whose content key
+    * PROBABLY arrived before, with O(mBits) state per shard instead of
+    * `streamingExactDedup`'s O(distinct keys) seen-set — the fixed-memory
+    * dedup for unbounded ingestion where the key set itself would not fit.
+    *
+    * Sharding is by a hash of the content key, so equal keys always meet
+    * the same bitset: NO false negatives versus exact streaming dedup (a
+    * true duplicate is always dropped). The trade is the Bloom false
+    * positive: a first-seen document whose k positions were all set by
+    * other keys is wrongly dropped at the classical ~(1-e^(-kn/m))^k rate
+    * per shard — size mBits per expected keys-per-shard accordingly.
+    * Within a batch the lowest doc_id wins, as in `streamingExactDedup`.
+    */
+  def streamingBloomDedup(docs: Dataset[Doc], mBits: Int = 1024, k: Int = 3,
+                          shards: Int = 32): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    require(mBits > 0 && mBits % 64 == 0, "mBits must pack 64-bit words")
+    docs
+      .groupByKey(d => java.lang.Math.floorMod(hash64(d.content_key), shards.toLong))
+      .flatMapGroupsWithState[Array[Long], Doc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[Doc], state: GroupState[Array[Long]]) =>
+          val bits = state.getOption.getOrElse(new Array[Long](mBits / 64))
+          val kept = batch.toVector.sortBy(_.doc_id).filter { d =>
+            val ps = (0 until k).map(i =>
+              (hash64(s"$i:" + d.content_key) % mBits).toInt)
+            val dup = ps.forall(p => ((bits(p >> 6) >>> (p & 63)) & 1L) == 1L)
+            ps.foreach(p => bits(p >> 6) |= 1L << (p & 63))
+            !dup
+          }
+          state.update(bits)
+          kept.iterator
+      }
+  }
+
+  /** Streaming Count-Min sketch — the streaming face of
+    * `TextAnalysis.cmsCells` with IDENTICAL cell values: the sketch is a
+    * mergeable monoid (cells add), so Structured Streaming's stateful
+    * aggregation IS the operator — the same depth×width grouped count over
+    * the token stream, maintained incrementally per micro-batch. State is
+    * bounded at depth×width rows REGARDLESS of stream length (contrast
+    * `streamingExactDedup`'s O(distinct keys) seen-set) — the property that
+    * makes the sketch the standard frequency monitor over unbounded
+    * ingestion. Emit in Complete/Update mode; bit-parity with the batch
+    * operator over the same docs (accumulated across micro-batches) is
+    * pinned by StreamingSpec.
+    */
+  def streamingCmsCells(docs: Dataset[Doc],
+                        depth: Int = 4, width: Int = 32): DataFrame =
+    graft.pipeline.TextAnalysis.cmsCellsFrom(
+      docs.toDF()
+        .withColumn("ws", graft.pipeline.TextPrep.words(lower(col("text"))))
+        .select(explode(col("ws")).as("token")),
+      depth, width)
+
   /** Token-budget admission at ingest — the streaming face of
     * Sampling.tokenBudgetSample with IDENTICAL cutoff semantics: docs order
     * by the batch operator's salted hash (hash64(key || ":budget"), key),

@@ -264,6 +264,62 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming bloom dedup drops cross-batch duplicates with fixed bitset state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.Doc
+    // the JVM hash64 replica is bit-identical to the column expression —
+    // the property that makes the streaming probes the batch operator's
+    val keys = Seq("k1", "0:k1", "weird key é中", "")
+    val colSide = keys.toDF("s")
+      .select(graft.pipeline.TextPrep.hash64(org.apache.spark.sql.functions.col("s")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(colSide == keys.map(EventStreams.hash64),
+           "JVM hash64 replica diverges from the column expression")
+    val input = MemoryStream[Doc]
+    val q = EventStreams.streamingBloomDedup(input.toDS(), mBits = 1024, k = 3)
+      .writeStream.format("memory").queryName("bloomed")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: k1 twice (lowest id wins), k2 once
+      input.addData(Doc(5, "k1", "a"), Doc(2, "k1", "a"), Doc(3, "k2", "b"))
+      q.processAllAvailable()
+      // batch 2: k1 again (bitset remembers across batches), k3 new
+      input.addData(Doc(9, "k1", "a"), Doc(7, "k3", "c"))
+      q.processAllAvailable()
+      val out = spark.table("bloomed").as[Doc].collect()
+        .map(d => (d.doc_id, d.content_key)).toSet
+      assert(out == Set((2L, "k1"), (3L, "k2"), (7L, "k3")),
+             s"bloom dedup kept: $out")
+    } finally q.stop()
+  }
+
+  test("streaming count-min sketch matches the batch cells bit-for-bit across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.Doc
+    val d1 = Seq(Doc(1, "k1", "the quick brown fox jumps over the lazy dog"),
+                 Doc(2, "k2", "the quick brown fox again and again"))
+    val d2 = Seq(Doc(3, "k3", "entirely different tokens flow in the second batch"))
+    val input = MemoryStream[Doc]
+    val q = EventStreams.streamingCmsCells(input.toDS(), depth = 4, width = 32)
+      .writeStream.format("memory").queryName("cms_cells")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(d1: _*); q.processAllAvailable()
+      input.addData(d2: _*); q.processAllAvailable()
+      val streamed = spark.table("cms_cells").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.pipeline.TextAnalysis
+        .cmsCells((d1 ++ d2).toDF("doc_id", "content_key", "text"), 4, 32)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+             "streaming CMS cells diverge from the batch sketch")
+      // fixed state: never more than depth*width rows whatever the stream
+      assert(streamed.size <= 4 * 32)
+    } finally q.stop()
+  }
+
   test("streaming decontamination via foreachBatch against a static benchmark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
