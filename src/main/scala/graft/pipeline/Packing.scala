@@ -71,4 +71,49 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_tok_in_seq")).as("n_tokens"),
            sum(col(keyCol)).as("id_sum"))
+
+  /** Sliding-window chunking — packing's other face: where [[packSequences]]
+    * concatenates documents into fixed sequences, this splits each document
+    * into fixed-length token windows with overlap (`stride < chunkLen`),
+    * the standard retrieval/context-window preparation (RAG chunking, long-
+    * document pretraining with overlapping views). Window w starts at token
+    * w·stride and takes up to `chunkLen` tokens; a window is emitted only
+    * while it contributes tokens its predecessor did not (start <
+    * n − overlap, overlap = chunkLen − stride), so the tail is always
+    * covered, no window is contained in the previous one, and a document
+    * with at most `chunkLen` tokens yields exactly one whole-document
+    * chunk. Empty documents yield none.
+    *
+    * Output: (keyCol, chunk_idx, tok_start, n_tok, chunk_md5) — the md5 of
+    * the space-joined window, giving a content-addressed chunk manifest
+    * (dedup-able and oracle-checkable without shipping chunk text).
+    *
+    * Scale posture: a pure per-document projection + explode — ZERO
+    * shuffles (plan-guarded), output rows ∝ corpus tokens / stride. The
+    * token array is projected before the window slice (the established
+    * lambda-inlining discipline).
+    */
+  def chunkWindows(docs: DataFrame, chunkLen: Int, stride: Int,
+                   keyCol: String = "doc_id"): DataFrame = {
+    require(chunkLen > 0 && stride > 0 && stride <= chunkLen,
+            "need 0 < stride <= chunkLen")
+    docs
+      .select(col(keyCol), TextPrep.words(col("text")).as("ws"))
+      .withColumn("__n", size(col("ws")))
+      .filter(col("__n") > 0)
+      .select(col(keyCol), col("ws"), col("__n"),
+              explode(sequence(lit(0),
+                               greatest(col("__n") - (chunkLen - stride) - 1,
+                                        lit(0)),
+                               lit(stride)))
+                .as("tok_start"))
+      .select(col(keyCol),
+              expr(s"tok_start div $stride").as("chunk_idx"),
+              col("tok_start").cast("long").as("tok_start"),
+              least(lit(chunkLen), col("__n") - col("tok_start"))
+                .cast("long").as("n_tok"),
+              md5(concat_ws(" ",
+                slice(col("ws"), col("tok_start") + 1, lit(chunkLen))))
+                .as("chunk_md5"))
+  }
 }

@@ -443,6 +443,11 @@ object Pipeline {
     "pipeline_pack_sequences" -> ((s, d) =>
       Packing.packedManifest(docs(s, d), seqLen = 200L)
         .orderBy("source", "seq_id")),
+    "text_chunk_windows" -> ((s, d) =>
+      // RAG/long-doc chunking: 64-token windows, stride 48 (overlap 16),
+      // content-addressed manifest rows
+      Packing.chunkWindows(docs(s, d), chunkLen = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")),
     "pipeline_training_pack" -> ((s, d) => {
       val dd = docs(s, d)
       TrainingPrep.prepareAndPack(dd, dd.filter(col("doc_id") % 10 === 0),
@@ -1951,6 +1956,23 @@ GROUP BY 1 ORDER BY 1"""
            CAST(SUM(LEAST(e, (seq_id + 1) * 200) - GREATEST(st, seq_id * 200)) AS BIGINT) AS n_tokens,
            CAST(SUM(doc_id) AS BIGINT) AS id_sum
          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // chunk windows replayed exactly: starts = range(0, greatest(n-16, 1),
+    // 48) (emit only windows adding unseen tokens; overlap = 64-48 = 16),
+    // 1-based inclusive list slice, md5 of the space-joined window
+    "text_chunk_windows" ->
+      raw"""WITH t AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(text), '\s+'),
+                          w -> len(w) > 0) AS ws
+            FROM documents),
+         x AS (SELECT doc_id, ws, len(ws) AS n,
+              unnest(range(0, greatest(len(ws) - 16, 1), 48)) AS tok_start
+            FROM t WHERE len(ws) > 0)
+         SELECT doc_id, CAST(tok_start // 48 AS BIGINT) AS chunk_idx,
+           CAST(tok_start AS BIGINT) AS tok_start,
+           CAST(LEAST(64, n - tok_start) AS BIGINT) AS n_tok,
+           md5(array_to_string(ws[tok_start + 1 : tok_start + 64], ' ')) AS chunk_md5
+         FROM x ORDER BY doc_id, chunk_idx""",
 
     "text_perplexity" ->
       raw"""WITH tok AS (SELECT doc_id,

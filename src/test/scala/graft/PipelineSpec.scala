@@ -75,6 +75,26 @@ class PipelineSpec extends SparkSpecBase {
            "collision-free CMS should match exact counts")
   }
 
+  test("chunk windows: tail covered, stride spacing, one chunk for short docs, shuffle-free") {
+    import graft.pipeline.{Packing, TextPrep}
+    val ch = Packing.chunkWindows(docs, chunkLen = 64, stride = 48)
+    val n = docs.select(col("doc_id"),
+      size(TextPrep.words(col("text"))).as("n")).filter(col("n") > 0)
+    val last = ch.groupBy("doc_id")
+      .agg(max(col("tok_start") + col("n_tok")).as("covered"),
+           count(lit(1)).as("n_chunks"), max("chunk_idx").as("max_idx"))
+      .join(n, "doc_id")
+    // every document's final token is inside its last window
+    assert(last.filter(col("covered") =!= col("n")).count() == 0)
+    // chunk_idx is dense: max_idx + 1 == n_chunks (starts every 48 tokens)
+    assert(last.filter(col("max_idx") + 1 =!= col("n_chunks")).count() == 0)
+    // a document shorter than chunkLen yields exactly one whole-doc chunk
+    assert(last.filter(col("n") <= 64 && col("n_chunks") =!= 1).count() == 0)
+    // pure projection + explode: no exchange anywhere in the plan
+    val plan = ch.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "chunking should not shuffle")
+  }
+
   test("hyperloglog estimates stay inside the 3-sigma envelope per group") {
     import graft.pipeline.TextPrep
     val sh = docs
