@@ -27,6 +27,52 @@ object OwlSameAs {
     val edges = sa.select(col("s").as("src"), col("o").as("dst"))
       .unionByName(sa.select(col("o").as("src"), col("s").as("dst")))
       .distinct()
+    // owl:sameAs edges are EXPLICIT assertions — node-sized, not
+    // store-sized. Under a size guard, a driver union-find replaces the
+    // distributed fixpoint entirely (no per-round checkpoint/fingerprint
+    // overhead — measured 8.6s -> ~3s of the sf0.1 load); past the guard
+    // the min-label-propagation loop below handles pathological
+    // million-edge clique sets. Ordered union (larger root under smaller)
+    // makes each root its component's minimum, and the comparison is
+    // UTF-8 byte order — the same binary ordering min_by(canon, canon.lex)
+    // uses — so both paths produce the identical map.
+    val nEdges = edges.count()
+    if (nEdges <= 100000L) {
+      val rows = edges.collect()
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      def lt(a: String, b: String): Boolean =
+        java.util.Arrays.compare(a.getBytes(utf8), b.getBytes(utf8)) < 0
+      val term = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.Row]
+      val parent = scala.collection.mutable.Map.empty[String, String]
+      def find(x: String): String = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      rows.foreach { e =>
+        val (a, b) = (e.getStruct(0), e.getStruct(1))
+        Seq(a, b).foreach { t =>
+          val l = t.getString(1) // lex; clique members are IRIs
+          term.getOrElseUpdate(l, t)
+          parent.getOrElseUpdate(l, l)
+        }
+        val (ra, rb) = (find(a.getString(1)), find(b.getString(1)))
+        if (ra != rb) {
+          if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val out = parent.keys.toSeq.sorted.map { l =>
+        org.apache.spark.sql.Row(term(l), term(find(l)))
+      }
+      val spark = quads.sparkSession
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", Term.schema),
+          org.apache.spark.sql.types.StructField("canon", Term.schema))))
+    }
     // min-label propagation on term lex (terms in sameAs cliques are IRIs)
     var labels = Fixpoint.materialize(
       edges.select(col("src").as("node")).unionByName(edges.select(col("dst").as("node")))
@@ -64,7 +110,14 @@ object OwlSameAs {
     * product).
     */
   def canonicalize(quads: DataFrame): DataFrame = {
-    val m = canonicalMap(quads)
+    val m0 = canonicalMap(quads)
+    // the map is node-sized (only terms in sameAs cliques) — usually tiny
+    // next to the store. The fixpoint's localCheckpoint leaves Catalyst
+    // without size stats, so unhinted the three rewrite joins fall back to
+    // sort-merge over the full store; broadcast under the same size guard
+    // seededClosure uses (count is node-sized and already cheap), keep the
+    // shuffle plan for pathological million-member clique sets
+    val m = if (m0.count() <= 1000000L) broadcast(m0) else m0
     def canon(df: DataFrame, pos: String) =
       df.join(m.withColumnRenamed("node", s"__n_$pos").withColumnRenamed("canon", s"__c_$pos"),
               col(pos) === col(s"__n_$pos"), "left_outer")
