@@ -108,11 +108,13 @@ object Decontam {
     * This is [[crossCorpusDedup]]'s fixed-memory face: the exact left-anti
     * must broadcast (or shuffle) every distinct key of `b`, which at a
     * 100 TB reference corpus is itself terabytes; here `b` collapses to
-    * `mBits` bits (an `mBits/64`-long array literal baked into the plan —
-    * for a production 1e9-key filter at 1 % FP that is ~1.2 GB, still one
-    * broadcast instead of a key shuffle), and the probe side is a pure
-    * per-row projection: `k` md5 probes + `getbit` word tests, all
-    * codegen'd built-ins, ZERO exchanges on `a` (plan-guarded). Hashes use
+    * `mBits` bits — a plan literal up to 1 Mbit, and past that a broadcast
+    * one-row frame shipped once per executor (for a production 1e9-key
+    * filter at 1 % FP that is ~1.2 GB: one broadcast instead of a key
+    * shuffle, and never a per-task literal). The probe side stays a pure
+    * per-row projection either way: `k` md5 probes + `getbit` word tests,
+    * all codegen'd built-ins, `a` is NEVER shuffled (plan-guarded on both
+    * paths). Hashes use
     * the shared 60-bit md5 ([[TextPrep.hash64]], salt `i || ":"`), so the
     * DuckDB oracle replays the filter — including its false positives —
     * bit-for-bit. Null keys probe to null positions and flag `false`,
@@ -126,18 +128,45 @@ object Decontam {
       transform(sequence(lit(0), lit(k - 1)),
         i => pmod(hash64(concat(i.cast(StringType), lit(":"), keyCol)),
                   lit(mBits.toLong)))
-    // build side: b's distinct set bits, collapsed to the literal bitset
+    // build side: b's distinct set bits, collapsed to the bitset
     // (the reference corpus never joins the probe side at any size)
     val words = new Array[Long](mBits / 64)
     b.select(explode(positions(key)).as("pos")).filter(col("pos").isNotNull)
       .distinct().collect().map(_.getLong(0))
       .foreach(p => words(p.toInt >> 6) |= 1L << (p.toInt & 63))
-    val wordsLit = typedLit(words.toSeq)
-    def bitAt(p: org.apache.spark.sql.Column) =
-      getbit(element_at(wordsLit, shiftright(p.cast(IntegerType), 6) + lit(1)),
+    // small filters ride the plan as a literal (zero plan nodes added); a
+    // GB-scale filter would bloat every serialized task with the literal,
+    // so past the threshold the bitset ships ONCE per executor as a
+    // broadcast one-row frame cross-joined in (BroadcastExchange of one
+    // row; still no shuffle of `a`)
+    val threshold = 1 << 20
+    def bitAt(bits: org.apache.spark.sql.Column,
+              p: org.apache.spark.sql.Column) =
+      getbit(element_at(bits, shiftright(p.cast(IntegerType), 6) + lit(1)),
              p.bitwiseAND(lit(63L)).cast(IntegerType))
-    val hits = aggregate(positions(key), lit(0),
-      (acc, p) => acc + bitAt(p).cast(IntegerType))
-    a.withColumn("possibly_dup", coalesce(hits === lit(k), lit(false)))
+    def hits(bits: org.apache.spark.sql.Column,
+             ps: org.apache.spark.sql.Column) =
+      aggregate(ps, lit(0), (acc, p) => acc + bitAt(bits, p).cast(IntegerType))
+    if (mBits <= threshold)
+      a.withColumn("possibly_dup",
+        coalesce(hits(typedLit(words.toSeq), positions(key)) === lit(k),
+                 lit(false)))
+    else {
+      val one = broadcast(
+        a.sparkSession.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(words.toSeq)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__bloom_bits",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.LongType))))))
+      // positions project on the probe side BEFORE the one-row cross join,
+      // so each post-join expression references exactly one input
+      a.withColumn("__bloom_pos", positions(key))
+        .crossJoin(one)
+        .withColumn("possibly_dup",
+          coalesce(hits(col("__bloom_bits"), col("__bloom_pos")) === lit(k),
+                   lit(false)))
+        .drop("__bloom_bits", "__bloom_pos")
+    }
   }
 }

@@ -61,6 +61,18 @@ class PipelineSpec extends SparkSpecBase {
     val plan = flagged.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
            "bloom probe side should have zero exchanges")
+    // past the literal threshold the bitset ships as a broadcast one-row
+    // frame: flags identical, still no shuffle of the corpus side
+    val big = Decontam.bloomFlag(a, b, key, mBits = 1 << 21, k = 3)
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(bigPlan.contains("BroadcastExchange") &&
+             !bigPlan.contains("ShuffleExchange"),
+           "large-m bloom should broadcast the bitset and never shuffle")
+    // and the wide filter is collision-free on this corpus: flags == exact
+    val bigDups = big.filter(col("possibly_dup")).select("doc_id")
+    assert(bigDups.exceptAll(dupIds).count() == 0 &&
+             dupIds.exceptAll(bigDups).count() == 0,
+           "2^21-bit bloom should flag exactly the true duplicates here")
   }
 
   test("count-min estimates are never below the exact counts") {
