@@ -299,6 +299,44 @@ object Similarity {
     * aggregation; evaluating recall on a query SAMPLE is how index
     * quality is monitored at 100 TB.
     */
+  /** Johnson–Lindenstrauss sign random projection (Achlioptas 2003 / JL
+    * 1984): compress d-dim embeddings to `dOut` dims with a deterministic
+    * ±1 matrix — `sign(j,i) = +1` iff `hash64("rp:j:i")` is even, built
+    * driver-side with the bit-identical JVM md5 replica
+    * ([[TextPrep.hash64Jvm]]) and shipped as a dOut×d plan literal —
+    * scaled by 1/√dOut. Each projected coordinate is an in-order fold
+    * over the source vector rounded to 6 decimals (the [[cosine]] float
+    * discipline), so the DuckDB oracle rebuilds the identical projection
+    * from the same md5s. Output keeps the embedding-table schema
+    * (vec_id, embedding as array<double>), so every ANN operator runs
+    * unchanged on the compressed vectors.
+    *
+    * Scale posture: the complement to PQ (quantization) — projection is a
+    * pure per-row map (dOut·d multiply-adds, no hashing at row time since
+    * the matrix is a literal), cutting every downstream distance
+    * computation and shuffle byte count by d/dOut. recall@k vs the
+    * full-dimension ranking is the evaluation dial (ann_recall_rp).
+    */
+  def randomProjection(emb: DataFrame, dOut: Int, dIn: Int = 64): DataFrame = {
+    require(dOut > 0 && dIn > 0)
+    val signs: Seq[Seq[Double]] = (0 until dOut).map { j =>
+      (0 until dIn).map { i =>
+        if (TextPrep.hash64Jvm(s"rp:$j:$i") % 2 == 0) 1.0 else -1.0
+      }
+    }
+    val s = typedLit(signs)
+    val scale = math.sqrt(dOut.toDouble)
+    val e = asDouble(emb)
+    val proj = transform(sequence(lit(0), lit(dOut - 1)), j =>
+      round(
+        aggregate(sequence(lit(0), lit(dIn - 1)), lit(0.0),
+          (acc, i) => acc + element_at(element_at(s, (j + 1).cast(IntegerType)),
+                                       (i + 1).cast(IntegerType)) *
+            element_at(col("v"), (i + 1).cast(IntegerType)))
+          / lit(scale), 6))
+    e.select(col("vec_id"), proj.as("embedding"))
+  }
+
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
     val ap = approx.select(col("q_id"), col("vec_id"), lit(1L).as("__hit"))
     exact.select(col("q_id"), col("vec_id"))

@@ -20,6 +20,18 @@ object TextPrep {
   def hash64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** JVM replica of [[hash64]] — first 15 hex digits of md5 parsed base-16,
+    * bit-identical to the column expression (spec-pinned in StreamingSpec) —
+    * for driver-side constructions (streaming bitset probes, literal sign
+    * matrices) that must probe exactly what the column plans compute.
+    */
+  def hash64Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** Whitespace tokenization (empty tokens removed). */
   def words(text: Column): Column =
     filter(split(trim(text), "\\s+"), w => length(w) > 0)

@@ -208,6 +208,17 @@ object Pipeline {
           Similarity.bruteForceTopK(e, qs, k = 10))
         .orderBy("q_id")
     }),
+    "ann_recall_rp" -> ((s, d) => {
+      // recall@10 in the 16-dim JL sign projection vs the full 64-dim
+      // ranking — the dimension-reduction dial next to PQ's quantization
+      // dial: what 4x fewer distance flops cost in recall
+      val e = emb(s, d)
+      val p = Similarity.randomProjection(e, dOut = 16)
+      Similarity.recallAtK(
+          Similarity.bruteForceTopK(p, p.filter(col("vec_id") < 5), k = 10),
+          Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10))
+        .orderBy("q_id")
+    }),
     "ann_recall_lsh" -> ((s, d) => {
       // recall@10 of multiprobe LSH (8 planes, Hamming-1 probing) vs the
       // exact ranking — paired with ann_recall_ivf these are the two
@@ -991,6 +1002,39 @@ GROUP BY 1 ORDER BY 1"""
                    JOIN luts l ON l.q_id = p.q_id
                  WHERE c.vec_id <> p.q_id))
            WHERE rank <= 10),
+         ex AS (SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+           FROM (SELECT q_id, e_t.vec_id, ${cosSql("qv", "e_t.v")} AS score
+                 FROM e_t CROSS JOIN q WHERE e_t.vec_id <> q.q_id))
+           WHERE rank <= 10)
+         SELECT ex.q_id, COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS recall
+         FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+         GROUP BY 1 ORDER BY 1""",
+
+    // recall@10 of the 16-dim JL sign projection vs the full 64-dim ranking:
+    // the projection is rebuilt from the same md5 sign matrix, coordinates
+    // rounded to 6 decimals like every float the oracle compares
+    "ann_recall_rp" ->
+      s"""WITH $embSql,
+         rp AS (SELECT vec_id,
+             list_transform(range(0, 16), j ->
+               ROUND(list_sum(list_transform(range(0, 64), i ->
+                 (CASE WHEN (${h64("'rp:' || CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 2) = 0
+                       THEN 1.0 ELSE -1.0 END) * v[i + 1]))
+                 / sqrt(16.0), 6)) AS pv
+           FROM e_t),
+         pq AS (SELECT vec_id AS q_id, pv AS qpv FROM rp WHERE vec_id < 5),
+         ap AS (SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+           FROM (SELECT q_id, rp.vec_id AS vec_id, ${cosSql("qpv", "rp.pv")} AS score
+                 FROM rp CROSS JOIN pq WHERE rp.vec_id <> pq.q_id))
+           WHERE rank <= 10),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e_t WHERE vec_id < 5),
          ex AS (SELECT q_id, vec_id FROM (
            SELECT q_id, vec_id,
              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank

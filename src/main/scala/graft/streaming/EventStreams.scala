@@ -172,12 +172,8 @@ object EventStreams {
     * driver-side state operators probe the same positions the batch plans
     * compute.
     */
-  private[graft] def hash64(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16)
-  }
+  private[graft] def hash64(s: String): Long =
+    graft.pipeline.TextPrep.hash64Jvm(s)
 
   /** Streaming Bloom dedup — the streaming face of
     * `Decontam.bloomFlag` with the IDENTICAL probe construction

@@ -136,6 +136,17 @@ class PipelineSpec extends SparkSpecBase {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("random projection: dOut coords, deterministic, ANN-compatible schema") {
+    val p1 = Similarity.randomProjection(emb, dOut = 16)
+    val p2 = Similarity.randomProjection(emb, dOut = 16)
+    assert(p1.filter(size(col("embedding")) =!= 16).count() == 0)
+    // literal sign matrix + rounded fold => bit-identical across calls
+    assert(p1.exceptAll(p2).count() == 0 && p2.exceptAll(p1).count() == 0)
+    // output schema feeds the ANN operators unchanged
+    val tk = Similarity.bruteForceTopK(p1, p1.filter(col("vec_id") < 2), k = 5)
+    assert(tk.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0)
+  }
+
   test("brute-force top-k: every query gets exactly k ranked neighbors") {
     val res = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
       .groupBy("q_id").count().collect()
