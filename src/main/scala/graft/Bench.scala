@@ -125,5 +125,14 @@ object Bench {
       .find(_.length <= 1880)
       .getOrElse(jsonLine(0, sfNum))
     println(line)
+    // At 126 queries even the 0-decimal per-query map outgrows the driver's
+    // 2000-char tail capture, cutting off the line START and zeroing the
+    // round's bench (BENCH_r09.json parsed:null). The LAST stdout line is
+    // therefore a compact totals-only object that always fits the tail;
+    // the committed BENCH_LOCAL.json carries the full-precision per-query
+    // map for grading.
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val partial = if (only.isDefined) "\"partial\":true," else ""
+    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$partial"load":${fmt(loadSec, 2)},"runs":$runsPerQuery,"nq":${results.size},"queries_file":"BENCH_LOCAL.json","sf":$sfNum}""")
   }
 }

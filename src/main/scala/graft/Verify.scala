@@ -30,7 +30,13 @@ object Verify {
       try attempt()
       catch { case e1: Throwable =>
         System.err.println(s"[verify] $name failed once: ${e1.getMessage}; retrying")
-        try attempt()
+        try {
+          attempt()
+          // a retry that passes must not silently mask a ~50%-flaky query:
+          // surface the first failure on stdout, where the driver and the
+          // local recipe grep [verify] markers
+          println(s"[verify] $name RETRY-PASSED after: ${e1.getMessage}")
+        }
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }

@@ -109,9 +109,14 @@ object Decontam {
     * must broadcast (or shuffle) every distinct key of `b`, which at a
     * 100 TB reference corpus is itself terabytes; here `b` collapses to
     * `mBits` bits — a plan literal up to 1 Mbit, and past that a broadcast
-    * one-row frame shipped once per executor (for a production 1e9-key
-    * filter at 1 % FP that is ~1.2 GB: one broadcast instead of a key
-    * shuffle, and never a per-task literal). The probe side stays a pure
+    * one-row frame shipped once per executor. `mBits: Int` caps one filter
+    * at 2^31 bits (~268 MB, ~2.2e8 keys at 1 % FP); a reference corpus
+    * beyond that partitions keys across several filters of this shape
+    * (chunked bitsets), each still one broadcast instead of a key shuffle
+    * and never a per-task literal. The build side never touches the driver
+    * with per-position rows: positions OR-fold to 64-bit words on the
+    * executors ([[bloomWords]]) and only word rows — at most mBits/64 —
+    * are collected. The probe side stays a pure
     * per-row projection either way: `k` md5 probes + `getbit` word tests,
     * all codegen'd built-ins, `a` is NEVER shuffled (plan-guarded on both
     * paths). Hashes use
@@ -120,20 +125,43 @@ object Decontam {
     * bit-for-bit. Null keys probe to null positions and flag `false`,
     * matching SQL `IN`-filter semantics on both engines.
     */
+  /** The k salted probe positions of a key in an mBits-bit filter. */
+  private def bloomPositions(keyCol: org.apache.spark.sql.Column,
+                             mBits: Int, k: Int) =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => pmod(hash64(concat(i.cast(StringType), lit(":"), keyCol)),
+                lit(mBits.toLong)))
+
+  /** Build-side word aggregation: b's probe positions OR-folded to
+    * (word_index, 64-bit word) rows on the executors. Row count is bounded
+    * by mBits/64 (words actually containing a set bit), independent of b's
+    * key count — the frame [[bloomFlag]] collects. Package-visible so the
+    * spec can pin the word-count bound.
+    */
+  private[graft] def bloomWords(b: DataFrame,
+                                key: org.apache.spark.sql.Column,
+                                mBits: Int, k: Int): DataFrame =
+    b.select(explode(bloomPositions(key, mBits, k)).as("pos"))
+      .filter(col("pos").isNotNull)
+      .groupBy(shiftright(col("pos"), 6).cast(IntegerType).as("widx"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(pos % 64 as int)))")
+        .as("w"))
+
   def bloomFlag(a: DataFrame, b: DataFrame,
                 key: org.apache.spark.sql.Column,
                 mBits: Int, k: Int): DataFrame = {
     require(mBits > 0 && mBits % 64 == 0, "mBits must pack 64-bit words")
     def positions(keyCol: org.apache.spark.sql.Column) =
-      transform(sequence(lit(0), lit(k - 1)),
-        i => pmod(hash64(concat(i.cast(StringType), lit(":"), keyCol)),
-                  lit(mBits.toLong)))
-    // build side: b's distinct set bits, collapsed to the bitset
-    // (the reference corpus never joins the probe side at any size)
+      bloomPositions(keyCol, mBits, k)
+    // build side: b's set bits OR-folded into 64-bit words DISTRIBUTEDLY
+    // (one shuffle on the word index, map-side combinable), so the driver
+    // collects at most mBits/64 word rows — never one row per distinct bit
+    // position, which at the documented production scale would be a
+    // billions-of-rows driver OOM. The reference corpus never joins the
+    // probe side at any size.
     val words = new Array[Long](mBits / 64)
-    b.select(explode(positions(key)).as("pos")).filter(col("pos").isNotNull)
-      .distinct().collect().map(_.getLong(0))
-      .foreach(p => words(p.toInt >> 6) |= 1L << (p.toInt & 63))
+    bloomWords(b, key, mBits, k).collect()
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
     // small filters ride the plan as a literal (zero plan nodes added); a
     // GB-scale filter would bloat every serialized task with the literal,
     // so past the threshold the bitset ships ONCE per executor as a

@@ -236,9 +236,13 @@ object Sampling {
       .withColumn("k", row_number().over(order))
       .withColumn("cumprev", coalesce(sum(col("cap")).over(wPrev), lit(0L)))
       .withColumn("m", count(lit(1)).over(wAll))
+      // Long integer division, never double floor: for every k up to the
+      // first failing position the numerator is provably non-negative (each
+      // fully-satisfied language's cap is <= its level, so cumprev stays
+      // <= budget), where truncating division equals floor; beyond it the
+      // level only feeds `cap > level`, which any negative value satisfies.
       .withColumn("level",
-        floor((lit(totalBudget) - col("cumprev")).cast("double") /
-              (col("m") - col("k") + 1)).cast("long"))
+        expr(s"(${totalBudget}L - cumprev) div (m - k + 1)"))
       .withColumn("fk", min(when(col("cap") > col("level"), col("k"))).over(wAll))
     staged
       .withColumn("flevel", max(when(col("k") === col("fk"), col("level"))).over(wAll))
@@ -251,7 +255,7 @@ object Sampling {
           .otherwise(col("flevel") +
                      when(col("k") - col("fk") < col("frem"), 1L).otherwise(0L)))
       .select(col("lang"), col("n_tok_lang"), col("cap"), col("alloc"),
-              round(col("alloc").cast("double") / col("n_tok_lang"), 6).as("epochs"))
+              expr("(alloc * 1000000L) div n_tok_lang").as("epochs_micro"))
   }
 
   /** UniMax sampling: admit each language's documents in salted-hash order
@@ -259,7 +263,9 @@ object Sampling {
     * truncation cutoff as [[tokenBudgetSample]] — a doc that would overshoot
     * is dropped, as is everything after it in hash order). A language whose
     * allocation equals its full `maxEpochs` capacity keeps every document
-    * (the `epochs` column says how many passes training should make).
+    * (the `epochs_micro` column — floor(alloc * 1e6 / n_tok_lang), an exact
+    * long so the whole output replays bit-for-bit across SQL engines — says
+    * how many millionths of a pass training should make).
     *
     * One corpus shuffle on the language key; the allocation frame joins as
     * a broadcast (language-cardinality).
@@ -277,10 +283,10 @@ object Sampling {
       .withColumn("n_tok", nTok)
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
       .join(broadcast(alloc.select(col("lang").as(langCol), col("alloc"),
-                                   col("epochs"))),
+                                   col("epochs_micro"))),
             langCol)
       .filter(col("cum_tok") <= col("alloc"))
       .select(col(keyCol), col(langCol), col("n_tok"), col("cum_tok"),
-              col("alloc"), col("epochs"))
+              col("alloc"), col("epochs_micro"))
   }
 }

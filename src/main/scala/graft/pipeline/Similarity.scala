@@ -334,7 +334,14 @@ object Similarity {
                                        (i + 1).cast(IntegerType)) *
             element_at(col("v"), (i + 1).cast(IntegerType)))
           / lit(scale), 6))
-    e.select(col("vec_id"), proj.as("embedding"))
+    // dimension mismatch must fail, not silently null out (short vectors)
+    // or truncate (long ones): element_at past the end returns null and the
+    // fold would propagate it through every projected coordinate
+    val checked = when(size(col("v")) === dIn, proj)
+      .otherwise(raise_error(concat(
+        lit(s"randomProjection: embedding dimension "), size(col("v")),
+        lit(s" != dIn=$dIn"))))
+    e.select(col("vec_id"), checked.as("embedding"))
   }
 
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {

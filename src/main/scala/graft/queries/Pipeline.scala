@@ -1892,7 +1892,7 @@ GROUP BY 1 ORDER BY 1"""
                  COUNT(*) OVER () AS m
                FROM l),
          lv AS (SELECT *,
-                  CAST(FLOOR((40000 - cumprev) / (m - k + 1)) AS BIGINT) AS level
+                  CAST((40000 - cumprev) // (m - k + 1) AS BIGINT) AS level
                 FROM s),
          f AS (SELECT MIN(k) AS fk FROM lv WHERE cap > level),
          fr AS (SELECT lv.level AS flevel,
@@ -1908,9 +1908,9 @@ GROUP BY 1 ORDER BY 1"""
                  SUM(t.n_tok) OVER (PARTITION BY t.lang ORDER BY t.h, t.doc_id
                                     ROWS UNBOUNDED PRECEDING) AS cum_tok,
                  a.alloc,
-                 ROUND(CAST(a.alloc AS DOUBLE) / a.n_tok_lang, 6) AS epochs
+                 CAST((a.alloc * 1000000) // a.n_tok_lang AS BIGINT) AS epochs_micro
                FROM t JOIN a USING (lang))
-         SELECT doc_id, lang, n_tok, cum_tok, alloc, epochs
+         SELECT doc_id, lang, n_tok, cum_tok, alloc, epochs_micro
          FROM c WHERE cum_tok <= alloc ORDER BY doc_id""",
 
     "split_train_val" ->

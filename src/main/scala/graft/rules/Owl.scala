@@ -224,7 +224,13 @@ object Owl {
     // the same way: each rule's access paths bind to its axiom constants.
     val rdfsOn = present.getLong(3) > 0
     if (rdfsOn) return fix(triples).withColumn("c", Term.unbound)
-    def axiomProps(df: DataFrame): Set[String] = {
+    // Size guard (count-then-choose, like the sameAs union-find guard):
+    // the axiom-property set is schema-sized by assumption, but an
+    // adversarial store could make it store-sized — return None past the
+    // guard instead of OOMing the driver, and the caller falls back to the
+    // unfiltered fixpoint (a semantically-identical superset active set).
+    val axiomGuard = 100000
+    def axiomProps(df: DataFrame): Option[Set[String]] = {
       val fromPairs = df
         .filter(col("p") === p(InverseOf) || col("p") === p(EquivalentProperty))
       val lexes = fromPairs.select(Term.lex(col("s")).as("l"))
@@ -235,9 +241,13 @@ object Owl {
           .select(Term.lex(col("s")).as("l")))
         .unionByName(df.filter(col("p") === p(OnProperty))
           .select(Term.lex(col("o")).as("l")))
-      lexes.distinct().collect().map(_.getString(0)).toSet
+      val rows = lexes.distinct().limit(axiomGuard + 1).collect()
+      if (rows.length > axiomGuard) None
+      else Some(rows.map(_.getString(0)).toSet)
     }
-    val props = axiomProps(triples)
+    val propsOpt = axiomProps(triples)
+    if (propsOpt.isEmpty) return fix(triples).withColumn("c", Term.unbound)
+    val props = propsOpt.get
     val isSchema = col("p") === p(InverseOf) || col("p") === p(EquivalentClass) ||
       col("p") === p(EquivalentProperty) || col("p") === p(OnProperty) ||
       col("p") === p(HasValue) || col("p") === p(RDFS.SubPropertyOf) ||
@@ -254,7 +264,7 @@ object Owl {
     // fact, e.g. an asserted sameAs the functional rule re-derives) —
     // one full-store shuffle instead of one per round
     val out =
-      if (axiomProps(closedActive).subsetOf(props))
+      if (axiomProps(closedActive).exists(_.subsetOf(props)))
         triples.filter(!isActive).unionByName(closedActive).distinct()
       else fix(triples)
     out.withColumn("c", Term.unbound)

@@ -40,11 +40,21 @@ object OwlSameAs {
     if (nEdges <= 100000L) {
       val rows = edges.collect()
       val utf8 = java.nio.charset.StandardCharsets.UTF_8
-      def lt(a: String, b: String): Boolean =
-        java.util.Arrays.compare(a.getBytes(utf8), b.getBytes(utf8)) < 0
-      val term = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.Row]
-      val parent = scala.collection.mutable.Map.empty[String, String]
-      def find(x: String): String = {
+      // nodes key by (kind, lex), NOT lex alone: malformed sameAs data can
+      // put an IRI and a bnode/literal with the same lex in one store, and
+      // a lex-only key would silently merge them — diverging from the
+      // distributed fixpoint, which keys by the full term struct. Root
+      // ordering stays UTF-8 byte order on lex (the distributed path's
+      // min_by(canon, canon.lex) ordering), kind as tiebreak.
+      type K = (Byte, String)
+      def keyOf(t: org.apache.spark.sql.Row): K = (t.getByte(0), t.getString(1))
+      def lt(a: K, b: K): Boolean = {
+        val c = java.util.Arrays.compare(a._2.getBytes(utf8), b._2.getBytes(utf8))
+        if (c != 0) c < 0 else a._1 < b._1
+      }
+      val term = scala.collection.mutable.Map.empty[K, org.apache.spark.sql.Row]
+      val parent = scala.collection.mutable.Map.empty[K, K]
+      def find(x: K): K = {
         var r = x
         while (parent(r) != r) r = parent(r)
         var c = x
@@ -54,17 +64,17 @@ object OwlSameAs {
       rows.foreach { e =>
         val (a, b) = (e.getStruct(0), e.getStruct(1))
         Seq(a, b).foreach { t =>
-          val l = t.getString(1) // lex; clique members are IRIs
-          term.getOrElseUpdate(l, t)
-          parent.getOrElseUpdate(l, l)
+          val k = keyOf(t)
+          term.getOrElseUpdate(k, t)
+          parent.getOrElseUpdate(k, k)
         }
-        val (ra, rb) = (find(a.getString(1)), find(b.getString(1)))
+        val (ra, rb) = (find(keyOf(a)), find(keyOf(b)))
         if (ra != rb) {
           if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
         }
       }
-      val out = parent.keys.toSeq.sorted.map { l =>
-        org.apache.spark.sql.Row(term(l), term(find(l)))
+      val out = parent.keys.toSeq.sortWith(lt).map { k =>
+        org.apache.spark.sql.Row(term(k), term(find(k)))
       }
       val spark = quads.sparkSession
       return spark.createDataFrame(
@@ -95,7 +105,11 @@ object OwlSameAs {
       val next = Fixpoint.materialize(
         labels.unionByName(viaEdge).unionByName(jump)
           .groupBy("node")
-          .agg(min_by(col("canon"), col("canon.lex")).as("canon")))
+          // lex-first ordering, kind tiebreak: deterministic even when
+          // malformed data puts two term kinds on one lex (mirrors the
+          // driver union-find's (kind, lex) keying)
+          .agg(min_by(col("canon"),
+                      struct(col("canon.lex"), col("canon.kind"))).as("canon")))
       val sum1 = checksum(next)
       if (sum1 == sum0) done = true
       sum0 = sum1

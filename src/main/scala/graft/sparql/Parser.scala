@@ -113,10 +113,19 @@ object Parser {
     val q =
       if (q0.fromVirtualDefault.isEmpty && q0.fromVirtualNamed.isEmpty) q0
       else {
-        def members(vg: String): Seq[String] = quads
-          .filter(col("p") === Term.iri("http://www.bigdata.com/rdf#virtualGraph") &&
-                  Term.lex(col("s")) === vg)
-          .select(Term.lex(col("o"))).collect().map(_.getString(0)).toSeq
+        def members(vg: String): Seq[String] = {
+          // config-sized by construction, but guard the driver collect
+          // against a store-sized declaration (the downstream isin literal
+          // could not hold one either): fail loudly, never OOM
+          val guard = 100000
+          val rows = quads
+            .filter(col("p") === Term.iri("http://www.bigdata.com/rdf#virtualGraph") &&
+                    Term.lex(col("s")) === vg)
+            .select(Term.lex(col("o"))).limit(guard + 1).collect()
+          require(rows.length <= guard,
+            s"virtual graph <$vg> declares more than $guard members")
+          rows.map(_.getString(0)).toSeq
+        }
         q0.copy(
           fromDefault = q0.fromDefault ++ q0.fromVirtualDefault.flatMap(members),
           fromNamed = q0.fromNamed ++ q0.fromVirtualNamed.flatMap(members))

@@ -10,7 +10,9 @@ import graft.{SparkEntry, Tables}
   *   runMain graft.tools.Prof <name> [sfDir] [runs]
   *
   * Reads SPARK_GRAFT_CPUS like Bench (default 4) so numbers are
-  * comparable to the committed record.
+  * comparable to the committed record; SPARK_GRAFT_SHUFFLE_PARTS
+  * (default = cpus) decouples the shuffle-partition count for
+  * partition-count tuning sweeps.
   */
 object Prof {
   def main(args: Array[String]): Unit = {
@@ -18,9 +20,10 @@ object Prof {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.requiredConfs)

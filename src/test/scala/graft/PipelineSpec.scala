@@ -75,6 +75,37 @@ class PipelineSpec extends SparkSpecBase {
            "2^21-bit bloom should flag exactly the true duplicates here")
   }
 
+  test("bloom build side collects word rows, never per-position rows") {
+    import graft.pipeline.Decontam
+    val b = docs.filter(col("source") === "src0")
+    val key = md5(substring(col("text"), 1, 30))
+    val mBits = 256 // tiny filter: many keys per word forces the distinction
+    val words = Decontam.bloomWords(b, key, mBits, k = 3)
+    // the collected frame is word-count bounded — at most mBits/64 rows —
+    // while the per-position count here is far larger (3 probes per key)
+    val rows = words.collect()
+    assert(rows.length <= mBits / 64,
+           s"build side produced ${rows.length} rows > ${mBits / 64} words")
+    assert(b.count() * 3 > mBits / 64,
+           "fixture too small to distinguish word- from position-sizing")
+    // the OR-fold is exact: reconstructing the bitset from the word rows
+    // reproduces bloomFlag's flags bit-for-bit
+    val bits = new Array[Long](mBits / 64)
+    rows.foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    val a = docs.filter(col("source") =!= "src0")
+    val flagged = Decontam.bloomFlag(a, b, key, mBits, k = 3)
+    val posOf = (s: Int, keyStr: String) =>
+      (graft.pipeline.TextPrep.hash64Jvm(s"$s:$keyStr") % mBits).toInt
+    flagged.withColumn("__k", key).select("__k", "possibly_dup").collect()
+      .foreach { r =>
+        val expected = (0 until 3).forall { i =>
+          val p = posOf(i, r.getString(0))
+          (bits(p >> 6) >> (p & 63) & 1L) == 1L
+        }
+        assert(r.getBoolean(1) == expected, "word-built bitset diverged")
+      }
+  }
+
   test("count-min estimates are never below the exact counts") {
     val ev = TextAnalysis.cmsTopKEvaluate(docs, topK = 20, depth = 4, width = 32)
     assert(ev.filter(col("n_cms") < col("n_total")).count() == 0,
@@ -1009,7 +1040,8 @@ class PipelineSpec extends SparkSpecBase {
     // budget above total capacity: every language at its epoch cap
     val full = Sampling.unimaxAllocations(d, 10000L, 2).collect()
     assert(full.forall(r => r.getLong(3) == r.getLong(2)))
-    assert(full.forall(r => r.getDouble(4) == 2.0), "epochs at the cap = maxEpochs")
+    assert(full.forall(r => r.getLong(4) == 2000000L),
+           "epochs_micro at the cap = maxEpochs * 1e6")
     // budget conservation when truncated: allocations sum exactly to B
     assert(allocs(300L).values.sum == 300L)
     assert(allocs(7L).values.sum == 7L)
