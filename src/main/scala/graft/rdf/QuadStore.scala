@@ -216,6 +216,51 @@ object QuadStore {
       case None => None
     }
 
+  // ---- history index -----------------------------------------------------
+
+  /** Change-log INDEX maintenance — the reference's bd:history service's
+    * write half (sparql/ast/service/history/HistoryServiceFactory.java:132
+    * HistoryChangeLogListener: an IChangeLog writing each commit's change
+    * records into an index keyed by revision time). One immutable parquet
+    * partition `_history/rev=<n>` per commit, carrying the change action
+    * and the commit wall time; maintenance cost is exactly the delta
+    * frames the listener contract already defines — O(delta) whenever the
+    * committer passes `knownDelta`. [[graft.sparql.History]] serves it to
+    * SPARQL.
+    */
+  private object HistoryIndexListener extends ChangeListener {
+    def changeEvent(root: String, version: Long,
+                    asserted: DataFrame, retracted: DataFrame): Unit =
+      graft.sparql.History
+        .records(asserted, retracted, version, System.currentTimeMillis())
+        .drop("rev") // carried by the partition directory
+        .write.mode("overwrite").parquet(s"$root/_history/rev=$version")
+  }
+
+  /** Turn on history-index maintenance for a store root (idempotent) —
+    * opt-in, like the reference's history-index option
+    * (TestHistoryIndex.test_historyIndexDisabled).
+    */
+  def enableHistory(root: String): Unit = {
+    removeChangeListener(root, HistoryIndexListener)
+    addChangeListener(root, HistoryIndexListener)
+  }
+
+  /** The recorded change relation of a store root: one row per changed
+    * statement per commit — (s,p,o,c, action INSERTED|REMOVED, rev,
+    * revtime). Empty (same schema) before the first recorded commit.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val dir = new java.io.File(s"$root/_history")
+    if (!dir.isDirectory ||
+        !dir.listFiles().exists(_.getName.startsWith("rev=")))
+      graft.sparql.History.emptyRelation(spark)
+    else
+      spark.read.parquet(s"$root/_history")
+        .withColumn("rev", col("rev").cast("long"))
+        .select("s", "p", "o", "c", "action", "rev", "revtime")
+  }
+
   /** Notify listeners of a commit that is ALREADY durable: a listener
     * that throws must neither fail the (succeeded) commit back to the
     * caller — who might retry it — nor starve the remaining listeners

@@ -112,10 +112,24 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
     // silently serve the wrong commit point under floor semantics.
     // Queries never take this lock; they read the atomics lock-free.
     private val commitLock = new Object
+    // change log for SERVICE bd:history (graft.sparql.History): each commit
+    // appends one LAZY record frame (two anti-joins against the previous
+    // snapshot) — queries that never touch bd:history never execute them.
+    // The store frame currently published is always bound to the log.
+    private val changeLog =
+      new AtomicReference[DataFrame](graft.sparql.History.emptyRelation(spark))
+    graft.sparql.History.bind(init, changeLog.get())
     def commit(f: DataFrame => DataFrame): DataFrame = commitLock.synchronized {
+      val prev = store.get()
       val st2 = store.updateAndGet(st => f(st))
-      history.put(generation.incrementAndGet(), st2)
+      val rev = generation.incrementAndGet()
+      history.put(rev, st2)
       while (history.size > 8) history.pollFirstEntry()
+      val cols = Seq("s", "p", "o", "c")
+      val (a, b) = (st2.select(cols.map(col): _*), prev.select(cols.map(col): _*))
+      val recs = graft.sparql.History.records(
+        a.except(b), b.except(a), rev, System.currentTimeMillis())
+      graft.sparql.History.bind(st2, changeLog.updateAndGet(_.unionByName(recs)))
       st2
     }
     /** The store as of generation `ts` (floor semantics), if not evicted. */

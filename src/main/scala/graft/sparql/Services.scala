@@ -172,7 +172,15 @@ object Services {
     def find(suffix: String): Option[(Pat, Pat)] =
       entries.collectFirst { case (p, s, o) if p == NS + suffix => (s, o) }
 
-    val (litVarPat, queryPat) = find("query").getOrElse(
+    // bds:searchInSearch (SearchInSearchServiceFactory, ServiceRegistry
+    // .java:83): `?s bds:searchInSearch "query"` binds ?s to every SUBJECT
+    // with at least one triple whose object literal is a full-text hit of
+    // the query (reference getSubjects(): hits -> access path (null,null,o)
+    // -> subject set). The enclosing group's compatibility join then
+    // filters incoming bindings exactly like the reference's vectored
+    // in-memory filter — same search knobs as bds:search.
+    val searchInSearch = find("searchInSearch")
+    val (litVarPat, queryPat) = searchInSearch.orElse(find("query")).getOrElse(
       throw new IllegalArgumentException("search service needs a #query triple"))
     val litVar = litVarPat match {
       case V(n) => n
@@ -241,7 +249,17 @@ object Services {
                                   if (matchExact) Some(queryText) else None,
                                   matchRegex)
 
-    rangeCountVar match {
+    if (searchInSearch.isDefined) {
+      // subject-set mode: distinct subjects linked to any hit literal, in
+      // any graph (the reference walks the store-wide (null,null,o) access
+      // path). One semi-join of the store's literal rows against the hit
+      // docs — the hit frame is rank-bounded, so it broadcasts.
+      val subs = quads.filter(litFilter)
+        .select(col("s"), Term.lex(col("o")).as("doc"))
+        .join(broadcast(hits.select("doc").distinct()), "doc")
+        .select(col("s").as(litVar)).distinct()
+      Result(subs, Set(litVar), Set.empty)
+    } else rangeCountVar match {
       case Some(rv) =>
         // one solution, binding only the count (the reference's fast-path
         // contract: same query params, hits counted instead of converted —
@@ -275,7 +293,7 @@ object Services {
   /** Recover the lexical form of a constant term Column (built by the
     * parser via Term constructors — the lex field is a string literal).
     */
-  private def constLex(t: org.apache.spark.sql.Column): String = {
+  private[sparql] def constLex(t: org.apache.spark.sql.Column): String = {
     // evaluate the constant struct against a 1-row frame
     val spark = org.apache.spark.sql.SparkSession.active
     spark.range(1).select(Term.lex(t).as("l")).head().getString(0)
@@ -312,4 +330,17 @@ object Services {
     // remote bindings may leave any var unbound in any row → all maybe
     Result(df.select(visible.map(col): _*), Set.empty, visible.toSet)
   }
+
+  // ---- reference registry parity (ServiceRegistry.java:83-110) ----------
+  // bd:sample / bd:slice / bd:values ([[BdServices]]) and bd:history
+  // ([[History]]) register here — the one init point the parser's
+  // isRegistered() dispatch consults — with graft:// aliases.
+  register(BdServices.SampleIri, BdServices.sample)
+  register("graft://sample", BdServices.sample)
+  register(BdServices.SliceIri, BdServices.slice)
+  register("graft://slice", BdServices.slice)
+  register(BdServices.ValuesIri, BdServices.values)
+  register("graft://values", BdServices.values)
+  register(History.HistoryIri, History.service)
+  register(History.BdHistoryIri, History.service)
 }

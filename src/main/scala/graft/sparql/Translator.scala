@@ -779,7 +779,9 @@ object Translator {
      shared.toSet ++ outerRefs)
   }
 
-  private def translateTp(quads: DataFrame, tp: TriplePattern): Result = {
+  // package-visible: the bd:sample / bd:slice registry services evaluate
+  // a single access-path pattern through the same translation
+  private[sparql] def translateTp(quads: DataFrame, tp: TriplePattern): Result = {
     val positions: Seq[(String, Pat)] = Seq(
       "s" -> tp.s, "p" -> tp.p, "o" -> tp.o,
       "c" -> tp.g.getOrElse(null)).filter(_._2 != null)

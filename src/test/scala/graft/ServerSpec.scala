@@ -467,4 +467,41 @@ class ServerSpec extends SparkSpecBase {
       assert(count() == 0)
     } finally srv.stop()
   }
+
+  test("SERVICE bd:history over HTTP reflects UPDATE mutations") {
+    val srv = new SparqlServer(spark,
+      parse(Seq(s"<${EX}a> <${EX}p> <${EX}b> ."))).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      // rev 1: insert; rev 2: delete the original statement
+      assert(http("POST", s"$base/sparql",
+        Some(s"update=${enc(s"INSERT DATA { <${EX}c> <${EX}p> <${EX}d> }")}"))._1 == 200)
+      assert(http("POST", s"$base/sparql",
+        Some(s"update=${enc(s"DELETE DATA { <${EX}a> <${EX}p> <${EX}b> }")}"))._1 == 200)
+      val q = s"""
+        SELECT ?rev ?s ?act WHERE {
+          SERVICE <graft://history> {
+            ?rev <graft://history#subject> ?s .
+            ?rev <graft://history#action> ?act .
+          }
+        } ORDER BY ?rev"""
+      val (code, body) = http("GET", s"$base/sparql?query=${enc(q)}")
+      assert(code == 200, body)
+      // rev 1 INSERTED ex:c, rev 2 REMOVED ex:a — queryable as a relation
+      assert(body.contains("INSERTED") && body.contains("REMOVED"))
+      assert(body.contains(EX + "c") && body.contains(EX + "a"))
+      // since-filter narrows to the delete
+      val q2 = s"""
+        SELECT ?s ?act WHERE {
+          SERVICE <graft://history> {
+            ?rev <graft://history#subject> ?s .
+            ?rev <graft://history#action> ?act .
+            ?rev <graft://history#sinceRevision> "2" .
+          }
+        }"""
+      val (_, body2) = http("GET", s"$base/sparql?query=${enc(q2)}")
+      assert(body2.contains("REMOVED") && body2.contains(EX + "a") &&
+             !body2.contains(EX + "c"))
+    } finally srv.stop()
+  }
 }

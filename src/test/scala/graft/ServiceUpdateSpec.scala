@@ -281,4 +281,142 @@ class ServiceUpdateSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters: [isnotnull(p_bucket"),
            s"no partition pruning in plan:\n$plan")
   }
+
+  // ---- registry-parity services (ServiceRegistry.java:83-110) -----------
+
+  private def numberedQuads(n: Int): DataFrame =
+    parse((1 to n).map(i => f"<${EX}s$i%02d> <${EX}p> <${EX}o$i%02d> ."))
+
+  test("SERVICE bd:sample: bounded, deterministic under seed, all types") {
+    val quads = numberedQuads(20)
+    def run(params: String): Seq[String] = {
+      val df = Parser.select(spark, quads, s"""
+        PREFIX bd: <http://www.bigdata.com/rdf#>
+        SELECT ?s WHERE {
+          SERVICE bd:sample {
+            ?s <${EX}p> ?o .
+            $params
+          }
+        }""")
+      df.select(Term.lex(col("s"))).collect().map(_.getString(0)).toSeq
+    }
+    val r1 = run("""bd:serviceParam bd:sample.limit 5 .
+                    bd:serviceParam bd:sample.seed 42 .""")
+    assert(r1.size == 5 && r1.forall(_.startsWith(EX + "s")))
+    // seeded-md5 order: the same seed replays the same sample
+    assert(run("""bd:serviceParam bd:sample.limit 5 .
+                  bd:serviceParam bd:sample.seed 42 .""") == r1)
+    // a different seed draws a different sample (20 choose 5 — collision
+    // would be a hash bug, not chance)
+    assert(run("""bd:serviceParam bd:sample.limit 5 .
+                  bd:serviceParam bd:sample.seed 43 .""") != r1)
+    // DENSE: the first rows in total term order
+    assert(run("""bd:serviceParam bd:sample.limit 3 .
+                  bd:serviceParam bd:sample.sampleType "DENSE" .""") ==
+      Seq(EX + "s01", EX + "s02", EX + "s03"))
+    // EVEN: every k-th row, k = ceil(20/4) = 5
+    assert(run("""bd:serviceParam bd:sample.limit 4 .
+                  bd:serviceParam bd:sample.sampleType "EVEN" .""").sorted ==
+      Seq(EX + "s01", EX + "s06", EX + "s11", EX + "s16"))
+  }
+
+  test("SERVICE bd:slice: offset/limit paging and range-count mode") {
+    val quads = numberedQuads(10)
+    val page = Parser.select(spark, quads, s"""
+      PREFIX bd: <http://www.bigdata.com/rdf#>
+      SELECT ?s WHERE {
+        SERVICE bd:slice {
+          ?s <${EX}p> ?o .
+          bd:serviceParam bd:slice.offset 3 .
+          bd:serviceParam bd:slice.limit 4 .
+        }
+      }""").select(Term.lex(col("s"))).collect().map(_.getString(0)).toSeq
+    assert(page == Seq(EX + "s04", EX + "s05", EX + "s06", EX + "s07"))
+    val n = Parser.select(spark, quads, s"""
+      PREFIX bd: <http://www.bigdata.com/rdf#>
+      SELECT ?range WHERE {
+        SERVICE bd:slice {
+          ?s <${EX}p> ?o .
+          bd:serviceParam bd:slice.range ?range .
+        }
+      }""").select(Term.lex(col("range"))).collect().map(_.getString(0)).toSeq
+    assert(n == Seq("10"))
+  }
+
+  test("SERVICE bd:values joins like inline VALUES") {
+    val quads = numberedQuads(5)
+    val df = Parser.select(spark, quads, s"""
+      PREFIX bd: <http://www.bigdata.com/rdf#>
+      SELECT ?s WHERE {
+        ?s <${EX}p> ?o .
+        SERVICE bd:values {
+          bd:serviceParam bd:values.var ?s .
+          bd:serviceParam bd:values.val <${EX}s02> .
+          bd:serviceParam bd:values.val <${EX}s04> .
+        }
+      } ORDER BY ?s""")
+    assert(df.select(Term.lex(col("s"))).collect().map(_.getString(0)).toSeq ==
+      Seq(EX + "s02", EX + "s04"))
+  }
+
+  test("bds:searchInSearch filters subjects linked to full-text hits") {
+    val quads = parse(Seq(
+      s"""<${EX}d1> <${EX}body> "spark joins data fast" .""",
+      s"""<${EX}d2> <${EX}body> "slow tortoise walks" .""",
+      s"""<${EX}d3> <${EX}body> "fast spark query" .""",
+      s"""<${EX}d1> <${EX}tag> "keep" .""",
+      s"""<${EX}d2> <${EX}tag> "keep" ."""))
+    // of the subjects carrying ex:tag, only d1 has a full-text hit literal
+    val df = Parser.select(spark, quads, s"""
+      SELECT ?s WHERE {
+        ?s <${EX}tag> "keep" .
+        ?s <http://www.bigdata.com/rdf/search#searchInSearch> "fast spark" .
+      }""")
+    assert(df.select(Term.lex(col("s"))).collect().map(_.getString(0)).toSeq ==
+      Seq(EX + "d1"))
+  }
+
+  // ---- bd:history (ServiceRegistry.java:103-110) -------------------------
+
+  test("SERVICE bd:history: the parquet history index answers since-queries") {
+    import graft.sparql.History
+    val root = java.nio.file.Files.createTempDirectory("graft-history").toString
+    QuadStore.enableHistory(root)
+    val v1 = parse(Seq(s"<${EX}a> <${EX}p> <${EX}b> ."))
+    val v2 = parse(Seq(s"<${EX}a> <${EX}p> <${EX}b> .",
+                       s"<${EX}c> <${EX}p> <${EX}d> ."))
+    val v3 = parse(Seq(s"<${EX}c> <${EX}p> <${EX}d> ."))
+    QuadStore.commit(v1, root) // rev 0: +a
+    QuadStore.commit(v2, root) // rev 1: +c
+    QuadStore.commit(v3, root) // rev 2: -a
+    val store = QuadStore.open(spark, root)
+    History.bind(store, QuadStore.history(spark, root))
+    def hist(config: String): Seq[(String, String, String)] =
+      Parser.select(spark, store, s"""
+        SELECT ?rev ?s ?act WHERE {
+          SERVICE <graft://history> {
+            ?rev <graft://history#subject> ?s .
+            ?rev <graft://history#action> ?act .
+            $config
+          }
+        } ORDER BY ?rev ?s""")
+        .select(Term.lex(col("rev")), Term.lex(col("s")), Term.lex(col("act")))
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(hist("") == Seq(
+      ("0", EX + "a", "INSERTED"),
+      ("1", EX + "c", "INSERTED"),
+      ("2", EX + "a", "REMOVED")))
+    // "what changed since revision 1" — the service's reason to exist
+    assert(hist(s"""?rev <graft://history#sinceRevision> "2" .""") ==
+      Seq(("2", EX + "a", "REMOVED")))
+    // constant action filters instead of binding
+    val removed = Parser.select(spark, store, s"""
+      SELECT ?s WHERE {
+        SERVICE <graft://history> {
+          ?rev <graft://history#subject> ?s .
+          ?rev <graft://history#action> "REMOVED" .
+        }
+      }""").select(Term.lex(col("s"))).collect().map(_.getString(0)).toSeq
+    assert(removed == Seq(EX + "a"))
+  }
 }
