@@ -379,6 +379,42 @@ object RdfSuite {
         .orderBy("nname")
     }),
 
+    "service_slice" -> ((s, d) => {
+      // bd:slice registry service end-to-end through SPARQL text: a page
+      // of the locatedIn access path in the engine's total term order
+      // (SliceServiceFactory.java:83-100 analogue, offset/limit mode)
+      val df = Parser.select(s, buildQuads(s, d),
+        """PREFIX bd: <http://www.bigdata.com/rdf#>
+           PREFIX g: <http://g/>
+           SELECT ?s ?o WHERE {
+             SERVICE bd:slice {
+               ?s g:locatedIn ?o .
+               bd:serviceParam bd:slice.offset 25 .
+               bd:serviceParam bd:slice.limit 40 .
+             }
+           }""")
+      df.select(Term.lex(col("s")).as("x"), Term.lex(col("o")).as("y"))
+        .orderBy("x", "y")
+    }),
+
+    "service_sample" -> ((s, d) => {
+      // bd:sample registry service: seeded deterministic RANDOM sample of
+      // one access path (SampleServiceFactory.java:74-84 analogue) — the
+      // seeded-md5 order replays bit-for-bit in the oracle
+      val df = Parser.select(s, buildQuads(s, d),
+        """PREFIX bd: <http://www.bigdata.com/rdf#>
+           PREFIX g: <http://g/>
+           SELECT ?s ?o WHERE {
+             SERVICE bd:sample {
+               ?s g:locatedIn ?o .
+               bd:serviceParam bd:sample.limit 50 .
+               bd:serviceParam bd:sample.seed 7 .
+             }
+           }""")
+      df.select(Term.lex(col("s")).as("x"), Term.lex(col("o")).as("y"))
+        .orderBy("x", "y")
+    }),
+
     "rdf_named_graphs" -> ((s, d) => {
       val q = GraphNode(V("g"), Bgp(Seq(tp(V("x"), "name", V("nm")))))
       Translator.translate(buildNamedQuads(s, d), q).df
@@ -543,6 +579,29 @@ object RdfSuite {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0
          GROUP BY n_name ORDER BY nname""",
+
+    "service_slice" ->
+      """WITH li AS (
+           SELECT 'http://g/c' || c_custkey AS s, 'http://g/n' || c_nationkey AS o
+           FROM customer
+           UNION ALL
+           SELECT 'http://g/n' || n_nationkey, 'http://g/r' || n_regionkey
+           FROM nation),
+         page AS (SELECT s, o FROM li ORDER BY o, s OFFSET 25 LIMIT 40)
+         SELECT s AS x, o AS y FROM page ORDER BY x, y""",
+
+    "service_sample" ->
+      """WITH li AS (
+           SELECT 'http://g/c' || c_custkey AS s, 'http://g/n' || c_nationkey AS o
+           FROM customer
+           UNION ALL
+           SELECT 'http://g/n' || n_nationkey, 'http://g/r' || n_regionkey
+           FROM nation),
+         h AS (SELECT s, o,
+                 CAST('0x' || substr(md5('7 ' || o || ' ' || s), 1, 15) AS BIGINT) AS hh
+               FROM li),
+         pick AS (SELECT s, o FROM h ORDER BY hh LIMIT 50)
+         SELECT s AS x, o AS y FROM pick ORDER BY x, y""",
 
     "rdf_named_graphs" ->
       """SELECT g, n FROM (
