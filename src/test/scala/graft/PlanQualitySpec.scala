@@ -629,6 +629,37 @@ class PlanQualitySpec extends SparkSpecBase {
            s"a shuffle carries raw document text:\n$p")
   }
 
+  test("bd:sample plans as TakeOrdered; searchInSearch broadcasts the hit set") {
+    val quads = graft.queries.RdfSuite.buildQuads(spark, sfDir)
+    // seeded RANDOM sampling must be a bounded top-k (per-partition heaps
+    // merged on the driver), never a global sort feeding a CollectLimit —
+    // the distinction between O(limit) and O(corpus log corpus) memory
+    val s = graft.sparql.Parser.select(spark, quads,
+      """PREFIX bd: <http://www.bigdata.com/rdf#>
+         PREFIX g: <http://g/>
+         SELECT ?s ?o WHERE {
+           SERVICE bd:sample {
+             ?s g:locatedIn ?o .
+             bd:serviceParam bd:sample.limit 10 .
+             bd:serviceParam bd:sample.seed 1 .
+           }
+         }""")
+    s.collect()
+    val sp = s.queryExecution.executedPlan.toString
+    assert(sp.contains("TakeOrderedAndProject"),
+           s"bd:sample RANDOM is not a bounded top-k:\n$sp")
+    // searchInSearch: the store side must hash-join against a BROADCAST
+    // hit-doc set (rank-bounded) — a sort-merge join would shuffle the
+    // whole store to meet a small hit list
+    val q = graft.sparql.Parser.select(spark, quads,
+      """PREFIX bds: <http://www.bigdata.com/rdf/search#>
+         SELECT ?s WHERE { ?s bds:searchInSearch "nation" . }""")
+    q.collect()
+    val qp = q.queryExecution.executedPlan.toString
+    assert(qp.contains("BroadcastHashJoin") && !qp.contains("SortMergeJoin"),
+           s"searchInSearch hit set did not broadcast:\n$qp")
+  }
+
   test("winnowing: no array lambdas past tokenization; both windows share one sort") {
     val df = graft.pipeline.TextAnalysis.winnowFingerprints(
       Tables.load(spark, sfDir, "documents"), k = 4, w = 4)
