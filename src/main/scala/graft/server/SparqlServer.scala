@@ -129,7 +129,20 @@ class SparqlServer(spark: SparkSession, initial: DataFrame, port: Int = 0,
       val (a, b) = (st2.select(cols.map(col): _*), prev.select(cols.map(col): _*))
       val recs = graft.sparql.History.records(
         a.except(b), b.except(a), rev, System.currentTimeMillis())
-      graft.sparql.History.bind(st2, changeLog.updateAndGet(_.unionByName(recs)))
+      // one lazy union per commit is free until queried, but the plan
+      // deepens per commit and each diff frame pins its snapshots'
+      // lineage — a long-lived tenant would hand the analyzer a
+      // thousand-leaf union. Checkpoint the accumulated log every 16
+      // commits: bounded plan depth, bounded retained lineage, and the
+      // log's rows (deltas only) are what actually persist.
+      val grown = changeLog.updateAndGet(_.unionByName(recs))
+      val bound =
+        if (rev % 16 == 0) {
+          val ck = grown.localCheckpoint(true)
+          changeLog.set(ck)
+          ck
+        } else grown
+      graft.sparql.History.bind(st2, bound)
       st2
     }
     /** The store as of generation `ts` (floor semantics), if not evicted. */

@@ -504,4 +504,29 @@ class ServerSpec extends SparkSpecBase {
              !body2.contains(EX + "c"))
     } finally srv.stop()
   }
+
+  test("bd:history survives the 16-commit change-log checkpoint") {
+    val srv = new SparqlServer(spark, parse(Seq())).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      // 20 commits crosses the rev%16 checkpoint that truncates the log's
+      // lazy-union lineage — every record must survive the swap
+      (1 to 20).foreach { i =>
+        assert(http("POST", s"$base/sparql",
+          Some(s"update=${enc(s"INSERT DATA { <${EX}x$i> <${EX}p> <${EX}y> }")}"))._1 == 200)
+      }
+      val q = s"""
+        SELECT ?rev ?s WHERE {
+          SERVICE <graft://history> {
+            ?rev <graft://history#subject> ?s .
+            ?rev <graft://history#action> "INSERTED" .
+          }
+        }"""
+      val (code, body) = http("GET", s"$base/sparql?query=${enc(q)}")
+      assert(code == 200, body)
+      (1 to 20).foreach { i =>
+        assert(body.contains(EX + s"x$i"), s"record for x$i lost: $body")
+      }
+    } finally srv.stop()
+  }
 }
