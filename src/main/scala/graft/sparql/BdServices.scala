@@ -111,14 +111,19 @@ object BdServices {
         base.df.orderBy(vars.flatMap(v => TermOps.sortKeys(col(v))): _*)
           .limit(limit)
       case "EVEN" =>
-        // every k-th row of the ordered path, k = ceil(n / limit)
+        // every k-th row of the ordered path, k = ceil(n / limit). A
+        // global row_number() window would move the whole access path to
+        // ONE reducer; orderBy is a range-partitioned sort and
+        // zipWithIndex numbers it distributedly (one extra count job for
+        // the partition offsets) — the one RDD hop in this file, because
+        // Spark has no partition-parallel global-rank SQL operator.
         val n = base.df.count()
         val k = math.max(1L, (n + limit - 1) / limit)
-        val w = org.apache.spark.sql.expressions.Window
+        val sorted = base.df
           .orderBy(vars.flatMap(v => TermOps.sortKeys(col(v))): _*)
-        base.df.withColumn("__rn", row_number().over(w))
-          .filter((col("__rn") - 1) % k === 0).drop("__rn")
-          .limit(limit)
+        val every = sorted.rdd.zipWithIndex()
+          .filter(_._2 % k == 0).map(_._1)
+        quads.sparkSession.createDataFrame(every, sorted.schema).limit(limit)
       case other =>
         throw new IllegalArgumentException(s"unknown sampleType $other")
     }
