@@ -648,6 +648,22 @@ class PlanQualitySpec extends SparkSpecBase {
     val sp = s.queryExecution.executedPlan.toString
     assert(sp.contains("TakeOrderedAndProject"),
            s"bd:sample RANDOM is not a bounded top-k:\n$sp")
+    // slice: offset/limit over the sorted path must also stay a bounded
+    // top-(offset+limit), never a global sort feeding a collect
+    val sl = graft.sparql.Parser.select(spark, quads,
+      """PREFIX bd: <http://www.bigdata.com/rdf#>
+         PREFIX g: <http://g/>
+         SELECT ?s ?o WHERE {
+           SERVICE bd:slice {
+             ?s g:locatedIn ?o .
+             bd:serviceParam bd:slice.offset 5 .
+             bd:serviceParam bd:slice.limit 10 .
+           }
+         }""")
+    sl.collect()
+    val slp = sl.queryExecution.executedPlan.toString
+    assert(slp.contains("TakeOrderedAndProject"),
+           s"bd:slice is not a bounded top-k page:\n$slp")
     // searchInSearch: the store side must hash-join against a BROADCAST
     // hit-doc set (rank-bounded) — a sort-merge join would shuffle the
     // whole store to meet a small hit list
