@@ -382,4 +382,64 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "score")
   }
+
+  // ---- int8 affine quantization -----------------------------------------
+  // The STORAGE dial next to PQ's codebook dial and JL's dimension dial:
+  // per-vector affine uint8 quantization (the ONNX/FAISS scalar-quantizer
+  // shape) cuts embedding bytes 4x (float32 -> int8) with no index
+  // structure at all. All arithmetic is exact integers in micro-units
+  // (round(x*1e6)), so the DuckDB oracle replays the codes bit-for-bit;
+  // the only divisions have non-negative numerators and quotients far from
+  // integer boundaries relative to double precision, so floor(double-div)
+  // equals exact integer floor on both engines.
+
+  /** Per-coordinate micro-units: round(x * 1e6) as long (the repo's shared
+    * float discipline — exact, engine-portable).
+    */
+  private def microArr(v: Column): Column =
+    transform(v, x => round(x * 1e6).cast(LongType))
+
+  /** Quantize each vector to uint8 codes: q_i = floor(255 * (x_i - min) /
+    * (max - min)) per vector (all-equal vectors quantize to all-zero).
+    * Pure per-row projection — zero shuffles at any corpus size. Output:
+    * (vec_id, min_micro, range_micro, qvec array<int>).
+    */
+  def int8Quantize(emb: DataFrame): DataFrame = {
+    val e = asDouble(emb)
+    e.select(col("vec_id"), microArr(col("v")).as("xm"))
+      .withColumn("min_micro", array_min(col("xm")))
+      .withColumn("range_micro", array_max(col("xm")) - col("min_micro"))
+      .withColumn("qvec",
+        transform(col("xm"), x =>
+          when(col("range_micro") > 0L,
+               floor(((x - col("min_micro")) * 255L).cast(DoubleType) /
+                     col("range_micro").cast(DoubleType)).cast(IntegerType))
+            .otherwise(lit(0))))
+      .select("vec_id", "min_micro", "range_micro", "qvec")
+  }
+
+  /** Reconstruct micro-unit doubles from the codes: x'_i = (min +
+    * floor(q_i * range / 255)) / 1e6 — the dequantized embedding table,
+    * schema-compatible with every ANN operator (vec_id, embedding).
+    */
+  def int8Dequantize(quantized: DataFrame): DataFrame =
+    quantized.select(col("vec_id"),
+      transform(col("qvec"), q =>
+        (col("min_micro") +
+          floor((q.cast(LongType) * col("range_micro")).cast(DoubleType) / 255.0)
+            .cast(LongType)).cast(DoubleType) / 1e6)
+        .as("embedding"))
+
+  /** Oracle face: exact per-vector quantization stats — the code sum and a
+    * position-weighted code sum (an order-sensitive checksum), all longs.
+    */
+  def int8QuantStats(emb: DataFrame): DataFrame =
+    int8Quantize(emb).select(
+      col("vec_id"), col("min_micro"), col("range_micro"),
+      aggregate(col("qvec"), lit(0L), (acc, q) => acc + q.cast(LongType))
+        .as("q_sum"),
+      aggregate(zip_with(col("qvec"), sequence(lit(1), size(col("qvec"))),
+                         (q, i) => q.cast(LongType) * i.cast(LongType)),
+                lit(0L), (acc, x) => acc + x).as("q_dot"),
+      size(col("qvec")).cast(LongType).as("n"))
 }

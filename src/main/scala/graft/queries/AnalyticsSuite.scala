@@ -88,6 +88,25 @@ object AnalyticsSuite {
         Tables.load(s, d, "documents").select(col("doc_id").as("doc"), col("text")))
     }
 
+  /** BM25's load-time artifacts — tf postings + additive side tables
+    * (df, doc set, per-doc length). Shared by fts_bm25 and the hybrid
+    * RRF retrieval query (queries.Pipeline).
+    */
+  def tfArtifacts(s: SparkSession, d: String)
+      : (DataFrame, FullText.TfStats, DataFrame) = {
+    val tf = Catalog.table(s, d, "fts_tf_index") {
+      FullText.buildTfIndex(
+        Tables.load(s, d, "documents").select(col("doc_id").as("doc"), col("text")))
+    }
+    val stats = FullText.TfStats(
+      Catalog.table(s, d, "fts_tf_df") {
+        tf.groupBy("term").agg(count_distinct(col("doc")).as("df")) },
+      Catalog.table(s, d, "fts_tf_docs") { tf.select("doc").distinct() })
+    val dl = Catalog.table(s, d, "fts_doc_len") {
+      tf.groupBy("doc").agg(sum(col("tf")).as("dl")) }
+    (tf, stats, dl)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "rdfs_closure_types" -> ((s, d) => {
@@ -144,16 +163,7 @@ object AnalyticsSuite {
       // BM25 over the same load-time tf index + additive side tables
       // (df, docs, per-doc length) — query-time cost is the query terms'
       // postings plus vocabulary/side-table joins, never a full-index pass
-      val tf = Catalog.table(s, d, "fts_tf_index") {
-        FullText.buildTfIndex(
-          Tables.load(s, d, "documents").select(col("doc_id").as("doc"), col("text")))
-      }
-      val stats = FullText.TfStats(
-        Catalog.table(s, d, "fts_tf_df") {
-          tf.groupBy("term").agg(count_distinct(col("doc")).as("df")) },
-        Catalog.table(s, d, "fts_tf_docs") { tf.select("doc").distinct() })
-      val dl = Catalog.table(s, d, "fts_doc_len") {
-        tf.groupBy("doc").agg(sum(col("tf")).as("dl")) }
+      val (tf, stats, dl) = tfArtifacts(s, d)
       FullText.searchBm25(tf, Seq("spark", "join", "fast"), maxRank = 20,
                           stats = Some(stats), docLens = Some(dl))
         .orderBy("rank")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.pipeline.{Decontam, Dedup, LanguageModel, Multimodal, Packing, Redact, Sampling, Similarity, TextAnalysis, TextPrep, TrainingPrep}
+import graft.pipeline.{Decontam, Dedup, LanguageModel, Multimodal, Packing, Redact, Retrieval, Sampling, Similarity, TextAnalysis, TextPrep, TrainingPrep}
 
 /** Training-data-pipeline operator suite over `documents` and `embeddings`,
   * each with a DuckDB oracle (see the md5-hash parity note in
@@ -218,6 +218,41 @@ object Pipeline {
           Similarity.bruteForceTopK(p, p.filter(col("vec_id") < 5), k = 10),
           Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10))
         .orderBy("q_id")
+    }),
+
+    "emb_int8_quant" -> ((s, d) => {
+      // per-vector affine uint8 quantization — the STORAGE dial (4x fewer
+      // embedding bytes) next to PQ's codebook dial and JL's dimension
+      // dial; codes are exact integers, replayed by the oracle
+      Similarity.int8QuantStats(emb(s, d)).orderBy("vec_id")
+    }),
+
+    "ann_recall_int8" -> ((s, d) => {
+      // recall@10 of the int8-dequantized ranking vs the exact one — what
+      // the 4x storage cut costs in retrieval quality
+      val e = emb(s, d)
+      val dq = Similarity.int8Dequantize(Similarity.int8Quantize(e))
+      Similarity.recallAtK(
+          Similarity.bruteForceTopK(dq, dq.filter(col("vec_id") < 5), k = 10),
+          Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10))
+        .orderBy("q_id")
+    }),
+
+    "search_hybrid_rrf" -> ((s, d) => {
+      // hybrid retrieval: BM25 (sparse, over documents) and brute cosine
+      // (dense, over embeddings — same id space) fused by reciprocal rank;
+      // contributions are scaled integers so the fusion replays exactly
+      val (tf, stats, dl) = AnalyticsSuite.tfArtifacts(s, d)
+      val sparse = graft.search.FullText
+        .searchBm25(tf, Seq("spark", "join", "fast"), maxRank = 20,
+                    stats = Some(stats), docLens = Some(dl))
+        .select(col("doc").as("id"), col("rank"))
+      val e = emb(s, d)
+      val dense = Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") === 0L), k = 20)
+        .select(col("vec_id").as("id"), col("rank"))
+      Retrieval.rrfFuse(Seq(sparse, dense), k = 60, topN = 15)
+        .orderBy("rank")
     }),
     "ann_recall_lsh" -> ((s, d) => {
       // recall@10 of multiprobe LSH (8 planes, Hamming-1 probing) vs the
@@ -1047,6 +1082,97 @@ GROUP BY 1 ORDER BY 1"""
                  / COUNT(*), 6) AS recall
          FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
          GROUP BY 1 ORDER BY 1""",
+
+    "emb_int8_quant" ->
+      s"""WITH $embSql,
+         xm AS (SELECT vec_id,
+                  list_transform(v, x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS m
+                FROM e_t),
+         mm AS (SELECT vec_id, m, list_min(m) AS minm,
+                  list_max(m) - list_min(m) AS rng FROM xm),
+         qc AS (SELECT vec_id, minm, rng,
+                  list_transform(m, x -> CASE WHEN rng > 0
+                    THEN ((x - minm) * 255) // rng ELSE 0 END) AS qv
+                FROM mm)
+         SELECT vec_id, minm AS min_micro, rng AS range_micro,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                                        i -> qv[i] * i)) AS BIGINT) AS q_dot,
+           CAST(len(qv) AS BIGINT) AS n
+         FROM qc ORDER BY vec_id""",
+
+    "ann_recall_int8" ->
+      s"""WITH $embSql,
+         xm AS (SELECT vec_id,
+                  list_transform(v, x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS m
+                FROM e_t),
+         mm AS (SELECT vec_id, m, list_min(m) AS minm,
+                  list_max(m) - list_min(m) AS rng FROM xm),
+         dq AS (SELECT vec_id,
+                  list_transform(m, x -> CAST(minm + (CASE WHEN rng > 0
+                      THEN ((x - minm) * 255) // rng ELSE 0 END * rng) // 255
+                    AS DOUBLE) / 1000000.0) AS v
+                FROM mm),
+         aq AS (SELECT vec_id AS q_id, v AS aqv FROM dq WHERE vec_id < 5),
+         ap AS (SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+           FROM (SELECT q_id, dq.vec_id AS vec_id, ${cosSql("aqv", "dq.v")} AS score
+                 FROM dq CROSS JOIN aq WHERE dq.vec_id <> aq.q_id))
+           WHERE rank <= 10),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e_t WHERE vec_id < 5),
+         ex AS (SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+           FROM (SELECT q_id, e_t.vec_id, ${cosSql("qv", "e_t.v")} AS score
+                 FROM e_t CROSS JOIN q WHERE e_t.vec_id <> q.q_id))
+           WHERE rank <= 10)
+         SELECT ex.q_id, COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS recall
+         FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+         GROUP BY 1 ORDER BY 1""",
+
+    "search_hybrid_rrf" ->
+      s"""WITH tok AS (SELECT doc_id AS doc,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    t -> len(t) > 0)) AS term
+           FROM documents),
+         tf AS (SELECT term, doc, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         dfr AS (SELECT term, COUNT(DISTINCT doc) AS df FROM tf GROUP BY 1),
+         dl AS (SELECT doc, SUM(tf) AS dl FROM tf GROUP BY 1),
+         st AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                       COUNT(*) AS n FROM dl),
+         sc AS (SELECT m.doc,
+                  ROUND(SUM(
+                    ln((CAST(st.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                    * (m.tf * 2.2)
+                    / (m.tf + 1.2 * (0.25 + (0.75 * l.dl) / st.avgdl))), 6)
+                    AS score
+                FROM tf m JOIN dfr d USING (term) JOIN dl l ON m.doc = l.doc
+                  CROSS JOIN st
+                WHERE m.term IN ('spark', 'join', 'fast')
+                GROUP BY 1),
+         bm AS (SELECT doc AS id, rank FROM (
+             SELECT doc, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS BIGINT) AS rank
+             FROM sc) WHERE rank <= 20),
+         $embSql,
+         qd AS (SELECT v AS qv FROM e_t WHERE vec_id = 0),
+         dn AS (SELECT vec_id AS id, rank FROM (
+             SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+             FROM (SELECT e_t.vec_id, ${cosSql("qv", "e_t.v")} AS score
+                   FROM e_t CROSS JOIN qd WHERE e_t.vec_id <> 0))
+           WHERE rank <= 20),
+         c AS (SELECT id, 1000000000 // (60 + rank) AS contrib FROM bm
+               UNION ALL SELECT id, 1000000000 // (60 + rank) FROM dn),
+         f AS (SELECT id, CAST(SUM(contrib) AS BIGINT) AS rrf_scaled,
+                      COUNT(*) AS n_systems FROM c GROUP BY 1)
+         SELECT id, rrf_scaled, n_systems, rank FROM (
+           SELECT id, rrf_scaled, n_systems,
+             CAST(ROW_NUMBER() OVER (ORDER BY rrf_scaled DESC, id) AS BIGINT) AS rank
+           FROM f)
+         WHERE rank <= 15 ORDER BY rank""",
 
     // recall@10 of multiprobe LSH vs the exact ranking — composes the
     // ann_topk and ann_lsh_multiprobe oracle bodies

@@ -106,6 +106,42 @@ class PipelineSpec extends SparkSpecBase {
       }
   }
 
+  test("int8 quantization: round trip stays within one quantization step") {
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = Similarity.int8Quantize(e)
+    // codes are genuine uint8
+    val bad = q.select(explode(col("qvec")).as("q"))
+      .filter(col("q") < 0 || col("q") > 255).count()
+    assert(bad == 0, s"$bad codes outside [0, 255]")
+    // dequantization error is bounded by one step (range/255) plus the
+    // micro-unit rounding — the guarantee that makes the 4x cut usable
+    val dq = Similarity.int8Dequantize(q)
+    val err = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .join(dq.withColumnRenamed("embedding", "v2"), "vec_id")
+      .select(col("vec_id"),
+        aggregate(zip_with(col("v"), col("v2"), (a, b) => abs(a - b)),
+                  lit(0.0), (acc, x) => greatest(acc, x)).as("maxerr"),
+        ((array_max(col("v")) - array_min(col("v"))) / 255.0 + 2e-6).as("bound"))
+    assert(err.filter(col("maxerr") > col("bound")).count() == 0,
+           "dequantization error exceeded one quantization step")
+  }
+
+  test("RRF fusion: an id ranked by both systems outranks single-system ids") {
+    import graft.pipeline.Retrieval
+    import spark.implicits._
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (4L, 2L)).toDF("id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a, b), k = 60, topN = 10).collect()
+    // id 2: 1e9/62 + 1e9/61 beats id 1's 1e9/61 alone
+    assert(fused.head.getLong(0) == 2L, s"fusion order wrong: ${fused.toSeq}")
+    assert(fused.head.getLong(2) == 2L, "n_systems miscounted")
+    // deterministic integer contributions: recompute one score exactly
+    val id2 = fused.find(_.getLong(0) == 2L).get
+    assert(id2.getLong(1) == 1000000000L / 62 + 1000000000L / 61)
+  }
+
   test("count-min estimates are never below the exact counts") {
     val ev = TextAnalysis.cmsTopKEvaluate(docs, topK = 20, depth = 4, width = 32)
     assert(ev.filter(col("n_cms") < col("n_total")).count() == 0,
