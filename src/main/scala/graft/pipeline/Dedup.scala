@@ -484,4 +484,24 @@ object Dedup {
                    round(coalesce(col("dup_spans"), lit(0L)).cast(DoubleType) /
                          col("n_spans"), 6)).as("dup_frac"))
   }
+
+  /** Candidate-recall evaluation of an LSH banding against the exact
+    * near-dup pair set — the knob-tuning dial for (numHashes, bands):
+    * recall = |candidates ∩ exact| / |exact| (pairs LSH must not miss),
+    * with the candidate count alongside (the verification cost the
+    * banding buys that recall with). The dedup analogue of the ANN
+    * recall@k evaluations. Both inputs carry (id_a, id_b) with
+    * id_a < id_b; runs on the pair frames, never the corpus.
+    */
+  def lshRecall(exact: DataFrame, candidates: DataFrame): DataFrame = {
+    val hit = candidates.select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
+    exact.select("id_a", "id_b")
+      .join(hit, Seq("id_a", "id_b"), "left_outer")
+      .agg(count(lit(1)).as("n_exact"),
+           sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .crossJoin(candidates.agg(count(lit(1)).as("n_candidates")))
+      .select(col("n_exact"), col("n_candidates"), col("n_hit"),
+              round(col("n_hit").cast(DoubleType) / col("n_exact"), 6)
+                .as("recall"))
+  }
 }

@@ -122,6 +122,17 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_lsh_recall" -> ((s, d) => {
+      // candidate recall of the (16 hashes, 4 bands) LSH banding vs the
+      // exact Jaccard >= 0.5 pair set — the (numHashes, bands) tuning dial,
+      // the dedup analogue of ann_recall_*
+      Dedup.lshRecall(
+        Dedup.ngramJaccardPairs(docs(s, d), n = 3, threshold = 0.5,
+                                prebuilt = Some(shingleIndex(s, d))),
+        Dedup.minhashLshCandidatesFromSigs(minhashSketch(s, d),
+                                           numHashes = 16, bands = 4))
+    }),
+
     "dedup_embedding_cosine" -> ((s, d) => {
       // label-blocked so the DuckDB oracle can replicate the blocking
       // exactly; the no-block default derives LSH buckets internally
@@ -772,6 +783,37 @@ GROUP BY 1 ORDER BY 1"""
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
          ORDER BY id_a, id_b""",
+
+    "dedup_lsh_recall" ->
+      s"""WITH $wsSql, $shSql,
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh_t GROUP BY 1),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+           FROM sh_t a JOIN sh_t b
+             ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         exact AS (
+           SELECT id_a, id_b FROM shared
+             JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+           WHERE ROUND(CAST(n_shared AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - n_shared), 6) >= 0.5),
+         mh AS (SELECT doc_id, i,
+                  MIN(${h64("concat(i, '|', shingle)")}) AS minhash
+                FROM sh_t CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+         bands AS (SELECT doc_id, i // 4 AS band, list(minhash ORDER BY i) AS band_key
+                   FROM mh GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id),
+         agg AS (SELECT COUNT(*) AS n_exact,
+                   CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                 FROM exact e LEFT JOIN cand c
+                   ON e.id_a = c.id_a AND e.id_b = c.id_b)
+         SELECT n_exact, (SELECT COUNT(*) FROM cand) AS n_candidates, n_hit,
+           ROUND(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall
+         FROM agg""",
 
     "dedup_simhash" ->
       s"""WITH $wsSql,
