@@ -499,6 +499,60 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, Table A1) — the
+    * standard rule battery a pretraining corpus is filtered with, as ONE
+    * codegen'd projection (no explode, no shuffle; the 100 TB shape is
+    * embarrassingly parallel by construction):
+    *   - word count within [minWords, maxWords]
+    *   - mean word length within [3, 10]
+    *   - fraction of words containing an alphabetic character >= 0.8
+    *   - symbol-to-word ratio (# and ... occurrences per word) <= 0.1
+    *   - at least `minStopHits` hits against the English stopword lexicon
+    * Output carries the raw signals (exact counts; ratios rounded to 6dp)
+    * next to 0/1 rule flags and the conjunction `gopher_pass`, so a
+    * curation report can see WHICH rule rejected a document — the signals,
+    * not just the verdict, are the operator's product. Thresholds are
+    * parameters; the canonical Gopher bounds (50..100k words) are defaults.
+    *
+    * The paper's duplicate-text rules (top-n-gram / dup-n-gram fractions)
+    * are deliberately NOT repeated here — they are [[repetitionStats]];
+    * compose the two frames on doc_id for the full battery.
+    */
+  def gopherQuality(docs: DataFrame, minWords: Long = 50L,
+                    maxWords: Long = 100000L,
+                    minStopHits: Long = 2L): DataFrame = {
+    val ws = col("ws")
+    val n = size(ws).cast(LongType)
+    val meanLen = when(n > 0,
+      round(aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+              .cast(DoubleType) / n, 6))
+    val alphaFrac = when(n > 0,
+      round(size(filter(ws, w => w.rlike("[a-z]"))).cast(DoubleType) / n, 6))
+    // symbols per word: '#' occurrences plus '...' runs (each maximal dot
+    // run of length >= 3 counts once, the paper's ellipsis reading)
+    val nSym = (length(col("text")) -
+                 length(regexp_replace(col("text"), "#", ""))).cast(LongType) +
+               size(regexp_extract_all(col("text"), lit("\\.{3,}"), lit(0)))
+                 .cast(LongType)
+    val symRatio = when(n > 0, round(nSym.cast(DoubleType) / n, 6))
+    val stopHits =
+      size(filter(ws, w => w.isin(stopwords("en"): _*))).cast(LongType)
+    val fWords = (n >= minWords && n <= maxWords).cast(LongType)
+    val fMeanLen = (meanLen.isNotNull && meanLen >= 3.0 && meanLen <= 10.0)
+      .cast(LongType)
+    val fAlpha = (alphaFrac.isNotNull && alphaFrac >= 0.8).cast(LongType)
+    val fSymbol = (symRatio.isNotNull && symRatio <= 0.1).cast(LongType)
+    val fStop = (stopHits >= minStopHits).cast(LongType)
+    withWs(docs, lower_ = true).select(
+      col("doc_id"),
+      n.as("n_words"), meanLen.as("mean_word_len"),
+      alphaFrac.as("alpha_word_frac"), symRatio.as("symbol_ratio"),
+      stopHits.as("stop_hits"),
+      fWords.as("f_words"), fMeanLen.as("f_mean_len"),
+      fAlpha.as("f_alpha"), fSymbol.as("f_symbol"), fStop.as("f_stop"),
+      (fWords * fMeanLen * fAlpha * fSymbol * fStop).as("gopher_pass"))
+  }
+
   def subwordStats(docs: DataFrame): DataFrame = {
     val pieces = size(regexp_extract_all(col("text"), lit(subwordPattern), lit(0)))
     val nWords = size(words(col("text")))

@@ -301,6 +301,10 @@ object Pipeline {
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d)).orderBy("doc_id")),
+    "quality_gopher" -> ((s, d) =>
+      // canonical Gopher rule battery; word-count floor tuned to this
+      // corpus's 10-99-word documents so the flag actually splits it
+      TextAnalysis.gopherQuality(docs(s, d), minWords = 30L).orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d)).orderBy("doc_id")),
     "text_perplexity" -> ((s, d) =>
@@ -1391,6 +1395,49 @@ GROUP BY 1 ORDER BY 1"""
            CAST(ROUND(len_score * 0.3 + alpha_ratio * 0.3 + ttr * 0.2 + wl * 0.2, 6)
                 AS DOUBLE) AS quality
          FROM scored ORDER BY doc_id""",
+
+    // Gopher rule battery: raw signals + 0/1 flags + the conjunction;
+    // symbols counted on the RAW text ('#' chars + maximal '...' runs),
+    // words/stopwords on the lowercased token array; every flag compares
+    // the ROUNDED signal (the value in the output row), mirroring Spark
+    "quality_gopher" ->
+      raw"""WITH w AS (SELECT doc_id, text,
+              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                          x -> len(x) > 0) AS ws
+            FROM documents),
+         s AS (SELECT doc_id, len(ws) AS n,
+             CASE WHEN len(ws) > 0 THEN
+               ROUND(CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+                     / len(ws), 6) END AS mean_word_len,
+             CASE WHEN len(ws) > 0 THEN
+               ROUND(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                          AS DOUBLE) / len(ws), 6) END AS alpha_word_frac,
+             (len(text) - len(replace(text, '#', '')))
+               + len(regexp_extract_all(text, '\.{3,}')) AS n_sym,
+             len(list_filter(ws, t -> t IN ('the','a','of','and','to','in',
+                                            'is','that','it','for')))
+               AS stop_hits
+           FROM w),
+         f AS (SELECT doc_id, n, mean_word_len, alpha_word_frac,
+             CASE WHEN n > 0 THEN ROUND(CAST(n_sym AS DOUBLE) / n, 6) END
+               AS symbol_ratio,
+             stop_hits
+           FROM s),
+         g AS (SELECT *,
+             CAST(n >= 30 AND n <= 100000 AS BIGINT) AS f_words,
+             CAST(mean_word_len IS NOT NULL AND mean_word_len >= 3
+                  AND mean_word_len <= 10 AS BIGINT) AS f_mean_len,
+             CAST(alpha_word_frac IS NOT NULL AND alpha_word_frac >= 0.8
+                  AS BIGINT) AS f_alpha,
+             CAST(symbol_ratio IS NOT NULL AND symbol_ratio <= 0.1
+                  AS BIGINT) AS f_symbol,
+             CAST(stop_hits >= 2 AS BIGINT) AS f_stop
+           FROM f)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_words, mean_word_len,
+           alpha_word_frac, symbol_ratio, CAST(stop_hits AS BIGINT) AS stop_hits,
+           f_words, f_mean_len, f_alpha, f_symbol, f_stop,
+           f_words * f_mean_len * f_alpha * f_symbol * f_stop AS gopher_pass
+         FROM g ORDER BY doc_id""",
 
     "text_fingerprint" ->
       raw"""WITH lw AS (SELECT doc_id, text,

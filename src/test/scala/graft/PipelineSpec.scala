@@ -490,6 +490,35 @@ class PipelineSpec extends SparkSpecBase {
     assert(kept == Set(2L, 3L))
   }
 
+  test("gopher quality rules flag the documented failure modes") {
+    val fixture = spark.createDataFrame(Seq(
+      // passes every rule: 50+ short alphabetic words with stopwords
+      (1L, ("the quick brown fox jumps over a lazy dog and " * 5).trim, "en", "s1", 0L),
+      // word-count floor: 5 words (other rules pass)
+      (2L, "the tiny doc for it", "en", "s1", 0L),
+      // mean word length > 10
+      (3L, ("extraordinarily incomprehensible " * 30).trim, "en", "s1", 0L),
+      // symbol-heavy: one '#' per word plus ellipsis runs
+      (4L, ("the ### fox ... and ##### dog ...... " * 10).trim, "en", "s1", 0L),
+      // numeric: no word contains a letter, no stopwords
+      (5L, ("123 4567 890 " * 20).trim, "en", "s1", 0L)
+    )).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.gopherQuality(fixture, minWords = 30L)
+      .orderBy("doc_id").collect()
+    def flags(i: Int) = Seq("f_words", "f_mean_len", "f_alpha", "f_symbol",
+                            "f_stop").map(f => out(i).getAs[Long](f))
+    assert(out(0).getAs[Long]("gopher_pass") == 1L)
+    assert(flags(1) == Seq(0L, 1L, 1L, 1L, 1L))       // only word count fails
+    assert(out(2).getAs[Long]("f_mean_len") == 0L)
+    assert(out(3).getAs[Long]("f_symbol") == 0L)
+    assert(out(3).getAs[Double]("symbol_ratio") > 0.1)
+    assert(flags(4) == Seq(1L, 1L, 0L, 1L, 0L))       // alpha + stopword fail
+    assert(out.count(_.getAs[Long]("gopher_pass") == 1L) == 1)
+    // signals are exact counts over the token array
+    assert(out(0).getAs[Long]("n_words") == 50L)
+    assert(out(0).getAs[Long]("stop_hits") == 15L)    // the, over, a x5... the/a/and/over
+  }
+
   test("redaction and decontamination are idempotent") {
     import graft.pipeline.{Decontam, Redact}
     // redaction tags contain no redactable characters, so a second pass is
