@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Hybrid-retrieval rank fusion — the glue between the engine's sparse
   * (BM25/tf-cosine full-text) and dense (ANN cosine) rankings.
@@ -45,5 +46,81 @@ object Retrieval {
     fused.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topN)
       .select("id", "rrf_scaled", "n_systems", "rank")
+  }
+
+  /** Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    * 1998): greedily re-rank a retrieval candidate list so each pick
+    * maximizes `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — relevance
+    * traded against redundancy with what is already shown. The standard
+    * post-processing between ANN retrieval and a context window: without
+    * it, the top-k of a deduplicated-but-clustered corpus is k near-copies.
+    *
+    * Exactness: relevance and pairwise similarity are micro-unit longs
+    * (round(cosine·10^6) — the repo's shared float discipline) and λ is a
+    * PERCENTAGE, so the marginal score `λ·rel − (100−λ)·maxsim` is exact
+    * integer arithmetic: picks and tie-breaks (score desc, vec_id asc)
+    * replay bit-for-bit in ANSI SQL. The first pick uses the same formula
+    * with maxsim = 0 (empty selected set).
+    *
+    * Scale posture: `candidates` is a TOP-K frame by construction (queries
+    * × k rows — the corpus-sized work already happened in the ANN stage),
+    * so the pairwise-similarity join is queries × k² bounded rows and each
+    * greedy round is a couple of joins + one per-query window over that
+    * bounded frame; `select` rounds total, each materialized so the plan
+    * does not deepen. The greedy dependence is inherent to MMR — pick i+1
+    * is defined on picks 1..i — but nothing here ever touches the corpus.
+    *
+    * @param emb        (vec_id, embedding) — vectors for candidate pairs
+    * @param candidates (q_id, vec_id, score) — e.g. Similarity ANN output
+    * @param select     how many results to keep per query
+    * @param lambdaPct  λ as a percentage (50 = equal weight)
+    */
+  def mmrDiversify(emb: DataFrame, candidates: DataFrame, select: Int,
+                   lambdaPct: Int = 50): DataFrame = {
+    require(select > 0 && lambdaPct >= 0 && lambdaPct <= 100)
+    import graft.util.Fixpoint.materialize
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cand = materialize(candidates.select(col("q_id"), col("vec_id"),
+      round(col("score") * 1e6).cast(LongType).as("rel_micro")))
+    val withV = cand.join(e, "vec_id")
+    val pairs = materialize(withV
+      .select(col("q_id"), col("vec_id").as("a_id"), col("v").as("av"))
+      .join(withV.select(col("q_id"), col("vec_id").as("b_id"),
+                         col("v").as("bv")), "q_id")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        round(Similarity.cosine(col("av"), col("bv")) * 1e6).cast(LongType)
+          .as("sim_micro")))
+    val pick = Window.partitionBy("q_id")
+      .orderBy(col("mmr_scaled").desc, col("vec_id"))
+    var selected: DataFrame = null
+    for (i <- 1 to select) {
+      val rem =
+        if (i == 1) cand
+        else cand.join(selected.select("q_id", "vec_id"),
+                       Seq("q_id", "vec_id"), "left_anti")
+      val maxSim =
+        if (i == 1) rem.withColumn("msim", lit(0L))
+        else rem.join(
+            pairs.join(selected.select(col("q_id"),
+                                       col("vec_id").as("b_id")),
+                       Seq("q_id", "b_id"))
+              .groupBy(col("q_id"), col("a_id").as("vec_id"))
+              .agg(max(col("sim_micro")).as("msim")),
+            Seq("q_id", "vec_id"), "left")
+          .withColumn("msim", coalesce(col("msim"), lit(0L)))
+      val next = maxSim
+        .withColumn("mmr_scaled",
+          lit(lambdaPct.toLong) * col("rel_micro") -
+            lit((100 - lambdaPct).toLong) * col("msim"))
+        .withColumn("__rn", row_number().over(pick))
+        .filter(col("__rn") === 1)
+        .select(col("q_id"), lit(i.toLong).as("sel_rank"), col("vec_id"),
+                col("rel_micro"), col("mmr_scaled"))
+      selected = materialize(
+        if (i == 1) next else selected.unionByName(next))
+    }
+    selected
   }
 }

@@ -258,6 +258,76 @@ object Sampling {
               expr("(alloc * 1000000L) div n_tok_lang").as("epochs_micro"))
   }
 
+  /** Exact integer square root as a column: floor(sqrt(x)) for x >= 0.
+    * One double sqrt then a ±1 integer fixup — the IEEE estimate is within
+    * one of the true root for x < 2^62, and the fixup compares exact
+    * integer squares, so the result is exact on every engine regardless of
+    * the libm's last ulp (the discipline that keeps allocation oracles
+    * bit-replayable).
+    */
+  private[graft] def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    val s1 = when(s0 * s0 > x, s0 - 1).otherwise(s0)
+    when(x > 0, when((s1 + 1) * (s1 + 1) <= x, s1 + 1).otherwise(s1))
+      .otherwise(0L)
+  }
+
+  /** Temperature-balanced language allocations (the mC4/mT5 sampling rule,
+    * Xue et al. 2021: sample language l with probability ∝ |l|^α) at the
+    * common α = 1/2 — the OTHER standard answer to multilingual imbalance
+    * next to [[unimaxAllocations]]'s epoch cap: big languages are
+    * down-weighted smoothly (∝ √size) instead of capped.
+    *
+    * α = 1/2 is implemented EXACTLY: weights are integer square roots
+    * ([[isqrt]]) and each language's share of the token budget is
+    * largest-remainder (Hamilton) apportionment of `budget · w / Σw` —
+    * base share by 128-bit integer division, the `budget − Σ base`
+    * leftover units going +1 each to the largest remainders (ties: lang
+    * asc). Allocations are non-negative longs summing to EXACTLY the
+    * budget (spec-pinned), and every step replays bit-for-bit in ANSI SQL
+    * — no libm pow(), whose last ulp differs across engines. (Other
+    * temperatures are this same construction with an exact k-th root;
+    * α = 1 is plain proportional apportionment.)
+    *
+    * Scale posture: identical to [[unimaxAllocations]] — one map-side-
+    * combinable corpus aggregation to the language-cardinality frame
+    * (thousands of rows at most), where single-partition windows are
+    * driver-scale by construction.
+    */
+  def temperatureAllocations(docs: DataFrame, totalBudget: Long,
+                             langCol: String = "lang"): DataFrame = {
+    require(totalBudget >= 0, "budget must be non-negative")
+    val dec = "decimal(38,0)"
+    val nTok = size(TextPrep.words(col("text"))).cast("long")
+    val wAll = Window.partitionBy(lit(0))
+    val rankW = Window.orderBy(col("rem").desc, col("lang"))
+    val weighted = docs.groupBy(col(langCol).as("lang"))
+      .agg(sum(nTok).as("n_tok_lang"))
+      .withColumn("weight", isqrt(col("n_tok_lang")))
+      .withColumn("wsum", sum(col("weight")).over(wAll))
+      // budget·w can exceed 2^63 (budget 1e13 × weight 1e7): the share
+      // arithmetic runs in decimal(38,0); base and rem are longs again
+      .withColumn("base",
+        when(col("wsum") > 0,
+          ((lit(totalBudget).cast(dec) * col("weight").cast(dec) -
+            pmod(lit(totalBudget).cast(dec) * col("weight").cast(dec),
+                 col("wsum").cast(dec))) / col("wsum").cast(dec))
+            .cast("long")).otherwise(0L))
+      .withColumn("rem",
+        when(col("wsum") > 0,
+          pmod(lit(totalBudget).cast(dec) * col("weight").cast(dec),
+               col("wsum").cast(dec)).cast("long")).otherwise(0L))
+    weighted
+      .withColumn("extras", lit(totalBudget) - sum(col("base")).over(wAll))
+      .withColumn("rk", row_number().over(rankW))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("extras") && col("wsum") > 0, 1L)
+          .otherwise(0L))
+      .select(col("lang"), col("n_tok_lang"), col("weight"), col("alloc"),
+        when(col("n_tok_lang") > 0,
+             expr("(alloc * 1000000L) div n_tok_lang")).as("epochs_micro"))
+  }
+
   /** UniMax sampling: admit each language's documents in salted-hash order
     * until the language's waterfilled allocation is reached (same prefix-
     * truncation cutoff as [[tokenBudgetSample]] — a doc that would overshoot

@@ -71,6 +71,11 @@ object Pipeline {
     Catalog.table(s, d, "bpe_merges_8")(
       graft.pipeline.Bpe.train(s, docs(s, d), merges = 8))
 
+  /** The trained WordPiece merge table, the same load-time-artifact shape. */
+  def wordpieceMerges(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Catalog.table(s, d, "wordpiece_merges_8")(
+      graft.pipeline.WordPiece.train(s, docs(s, d), merges = 8))
+
   /** DuckDB: tokens per document (multiplicity preserved). */
   private val wsSql =
     raw"""ws_t AS (SELECT doc_id, lang,
@@ -264,6 +269,16 @@ object Pipeline {
         .select(col("vec_id").as("id"), col("rank"))
       Retrieval.rrfFuse(Seq(sparse, dense), k = 60, topN = 15)
         .orderBy("rank")
+    }),
+    "search_mmr" -> ((s, d) => {
+      // MMR re-ranking (λ=50%) of the dense top-12 for three queries:
+      // relevance traded against redundancy with the already-picked set;
+      // micro-unit integer scores make every greedy pick replayable
+      val e = emb(s, d)
+      val cands = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3),
+                                            k = 12)
+      Retrieval.mmrDiversify(e, cands, select = 6, lambdaPct = 50)
+        .orderBy("q_id", "sel_rank")
     }),
     "ann_recall_lsh" -> ((s, d) => {
       // recall@10 of multiprobe LSH (8 planes, Hamming-1 probing) vs the
@@ -467,6 +482,7 @@ object Pipeline {
             .as("n_tokens"))
         .orderBy("source")),
     "bpe_train_merges" -> ((s, d) => bpeMerges(s, d).orderBy("rank")),
+    "wordpiece_train_merges" -> ((s, d) => wordpieceMerges(s, d).orderBy("rank")),
     "tokenizer_unigram_train" -> ((s, d) =>
       // the OTHER tokenizer family (Kudo 2018 / SentencePiece unigram):
       // seed substrings -> 2 exact Baum-Welch rounds -> prune+renorm;
@@ -501,6 +517,11 @@ object Pipeline {
       // truncated — the UniMax shape (at sf0.1 all five truncate uniformly)
       Sampling.unimaxSample(docs(s, d), totalBudget = 40000L, maxEpochs = 2)
         .orderBy("doc_id")),
+    "sample_temperature" -> ((s, d) =>
+      // α=1/2 temperature allocations of the same 40k budget: √-weights
+      // upweight small languages smoothly (vs unimax's hard epoch cap)
+      Sampling.temperatureAllocations(docs(s, d), totalBudget = 40000L)
+        .orderBy("lang")),
     "pipeline_pack_sequences" -> ((s, d) =>
       Packing.packedManifest(docs(s, d), seqLen = 200L)
         .orderBy("source", "seq_id")),
@@ -524,6 +545,109 @@ object Pipeline {
     * empty accumulator). Deterministic tie-break (count desc, l, r) makes
     * every round a pure function of the corpus, so the replay is exact.
     */
+  /** DuckDB replay of [[graft.pipeline.Retrieval.mmrDiversify]]: the greedy
+    * rounds unroll as accumulating CTE chains (selected set acc_k, remaining
+    * candidates remc_k, max-sim-to-selected ms_k); scores are micro-unit
+    * integer arithmetic, so every pick and tie-break replays exactly. The
+    * state CTEs are MATERIALIZED — DuckDB inlines CTEs by default and each
+    * round references the previous accumulator three times.
+    */
+  private def mmrOracle(select: Int, lambdaPct: Int): String = {
+    val lp = lambdaPct
+    val lq = 100 - lambdaPct
+    val head = s"""$embSql,
+      qset AS (SELECT vec_id AS q_id, v AS qv FROM e_t WHERE vec_id < 3),
+      cand AS MATERIALIZED (
+        SELECT q_id, vec_id,
+          CAST(ROUND(score * 1000000) AS BIGINT) AS rel FROM (
+          SELECT q_id, vec_id, score,
+            ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY score DESC, vec_id) AS rnk
+          FROM (SELECT q.q_id, e.vec_id, ${cosSql("q.qv", "e.v")} AS score
+                FROM e_t e CROSS JOIN qset q WHERE e.vec_id <> q.q_id))
+        WHERE rnk <= 12),
+      cv AS MATERIALIZED (SELECT c.q_id, c.vec_id, e.v
+                          FROM cand c JOIN e_t e USING (vec_id)),
+      simp AS MATERIALIZED (
+        SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
+          CAST(ROUND(${cosSql("a.v", "b.v")} * 1000000) AS BIGINT) AS sim
+        FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+      sel1 AS (SELECT q_id, vec_id, rel, mmr FROM (
+          SELECT q_id, vec_id, rel, $lp * rel AS mmr,
+            ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY $lp * rel DESC, vec_id) AS rn
+          FROM cand) WHERE rn = 1),
+      acc1 AS MATERIALIZED (SELECT q_id, vec_id, rel, mmr,
+        CAST(1 AS BIGINT) AS sel_rank FROM sel1)"""
+    val steps = (2 to select).map { k =>
+      s"""remc$k AS (SELECT c.* FROM cand c LEFT JOIN acc${k - 1} s
+            ON c.q_id = s.q_id AND c.vec_id = s.vec_id WHERE s.vec_id IS NULL),
+      ms$k AS (SELECT c.q_id, c.vec_id, c.rel, COALESCE(MAX(ps.sim), 0) AS msim
+            FROM remc$k c LEFT JOIN
+              (SELECT p.q_id, p.a_id, p.sim FROM simp p
+               JOIN acc${k - 1} s ON p.q_id = s.q_id AND p.b_id = s.vec_id) ps
+              ON ps.q_id = c.q_id AND ps.a_id = c.vec_id
+            GROUP BY 1, 2, 3),
+      sel$k AS (SELECT q_id, vec_id, rel, mmr FROM (
+          SELECT q_id, vec_id, rel, $lp * rel - $lq * msim AS mmr,
+            ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY ($lp * rel - $lq * msim) DESC, vec_id) AS rn
+          FROM ms$k) WHERE rn = 1),
+      acc$k AS MATERIALIZED (SELECT * FROM acc${k - 1} UNION ALL
+        SELECT q_id, vec_id, rel, mmr, CAST($k AS BIGINT) FROM sel$k)"""
+    }
+    "WITH " + (head +: steps).mkString(",\n") +
+      s"""
+      SELECT q_id, sel_rank, vec_id, rel AS rel_micro, mmr AS mmr_scaled
+      FROM acc$select ORDER BY q_id, sel_rank"""
+  }
+
+  /** DuckDB replay of [[graft.pipeline.WordPiece.train]] — the same
+    * unrolled-round structure as [[bpeOracle]] plus a per-round symbol-count
+    * CTE; the quantized likelihood score is HUGEINT arithmetic
+    * (`(c · 10^12) // (cl · cr)`, floor of positives = Spark's exact
+    * Decimal(38,0) division), so every pick replays bit-for-bit.
+    */
+  private def wordpieceOracle(rounds: Int): String =
+    wordpieceCtes(rounds) + "\n" + (1 to rounds).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right",
+            merged, c AS pair_count, score_q FROM t$k"""
+    }.mkString(" UNION ALL ") + " ORDER BY rank"
+
+  private def wordpieceCtes(rounds: Int): String = {
+    val head = raw"""ws_t AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(text), '\s+'), w -> len(w) > 0) AS ws
+      FROM documents),
+      wf AS (SELECT w AS word, COUNT(*) AS freq
+             FROM (SELECT unnest(ws) AS w FROM ws_t) GROUP BY 1),
+      s0 AS MATERIALIZED (SELECT word, freq,
+        list_transform(range(1, len(word) + 1),
+          i -> CASE WHEN i = 1 THEN word[i] ELSE '##' || word[i] END) AS st
+      FROM wf)"""
+    val steps = (1 to rounds).map { k =>
+      s"""sym$k AS (SELECT s AS sym, CAST(SUM(freq) AS BIGINT) AS cs
+        FROM (SELECT freq, unnest(st) AS s FROM s${k - 1}) GROUP BY 1),
+      p$k AS (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS c
+        FROM (SELECT freq, unnest(list_transform(range(1, len(st)),
+                i -> {'l': st[i], 'r': st[i+1]})) AS p FROM s${k - 1})
+        GROUP BY 1, 2),
+      sc$k AS (SELECT p.l AS l, p.r AS r, p.c AS c,
+          CAST((CAST(p.c AS HUGEINT) * 1000000000000)
+               // (CAST(sl.cs AS HUGEINT) * sr.cs) AS BIGINT) AS score_q
+        FROM p$k p JOIN sym$k sl ON p.l = sl.sym JOIN sym$k sr ON p.r = sr.sym),
+      t$k AS (SELECT l, r, c, score_q,
+          l || CASE WHEN r LIKE '##%' THEN r[3:] ELSE r END AS merged
+        FROM sc$k ORDER BY score_q DESC, l, r LIMIT 1),
+      s$k AS MATERIALIZED (SELECT word, freq,
+        list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform(st, s -> [s])),
+          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.l AND x[1] = t.r
+            THEN list_append(acc[1:len(acc)-1], t.merged)
+            ELSE list_append(acc, x[1]) END) AS st
+        FROM s${k - 1} CROSS JOIN t$k t)"""
+    }
+    (head +: steps).mkString("WITH ", ",\n", "")
+  }
+
   private def bpeOracle(rounds: Int): String =
     bpeCtes(rounds) + "\n" + (1 to rounds).map { k =>
       s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right",
@@ -2128,6 +2252,48 @@ GROUP BY 1 ORDER BY 1"""
          SELECT doc_id, lang, n_tok, cum_tok, alloc, epochs_micro
          FROM c WHERE cum_tok <= alloc ORDER BY doc_id""",
 
+    // α=1/2 temperature allocations: exact isqrt (double estimate + ±1
+    // integer fixup), HUGEINT share arithmetic, largest-remainder +1s —
+    // every step integer, so the apportionment replays bit-for-bit
+    "sample_temperature" ->
+      raw"""WITH w AS (SELECT lang,
+              len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> len(x) > 0)) AS n_tok
+            FROM documents),
+         c AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS n_tok_lang
+               FROM w GROUP BY 1),
+         s0 AS (SELECT lang, n_tok_lang,
+             CAST(FLOOR(SQRT(CAST(n_tok_lang AS DOUBLE))) AS BIGINT) AS r0
+           FROM c),
+         s1 AS (SELECT lang, n_tok_lang,
+             CASE WHEN r0 * r0 > n_tok_lang THEN r0 - 1 ELSE r0 END AS r1
+           FROM s0),
+         wt AS (SELECT lang, n_tok_lang,
+             CASE WHEN n_tok_lang > 0 THEN
+               CASE WHEN (r1 + 1) * (r1 + 1) <= n_tok_lang THEN r1 + 1 ELSE r1 END
+             ELSE 0 END AS weight
+           FROM s1),
+         t AS (SELECT *, SUM(weight) OVER () AS wsum FROM wt),
+         b AS (SELECT *,
+             CASE WHEN wsum > 0 THEN
+               CAST((CAST(40000 AS HUGEINT) * weight) // wsum AS BIGINT)
+             ELSE 0 END AS base,
+             CASE WHEN wsum > 0 THEN
+               CAST((CAST(40000 AS HUGEINT) * weight) % wsum AS BIGINT)
+             ELSE 0 END AS rem
+           FROM t),
+         e AS (SELECT *, 40000 - SUM(base) OVER () AS extras,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk
+           FROM b),
+         a AS (SELECT lang, n_tok_lang, weight,
+             base + CASE WHEN rk <= extras AND wsum > 0 THEN 1 ELSE 0 END
+               AS alloc
+           FROM e)
+         SELECT lang, n_tok_lang, weight, CAST(alloc AS BIGINT) AS alloc,
+           CASE WHEN n_tok_lang > 0 THEN
+             CAST((alloc * 1000000) // n_tok_lang AS BIGINT) END AS epochs_micro
+         FROM a ORDER BY lang""",
+
     "split_train_val" ->
       """WITH u AS (SELECT doc_id,
              CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15) AS BIGINT) AS DOUBLE)
@@ -2182,6 +2348,8 @@ GROUP BY 1 ORDER BY 1"""
          ORDER BY a.vec_id""",
 
     "bpe_train_merges" -> bpeOracle(8),
+    "wordpiece_train_merges" -> wordpieceOracle(8),
+    "search_mmr" -> mmrOracle(6, 50),
 
     // unigram-LM trainer (Kudo 2018): seed -> 2 unrolled Baum-Welch rounds
     // (forward/backward lattices as recursive CTEs carrying the prefix

@@ -490,6 +490,90 @@ class PipelineSpec extends SparkSpecBase {
     assert(kept == Set(2L, 3L))
   }
 
+  test("mmr diversification trades relevance against redundancy") {
+    import graft.pipeline.Retrieval
+    // vec 0 = query; 1 and 2 are EXACT near-dups (same direction, cosine
+    // 1.0) both highly relevant; 3 is 60° away, moderately relevant
+    val fix = spark.createDataFrame(Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.01)), (2L, Seq(2.0, 0.02)),
+      (3L, Seq(0.5, 0.866))
+    )).toDF("vec_id", "embedding")
+    val cands = Similarity.bruteForceTopK(fix, fix.filter(col("vec_id") === 0L),
+                                          k = 3)
+    // λ=100% is pure relevance: same order as the ANN ranking
+    val pure = Retrieval.mmrDiversify(fix, cands, select = 3, lambdaPct = 100)
+      .orderBy("sel_rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(pure == cands.orderBy("rank").collect()
+      .map(_.getAs[Long]("vec_id")).toSeq)
+    // λ=20%: after picking one of the dup pair, its exact copy is maximally
+    // redundant — the diverse-but-less-relevant vector 3 goes second
+    val div = Retrieval.mmrDiversify(fix, cands, select = 3, lambdaPct = 20)
+      .orderBy("sel_rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(div.take(2) == Seq(1L, 3L), s"got $div")
+    // every pick is distinct and ranks are 1..select
+    assert(div.distinct.size == 3)
+    val ranks = Retrieval.mmrDiversify(fix, cands, select = 3, lambdaPct = 50)
+      .select("sel_rank").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ranks == Seq(1L, 2L, 3L))
+  }
+
+  test("temperature allocations apportion the budget exactly by sqrt weights") {
+    val out = Sampling.temperatureAllocations(docs, totalBudget = 40000L)
+      .orderBy("lang").collect()
+    // largest-remainder apportionment: allocations sum to EXACTLY the budget
+    assert(out.map(_.getAs[Long]("alloc")).sum == 40000L)
+    // weights are exact integer square roots
+    out.foreach { r =>
+      val (n, w) = (r.getAs[Long]("n_tok_lang"), r.getAs[Long]("weight"))
+      assert(w * w <= n && (w + 1) * (w + 1) > n)
+    }
+    // the smoothing property: epochs (allocation relative to size) is
+    // non-increasing in language size — smaller languages are upweighted
+    val bySize = out.sortBy(_.getAs[Long]("n_tok_lang"))
+      .map(_.getAs[Long]("epochs_micro"))
+    assert(bySize.zip(bySize.tail).forall { case (a, b) => a >= b })
+    // isqrt column is exact across boundary values (k², k²±1) and 0/1
+    val probes = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 10L, 15L, 16L, 17L,
+      99L, 100L, 101L, (1L << 40) - 1, 1L << 40, (1L << 40) + 1,
+      4611686018427387903L /* 2^62-1 */)
+    val got = spark.createDataFrame(probes.map(Tuple1(_))).toDF("x")
+      .select(col("x"), Sampling.isqrt(col("x")).as("s")).collect()
+    got.foreach { r =>
+      val (x, s) = (r.getLong(0), r.getLong(1))
+      assert(s >= 0 && s * s <= x && (s + 1) * (s + 1) > x, s"isqrt($x) = $s")
+    }
+  }
+
+  test("wordpiece merges by likelihood ratio, not raw pair count") {
+    import graft.pipeline.{Bpe, WordPiece}
+    // (a,##a) is the most FREQUENT pair (10 vs 9) but 'a' is common
+    // (count 20), so its likelihood ratio 10/(20·20) loses to (b,##c)'s
+    // 9/(9·9) — the defining difference from BPE, which picks (a,##a)
+    val fixture = spark.createDataFrame(
+      (1 to 10).map(i => (i.toLong, "aa", "en", "s1", 2L)) ++
+      (11 to 19).map(i => (i.toLong, "bc", "en", "s1", 2L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val wp = WordPiece.train(spark, fixture, merges = 1).collect()(0)
+    assert((wp.getAs[String]("left"), wp.getAs[String]("right")) == ("b", "##c"))
+    assert(wp.getAs[String]("merged") == "bc")
+    assert(wp.getAs[Long]("pair_count") == 9L)
+    // floor(9 · 10^12 / (9 · 9)) — the quantized likelihood, exact
+    assert(wp.getAs[Long]("score_q") == 111111111111L)
+    // BPE on the same corpus picks a count-10 'a'-pair (the tie between
+    // (a,a) and (a,</w>) breaks lexicographically to the latter) — the
+    // likelihood trainer and the count trainer genuinely disagree here
+    val bpe = Bpe.train(spark, fixture, merges = 1).collect()(0)
+    assert((bpe.getAs[String]("left"), bpe.getAs[String]("right")) == ("a", "</w>"))
+    // round trip: the merged word collapses, the unmerged one keeps the
+    // BERT continuation convention
+    val toks = fixture.select(col("text"),
+        WordPiece.tokenize(col("text"), Seq(("b", "##c"))).as("p"))
+      .distinct().collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(toks("bc") == Seq("bc"))
+    assert(toks("aa") == Seq("a", "##a"))
+  }
+
   test("gopher quality rules flag the documented failure modes") {
     val fixture = spark.createDataFrame(Seq(
       // passes every rule: 50+ short alphabetic words with stopwords
