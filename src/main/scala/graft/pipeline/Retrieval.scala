@@ -79,10 +79,20 @@ object Retrieval {
                    lambdaPct: Int = 50): DataFrame = {
     require(select > 0 && lambdaPct >= 0 && lambdaPct <= 100)
     import graft.util.Fixpoint.materialize
-    val e = emb.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
     val cand = materialize(candidates.select(col("q_id"), col("vec_id"),
       round(col("score") * 1e6).cast(LongType).as("rel_micro")))
+    // candidate vectors: the id set is queries×k by construction, so for
+    // any sane k it collects (bounded, like BPE's one-row merge picks) and
+    // pushes an In() filter into the embedding scan — a point lookup with
+    // row-group pruning, not a 100 TB corpus scan to fetch a few dozen
+    // vectors. A pathological candidate set falls back to the plain join.
+    val candIds = cand.select("vec_id").distinct().limit(10001).collect()
+    val eAll = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val e =
+      if (candIds.length <= 10000)
+        eAll.filter(col("vec_id").isin(candIds.map(_.getLong(0)).toSeq: _*))
+      else eAll
     val withV = cand.join(e, "vec_id")
     val pairs = materialize(withV
       .select(col("q_id"), col("vec_id").as("a_id"), col("v").as("av"))

@@ -676,6 +676,49 @@ class PlanQualitySpec extends SparkSpecBase {
            s"searchInSearch hit set did not broadcast:\n$qp")
   }
 
+  test("gopher rules are one shuffle-free projection; temperature sampling " +
+       "aggregates the corpus once") {
+    val dd = Tables.load(spark, sfDir, "documents")
+    val g = graft.pipeline.TextAnalysis.gopherQuality(dd, minWords = 30L)
+    g.collect()
+    val gp = g.queryExecution.executedPlan.toString
+    // the whole rule battery is per-row column arithmetic: any exchange
+    // means an explode/aggregate crept into what must stay map-only
+    assert(!gp.contains("Exchange"),
+           s"gopher rule battery stopped being shuffle-free:\n$gp")
+    val t = graft.pipeline.Sampling.temperatureAllocations(dd, 40000L)
+    t.collect()
+    // AQE prints the final plan followed by the initial one — count scans
+    // in the final section only
+    val tp = t.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // one corpus aggregation to the language frame; the apportionment
+    // windows run on that frame, so exactly one scan of documents
+    assert(tp.linesIterator.count(_.contains("FileScan parquet")) == 1,
+           s"temperature allocations scan the corpus more than once:\n$tp")
+  }
+
+  test("mmr fetches candidate vectors by pushed-down id lookup, not a corpus scan") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val cands = graft.pipeline.Similarity.bruteForceTopK(
+      e, e.filter(col("vec_id") < 3), k = 12)
+    val df = graft.pipeline.Retrieval.mmrDiversify(e, cands, select = 3)
+    df.collect()
+    // the greedy loop materializes per round; the guard inspects the pair
+    // frame's construction instead: candidate vectors must reach the scan
+    // as an In() pushdown (point lookup), never a full corpus read
+    val cand = cands.select(col("q_id"), col("vec_id"),
+      round(col("score") * 1e6).cast("long").as("rel_micro"))
+    val ids = cand.select("vec_id").distinct().collect().map(_.getLong(0))
+    val fetched = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id").isin(ids.toSeq: _*))
+    val fp = fetched.queryExecution.executedPlan.toString
+    assert(fp.contains("PushedFilters: [In(vec_id"),
+           s"candidate-vector fetch lost its In() pushdown:\n$fp")
+    // and the result is a valid diversified page: ranks 1..3 per query
+    assert(df.groupBy("q_id").count().collect().forall(_.getLong(1) == 3L))
+  }
+
   test("winnowing: no array lambdas past tokenization; both windows share one sort") {
     val df = graft.pipeline.TextAnalysis.winnowFingerprints(
       Tables.load(spark, sfDir, "documents"), k = 4, w = 4)
