@@ -1,0 +1,106 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.util.zip.GZIPOutputStream
+
+import graft.sources.Warc
+import graft.pipeline.TextPrep
+
+/** WARC source: record walk, gzip-member handling, and the documents-table
+  * bridge into the text pipeline. Fixtures are constructed per the WARC/1.0
+  * spec (there is no WARC in the driver's testdata).
+  */
+class WarcSpec extends SparkSpecBase {
+
+  private def record(tpe: String, uri: String, id: String,
+                     body: Array[Byte], ctype: String): Array[Byte] = {
+    val h = new StringBuilder()
+    h ++= "WARC/1.0\r\n"
+    h ++= s"WARC-Type: $tpe\r\n"
+    h ++= "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+    if (uri.nonEmpty) h ++= s"WARC-Target-URI: <$uri>\r\n"
+    h ++= s"WARC-Record-ID: <urn:uuid:$id>\r\n"
+    h ++= s"Content-Type: $ctype\r\n"
+    h ++= s"Content-Length: ${body.length}\r\n\r\n"
+    h.result().getBytes("ISO-8859-1") ++ body ++ "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  private def gzMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  private val httpBody =
+    ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+     "<html>hello warc world</html>").getBytes("ISO-8859-1")
+
+  private def fixtures(): (String, Seq[Array[Byte]]) = {
+    val recs = Seq(
+      record("warcinfo", "", "i1", "software: graft-test\r\n".getBytes,
+             "application/warc-fields"),
+      record("response", "http://example.org/a", "r1", httpBody,
+             "application/http;msgtype=response"),
+      record("request", "http://example.org/a", "q1",
+             "GET /a HTTP/1.1\r\n\r\n".getBytes,
+             "application/http;msgtype=request"))
+    val dir = java.nio.file.Files.createTempDirectory("warcspec").toFile
+    dir.deleteOnExit()
+    val plain = new FileOutputStream(new java.io.File(dir, "a.warc"))
+    recs.foreach(plain.write); plain.close()
+    // .warc.gz convention: one gzip MEMBER per record, concatenated
+    val gz = new FileOutputStream(new java.io.File(dir, "b.warc.gz"))
+    recs.foreach(r => gz.write(gzMember(r))); gz.close()
+    (dir.getAbsolutePath, recs)
+  }
+
+  test("warc records parse identically from plain and gzip-member files") {
+    val (dir, _) = fixtures()
+    val df = Warc.records(spark, dir)
+    assert(df.count() == 6)
+    val byFile = df.collect().groupBy(r =>
+      r.getAs[String]("file").contains(".gz"))
+    // both layouts produce the same (type, uri, id, len) triples in order
+    for (recs <- byFile.values) {
+      val sorted = recs.sortBy(_.getAs[Long]("record_idx"))
+      assert(sorted.map(_.getAs[String]("warc_type")).toSeq ==
+             Seq("warcinfo", "response", "request"))
+      assert(sorted(1).getAs[String]("target_uri") == "http://example.org/a")
+      assert(sorted(1).getAs[String]("record_id") == "urn:uuid:r1")
+      assert(sorted(1).getAs[Long]("content_length") == httpBody.length.toLong)
+      assert(sorted(1).getAs[Array[Byte]]("body").toSeq == httpBody.toSeq)
+    }
+  }
+
+  test("warc documents bridge: responses become text-pipeline rows") {
+    val (dir, _) = fixtures()
+    val docs = Warc.documents(Warc.records(spark, dir))
+    val rows = docs.collect()
+    assert(rows.length == 2) // one response per file
+    rows.foreach { r =>
+      // HTTP header block stripped, payload decoded
+      assert(r.getAs[String]("text") == "<html>hello warc world</html>")
+      assert(r.getAs[String]("target_uri") == "http://example.org/a")
+      // doc_id is the shared 60-bit hash of the record id — deterministic
+      assert(r.getAs[Long]("doc_id") == TextPrep.hash64Jvm("urn:uuid:r1"))
+      assert(r.getAs[Long]("n_chars") == 29L)
+    }
+    // and the frame is plug-compatible with the pipeline operators
+    val stats = graft.pipeline.TextAnalysis
+      .tokenStats(docs.select("doc_id", "text")).collect()
+    assert(stats.forall(_.getAs[Long]("n_tokens") == 3L)) // whitespace tokens
+  }
+
+  test("warc walk fails loudly on a malformed header, not silently short") {
+    val dir = java.nio.file.Files.createTempDirectory("warcbad").toFile
+    dir.deleteOnExit()
+    val f = new FileOutputStream(new java.io.File(dir, "bad.warc"))
+    f.write(record("response", "http://x/", "r9", "ok".getBytes, "text/plain"))
+    f.write("NOT-A-WARC-HEADER\r\n\r\n".getBytes); f.close()
+    val ex = intercept[org.apache.spark.SparkException] {
+      Warc.records(spark, dir.getAbsolutePath).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+}
