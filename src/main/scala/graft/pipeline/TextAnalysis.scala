@@ -404,6 +404,70 @@ object TextAnalysis {
                 .as("err_pct"))
   }
 
+  /** Fixed-bin quantile sketch with exact evaluation — the FOURTH
+    * fixed-memory sketch face (membership = [[graft.pipeline.Decontam]]
+    * Bloom, frequency = [[cmsCells]], cardinality = [[hllCardinality]],
+    * quantiles = this): per group, a `bins`-cell histogram of the value
+    * over the fixed range [lo, hi] answers any percentile with one
+    * cumulative pass, and the estimate sits next to the exact
+    * rank-selected value with the signed error — the same
+    * what-the-compression-costs dial as the CMS/HLL evaluations.
+    *
+    * The aggregation key space is groups × bins REGARDLESS of row count —
+    * map-side partials absorb the stream, exactly the shape an exact
+    * per-group sort cannot have. Everything is integer arithmetic: bin =
+    * clamp((x−lo)·bins div span), target rank = ceil(p·N/100) by integer
+    * division, estimate = the selected bin's integer midpoint — so the
+    * frame replays bit-for-bit in ANSI SQL. Values outside [lo, hi] clamp
+    * into the edge bins (a fixed-range sketch's documented behavior; pick
+    * the range from schema knowledge or a prior pass).
+    *
+    * The EXACT side (row_number rank selection — one per-group sort) is
+    * the evaluation harness, not the production path: at 100 TB run the
+    * sketch alone, exactly as hllCardinality's scaladoc prescribes for its
+    * exact column.
+    */
+  def quantileSketch(df: DataFrame, value: org.apache.spark.sql.Column,
+                     groupName: String, bins: Int, lo: Long, hi: Long,
+                     ps: Seq[Int]): DataFrame = {
+    require(bins > 0 && hi > lo && ps.nonEmpty &&
+            ps.forall(p => p >= 1 && p <= 100),
+            "need bins > 0, hi > lo, percentiles in [1,100]")
+    val span = hi - lo + 1
+    val keyed = df.select(col(groupName).as("grp"), value.cast(LongType).as("x"))
+    // integer bin without float division: (x-lo)*bins div span, clamped
+    val binExact = least(greatest(expr(s"((x - ${lo}L) * $bins) div ${span}L"),
+                                  lit(0L)), lit((bins - 1).toLong))
+    val cells = keyed.groupBy(col("grp"), binExact.as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("bin")
+    val wgrp = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    val cum = cells
+      .withColumn("cum", sum(col("n")).over(wcum))
+      .withColumn("ntot", sum(col("n")).over(wgrp))
+    val est = cum
+      .select(col("grp"), col("bin"), col("cum"), col("ntot"),
+              explode(lit(ps.toArray)).as("p"))
+      .filter(col("cum") >= expr("(ntot * p + 99) div 100"))
+      .groupBy("grp", "p").agg(min(col("bin")).as("qbin"))
+      .withColumn("est_q",
+        lit(lo) + expr(s"((2 * qbin + 1) * ${span}L) div ${2L * bins}L"))
+    val wrank = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("x")
+    val exact = keyed
+      .withColumn("rn", row_number().over(wrank).cast(LongType))
+      .withColumn("ntot", count(lit(1)).over(wgrp))
+      .select(col("grp"), col("x"), col("rn"), col("ntot"),
+              explode(lit(ps.toArray)).as("p"))
+      .filter(col("rn") === expr("(ntot * p + 99) div 100"))
+      .select(col("grp"), col("p"), col("ntot").as("n"), col("x").as("exact_q"))
+    exact.join(est, Seq("grp", "p"))
+      .select(col("grp").as(groupName), col("p").cast(LongType).as("p"),
+              col("n"), col("exact_q"), col("est_q"),
+              (col("est_q") - col("exact_q")).as("err"))
+  }
+
   /** GPT-2-shaped subword pre-tokenization: contractions split off, a
     * word/number/punctuation run (with its leading space) is one piece,
     * residual whitespace runs are one piece. Deliberately RE2-portable —

@@ -447,6 +447,14 @@ object Pipeline {
     }),
     "corpus_length_stats" -> ((s, d) =>
       TextAnalysis.lengthStats(docs(s, d), by = "source").orderBy("source")),
+    "corpus_quantile_sketch" -> ((s, d) =>
+      // the fourth sketch face (quantiles): 32-bin fixed-range histogram
+      // of n_chars per source, P50/P90/P99 estimates next to the exact
+      // rank-selected values with signed error — all-integer, replayable
+      TextAnalysis.quantileSketch(docs(s, d), col("n_chars"), "source",
+                                  bins = 32, lo = 0L, hi = 1023L,
+                                  ps = Seq(50, 90, 99))
+        .orderBy("source", "p")),
 
     // ---- end-to-end training prep: dedup → decontam → quality → budget ----
     "pipeline_training_prep" -> ((s, d) => {
@@ -2054,6 +2062,37 @@ GROUP BY 1 ORDER BY 1"""
            ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
            ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    // fixed-bin quantile sketch vs exact rank selection — all integer:
+    // bin = clamp((x·32) // 1024), target = ceil(p·N/100) by int division,
+    // estimate = selected bin's integer midpoint
+    "corpus_quantile_sketch" ->
+      """WITH k AS (SELECT source AS grp, n_chars AS x FROM documents),
+         c AS (SELECT grp,
+             LEAST(GREATEST((x * 32) // 1024, 0), 31) AS bin, COUNT(*) AS n
+           FROM k GROUP BY 1, 2),
+         cc AS (SELECT grp, bin, n,
+             SUM(n) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+             SUM(n) OVER (PARTITION BY grp) AS ntot
+           FROM c),
+         ps AS (SELECT unnest([50, 90, 99]) AS p),
+         est AS (SELECT cc.grp, ps.p, MIN(cc.bin) AS qbin
+           FROM cc CROSS JOIN ps
+           WHERE cc.cum >= (cc.ntot * ps.p + 99) // 100
+           GROUP BY 1, 2),
+         r AS (SELECT grp, x,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS ntot
+           FROM k),
+         ex AS (SELECT r.grp, ps.p, r.ntot AS n, r.x AS exact_q
+           FROM r CROSS JOIN ps
+           WHERE r.rn = (r.ntot * ps.p + 99) // 100)
+         SELECT ex.grp AS source, CAST(ex.p AS BIGINT) AS p,
+           CAST(ex.n AS BIGINT) AS n, ex.exact_q,
+           ((2 * est.qbin + 1) * 1024) // 64 AS est_q,
+           ((2 * est.qbin + 1) * 1024) // 64 - ex.exact_q AS err
+         FROM ex JOIN est ON ex.grp = est.grp AND ex.p = est.p
+         ORDER BY source, p""",
 
     // deterministic sampling: the salted 60-bit md5 hash line (see
     // Sampling.scala; 1152921504606846976 = 2^60)

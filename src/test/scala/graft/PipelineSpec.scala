@@ -490,6 +490,26 @@ class PipelineSpec extends SparkSpecBase {
     assert(kept == Set(2L, 3L))
   }
 
+  test("quantile sketch: estimate within half a bin of the exact value") {
+    val out = TextAnalysis.quantileSketch(docs, col("n_chars"), "source",
+        bins = 32, lo = 0L, hi = 1023L, ps = Seq(50, 90, 99))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // the selected bin CONTAINS the rank-target value, so the midpoint
+      // estimate is within half the bin width (1024/32 = 32 → |err| <= 16)
+      assert(math.abs(r.getAs[Long]("err")) <= 16L,
+             s"sketch error out of bound: $r")
+      // and the estimate is the midpoint of a valid bin
+      assert((r.getAs[Long]("est_q") - 16L) % 32L == 0L)
+    }
+    // estimates are monotone in p within each group (cumulative selection)
+    out.groupBy(_.getAs[String]("source")).values.foreach { rs =>
+      val byP = rs.sortBy(_.getAs[Long]("p")).map(_.getAs[Long]("est_q"))
+      assert(byP.zip(byP.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("mmr diversification trades relevance against redundancy") {
     import graft.pipeline.Retrieval
     // vec 0 = query; 1 and 2 are EXACT near-dups (same direction, cosine
