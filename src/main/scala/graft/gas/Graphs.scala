@@ -168,4 +168,51 @@ object Graphs {
     }
     ranks
   }
+
+  /** Per-vertex triangle counts of the undirected simple graph (edges taken
+    * as undirected; self-loops and multiplicity dropped). The degree-
+    * ordered wedge algorithm (Schank & Wagner 2005 / Cohen's MapReduce
+    * formulation): orient every edge from the (degree, id)-smaller endpoint
+    * to the larger, enumerate wedges at the smaller endpoint, and close
+    * them against the oriented edge set — each triangle materializes
+    * EXACTLY once, and the wedge count is bounded by O(E^1.5) instead of
+    * Σ deg² (a hub's star never explodes: high-degree vertices terminate
+    * wedges, they don't open them — THE trick that makes triangle counting
+    * survive power-law graphs at scale).
+    *
+    * Three hash aggregations/joins over the edge frame, all equi-keyed (no
+    * nested loops); output is one row per vertex in ≥1 triangle. Exact
+    * integer counts — replayable in ANSI SQL.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionByName(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient a—b from the (deg, id)-smaller to the larger endpoint
+    val oriented = materialize(und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+             struct(col("a").as("u"), col("b").as("w"), col("db").as("dw")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"),
+                            col("da").as("dw"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"), col("e.dw").as("dw")))
+    // wedges at u with the two legs ordered by (deg, id); close on (x, y)
+    val left = oriented.select(col("u"), col("w").as("x"), col("dw").as("dx"))
+    val right = oriented.select(col("u"), col("w").as("y"), col("dw").as("dy"))
+    val tris = left.join(right, "u")
+      .filter(col("dx") < col("dy") ||
+              (col("dx") === col("dy") && col("x") < col("y")))
+      .join(oriented.select(col("u").as("x"), col("w").as("y")),
+            Seq("x", "y"))
+    tris.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
 }

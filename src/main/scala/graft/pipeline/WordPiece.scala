@@ -131,4 +131,25 @@ object WordPiece {
     merges.foldLeft(initialSymbols(word)) { case (st, (l, r)) =>
       applyMerge(st, l, r, mergedForm(l, r))
     }
+
+  /** The train→infer round trip with a pre-trained merge-table frame —
+    * same deployment shape as [[Bpe.tokenizeStats]]: pieces computed once
+    * per DISTINCT word (the Zipf-bounded vocabulary), joined back to the
+    * exploded corpus; the K-row merge table is the driver-side artifact a
+    * tokenizer ships.
+    */
+  def tokenizeStats(docs: DataFrame, mergeTable: DataFrame): DataFrame = {
+    val table = mergeTable.orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    val words = docs.select(col("doc_id"),
+                            explode(TextPrep.words(col("text"))).as("word"))
+    val vocab = words.select("word").distinct()
+      .withColumn("n_p", size(tokenize(col("word"), table)).cast(LongType))
+    words.join(vocab, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_p")).as("n_pieces"))
+      .withColumn("fertility",
+        round(col("n_pieces").cast(DoubleType) / col("n_words"), 6))
+      .select("doc_id", "n_words", "n_pieces", "fertility")
+  }
 }

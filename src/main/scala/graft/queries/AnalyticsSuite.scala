@@ -266,6 +266,18 @@ object AnalyticsSuite {
 
     "graphx_bfs_hops" -> ((s, d) => {
       graft.gas.GraphXBackend.hopDistances(psEdges(s, d), source = 1L).orderBy("node")
+    }),
+
+    "graph_triangles" -> ((s, d) => {
+      // co-order part graph (parts sharing an order are linked): the
+      // bipartite and chain graphs are triangle-free by construction, so
+      // the triangle op gets the one deterministic test graph with cliques
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = li.as("x").join(li.as("y"), "o")
+        .filter(col("x.p") =!= col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      Graphs.triangleCounts(edges).orderBy("node")
     })
   )
 
@@ -487,7 +499,35 @@ object AnalyticsSuite {
            SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.node
            WHERE bfs.d < 8)
          SELECT node, CAST(MIN(d) AS BIGINT) AS depth FROM bfs
-         GROUP BY node ORDER BY node"""
+         GROUP BY node ORDER BY node""",
+
+    // degree-ordered wedge closure: each triangle materializes once at its
+    // (deg, id)-smallest vertex, then explodes to its three corners
+    "graph_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                     FROM lineitem),
+         und AS (SELECT DISTINCT LEAST(x.p, y.p) AS a, GREATEST(x.p, y.p) AS b
+                 FROM li x JOIN li y ON x.o = y.o AND x.p <> y.p),
+         deg AS (SELECT v, COUNT(*) AS d FROM (
+                   SELECT a AS v FROM und
+                   UNION ALL SELECT b AS v FROM und) GROUP BY 1),
+         ori AS (SELECT
+               CASE WHEN da.d < db.d OR (da.d = db.d AND n.a < n.b)
+                    THEN n.a ELSE n.b END AS u,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND n.a < n.b)
+                    THEN n.b ELSE n.a END AS w,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND n.a < n.b)
+                    THEN db.d ELSE da.d END AS dw
+             FROM und n JOIN deg da ON n.a = da.v JOIN deg db ON n.b = db.v),
+         tri AS (SELECT l.u, l.w AS x, r.w AS y
+             FROM ori l JOIN ori r ON l.u = r.u
+               AND (l.dw < r.dw OR (l.dw = r.dw AND l.w < r.w))
+             JOIN ori e ON e.u = l.w AND e.w = r.w)
+         SELECT node, COUNT(*) AS n_tri FROM (
+           SELECT u AS node FROM tri
+           UNION ALL SELECT x FROM tri
+           UNION ALL SELECT y FROM tri)
+         GROUP BY 1 ORDER BY 1"""
   )
 
   /** The incremental tf-postings path must score identically to the

@@ -491,6 +491,10 @@ object Pipeline {
         .orderBy("source")),
     "bpe_train_merges" -> ((s, d) => bpeMerges(s, d).orderBy("rank")),
     "wordpiece_train_merges" -> ((s, d) => wordpieceMerges(s, d).orderBy("rank")),
+    "wordpiece_tokenize_stats" -> ((s, d) =>
+      // the WordPiece train->infer round trip (same artifact shape as BPE's)
+      graft.pipeline.WordPiece.tokenizeStats(docs(s, d), wordpieceMerges(s, d))
+        .orderBy("doc_id")),
     "tokenizer_unigram_train" -> ((s, d) =>
       // the OTHER tokenizer family (Kudo 2018 / SentencePiece unigram):
       // seed substrings -> 2 exact Baum-Welch rounds -> prune+renorm;
@@ -694,6 +698,15 @@ object Pipeline {
     * `rounds` merges (shared CTE chain), read each word's piece count off
     * the final state, and join back to the exploded corpus.
     */
+  private def wordpieceTokenizeOracle(rounds: Int): String =
+    s"""${wordpieceCtes(rounds)},
+      wp AS (SELECT word, CAST(len(st) AS BIGINT) AS n_p FROM s$rounds),
+      d AS (SELECT doc_id, unnest(ws) AS w FROM ws_t)
+      SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(wp.n_p) AS BIGINT) AS n_pieces,
+        ROUND(CAST(SUM(wp.n_p) AS DOUBLE) / COUNT(*), 6) AS fertility
+      FROM d JOIN wp ON wp.word = d.w
+      GROUP BY 1 ORDER BY doc_id"""
+
   private def bpeTokenizeOracle(rounds: Int): String =
     s"""${bpeCtes(rounds)},
       wp AS (SELECT word, CAST(len(st) AS BIGINT) AS n_p FROM s$rounds),
@@ -2389,6 +2402,7 @@ GROUP BY 1 ORDER BY 1"""
     "bpe_train_merges" -> bpeOracle(8),
     "wordpiece_train_merges" -> wordpieceOracle(8),
     "search_mmr" -> mmrOracle(6, 50),
+    "wordpiece_tokenize_stats" -> wordpieceTokenizeOracle(8),
 
     // unigram-LM trainer (Kudo 2018): seed -> 2 unrolled Baum-Welch rounds
     // (forward/backward lattices as recursive CTEs carrying the prefix

@@ -93,6 +93,24 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(cc(100L) == 100L && cc(101L) == 100L)
   }
 
+  test("triangle counts: K4 corners sit in 3 triangles; wedges close to none") {
+    // K4 on 1-4 (4 triangles, each vertex in C(3,2)=3) plus an OPEN wedge
+    // 4-5, 5-6 (no closing edge: 5 and 6 must not appear) and a self-loop
+    // + duplicate edge that the canonicalization must drop
+    val e = undirected(
+      1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L,
+      4L -> 5L, 5L -> 6L, 2L -> 1L /* dup */, 6L -> 6L /* loop */)
+    val t = Graphs.triangleCounts(e)
+    t.collect() // AQE finalizes
+    val m = t.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // every join in the wedge closure is equi-keyed — a nested-loop here
+    // is the O(V·E) plan that cannot survive a power-law graph
+    val p = t.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+           s"triangle closure degraded to a non-equi join:\n$p")
+  }
+
   test("integer pagerank: symmetric graph gives equal ranks, sink-free") {
     // triangle: every node identical by symmetry
     val e = undirected(1L -> 2L, 2L -> 3L, 3L -> 1L)
