@@ -404,6 +404,52 @@ object TextAnalysis {
                 .as("err_pct"))
   }
 
+  /** Per-group unigram divergence from the corpus distribution — the
+    * domain-shift number a curation dashboard tracks per source/language:
+    * cross-entropy H(P_g, P) of the group's unigram distribution under the
+    * (add-one-smoothed) corpus distribution, the group's own entropy
+    * H(P_g), and their difference KL(P_g ‖ P) ≥ 0. High KL = the source
+    * speaks a different language than the corpus (code vs prose, spam,
+    * boilerplate); the ranking drives mixture re-weighting decisions.
+    *
+    * Sums run over each group's OBSERVED vocabulary (the natural sparse
+    * (group, word) frame): absent-word smoothing mass is omitted — the
+    * full-support sum would need a groups × vocabulary dense frame, which
+    * dies at corpus-sized vocabularies; on observed support the frame is
+    * exactly the group-vocab relation that already exists. Documented
+    * convention, mirrored by the oracle.
+    *
+    * Scale posture: one token explode, two hash aggregations (group-vocab
+    * and corpus-vocab, Zipf skew absorbed map-side), one token-keyed
+    * equi-join between them, and a per-group window over the vocab-sized
+    * frame. N and V are one scalar action (the [[graft.pipeline
+    * .LanguageModel.crossEntropy]] shape). The only floats are ln of
+    * integer ratios, summed per group and rounded to 6dp.
+    */
+  def unigramDivergence(docs: DataFrame, by: String = "source"): DataFrame = {
+    val tok = withWs(docs, lower_ = true)
+      .select(col(by).as("grp"), explode(col("ws")).as("w"))
+    val cg = tok.groupBy("grp", "w").agg(count(lit(1)).as("c_g"))
+    val glob = tok.groupBy("w").agg(count(lit(1)).as("c_w"))
+    val nv = glob.agg(sum(col("c_w")), count(lit(1))).head()
+    val (nTot, vSize) = (nv.getLong(0), nv.getLong(1))
+    val wgrp = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    val joined = cg.join(glob, "w")
+      .withColumn("n_g", sum(col("c_g")).over(wgrp))
+    val pg = col("c_g").cast(DoubleType) / col("n_g")
+    val hxTerm = -pg * log((col("c_w") + 1L).cast(DoubleType) /
+                           lit((nTot + vSize).toDouble))
+    val hTerm = -pg * log(pg)
+    joined.groupBy("grp")
+      .agg(max(col("n_g")).as("n_tokens"),
+           count(lit(1)).as("n_types"),
+           round(sum(hxTerm), 6).as("cross_entropy"),
+           round(sum(hTerm), 6).as("entropy"),
+           round(sum(hxTerm) - sum(hTerm), 6).as("kl"))
+      .select(col("grp").as(by), col("n_tokens"), col("n_types"),
+              col("cross_entropy"), col("entropy"), col("kl"))
+  }
+
   /** Fixed-bin quantile sketch with exact evaluation — the FOURTH
     * fixed-memory sketch face (membership = [[graft.pipeline.Decontam]]
     * Bloom, frequency = [[cmsCells]], cardinality = [[hllCardinality]],

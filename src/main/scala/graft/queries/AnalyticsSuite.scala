@@ -271,8 +271,14 @@ object AnalyticsSuite {
     "graph_triangles" -> ((s, d) => {
       // co-order part graph (parts sharing an order are linked): the
       // bipartite and chain graphs are triangle-free by construction, so
-      // the triangle op gets the one deterministic test graph with cliques
+      // the triangle op gets the one deterministic test graph with cliques.
+      // Every 10th order only: the FULL co-order projection is classically
+      // dense (its wedge volume, the O(E^1.5) term triangle counting is
+      // inherently bound by, hits ~1e9 at sf0.1 — honest work, wrong size
+      // for a bench query); input selection is the dial, the operator is
+      // general
       val li = Tables.load(s, d, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       val edges = li.as("x").join(li.as("y"), "o")
         .filter(col("x.p") =!= col("y.p"))
@@ -505,7 +511,7 @@ object AnalyticsSuite {
     // (deg, id)-smallest vertex, then explodes to its three corners
     "graph_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-                     FROM lineitem),
+                     FROM lineitem WHERE l_orderkey % 10 = 0),
          und AS (SELECT DISTINCT LEAST(x.p, y.p) AS a, GREATEST(x.p, y.p) AS b
                  FROM li x JOIN li y ON x.o = y.o AND x.p <> y.p),
          deg AS (SELECT v, COUNT(*) AS d FROM (

@@ -447,6 +447,11 @@ object Pipeline {
     }),
     "corpus_length_stats" -> ((s, d) =>
       TextAnalysis.lengthStats(docs(s, d), by = "source").orderBy("source")),
+    "corpus_divergence" -> ((s, d) =>
+      // per-source domain shift: cross-entropy under the corpus unigram
+      // distribution, own entropy, and KL — observed-support convention
+      TextAnalysis.unigramDivergence(docs(s, d), by = "source")
+        .orderBy("source")),
     "corpus_quantile_sketch" -> ((s, d) =>
       // the fourth sketch face (quantiles): 32-bin fixed-range histogram
       // of n_chars per source, P50/P90/P99 estimates next to the exact
@@ -2075,6 +2080,33 @@ GROUP BY 1 ORDER BY 1"""
            ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
            ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    // per-source unigram divergence on observed support: ln of integer
+    // ratios summed per group, rounded to 6dp (the crossEntropy discipline)
+    "corpus_divergence" ->
+      raw"""WITH tok AS (SELECT source AS grp,
+              unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> len(x) > 0)) AS w
+            FROM documents),
+         cg AS (SELECT grp, w, COUNT(*) AS c_g FROM tok GROUP BY 1, 2),
+         gl AS (SELECT w, COUNT(*) AS c_w FROM tok GROUP BY 1),
+         nv AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_tot,
+                       CAST(COUNT(*) AS BIGINT) AS v FROM gl),
+         j AS (SELECT cg.grp, cg.c_g, gl.c_w,
+                 SUM(cg.c_g) OVER (PARTITION BY cg.grp) AS n_g
+               FROM cg JOIN gl USING (w)),
+         t AS (SELECT grp, n_g,
+                 -(CAST(c_g AS DOUBLE) / n_g)
+                   * ln((c_w + 1) / CAST(nv.n_tot + nv.v AS DOUBLE)) AS hx,
+                 -(CAST(c_g AS DOUBLE) / n_g)
+                   * ln(CAST(c_g AS DOUBLE) / n_g) AS h
+               FROM j CROSS JOIN nv)
+         SELECT grp AS source, CAST(MAX(n_g) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           ROUND(SUM(hx), 6) AS cross_entropy,
+           ROUND(SUM(h), 6) AS entropy,
+           ROUND(SUM(hx) - SUM(h), 6) AS kl
+         FROM t GROUP BY 1 ORDER BY 1""",
 
     // fixed-bin quantile sketch vs exact rank selection — all integer:
     // bin = clamp((x·32) // 1024), target = ceil(p·N/100) by int division,

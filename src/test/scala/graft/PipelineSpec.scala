@@ -490,6 +490,23 @@ class PipelineSpec extends SparkSpecBase {
     assert(kept == Set(2L, 3L))
   }
 
+  test("unigram divergence: KL non-negative, entropy bounded by ln(types)") {
+    val out = TextAnalysis.unigramDivergence(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // Gibbs: KL(P_g ‖ P) >= 0 (smoothing only raises cross-entropy)
+      assert(r.getAs[Double]("kl") >= -1e-6, s"negative KL: $r")
+      // uniform bound: H(P_g) <= ln(n_types)
+      assert(r.getAs[Double]("entropy") <=
+             math.log(r.getAs[Long]("n_types").toDouble) + 1e-6)
+    }
+    // one-group corpus diverges from itself only by the smoothing mass
+    val solo = TextAnalysis.unigramDivergence(
+      docs.withColumn("source", lit("all"))).collect()
+    assert(solo.length == 1 && solo(0).getAs[Double]("kl") >= 0.0 &&
+           solo(0).getAs[Double]("kl") < 0.5)
+  }
+
   test("quantile sketch: estimate within half a bin of the exact value") {
     val out = TextAnalysis.quantileSketch(docs, col("n_chars"), "source",
         bins = 32, lo = 0L, hi = 1023L, ps = Seq(50, 90, 99))
@@ -535,6 +552,15 @@ class PipelineSpec extends SparkSpecBase {
     val ranks = Retrieval.mmrDiversify(fix, cands, select = 3, lambdaPct = 50)
       .select("sel_rank").collect().map(_.getLong(0)).sorted.toSeq
     assert(ranks == Seq(1L, 2L, 3L))
+    // the driver-side fast path (size-guarded) and the distributed loop
+    // are the same integer arithmetic: picks must be bit-identical
+    def rows(driverMax: Int) =
+      Retrieval.mmrDiversify(fix, cands, select = 3, lambdaPct = 20,
+                             driverMax = driverMax)
+        .orderBy("q_id", "sel_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                   r.getLong(3), r.getLong(4))).toSeq
+    assert(rows(driverMax = 100000) == rows(driverMax = 0))
   }
 
   test("temperature allocations apportion the budget exactly by sqrt weights") {
