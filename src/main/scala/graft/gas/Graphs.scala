@@ -215,4 +215,31 @@ object Graphs {
     tris.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Local clustering coefficient per vertex: how close a vertex's
+    * neighborhood is to a clique — `2·triangles(v) / (deg(v)·(deg(v)−1))`,
+    * emitted in exact micro-units (`(2·tri·10^6) div (deg·(deg−1))`) so
+    * the frame replays bit-for-bit. Vertices of degree < 2 have no
+    * defined coefficient and are omitted (Watts-Strogatz convention);
+    * triangle-free vertices of degree ≥ 2 report 0.
+    *
+    * Cost = [[triangleCounts]] plus one degree aggregation and an outer
+    * join — the wedge closure dominates, same scale posture.
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(triangleCounts(edges), Seq("node"), "left_outer")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("(2 * coalesce(n_tri, 0L) * 1000000L) div (deg * (deg - 1))")
+          .as("cc_micro"))
+  }
 }

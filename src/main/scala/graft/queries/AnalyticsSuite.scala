@@ -284,6 +284,18 @@ object AnalyticsSuite {
         .filter(col("x.p") =!= col("y.p"))
         .select(col("x.p").as("src"), col("y.p").as("dst"))
       Graphs.triangleCounts(edges).orderBy("node")
+    }),
+
+    "graph_clustering_coeff" -> ((s, d) => {
+      // local clustering coefficient over the same sampled co-order graph,
+      // micro-unit exact (2·tri·1e6 div deg·(deg−1))
+      val li = Tables.load(s, d, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = li.as("x").join(li.as("y"), "o")
+        .filter(col("x.p") =!= col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      Graphs.clusteringCoefficients(edges).orderBy("node")
     })
   )
 
@@ -533,7 +545,40 @@ object AnalyticsSuite {
            SELECT u AS node FROM tri
            UNION ALL SELECT x FROM tri
            UNION ALL SELECT y FROM tri)
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    // same wedge closure, normalized per vertex: deg >= 2 vertices only,
+    // coefficient in exact micro-units
+    "graph_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                     FROM lineitem WHERE l_orderkey % 10 = 0),
+         und AS (SELECT DISTINCT LEAST(x.p, y.p) AS a, GREATEST(x.p, y.p) AS b
+                 FROM li x JOIN li y ON x.o = y.o AND x.p <> y.p),
+         deg AS (SELECT v, COUNT(*) AS d FROM (
+                   SELECT a AS v FROM und
+                   UNION ALL SELECT b AS v FROM und) GROUP BY 1),
+         ori AS (SELECT
+               CASE WHEN da.d < db.d OR (da.d = db.d AND n.a < n.b)
+                    THEN n.a ELSE n.b END AS u,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND n.a < n.b)
+                    THEN n.b ELSE n.a END AS w,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND n.a < n.b)
+                    THEN db.d ELSE da.d END AS dw
+             FROM und n JOIN deg da ON n.a = da.v JOIN deg db ON n.b = db.v),
+         tri AS (SELECT l.u, l.w AS x, r.w AS y
+             FROM ori l JOIN ori r ON l.u = r.u
+               AND (l.dw < r.dw OR (l.dw = r.dw AND l.w < r.w))
+             JOIN ori e ON e.u = l.w AND e.w = r.w),
+         tc AS (SELECT node, COUNT(*) AS n_tri FROM (
+                  SELECT u AS node FROM tri
+                  UNION ALL SELECT x FROM tri
+                  UNION ALL SELECT y FROM tri) GROUP BY 1)
+         SELECT deg.v AS node, CAST(deg.d AS BIGINT) AS deg,
+           CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
+           (2 * COALESCE(tc.n_tri, 0) * 1000000) // (deg.d * (deg.d - 1))
+             AS cc_micro
+         FROM deg LEFT JOIN tc ON deg.v = tc.node
+         WHERE deg.d >= 2 ORDER BY node"""
   )
 
   /** The incremental tf-postings path must score identically to the

@@ -109,6 +109,16 @@ class AnalyticsSpec extends SparkSpecBase {
     val p = t.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
            s"triangle closure degraded to a non-equi join:\n$p")
+    // clustering coefficients in exact micro-units: K4 interior = 1.0 for
+    // 1-3, 0.5 for 4 (one non-adjacent neighbor pair per pair through 5),
+    // open-wedge center 5 = 0, degree-1 node 6 omitted
+    val cc = Graphs.clusteringCoefficients(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(cc(1L) == (3L, 1000000L) && cc(2L) == (3L, 1000000L) &&
+           cc(3L) == (3L, 1000000L))
+    assert(cc(4L) == (4L, 500000L))
+    assert(cc(5L) == (2L, 0L))
+    assert(!cc.contains(6L))
   }
 
   test("integer pagerank: symmetric graph gives equal ranks, sink-free") {
