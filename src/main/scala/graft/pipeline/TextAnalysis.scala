@@ -473,19 +473,30 @@ object TextAnalysis {
     * sketch alone, exactly as hllCardinality's scaladoc prescribes for its
     * exact column.
     */
+  /** The sketch's cell frame — (grp, bin, n) from a (grp, x) frame: one
+    * hash aggregation with a groups×bins key space regardless of row
+    * count. Bin = clamp((x−lo)·bins div span) in exact integer arithmetic.
+    * Shared by [[quantileSketch]] and the streaming face (the cells are a
+    * mergeable monoid — counts add — so Structured Streaming's stateful
+    * aggregation maintains them incrementally).
+    */
+  private[graft] def quantileCellsFrom(keyed: DataFrame, bins: Int,
+                                       lo: Long, hi: Long): DataFrame = {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+    val span = hi - lo + 1
+    val bin = least(greatest(expr(s"((x - ${lo}L) * $bins) div ${span}L"),
+                             lit(0L)), lit((bins - 1).toLong))
+    keyed.groupBy(col("grp"), bin.as("bin")).agg(count(lit(1)).as("n"))
+  }
+
   def quantileSketch(df: DataFrame, value: org.apache.spark.sql.Column,
                      groupName: String, bins: Int, lo: Long, hi: Long,
                      ps: Seq[Int]): DataFrame = {
-    require(bins > 0 && hi > lo && ps.nonEmpty &&
-            ps.forall(p => p >= 1 && p <= 100),
-            "need bins > 0, hi > lo, percentiles in [1,100]")
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+            "percentiles must be in [1,100]")
     val span = hi - lo + 1
     val keyed = df.select(col(groupName).as("grp"), value.cast(LongType).as("x"))
-    // integer bin without float division: (x-lo)*bins div span, clamped
-    val binExact = least(greatest(expr(s"((x - ${lo}L) * $bins) div ${span}L"),
-                                  lit(0L)), lit((bins - 1).toLong))
-    val cells = keyed.groupBy(col("grp"), binExact.as("bin"))
-      .agg(count(lit(1)).as("n"))
+    val cells = quantileCellsFrom(keyed, bins, lo, hi)
     val wcum = org.apache.spark.sql.expressions.Window
       .partitionBy("grp").orderBy("bin")
     val wgrp = org.apache.spark.sql.expressions.Window.partitionBy("grp")

@@ -232,6 +232,25 @@ object EventStreams {
         .select(explode(col("ws")).as("token")),
       depth, width)
 
+  /** A grouped numeric observation (document length, latency, size...). */
+  final case class GroupVal(group: String, x: Long)
+
+  /** Streaming fixed-bin quantile cells — the streaming face of
+    * `TextAnalysis.quantileSketch`'s sketch side with IDENTICAL cell
+    * values: bin counts are a mergeable monoid (counts add), so the
+    * stateful grouped count IS the operator, maintained incrementally per
+    * micro-batch with state bounded at groups×bins rows REGARDLESS of
+    * stream length — the live percentile monitor over unbounded ingestion
+    * (any percentile reads off the accumulated cells with the batch
+    * estimator's cumulative pass). Emit in Complete/Update mode;
+    * bit-parity with the batch cells over the same rows is pinned by
+    * StreamingSpec.
+    */
+  def streamingQuantileCells(vals: Dataset[GroupVal], bins: Int,
+                             lo: Long, hi: Long): DataFrame =
+    graft.pipeline.TextAnalysis.quantileCellsFrom(
+      vals.toDF().select(col("group").as("grp"), col("x")), bins, lo, hi)
+
   /** Token-budget admission at ingest — the streaming face of
     * Sampling.tokenBudgetSample with IDENTICAL cutoff semantics: docs order
     * by the batch operator's salted hash (hash64(key || ":budget"), key),

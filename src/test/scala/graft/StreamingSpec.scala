@@ -320,6 +320,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming quantile cells match the batch sketch cells across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.GroupVal
+    val b1 = Seq(GroupVal("a", 10L), GroupVal("a", 100L), GroupVal("b", 900L))
+    val b2 = Seq(GroupVal("a", 300L), GroupVal("b", 5000L) /* clamps to top bin */,
+                 GroupVal("b", -7L) /* clamps to bin 0 */)
+    val input = MemoryStream[GroupVal]
+    val q = EventStreams.streamingQuantileCells(input.toDS(), bins = 32,
+                                                lo = 0L, hi = 1023L)
+      .writeStream.format("memory").queryName("q_cells")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("q_cells").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.pipeline.TextAnalysis.quantileCellsFrom(
+          (b1 ++ b2).toDF("grp", "x"), bins = 32, lo = 0L, hi = 1023L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+             s"streaming quantile cells diverge: $streamed vs $batch")
+      // out-of-range values clamp into the edge bins, state stays bounded
+      assert(streamed.exists { case (g, b, _) => g == "b" && b == 31L })
+      assert(streamed.exists { case (g, b, _) => g == "b" && b == 0L })
+      assert(streamed.size <= 2 * 32)
+    } finally q.stop()
+  }
+
   test("streaming decontamination via foreachBatch against a static benchmark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
