@@ -534,6 +534,13 @@ object Pipeline {
       // truncated — the UniMax shape (at sf0.1 all five truncate uniformly)
       Sampling.unimaxSample(docs(s, d), totalBudget = 40000L, maxEpochs = 2)
         .orderBy("doc_id")),
+    "sample_unimax_alloc" -> ((s, d) =>
+      // bisect companion for the sample_unimax driver-red (r9-r10): the
+      // 5-row waterfill frame alone, so a driver divergence localizes to
+      // either the allocation arithmetic or the doc-level truncation
+      Sampling.unimaxAllocations(docs(s, d), totalBudget = 40000L,
+                                 maxEpochs = 2)
+        .orderBy("lang")),
     "sample_temperature" -> ((s, d) =>
       // α=1/2 temperature allocations of the same 40k budget: √-weights
       // upweight small languages smoothly (vs unimax's hard epoch cap)
@@ -2300,41 +2307,94 @@ GROUP BY 1 ORDER BY 1"""
          SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          FROM c WHERE cum <= 500 GROUP BY 1 ORDER BY 1""",
 
+    // Dialect-hardened (r11): every aggregate is CAST to BIGINT at first
+    // use, so no HUGEINT reaches //, %, or the OUTPUT — DuckDB's
+    // SUM(BIGINT) promotes to HUGEINT, and the r9/r10 driver-red pattern
+    // (rows/schema match, hash mismatch, passes bit-for-bit locally) fits
+    // a HUGEINT value-rendering divergence in the driver's compare, not a
+    // value difference: the old final SELECT emitted cum_tok as the raw
+    // window SUM (HUGEINT), the one uncast aggregate output among all 141
+    // oracles. The first-failing-position pull is MIN/MAX(CASE…) OVER ()
+    // window reads — the Spark side's own shape (Sampling.scala:246-252) —
+    // instead of the `CROSS JOIN f LEFT JOIN fr ON TRUE` fan-out. Bisect
+    // companion: sample_unimax_alloc carries the 5-row waterfill alone.
     "sample_unimax" ->
       raw"""WITH t AS (SELECT doc_id, lang,
-              len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-                              w -> len(w) > 0)) AS n_tok,
+              CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              w -> len(w) > 0)) AS BIGINT) AS n_tok,
               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':unimax'), 1, 15) AS BIGINT) AS h
             FROM documents),
-         l AS (SELECT lang, SUM(n_tok) AS n_tok_lang,
-                      SUM(n_tok) * 2 AS cap FROM t GROUP BY 1),
+         l AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS n_tok_lang,
+                      CAST(SUM(n_tok) AS BIGINT) * 2 AS cap FROM t GROUP BY 1),
          s AS (SELECT *,
                  ROW_NUMBER() OVER (ORDER BY cap, lang) AS k,
-                 COALESCE(SUM(cap) OVER (ORDER BY cap, lang
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumprev,
-                 COUNT(*) OVER () AS m
+                 CAST(COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumprev,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS m
                FROM l),
          lv AS (SELECT *,
                   CAST((40000 - cumprev) // (m - k + 1) AS BIGINT) AS level
                 FROM s),
-         f AS (SELECT MIN(k) AS fk FROM lv WHERE cap > level),
-         fr AS (SELECT lv.level AS flevel,
-                       (40000 - lv.cumprev) % (lv.m - lv.k + 1) AS frem
-                FROM lv JOIN f ON lv.k = f.fk),
-         a AS (SELECT lv.lang, lv.n_tok_lang, lv.cap,
-                 CASE WHEN f.fk IS NULL OR lv.k < f.fk THEN lv.cap
-                      ELSE fr.flevel +
-                           CASE WHEN lv.k - f.fk < fr.frem THEN 1 ELSE 0 END
-                 END AS alloc
-               FROM lv CROSS JOIN f LEFT JOIN fr ON TRUE),
+         fl AS (SELECT *, MIN(CASE WHEN cap > level THEN k END) OVER () AS fk
+                FROM lv),
+         fr AS (SELECT *,
+                  MAX(CASE WHEN k = fk THEN level END) OVER () AS flevel,
+                  MAX(CASE WHEN k = fk
+                           THEN CAST((40000 - cumprev) % (m - k + 1) AS BIGINT)
+                      END) OVER () AS frem
+                FROM fl),
+         a AS (SELECT lang, n_tok_lang,
+                 CAST(CASE WHEN fk IS NULL OR k < fk THEN cap
+                      ELSE flevel +
+                           CASE WHEN k - fk < frem THEN 1 ELSE 0 END
+                 END AS BIGINT) AS alloc
+               FROM fr),
          c AS (SELECT t.doc_id, t.lang, t.n_tok,
-                 SUM(t.n_tok) OVER (PARTITION BY t.lang ORDER BY t.h, t.doc_id
-                                    ROWS UNBOUNDED PRECEDING) AS cum_tok,
+                 CAST(SUM(t.n_tok) OVER (PARTITION BY t.lang ORDER BY t.h, t.doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok,
                  a.alloc,
                  CAST((a.alloc * 1000000) // a.n_tok_lang AS BIGINT) AS epochs_micro
                FROM t JOIN a USING (lang))
          SELECT doc_id, lang, n_tok, cum_tok, alloc, epochs_micro
          FROM c WHERE cum_tok <= alloc ORDER BY doc_id""",
+
+    // The waterfill frame alone (one row per language): if sample_unimax
+    // goes red in the driver while this stays green, the divergence is in
+    // the doc-level prefix-truncation stage; if this goes red too, the
+    // culprit column is named by the 5-row diff. Same hardened dialect.
+    "sample_unimax_alloc" ->
+      raw"""WITH t AS (SELECT lang,
+              CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              w -> len(w) > 0)) AS BIGINT) AS n_tok
+            FROM documents),
+         l AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS n_tok_lang,
+                      CAST(SUM(n_tok) AS BIGINT) * 2 AS cap FROM t GROUP BY 1),
+         s AS (SELECT *,
+                 ROW_NUMBER() OVER (ORDER BY cap, lang) AS k,
+                 CAST(COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumprev,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS m
+               FROM l),
+         lv AS (SELECT *,
+                  CAST((40000 - cumprev) // (m - k + 1) AS BIGINT) AS level
+                FROM s),
+         fl AS (SELECT *, MIN(CASE WHEN cap > level THEN k END) OVER () AS fk
+                FROM lv),
+         fr AS (SELECT *,
+                  MAX(CASE WHEN k = fk THEN level END) OVER () AS flevel,
+                  MAX(CASE WHEN k = fk
+                           THEN CAST((40000 - cumprev) % (m - k + 1) AS BIGINT)
+                      END) OVER () AS frem
+                FROM fl),
+         a AS (SELECT lang, n_tok_lang, cap,
+                 CAST(CASE WHEN fk IS NULL OR k < fk THEN cap
+                      ELSE flevel +
+                           CASE WHEN k - fk < frem THEN 1 ELSE 0 END
+                 END AS BIGINT) AS alloc
+               FROM fr)
+         SELECT lang, n_tok_lang, cap, alloc,
+           CAST((alloc * 1000000) // n_tok_lang AS BIGINT) AS epochs_micro
+         FROM a ORDER BY lang""",
 
     // α=1/2 temperature allocations: exact isqrt (double estimate + ±1
     // integer fixup), HUGEINT share arithmetic, largest-remainder +1s —
