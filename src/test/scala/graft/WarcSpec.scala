@@ -103,4 +103,75 @@ class WarcSpec extends SparkSpecBase {
     }
     assert(ex.getMessage != null)
   }
+
+  // --- gzip-member malformation battery (the GzipMembers walk must raise
+  // on every corruption JDK GZIPInputStream would swallow as clean EOF) ---
+
+  private val goodRec = record("response", "http://x/", "g1",
+                               "payload".getBytes, "text/plain")
+
+  test("gzip shard: trailing garbage after the last member raises") {
+    // JDK GZIPInputStream reports clean EOF here (its next-member probe
+    // catches the malformed-header error) — the precise walk must not
+    val bytes = gzMember(goodRec) ++ "garbage!".getBytes("ISO-8859-1")
+    val ex = intercept[java.util.zip.ZipException] {
+      Warc.parseAll("t.warc.gz", bytes)
+    }
+    assert(ex.getMessage.contains("not a gzip member header"))
+    // even a SHORT tail (under GZIPInputStream's 512-byte read-ahead,
+    // where a raw.available() check could not see it) raises
+    val short = gzMember(goodRec) ++ Array[Byte](0x42)
+    intercept[Exception] { Warc.parseAll("t.warc.gz", short) }
+  }
+
+  test("gzip shard: a truncated member raises, records before it are lost loudly") {
+    val m1 = gzMember(goodRec)
+    val m2 = gzMember(record("response", "http://y/", "g2",
+                             "second".getBytes, "text/plain"))
+    val truncated = m1 ++ m2.dropRight(12) // cuts into deflate data/trailer
+    val ex = intercept[java.io.EOFException] {
+      Warc.parseAll("t.warc.gz", truncated)
+    }
+    assert(ex.getMessage.contains("truncated"))
+  }
+
+  test("gzip shard: a corrupted member CRC raises") {
+    val m = gzMember(goodRec)
+    // flip a bit in the stored CRC (first of the 8 trailer bytes)
+    val bad = m.clone()
+    bad(m.length - 8) = (bad(m.length - 8) ^ 0x01).toByte
+    val ex = intercept[java.util.zip.ZipException] {
+      Warc.parseAll("t.warc.gz", bad)
+    }
+    assert(ex.getMessage.contains("CRC mismatch"))
+  }
+
+  test("gzip shard: concatenated members after a valid one still all parse") {
+    val recs = (1 to 5).map(i => record("response", s"http://x/$i", s"m$i",
+                                        s"body $i".getBytes, "text/plain"))
+    val bytes = recs.map(gzMember).reduce(_ ++ _)
+    val out = Warc.parseAll("t.warc.gz", bytes)
+    assert(out.length == 5)
+    assert(out.map(_.record_id) == (1 to 5).map(i => s"urn:uuid:m$i"))
+  }
+
+  test("warc body truncated short of Content-Length raises") {
+    val full = record("response", "http://x/", "t1",
+                      "0123456789".getBytes, "text/plain")
+    val cut = full.dropRight(8) // into the declared body
+    val ex = intercept[java.io.EOFException] {
+      Warc.parseAll("t.warc", cut)
+    }
+    assert(ex.getMessage.contains("EOF in WARC body"))
+  }
+
+  test("warc Content-Length outside [0, 2 GiB) is rejected loudly") {
+    val h = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+             s"Content-Length: ${Int.MaxValue.toLong + 1}\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    val ex = intercept[IllegalArgumentException] {
+      Warc.parseAll("t.warc", h)
+    }
+    assert(ex.getMessage.contains("2 GiB"))
+  }
 }
