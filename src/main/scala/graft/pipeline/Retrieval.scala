@@ -91,7 +91,13 @@ object Retrieval {
                                   driverMax: Int): DataFrame = {
     require(select > 0 && lambdaPct >= 0 && lambdaPct <= 100)
     import graft.util.Fixpoint.materialize
-    val cand = materialize(candidates.select(col("q_id"), col("vec_id"),
+    // ids are cast to long up front so the driver fast path and the
+    // distributed loop accept and emit IDENTICAL types for the same
+    // logical input (an integer-typed candidate frame must not succeed on
+    // one size-dependent path and ClassCastException on the other)
+    val cand = materialize(candidates.select(
+      col("q_id").cast(LongType).as("q_id"),
+      col("vec_id").cast(LongType).as("vec_id"),
       round(col("score") * 1e6).cast(LongType).as("rel_micro")))
     // candidate vectors: the id set is queries×k by construction, so for
     // any sane k it collects (bounded, like BPE's one-row merge picks) and
@@ -116,11 +122,14 @@ object Retrieval {
           .as("sim_micro")))
     // driver-side greedy under the guard: the pair frame is queries × k²
     // by construction; when it fits, `select` scheduler round-trips that
-    // shuffle nothing are pure overhead
+    // shuffle nothing are pure overhead. BOTH frames are bounded — a
+    // degenerate batch (one candidate per query, k=1) has ZERO pairs, so
+    // a pairs-only guard would wave a million-row candidate frame through
+    // to cand.collect()
     val pairCount = pairs.limit(driverMax + 1).count()
-    if (pairCount <= driverMax) {
+    val candCount = cand.limit(driverMax + 1).count()
+    if (pairCount <= driverMax && candCount <= driverMax) {
       val spark = emb.sparkSession
-      import spark.implicits._
       val cs = cand.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val sims = pairs.collect()
@@ -142,38 +151,67 @@ object Retrieval {
           remaining = remaining.filterNot(_._2 == v)
         }
       }
-      return out.result()
-        .toDF("q_id", "sel_rank", "vec_id", "rel_micro", "mmr_scaled")
+      // explicit schema so BOTH size-dependent paths return identical
+      // schemas (incl. nullability): ids follow the candidate frame, the
+      // computed score columns are nullable like the distributed path's
+      // arithmetic expressions
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "q_id", LongType, cand.schema("q_id").nullable),
+        org.apache.spark.sql.types.StructField("sel_rank", LongType, false),
+        org.apache.spark.sql.types.StructField(
+          "vec_id", LongType, cand.schema("vec_id").nullable),
+        org.apache.spark.sql.types.StructField("rel_micro", LongType, true),
+        org.apache.spark.sql.types.StructField("mmr_scaled", LongType, true)))
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(
+        out.result().map { case (q, i, v, rel, mmr) =>
+          org.apache.spark.sql.Row(q, i, v, rel, mmr) }.asJava,
+        outSchema)
     }
-    val pick = Window.partitionBy("q_id")
-      .orderBy(col("mmr_scaled").desc, col("vec_id"))
     var selected: DataFrame = null
     for (i <- 1 to select) {
-      val rem =
-        if (i == 1) cand
-        else cand.join(selected.select("q_id", "vec_id"),
-                       Seq("q_id", "vec_id"), "left_anti")
-      val maxSim =
-        if (i == 1) rem.withColumn("msim", lit(0L))
-        else rem.join(
-            pairs.join(selected.select(col("q_id"),
-                                       col("vec_id").as("b_id")),
-                       Seq("q_id", "b_id"))
-              .groupBy(col("q_id"), col("a_id").as("vec_id"))
-              .agg(max(col("sim_micro")).as("msim")),
-            Seq("q_id", "vec_id"), "left")
-          .withColumn("msim", coalesce(col("msim"), lit(0L)))
-      val next = maxSim
-        .withColumn("mmr_scaled",
-          lit(lambdaPct.toLong) * col("rel_micro") -
-            lit((100 - lambdaPct).toLong) * col("msim"))
-        .withColumn("__rn", row_number().over(pick))
-        .filter(col("__rn") === 1)
-        .select(col("q_id"), lit(i.toLong).as("sel_rank"), col("vec_id"),
-                col("rel_micro"), col("mmr_scaled"))
+      val next = mmrRound(cand, pairs,
+                          if (i == 1) None else Some(selected), i, lambdaPct)
       selected = materialize(
         if (i == 1) next else selected.unionByName(next))
     }
     selected
+  }
+
+  /** One round of the distributed MMR greedy loop: the pick-i frame given
+    * the picks so far (None on the first round). Factored out so the
+    * per-round plan is guarded in PlanQualitySpec — the round must stay
+    * equi-join + one per-query window over the BOUNDED cand/pairs frames,
+    * never a nested-loop join or corpus-shaped exchange.
+    */
+  private[graft] def mmrRound(cand: DataFrame, pairs: DataFrame,
+                              selected: Option[DataFrame], i: Int,
+                              lambdaPct: Int): DataFrame = {
+    val pick = Window.partitionBy("q_id")
+      .orderBy(col("mmr_scaled").desc, col("vec_id"))
+    val rem = selected match {
+      case None    => cand
+      case Some(s) => cand.join(s.select("q_id", "vec_id"),
+                                Seq("q_id", "vec_id"), "left_anti")
+    }
+    val maxSim = selected match {
+      case None    => rem.withColumn("msim", lit(0L))
+      case Some(s) => rem.join(
+          pairs.join(s.select(col("q_id"), col("vec_id").as("b_id")),
+                     Seq("q_id", "b_id"))
+            .groupBy(col("q_id"), col("a_id").as("vec_id"))
+            .agg(max(col("sim_micro")).as("msim")),
+          Seq("q_id", "vec_id"), "left")
+        .withColumn("msim", coalesce(col("msim"), lit(0L)))
+    }
+    maxSim
+      .withColumn("mmr_scaled",
+        lit(lambdaPct.toLong) * col("rel_micro") -
+          lit((100 - lambdaPct).toLong) * col("msim"))
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col("q_id"), lit(i.toLong).as("sel_rank"), col("vec_id"),
+              col("rel_micro"), col("mmr_scaled"))
   }
 }

@@ -284,7 +284,12 @@ object Sampling {
     * base share by 128-bit integer division, the `budget − Σ base`
     * leftover units going +1 each to the largest remainders (ties: lang
     * asc). Allocations are non-negative longs summing to EXACTLY the
-    * budget (spec-pinned), and every step replays bit-for-bit in ANSI SQL
+    * budget (spec-pinned) — EXCEPT the one degenerate corpus where every
+    * language has zero tokens (Σ weights = 0): there is nothing to
+    * allocate a token of, so every allocation is 0 and the budget is
+    * deliberately left unspent rather than apportioned over empty
+    * languages (spec-pinned too) — and every step replays bit-for-bit in
+    * ANSI SQL
     * — no libm pow(), whose last ulp differs across engines. (Other
     * temperatures are this same construction with an exact k-th root;
     * α = 1 is plain proportional apportionment.)

@@ -7,7 +7,10 @@ import TextPrep._
 
 /** Text-analysis operators for training-data curation: token statistics,
   * language identification, quality scoring, and content fingerprinting.
-  * All pure column expressions (codegen'd end to end).
+  * All pure column expressions — shuffle-free single-pass projections
+  * wherever the operator allows (the higher-order array lambdas some ops
+  * use evaluate interpreted, not whole-stage-codegen'd; the plan-guarded
+  * claim is the shuffle shape, not codegen).
   *
   * Each operator tokenizes into a real `ws` column once, then computes over
   * it — referencing the tokenizer expression repeatedly would re-inline (and
@@ -538,8 +541,8 @@ object TextAnalysis {
   /** Per-document subword statistics: pre-tokenizer piece count and
     * fertility (pieces per whitespace word — the tokenizer-pressure signal
     * a corpus report tracks; high fertility = scriptio continua, code, or
-    * junk). One projection, no explode, codegen'd end to end; null text
-    * yields null counts (the corpus-reality discipline of tokenStats).
+    * junk). One shuffle-free projection, no explode; null text yields null
+    * counts (the corpus-reality discipline of tokenStats).
     */
   /** Top-k TF-IDF terms per document (tf × ln(N/df), deterministic rank:
     * rounded score desc, then token asc). The relevance-term surface behind
@@ -622,8 +625,10 @@ object TextAnalysis {
 
   /** Gopher-style document quality rules (Rae et al. 2021, Table A1) — the
     * standard rule battery a pretraining corpus is filtered with, as ONE
-    * codegen'd projection (no explode, no shuffle; the 100 TB shape is
-    * embarrassingly parallel by construction):
+    * shuffle-free projection (no explode, no shuffle — the plan-guarded
+    * claim; the `aggregate`/`filter` array lambdas evaluate interpreted,
+    * so the shape, not codegen, is the 100 TB argument — embarrassingly
+    * parallel by construction):
     *   - word count within [minWords, maxWords]
     *   - mean word length within [3, 10]
     *   - fraction of words containing an alphabetic character >= 0.8

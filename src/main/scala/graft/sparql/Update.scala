@@ -34,7 +34,20 @@ object Update {
   def execute(spark: SparkSession, store: DataFrame, text: String): DataFrame = {
     // reuse the query tokenizer via a dedicated parse pass
     val ops = splitOps(stripComments(text))
-    ops.foldLeft(store)((st, op) => executeOne(spark, st, op))
+    ops.foldLeft(normalize(store))((st, op) => executeOne(spark, st, op))
+  }
+
+  /** Project a store frame to the canonical quad columns: a persisted
+    * store ([[graft.rdf.QuadStore.open]]) carries the physical `p_bucket`
+    * partition column for scan pruning, which must not reach the
+    * insert-side unions (and a re-commit re-derives it anyway).
+    */
+  private def normalize(store: DataFrame): DataFrame = {
+    val quadCols = Seq("s", "p", "o", "c")
+    if (store.columns.toSeq == quadCols) store
+    else if (quadCols.forall(store.columns.contains))
+      store.select(quadCols.map(org.apache.spark.sql.functions.col): _*)
+    else store
   }
 
   /** Parse/validate only — no file reads, no execution side effects (the
@@ -45,7 +58,8 @@ object Update {
     val ops = splitOps(stripComments(text))
     require(ops.nonEmpty || text.trim.isEmpty ||
             stripComments(text).trim.isEmpty, s"no operations in: $text")
-    ops.foldLeft(store)((st, op) => executeOne(spark, st, op, parseOnly = true))
+    ops.foldLeft(normalize(store))((st, op) =>
+      executeOne(spark, st, op, parseOnly = true))
   }
 
   /** Drop '#' comments (outside string literals and IRI refs). */

@@ -563,6 +563,62 @@ class PipelineSpec extends SparkSpecBase {
     assert(rows(driverMax = 100000) == rows(driverMax = 0))
   }
 
+  test("mmr guard bounds the candidate frame, not just pairs; int ids work") {
+    import graft.pipeline.Retrieval
+    // k=1 per query: ZERO pairs, so a pairs-only guard would wave any
+    // candidate frame through to a driver collect — the guard must size
+    // cand too and route an over-bound batch to the distributed loop
+    val emb = spark.createDataFrame(
+      (0 until 40).map(i => (i.toLong, Seq(1.0, i.toDouble)))
+    ).toDF("vec_id", "embedding")
+    val soloCands = spark.createDataFrame(
+      (0 until 40).map(i => (i.toLong, i.toLong, 0.5))
+    ).toDF("q_id", "vec_id", "score")
+    // driverMax below the 40-row candidate frame: the distributed loop
+    // must produce the same single pick per query the fast path would
+    val viaDistributed = Retrieval.mmrDiversify(emb, soloCands, select = 1,
+        lambdaPct = 50, driverMax = 10)
+      .orderBy("q_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaDriver = Retrieval.mmrDiversify(emb, soloCands, select = 1,
+        lambdaPct = 50, driverMax = 100000)
+      .orderBy("q_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaDistributed == viaDriver)
+    assert(viaDriver.length == 40 && viaDriver.forall(_._2 == 1L))
+    // an IntegerType candidate frame must not ClassCastException on the
+    // fast path: ids are cast to long up front, so both size-dependent
+    // paths accept and emit the same (all-long) schema
+    val intCands = spark.createDataFrame(
+      Seq((0, 1, 0.9), (0, 2, 0.8), (0, 3, 0.7))
+    ).toDF("q_id", "vec_id", "score")
+    val intEmb = spark.createDataFrame(
+      Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.01)), (3L, Seq(0.5, 0.866)))
+    ).toDF("vec_id", "embedding")
+    def ranked(driverMax: Int) =
+      Retrieval.mmrDiversify(intEmb, intCands, select = 2, lambdaPct = 20,
+                             driverMax = driverMax)
+    val fast = ranked(100000)
+    val dist = ranked(0)
+    assert(fast.schema == dist.schema)
+    assert(fast.orderBy("sel_rank").collect().map(_.getLong(2)).toSeq ==
+           dist.orderBy("sel_rank").collect().map(_.getLong(2)).toSeq)
+  }
+
+  test("temperature allocations: all-empty corpus leaves the budget unspent") {
+    // Σ weights = 0 is the ONE case the exact-budget invariant yields to:
+    // there is no token to allocate, so every allocation is 0 by contract
+    // (documented in the scaladoc) rather than apportioned over nothing
+    val empty = spark.createDataFrame(
+      Seq((1L, "", "en", "s1", 0L), (2L, "  ", "de", "s1", 2L))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Sampling.temperatureAllocations(empty, totalBudget = 40000L)
+      .orderBy("lang").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Long]("alloc") == 0L))
+    assert(out.forall(_.getAs[Long]("weight") == 0L))
+  }
+
   test("temperature allocations apportion the budget exactly by sqrt weights") {
     val out = Sampling.temperatureAllocations(docs, totalBudget = 40000L)
       .orderBy("lang").collect()

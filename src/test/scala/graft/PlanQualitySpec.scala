@@ -719,6 +719,52 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(df.groupBy("q_id").count().collect().forall(_.getLong(1) == 3L))
   }
 
+  test("mmr distributed loop: each round is equi-joins + one per-query window") {
+    // the driver fast path is bit-parity-pinned against this loop at toy
+    // size (PipelineSpec); here the loop's PER-ROUND PLAN itself is the
+    // subject — a large batch (pair frame over driverMax) runs `select`
+    // of exactly these rounds, so a nested-loop join or an unbounded
+    // exchange here is what a million-query re-rank would pay per pick
+    import graft.pipeline.{Retrieval, Similarity}
+    import graft.util.Fixpoint.materialize
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val cands = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 6), k = 8)
+    val cand = materialize(cands.select(
+      col("q_id").cast("long").as("q_id"),
+      col("vec_id").cast("long").as("vec_id"),
+      round(col("score") * 1e6).cast("long").as("rel_micro")))
+    val withV = cand.join(e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v")), "vec_id")
+    val pairs = materialize(withV
+      .select(col("q_id"), col("vec_id").as("a_id"), col("v").as("av"))
+      .join(withV.select(col("q_id"), col("vec_id").as("b_id"),
+                         col("v").as("bv")), "q_id")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        round(Similarity.cosine(col("av"), col("bv")) * 1e6).cast("long")
+          .as("sim_micro")))
+    val r1 = materialize(Retrieval.mmrRound(cand, pairs, None, 1, 50))
+    val r2 = Retrieval.mmrRound(cand, pairs, Some(r1), 2, 50)
+    val got = r2.collect()
+    assert(got.nonEmpty && got.forall(_.getAs[Long]("sel_rank") == 2L))
+    val p = r2.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // every join keyed: the anti-join on picks, the pairs⋈picks semi
+    // shape, the msim left join — none may degrade to a nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"),
+           s"mmr round degraded to a nested-loop join:\n$p")
+    // the round's shuffle budget: the anti-join alignment pair, the
+    // pairs⋈picks alignment pair (AQE converts both joins to broadcast at
+    // this size but the ENSURE_REQUIREMENTS stages were already cut), the
+    // msim aggregation, and the per-query pick window — six keyed
+    // exchanges over the bounded cand/pairs frames. A rising count means
+    // a new corpus-shaped stage crept into the per-pick loop.
+    val nEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(nEx <= 6, s"mmr round grew to $nEx hash exchanges:\n$p")
+    assert(p.contains("Window"), s"per-query pick window disappeared:\n$p")
+  }
+
   test("winnowing: no array lambdas past tokenization; both windows share one sort") {
     val df = graft.pipeline.TextAnalysis.winnowFingerprints(
       Tables.load(spark, sfDir, "documents"), k = 4, w = 4)

@@ -419,4 +419,75 @@ class ServiceUpdateSpec extends SparkSpecBase {
       }""").select(Term.lex(col("s"))).collect().map(_.getString(0)).toSeq
     assert(removed == Seq(EX + "a"))
   }
+
+  test("bd:history: sequential UPDATE commits write rev=1,2 partitions and " +
+       "a since/until window spans the boundary") {
+    import graft.sparql.{History, Update}
+    val root = java.nio.file.Files.createTempDirectory("graft-hist-upd").toString
+    QuadStore.enableHistory(root)
+    // rev 0: the base store
+    QuadStore.commit(parse(Seq(s"<${EX}base> <${EX}p> <${EX}o> .")), root)
+    // rev 1, rev 2: one SPARQL UPDATE each, committed sequentially — the
+    // write path a long-lived endpoint takes (update → commit → listener)
+    val s0 = QuadStore.open(spark, root)
+    val s1 = Update.execute(spark, s0,
+      s"INSERT DATA { <${EX}u1> <${EX}p> <${EX}v1> }")
+    QuadStore.commit(s1, root)
+    val s2 = Update.execute(spark, QuadStore.open(spark, root),
+      s"""DELETE DATA { <${EX}u1> <${EX}p> <${EX}v1> } ;
+          INSERT DATA { <${EX}u2> <${EX}p> <${EX}v2> }""")
+    QuadStore.commit(s2, root)
+    // one immutable parquet partition per commit
+    val revDirs = new java.io.File(s"$root/_history").listFiles()
+      .map(_.getName).filter(_.startsWith("rev=")).sorted.toSeq
+    assert(revDirs == Seq("rev=0", "rev=1", "rev=2"))
+    val store = QuadStore.open(spark, root)
+    History.bind(store, QuadStore.history(spark, root))
+    def window(config: String): Seq[(String, String, String)] =
+      Parser.select(spark, store, s"""
+        SELECT ?rev ?s ?act WHERE {
+          SERVICE <graft://history> {
+            ?rev <graft://history#subject> ?s .
+            ?rev <graft://history#action> ?act .
+            $config
+          }
+        } ORDER BY ?rev ?s ?act""")
+        .select(Term.lex(col("rev")), Term.lex(col("s")), Term.lex(col("act")))
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // the since/until window spanning the rev=1 / rev=2 boundary sees the
+    // insert, its retraction, and the replacement — not the base commit
+    assert(window(s"""?rev <graft://history#sinceRevision> "1" .
+                      ?rev <graft://history#untilRevision> "2" .""") == Seq(
+      ("1", EX + "u1", "INSERTED"),
+      ("2", EX + "u1", "REMOVED"),
+      ("2", EX + "u2", "INSERTED")))
+    // a window closed at the boundary sees only its own side
+    assert(window(s"""?rev <graft://history#sinceRevision> "1" .
+                      ?rev <graft://history#untilRevision> "1" .""") ==
+      Seq(("1", EX + "u1", "INSERTED")))
+  }
+
+  test("history bindings LRU: eviction fails loudly, never silently " +
+       "re-binds the wrong store") {
+    import graft.sparql.History
+    // register MaxBindings+2 distinct store frames: the first two must be
+    // evicted; querying one of them then raises the no-bound-change-log
+    // error — a silent wrong-store binding would be a correctness bug in a
+    // multi-tenant server, a loud error is the documented failure mode
+    val stores = (0 until 18).map { i =>
+      parse(Seq(s"<${EX}tenant$i> <${EX}p> <${EX}o> ."))
+    }
+    stores.foreach(st => History.bind(st, History.emptyRelation(spark)))
+    // the most-recent 16 still resolve
+    Parser.select(spark, stores.last, s"""
+      SELECT ?rev WHERE { SERVICE <graft://history> {
+        ?rev <graft://history#subject> ?s . } }""").collect()
+    // the evicted one raises the loud, named error
+    val ex = intercept[IllegalArgumentException] {
+      Parser.select(spark, stores.head, s"""
+        SELECT ?rev WHERE { SERVICE <graft://history> {
+          ?rev <graft://history#subject> ?s . } }""").collect()
+    }
+    assert(ex.getMessage.contains("no bound change log"))
+  }
 }
