@@ -66,6 +66,44 @@ object LanguageModel {
     * The vocabulary size is one count() action — a scalar broadcast, the
     * same shape as any global-statistic literal.
     */
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020: score each
+    * document's LM perplexity against a reference corpus, split each
+    * language into head/middle/tail, keep head+middle): per language,
+    * candidates rank by [[crossEntropy]] under the reference bigram model
+    * (ascending — head = most reference-like) and NTILE into `buckets`
+    * equal tiles. Output per (lang, bucket): document count, the bucket's
+    * cross-entropy range, and an id-sum membership checksum — the frame a
+    * curation report keeps and a selection filter joins against.
+    *
+    * Determinism: the tile rank orders by the ROUNDED cross-entropy
+    * (the tfidf discipline — a 1-ulp ln() difference cannot flip a rank)
+    * with keyCol tiebreak, and NTILE's front-loaded-remainder semantics
+    * are identical in Spark and ANSI SQL. Documents with fewer than two
+    * tokens have no bigram score and are not bucketed (documented
+    * corpus-reality: they carry no LM evidence either way).
+    *
+    * Scale posture: inherits crossEntropy's shape (Zipf-bounded model
+    * relations broadcast against the candidate bigram stream) plus one
+    * language-keyed window over the per-document score frame — rows =
+    * documents, not tokens.
+    */
+  def pplBuckets(candidates: DataFrame, ref: DataFrame, buckets: Int = 3,
+                 textCol: String = "text", langCol: String = "lang",
+                 keyCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 2, "pplBuckets needs at least 2 buckets")
+    val ce = crossEntropy(candidates, ref, textCol, keyCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col("cross_entropy"), col(keyCol))
+    candidates.select(col(keyCol), col(langCol))
+      .join(ce, keyCol)
+      .withColumn("bucket", ntile(buckets).over(w).cast(LongType))
+      .groupBy(col(langCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("cross_entropy")).as("min_ce"),
+           max(col("cross_entropy")).as("max_ce"),
+           sum(col(keyCol)).as("id_sum"))
+  }
+
   def crossEntropy(candidates: DataFrame, ref: DataFrame,
                    textCol: String = "text",
                    keyCol: String = "doc_id"): DataFrame = {

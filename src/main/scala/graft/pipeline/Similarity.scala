@@ -56,6 +56,78 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "score")
   }
 
+  /** Hard-negative mining for contrastive training (the standard upgrade
+    * from in-batch negatives in dense-retrieval training — Karpukhin et
+    * al. 2020 (DPR) take top BM25/ANN hits that are NOT positives; the
+    * embedding-space form mines the top-k most-similar corpus vectors
+    * carrying a DIFFERENT label): similar enough to confuse the current
+    * model, labeled differently, therefore the most informative negatives
+    * a triplet/contrastive loss can see. Output per anchor: (q_id, rank,
+    * vec_id, label, score), rank 1 = hardest.
+    *
+    * Same scale posture as [[bruteForceTopK]]: the anchor set broadcasts
+    * against one corpus scan (an ANN index replaces the scan at corpus
+    * scale — compose with [[ivfTopK]]'s probe machinery by feeding its
+    * candidates in as the corpus); label inequality is a scan-side filter,
+    * so the per-anchor window ranks only cross-label rows. Deterministic:
+    * rounded cosine, ties by ascending vec_id.
+    */
+  def hardNegatives(emb: DataFrame, anchors: DataFrame, k: Int,
+                    labelCol: String = "label"): DataFrame = {
+    val corpus = asDouble(emb)
+      .join(emb.select(col("vec_id"), col(labelCol).cast(LongType).as("label")),
+            "vec_id")
+    val q = asDouble(anchors)
+      .join(anchors.select(col("vec_id"),
+                           col(labelCol).cast(LongType).as("q_label")),
+            "vec_id")
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("q_label"))
+    val scored = corpus.join(broadcast(q),
+        col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("score", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "label", "score")
+  }
+
+  /** Per-group embedding centroids and their pairwise cosine — the corpus
+    * drift/mix report an embedding-curation pipeline tracks (are two
+    * sources/shards/snapshots drifting together or apart in embedding
+    * space?). Output: one row per unordered group pair (grp_a < grp_b)
+    * with both group sizes and the centroid cosine.
+    *
+    * The centroid mean is EXACT and partitioning-independent — the
+    * [[kmeansCentroids]] quantized-long discipline (float→double exact,
+    * ×2^20 exponent shift, HALF_UP to long, order-free long sums, two IEEE
+    * divisions) — so the report replays bit-for-bit in ANSI SQL and is
+    * stable across cluster layouts. Scale posture: one map-side-combined
+    * aggregation of the corpus to a groups×dim frame; the pair join runs
+    * on group cardinality (hundreds at most), never the corpus.
+    */
+  def centroidDrift(emb: DataFrame, groupCol: String = "label"): DataFrame = {
+    val means = emb
+      .select(col(groupCol).cast(LongType).as("grp"),
+              posexplode(col("embedding").cast(ArrayType(DoubleType)))
+                .as(Seq("d", "x")))
+      .groupBy("grp", "d")
+      .agg(((sum(round(col("x") * 1048576.0).cast(LongType)).cast(DoubleType) /
+             count(lit(1))) / 1048576.0).as("m"),
+           count(lit(1)).as("n"))
+      .groupBy("grp")
+      .agg(transform(sort_array(collect_list(struct(col("d"), col("m")))),
+                     e => e.getField("m")).as("gv"),
+           max(col("n")).as("n_vecs"))
+    val a = means.select(col("grp").as("grp_a"), col("gv").as("av"),
+                         col("n_vecs").as("n_a"))
+    val b = means.select(col("grp").as("grp_b"), col("gv").as("bv"),
+                         col("n_vecs").as("n_b"))
+    a.join(b, col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+              cosine(col("av"), col("bv")).as("drift_cos"))
+  }
+
   /** Pseudo-random hyperplane component for (plane j, dimension d): uniform
     * in [-1, 1), derived from the shared md5-based hash so an external oracle
     * can rebuild the identical planes.

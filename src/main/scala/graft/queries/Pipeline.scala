@@ -176,6 +176,19 @@ object Pipeline {
         .orderBy("q_id", "rank")
     }),
 
+    "ann_hard_negatives" -> ((s, d) => {
+      // contrastive-training negative mining: top-10 most-similar vectors
+      // whose label DIFFERS from the anchor's (DPR-style hard negatives)
+      val e = emb(s, d)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 5), k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
+    "emb_centroid_drift" -> ((s, d) =>
+      // per-label exact (quantized-long) centroids + pairwise cosine —
+      // the embedding-space corpus-mix drift report
+      Similarity.centroidDrift(emb(s, d)).orderBy("grp_a", "grp_b")),
+
     "ann_lsh_topk" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 5), planes = 8, k = 10)
@@ -324,6 +337,14 @@ object Pipeline {
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d)).orderBy("doc_id")),
     "text_perplexity" -> ((s, d) =>
       LanguageModel.crossEntropy(docs(s, d), docs(s, d)).orderBy("doc_id")),
+    "sample_ppl_buckets" -> ((s, d) => {
+      // CCNet head/middle/tail: per-language cross-entropy tertiles under
+      // the every-10th-doc reference model (the held-out stand-in shared
+      // with decontam/DSIR)
+      val dd = docs(s, d)
+      LanguageModel.pplBuckets(dd, dd.filter(col("doc_id") % 10 === 0))
+        .orderBy("lang", "bucket")
+    }),
     "text_subword_stats" -> ((s, d) =>
       TextAnalysis.subwordStats(docs(s, d)).orderBy("doc_id")),
     "text_tfidf" -> ((s, d) =>
@@ -1078,6 +1099,43 @@ GROUP BY 1 ORDER BY 1"""
                   AS BIGINT) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    // mirrors Similarity.hardNegatives: ann_topk's shape plus the
+    // cross-label filter on the scan side
+    "ann_hard_negatives" ->
+      s"""WITH $embSql,
+         q AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS q_label, v AS qv
+               FROM e_t WHERE vec_id < 5),
+         scored AS (
+           SELECT q_id, vec_id, CAST(label AS BIGINT) AS label,
+                  ${cosSql("qv", "v")} AS score
+           FROM e_t CROSS JOIN q
+           WHERE vec_id <> q_id AND CAST(label AS BIGINT) <> q_label)
+         SELECT q_id, rank, vec_id, label, score FROM (
+           SELECT q_id, vec_id, label, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id)
+                  AS BIGINT) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    // mirrors Similarity.centroidDrift: the kmeans quantized-long exact
+    // mean per (label, dim), then the pairwise rounded centroid cosine
+    "emb_centroid_drift" ->
+      s"""WITH $embSql,
+         m AS (SELECT CAST(label AS BIGINT) AS grp, i - 1 AS d,
+                 (CAST(SUM(CAST(round(v[CAST(i AS INTEGER)] * 1048576.0)
+                                AS BIGINT)) AS DOUBLE)
+                  / COUNT(*)) / 1048576.0 AS m,
+                 COUNT(*) AS n
+               FROM e_t, range(1, 65) t(i) GROUP BY 1, 2),
+         g AS (SELECT grp, list(m ORDER BY d) AS gv,
+                      CAST(MAX(n) AS BIGINT) AS n_vecs
+               FROM m GROUP BY 1)
+         SELECT a.grp AS grp_a, b.grp AS grp_b,
+           a.n_vecs AS n_a, b.n_vecs AS n_b,
+           ${cosSql("a.gv", "b.gv")} AS drift_cos
+         FROM g a JOIN g b ON a.grp < b.grp
+         ORDER BY grp_a, grp_b""",
 
     // mirrors Similarity.ivfPqTopK: 8x16 seed codebooks (subvectors of
     // vec_id < 16), per-subspace rounded-L2 argmin encoding, per-query
@@ -2568,6 +2626,45 @@ GROUP BY 1 ORDER BY 1"""
          SELECT doc_id, COUNT(*) AS n_bigrams,
            ROUND(-AVG(lp), 6) AS cross_entropy
          FROM sc GROUP BY 1 ORDER BY 1""",
+
+    // mirrors LanguageModel.pplBuckets: the text_perplexity replay with the
+    // reference model trained on every 10th doc, then per-language NTILE
+    // over (rounded cross-entropy, doc_id) — front-loaded-remainder tile
+    // semantics are identical in Spark and DuckDB
+    "sample_ppl_buckets" ->
+      raw"""WITH tok AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                          w -> len(w) > 0) AS ws
+            FROM documents),
+         rtok AS (SELECT ws FROM tok WHERE doc_id % 10 = 0),
+         idx AS (SELECT doc_id, ws,
+              unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM tok WHERE len(ws) >= 2),
+         pairs AS (SELECT doc_id, ws[i] AS a, ws[i + 1] AS b FROM idx),
+         ridx AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM rtok WHERE len(ws) >= 2),
+         uni AS (SELECT w, COUNT(*) AS c_w
+            FROM (SELECT unnest(ws) AS w FROM rtok) GROUP BY 1),
+         voc AS (SELECT COUNT(*) AS v FROM uni),
+         big AS (SELECT ws[i] AS a, ws[i + 1] AS b, COUNT(*) AS c_ab
+            FROM ridx GROUP BY 1, 2),
+         sc AS (SELECT p.doc_id,
+              ln(CAST(COALESCE(big.c_ab, 0) + 1 AS DOUBLE) /
+                 CAST(COALESCE(uni.c_w, 0) + (SELECT v FROM voc) AS DOUBLE)) AS lp
+            FROM pairs p
+            LEFT JOIN big ON big.a = p.a AND big.b = p.b
+            LEFT JOIN uni ON uni.w = p.a),
+         ce AS (SELECT doc_id, ROUND(-AVG(lp), 6) AS cross_entropy
+            FROM sc GROUP BY 1),
+         l AS (SELECT d.lang, ce.doc_id, ce.cross_entropy,
+              NTILE(3) OVER (PARTITION BY d.lang
+                             ORDER BY ce.cross_entropy, ce.doc_id) AS bucket
+            FROM ce JOIN documents d USING (doc_id))
+         SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(cross_entropy) AS min_ce, MAX(cross_entropy) AS max_ce,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM l GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "text_subword_stats" ->
       raw"""WITH s AS (SELECT doc_id,

@@ -220,6 +220,77 @@ class PipelineSpec extends SparkSpecBase {
     assert(res.length == 5 && res.forall(_.getLong(1) == 10))
   }
 
+  test("hard negatives: cross-label top-k equals brute force on the " +
+       "label-excluded corpus") {
+    val anchors = emb.filter(col("vec_id") < 5)
+    val hn = Similarity.hardNegatives(emb, anchors, k = 10).collect()
+    // every row's label differs from its anchor's
+    val anchorLabel = anchors.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(hn.forall(r => r.getAs[Long]("label") != anchorLabel(r.getAs[Long]("q_id"))))
+    // ranks are 1..k per anchor with non-increasing scores
+    hn.groupBy(_.getAs[Long]("q_id")).values.foreach { rs =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+      val scores = byRank.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // semantic equivalence: for one anchor, hardNegatives = bruteForceTopK
+    // over the corpus with the anchor's label removed
+    val a0 = anchors.filter(col("vec_id") === 0L)
+    val l0 = anchorLabel(0L)
+    val expect = Similarity.bruteForceTopK(
+        emb.filter(col("label") =!= l0), a0, k = 10)
+      .orderBy("rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    val got = hn.filter(_.getAs[Long]("q_id") == 0L)
+      .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+    assert(got == expect)
+  }
+
+  test("centroid drift: exact means on a hand fixture; pair frame shape") {
+    // two tight groups: centroid of identical vectors IS the vector, so
+    // the pair cosine is the vector cosine exactly
+    val fix = spark.createDataFrame(Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 2.0f), 1), (4L, Seq(0.0f, 2.0f), 1),
+      (5L, Seq(1.0f, 1.0f), 2)
+    )).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidDrift(fix).orderBy("grp_a", "grp_b").collect()
+    assert(out.length == 3) // C(3,2) unordered pairs, grp_a < grp_b
+    val m = out.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(m((0L, 1L)) == ((2L, 2L, 0.0)))        // orthogonal centroids
+    assert(m((0L, 2L))._3 == 0.707107)            // cos 45° rounded to 6dp
+    assert(m((1L, 2L))._3 == 0.707107)
+    // real corpus: every unordered label pair exactly once
+    val labels = emb.select("label").distinct().count()
+    assert(Similarity.centroidDrift(emb).count() == labels * (labels - 1) / 2)
+  }
+
+  test("ppl buckets: NTILE partitions each language into near-equal, " +
+       "boundary-monotone tiles") {
+    import graft.pipeline.LanguageModel
+    val out = LanguageModel.pplBuckets(docs, docs.filter(col("doc_id") % 10 === 0))
+      .orderBy("lang", "bucket").collect()
+    val perLang = out.groupBy(_.getAs[String]("lang"))
+    // documents table: every doc has >= 2 tokens, so bucketed counts per
+    // language sum to the language's doc count
+    val langCounts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, rows) =>
+      assert(rows.map(_.getAs[Long]("bucket")).toSeq.sorted == Seq(1L, 2L, 3L))
+      assert(rows.map(_.getAs[Long]("n_docs")).sum == langCounts(lang))
+      // NTILE: tile sizes differ by at most one
+      val ns = rows.map(_.getAs[Long]("n_docs"))
+      assert(ns.max - ns.min <= 1)
+      // bucket boundaries are monotone in cross-entropy
+      val byB = rows.sortBy(_.getAs[Long]("bucket"))
+      byB.zip(byB.tail).foreach { case (lo, hi) =>
+        assert(lo.getAs[Double]("max_ce") <= hi.getAs[Double]("min_ce"))
+      }
+    }
+  }
+
   test("lsh top-k scores are a subset of brute-force candidate scores") {
     val bf = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 1000)
       .select("q_id", "vec_id", "score").collect()
