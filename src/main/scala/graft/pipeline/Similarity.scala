@@ -128,6 +128,72 @@ object Similarity {
               cosine(col("av"), col("bv")).as("drift_cos"))
   }
 
+  /** Sign-bit binary quantization: one bit per dimension (`v[d] > 0`),
+    * packed 32 bits per long word — the 32× storage dial below int8's 4×
+    * (the binary-embedding regime: Hamming distance over packed sign bits
+    * approximates angular distance, the classic sign-random-projection
+    * bound of Charikar 2002 applied at identity projection). 32-bit words
+    * keep every packed value in non-negative int range, so the signatures
+    * replay exactly through engines whose integer SUM widens (DuckDB →
+    * HUGEINT). Output: (vec_id, sig array<long> of ceil(dim/32) words).
+    *
+    * Scale posture: a pure per-row projection (one explode + two
+    * fixed-key aggregations per vector), zero corpus shuffles beyond the
+    * vec_id regroup — and the signature frame is 32× smaller than the
+    * embeddings it replaces.
+    */
+  def binaryQuantize(emb: DataFrame): DataFrame =
+    asDouble(emb)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+      .withColumn("w", expr("d div 32"))
+      .groupBy("vec_id", "w")
+      .agg(sum(when(col("x") > 0,
+                    expr("shiftleft(CAST(1 AS BIGINT), d % 32)"))
+                 .otherwise(0L)).as("word"))
+      .groupBy("vec_id")
+      .agg(transform(sort_array(collect_list(struct(col("w"), col("word")))),
+                     e => e.getField("word")).as("sig"))
+
+  /** Hamming top-k over sign-bit signatures: for each anchor, the k
+    * corpus vectors with the fewest differing sign bits (ties by
+    * ascending vec_id; the anchor itself excluded). Distances are exact
+    * integers — popcount of XORed words — so rankings replay bit-for-bit
+    * in ANSI SQL. Pair with [[recallAtK]] against [[bruteForceTopK]] to
+    * price the 32× storage cut in retrieval quality.
+    *
+    * Scale posture: [[bruteForceTopK]]'s shape over the 32×-smaller
+    * signature frame — anchors broadcast, one corpus scan; at corpus
+    * scale, bucket by a signature prefix (multi-index Hamming) exactly as
+    * [[lshBuckets]] buckets hyperplane signs.
+    */
+  def hammingTopK(emb: DataFrame, anchors: DataFrame, k: Int): DataFrame = {
+    val sig = binaryQuantize(emb)
+    val q = binaryQuantize(anchors)
+      .select(col("vec_id").as("q_id"), col("sig").as("qsig"))
+    val scored = sig.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("hamming",
+        aggregate(zip_with(col("sig"), col("qsig"),
+                           (a, b) => bit_count(a.bitwiseXOR(b)).cast(LongType)),
+                  lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy("q_id").orderBy(col("hamming"), col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "hamming")
+  }
+
+  /** Matryoshka-representation truncation (Kusupati et al. 2022: MRL
+    * embeddings are trained so every prefix is itself a valid embedding —
+    * the third storage/compute dial next to int8 and PQ): keep the first
+    * `dOut` dimensions. Cosine self-normalizes, so no renormalization is
+    * needed for retrieval; pair with [[recallAtK]] to price the prefix
+    * length. A pure per-row slice — zero shuffles.
+    */
+  def matryoshkaTruncate(emb: DataFrame, dOut: Int): DataFrame = {
+    require(dOut >= 1, "matryoshka prefix must be at least 1 dimension")
+    emb.withColumn("embedding", slice(col("embedding"), 1, dOut))
+  }
+
   /** Pseudo-random hyperplane component for (plane j, dimension d): uniform
     * in [-1, 1), derived from the shared md5-based hash so an external oracle
     * can rebuild the identical planes.

@@ -267,6 +267,35 @@ object Pipeline {
         .orderBy("q_id")
     }),
 
+    "ann_hamming_topk" -> ((s, d) => {
+      // binary-embedding retrieval: top-10 by exact integer Hamming over
+      // packed sign bits (the 32x storage dial; Charikar sign bound)
+      val e = emb(s, d)
+      Similarity.hammingTopK(e, e.filter(col("vec_id") < 5), k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
+    "ann_recall_hamming" -> ((s, d) => {
+      // what the 32x binary cut costs in retrieval quality: recall@10 of
+      // the Hamming ranking vs the exact cosine ranking
+      val e = emb(s, d)
+      Similarity.recallAtK(
+          Similarity.hammingTopK(e, e.filter(col("vec_id") < 5), k = 10),
+          Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10))
+        .orderBy("q_id")
+    }),
+
+    "ann_recall_matryoshka" -> ((s, d) => {
+      // the MRL prefix dial: recall@10 of the 16-dim-prefix ranking vs
+      // the full 64-dim exact ranking (cosine self-normalizes)
+      val e = emb(s, d)
+      val t = Similarity.matryoshkaTruncate(e, dOut = 16)
+      Similarity.recallAtK(
+          Similarity.bruteForceTopK(t, t.filter(col("vec_id") < 5), k = 10),
+          Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10))
+        .orderBy("q_id")
+    }),
+
     "search_hybrid_rrf" -> ((s, d) => {
       // hybrid retrieval: BM25 (sparse, over documents) and brute cosine
       // (dense, over embeddings — same id space) fused by reciprocal rank;
@@ -1380,6 +1409,90 @@ GROUP BY 1 ORDER BY 1"""
              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
            FROM (SELECT q_id, dq.vec_id AS vec_id, ${cosSql("aqv", "dq.v")} AS score
                  FROM dq CROSS JOIN aq WHERE dq.vec_id <> aq.q_id))
+           WHERE rank <= 10),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e_t WHERE vec_id < 5),
+         ex AS (SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+           FROM (SELECT q_id, e_t.vec_id, ${cosSql("qv", "e_t.v")} AS score
+                 FROM e_t CROSS JOIN q WHERE e_t.vec_id <> q.q_id))
+           WHERE rank <= 10)
+         SELECT ex.q_id, COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS recall
+         FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+         GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Similarity.binaryQuantize/hammingTopK: 32-bit packed sign
+    // words (CAST keeps DuckDB's HUGEINT sum in BIGINT range), exact
+    // integer Hamming via bit_count(xor), rank (hamming asc, vec_id)
+    "ann_hamming_topk" ->
+      s"""WITH $embSql,
+         sig AS (SELECT vec_id,
+             list_transform(range(0, CAST(ceil(len(v) / 32.0) AS INTEGER)),
+               w -> CAST(list_sum(list_transform(range(0, 32),
+                 b -> CASE WHEN w * 32 + b < len(v)
+                            AND v[w * 32 + b + 1] > 0
+                           THEN CAST(1 AS BIGINT) << b ELSE 0 END))
+                 AS BIGINT)) AS sig
+           FROM e_t),
+         q AS (SELECT vec_id AS q_id, sig AS qsig FROM sig WHERE vec_id < 5),
+         scored AS (SELECT q_id, vec_id,
+             CAST(list_sum(list_transform(range(1, len(sig) + 1),
+               i -> bit_count(xor(sig[i], qsig[i])))) AS BIGINT) AS hamming
+           FROM sig CROSS JOIN q WHERE vec_id <> q_id)
+         SELECT q_id, rank, vec_id, hamming FROM (
+           SELECT q_id, vec_id, hamming,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, vec_id)
+                  AS BIGINT) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    "ann_recall_hamming" ->
+      s"""WITH $embSql,
+         sig AS (SELECT vec_id,
+             list_transform(range(0, CAST(ceil(len(v) / 32.0) AS INTEGER)),
+               w -> CAST(list_sum(list_transform(range(0, 32),
+                 b -> CASE WHEN w * 32 + b < len(v)
+                            AND v[w * 32 + b + 1] > 0
+                           THEN CAST(1 AS BIGINT) << b ELSE 0 END))
+                 AS BIGINT)) AS sig
+           FROM e_t),
+         hq AS (SELECT vec_id AS q_id, sig AS qsig FROM sig WHERE vec_id < 5),
+         ap AS (SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank
+           FROM (SELECT q_id, vec_id,
+                   CAST(list_sum(list_transform(range(1, len(sig) + 1),
+                     i -> bit_count(xor(sig[i], qsig[i])))) AS BIGINT) AS hamming
+                 FROM sig CROSS JOIN hq WHERE vec_id <> q_id))
+           WHERE rank <= 10),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e_t WHERE vec_id < 5),
+         ex AS (SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+           FROM (SELECT q_id, e_t.vec_id, ${cosSql("qv", "e_t.v")} AS score
+                 FROM e_t CROSS JOIN q WHERE e_t.vec_id <> q.q_id))
+           WHERE rank <= 10)
+         SELECT ex.q_id, COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS recall
+         FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+         GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Similarity.matryoshkaTruncate + recallAtK: 16-dim prefix
+    // ranking vs the full exact ranking
+    "ann_recall_matryoshka" ->
+      s"""WITH $embSql,
+         t AS (SELECT vec_id, v[1:16] AS v FROM e_t),
+         tq AS (SELECT vec_id AS q_id, v AS qv FROM t WHERE vec_id < 5),
+         ap AS (SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+           FROM (SELECT q_id, t.vec_id, ${cosSql("qv", "t.v")} AS score
+                 FROM t CROSS JOIN tq WHERE t.vec_id <> tq.q_id))
            WHERE rank <= 10),
          q AS (SELECT vec_id AS q_id, v AS qv FROM e_t WHERE vec_id < 5),
          ex AS (SELECT q_id, vec_id FROM (

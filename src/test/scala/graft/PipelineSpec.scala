@@ -291,6 +291,45 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("binary signatures pack sign bits exactly; hamming = bit-diff count") {
+    // bits (strict v > 0): vec 0 -> 1,0,1,0 = word 5; vec 1 -> 0,1,1,1 = 14
+    val fix = spark.createDataFrame(Seq(
+      (0L, Seq(1.0f, -1.0f, 0.5f, 0.0f)),
+      (1L, Seq(-1.0f, 1.0f, 0.5f, 2.0f))
+    )).toDF("vec_id", "embedding")
+    val sig = Similarity.binaryQuantize(fix).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(0L) == Seq(5L) && sig(1L) == Seq(14L))
+    // hamming(5, 14) = popcount(0b1011) = 3
+    val hk = Similarity.hammingTopK(fix, fix.filter(col("vec_id") === 0L),
+                                    k = 1).collect()(0)
+    assert(hk.getAs[Long]("hamming") == 3L)
+    // 64-dim corpus: two 32-bit words, every anchor gets k ranked rows
+    // with non-decreasing distances
+    val hn = Similarity.hammingTopK(emb, emb.filter(col("vec_id") < 3), k = 5)
+      .collect()
+    assert(Similarity.binaryQuantize(emb).select("sig").head()
+      .getSeq[Long](0).length == 2)
+    hn.groupBy(_.getAs[Long]("q_id")).values.foreach { rs =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+      val ds = byRank.map(_.getAs[Long]("hamming"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("matryoshka truncation: prefix slice; full prefix is recall 1.0") {
+    val t = Similarity.matryoshkaTruncate(emb, dOut = 16)
+    assert(t.filter(size(col("embedding")) =!= 16).count() == 0)
+    // the 64-of-64 prefix ranking IS the exact ranking
+    val full = Similarity.matryoshkaTruncate(emb, dOut = 64)
+    val r = Similarity.recallAtK(
+        Similarity.bruteForceTopK(full, full.filter(col("vec_id") < 3), 10),
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 10))
+      .collect()
+    assert(r.length == 3 && r.forall(_.getAs[Double]("recall") == 1.0))
+  }
+
   test("lsh top-k scores are a subset of brute-force candidate scores") {
     val bf = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 1000)
       .select("q_id", "vec_id", "score").collect()
