@@ -107,7 +107,25 @@ object Similarity {
     * on group cardinality (hundreds at most), never the corpus.
     */
   def centroidDrift(emb: DataFrame, groupCol: String = "label"): DataFrame = {
-    val means = emb
+    val means = groupCentroids(emb, groupCol)
+    val a = means.select(col("grp").as("grp_a"), col("gv").as("av"),
+                         col("n_vecs").as("n_a"))
+    val b = means.select(col("grp").as("grp_b"), col("gv").as("bv"),
+                         col("n_vecs").as("n_b"))
+    a.join(b, col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+              cosine(col("av"), col("bv")).as("drift_cos"))
+  }
+
+  /** [[centroidDrift]]'s centroid stage on its own: (grp, n_vecs, gv) per
+    * group, gv the exact quantized-long mean vector. Public because the
+    * per-group (count, Σ quantized-long) pair is a MONOID — the streaming
+    * face ([[graft.streaming.EventStreams.streamingGroupCentroids]])
+    * accumulates the same sums incrementally and is spec-pinned
+    * bit-identical to this frame over the same rows.
+    */
+  def groupCentroids(emb: DataFrame, groupCol: String = "label"): DataFrame =
+    emb
       .select(col(groupCol).cast(LongType).as("grp"),
               posexplode(col("embedding").cast(ArrayType(DoubleType)))
                 .as(Seq("d", "x")))
@@ -119,14 +137,7 @@ object Similarity {
       .agg(transform(sort_array(collect_list(struct(col("d"), col("m")))),
                      e => e.getField("m")).as("gv"),
            max(col("n")).as("n_vecs"))
-    val a = means.select(col("grp").as("grp_a"), col("gv").as("av"),
-                         col("n_vecs").as("n_a"))
-    val b = means.select(col("grp").as("grp_b"), col("gv").as("bv"),
-                         col("n_vecs").as("n_b"))
-    a.join(b, col("grp_a") < col("grp_b"))
-      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
-              cosine(col("av"), col("bv")).as("drift_cos"))
-  }
+      .select("grp", "n_vecs", "gv")
 
   /** Sign-bit binary quantization: one bit per dimension (`v[d] > 0`),
     * packed 32 bits per long word — the 32× storage dial below int8's 4×

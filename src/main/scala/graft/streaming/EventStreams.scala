@@ -433,4 +433,62 @@ object EventStreams {
           out.result().iterator
       }
   }
+
+  final case class LabeledVec(vec_id: Long, label: Long,
+                              embedding: Seq[Float])
+
+  final case class GroupCentroid(grp: Long, n_vecs: Long, gv: Seq[Double])
+
+  /** Streaming face of the centroid stage behind
+    * [[graft.pipeline.Similarity.centroidDrift]] — the live corpus-mix
+    * drift monitor: per group, the running (count, Σ per-dimension
+    * quantized-long) pair accumulates across micro-batches and each batch
+    * re-emits the touched groups' exact centroids. The pair is a MONOID
+    * over the batch operator's own quantization (float→double exact,
+    * ×2^20, HALF_UP to long — [[quantHalfUp]] replicates Spark's round()
+    * away-from-zero tie rule, where `math.round`'s toward-positive rule
+    * would diverge on exact .5 fractions of negative components), so the
+    * emitted centroid after ANY prefix of the stream is bit-identical to
+    * `Similarity.groupCentroids` over the same rows (StreamingSpec pins
+    * single-batch parity and cross-batch accumulation). State: one
+    * (long + dim longs) per group — groups × dim regardless of stream
+    * length. Pairwise drift is a per-batch groups²-sized afterthought the
+    * consumer computes from these frames.
+    */
+  def streamingGroupCentroids(vecs: Dataset[LabeledVec])
+      : Dataset[GroupCentroid] = {
+    import vecs.sparkSession.implicits._
+    vecs
+      .groupByKey(_.label)
+      .flatMapGroupsWithState[(Long, Array[Long]), GroupCentroid](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (grp: Long, batch: Iterator[LabeledVec],
+         state: GroupState[(Long, Array[Long])]) =>
+          var (n, sums) = state.getOption.getOrElse((0L, Array.empty[Long]))
+          batch.foreach { v =>
+            if (sums.isEmpty) sums = new Array[Long](v.embedding.length)
+            require(v.embedding.length == sums.length,
+              s"group $grp: embedding dim ${v.embedding.length} != ${sums.length}")
+            var d = 0
+            while (d < sums.length) {
+              sums(d) += quantHalfUp(v.embedding(d).toDouble * 1048576.0)
+              d += 1
+            }
+            n += 1
+          }
+          if (n == 0) Iterator.empty
+          else {
+            state.update((n, sums))
+            val nv = n
+            Iterator(GroupCentroid(grp, nv,
+              sums.toSeq.map(s => (s.toDouble / nv) / 1048576.0)))
+          }
+      }
+  }
+
+  /** Spark `round()`'s HALF_UP (ties away from zero) for doubles —
+    * `math.round` rounds ties toward +∞ and would flip negative .5s.
+    */
+  private def quantHalfUp(y: Double): Long =
+    (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
 }

@@ -349,6 +349,44 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming group centroids accumulate to the batch exact mean " +
+       "across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.LabeledVec
+    // negative components with exact .5 quantization fractions included:
+    // -3.5/2^20 scales to -3.5, where math.round would give -3 but the
+    // batch operator's HALF_UP gives -4
+    val b1 = Seq(
+      LabeledVec(1L, 0L, Seq(1.0f, -3.5f / 1048576.0f)),
+      LabeledVec(2L, 0L, Seq(0.5f, 1.0f)),
+      LabeledVec(3L, 1L, Seq(-1.0f, 2.0f)))
+    val b2 = Seq(
+      LabeledVec(4L, 0L, Seq(0.25f, 0.75f)),
+      LabeledVec(5L, 2L, Seq(4.0f, -4.0f)))
+    val input = MemoryStream[LabeledVec]
+    val q = EventStreams.streamingGroupCentroids(input.toDS())
+      .writeStream.format("memory").queryName("centroids")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // latest emission per group = the one with the largest count
+      val streamed = spark.table("centroids").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+        .groupBy(_._1).map(_._2.maxBy(_._2)).toSet
+      val batch = graft.pipeline.Similarity.groupCentroids(
+          (b1 ++ b2).map(v => (v.vec_id, v.label, v.embedding))
+            .toDF("vec_id", "label", "embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2))).toSet
+      assert(streamed == batch,
+             s"streaming centroids diverge from batch: $streamed vs $batch")
+      // group 0 spans both batches — its final count proves accumulation
+      assert(streamed.exists { case (g, n, _) => g == 0L && n == 3L })
+    } finally q.stop()
+  }
+
   test("streaming decontamination via foreachBatch against a static benchmark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
