@@ -765,6 +765,29 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("Window"), s"per-query pick window disappeared:\n$p")
   }
 
+  test("centroid drift: one corpus scan feeds both pair sides; hamming " +
+       "ranks the signature frame, not embeddings") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val cd = graft.pipeline.Similarity.centroidDrift(e)
+    cd.collect()
+    val p = cd.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the pair join reads the SAME groups x dim aggregation twice — the
+    // corpus-sized subtree below the aggregation exchange must be reused,
+    // not re-scanned (two corpus passes for a drift report is the bug)
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 1 || p.contains("ReusedExchange"),
+           s"centroid drift re-scans the corpus for the pair join:\n$p")
+    // hamming retrieval scores packed sign words — its per-anchor window
+    // must rank the signature frame, never the raw embedding column
+    val hk = graft.pipeline.Similarity.hammingTopK(
+      e, e.filter(col("vec_id") < 3), k = 5)
+    hk.collect()
+    val hp = hk.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!hp.contains("CartesianProduct"),
+           s"hamming top-k degraded to a cartesian product:\n$hp")
+    assert(hp.contains("Window"), s"per-anchor rank window disappeared:\n$hp")
+  }
+
   test("winnowing: no array lambdas past tokenization; both windows share one sort") {
     val df = graft.pipeline.TextAnalysis.winnowFingerprints(
       Tables.load(spark, sfDir, "documents"), k = 4, w = 4)
