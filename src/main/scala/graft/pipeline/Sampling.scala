@@ -103,6 +103,34 @@ object Sampling {
     docs.withColumn("split", label)
   }
 
+  /** GROUP-DISJOINT split (scikit-learn's GroupShuffleSplit shape — the
+    * leakage-safe evaluation discipline): the hash-range bucket is
+    * computed on the GROUP key, so every document of a group
+    * (source/site/author/session) lands in the SAME split. Doc-level
+    * splitting ([[split]]) lets near-duplicates within a group straddle
+    * train and validation — the classic silent eval leak in web-scale
+    * corpora, where one site's boilerplate appears thousands of times;
+    * group disjointness closes it by construction. Fractions apportion
+    * GROUPS by hash range, so realized DOC fractions track group-size
+    * distribution, not the requested ratios exactly (inherent to group
+    * splits; report realized sizes, as the query entry does).
+    *
+    * Same scale posture as [[split]]: a pure projection (the split label
+    * is a function of the group key alone) — computable at read time
+    * anywhere, no shuffle, no coordination.
+    */
+  def splitByGroup(docs: DataFrame, fractions: Seq[(String, Double)],
+                   groupCol: String = "source"): DataFrame = {
+    require(fractions.nonEmpty, "split needs at least one labeled fraction")
+    val u = unit(col(groupCol), ":gsplit")
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val label = fractions.zip(cum).dropRight(1)
+      .foldRight(lit(fractions.last._1): Column) {
+        case (((name, _), c), els) => when(u < lit(c), lit(name)).otherwise(els)
+      }
+    docs.withColumn("split", label)
+  }
+
   /** Domain-mixture construction: given target WEIGHTS per source (the
     * relative proportions of the training mix — "3 parts wiki, 1 part
     * crawl") and a total token budget, derive each source's token budget

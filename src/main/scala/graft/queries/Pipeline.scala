@@ -565,6 +565,17 @@ object Pipeline {
       // DISTINCT word then joined back
       graft.pipeline.Bpe.tokenizeStats(docs(s, d), bpeMerges(s, d))
         .orderBy("doc_id")),
+    "split_group_disjoint" -> ((s, d) =>
+      // leakage-safe eval split: the hash bucket is computed on the SOURCE
+      // key, so no source's near-duplicate boilerplate can straddle
+      // train/validation; realized doc counts follow group sizes
+      Sampling.splitByGroup(docs(s, d),
+          Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2))
+        .groupBy("split")
+        .agg(countDistinct(col("source")).as("n_sources"),
+             count(lit(1)).as("n_docs"),
+             sum(col("doc_id")).as("id_sum"))
+        .orderBy("split")),
     "sample_importance" -> ((s, d) => {
       // DSIR-shaped selection: target distribution = every 10th doc (the
       // synthetic held-out stand-in, as in decontam); 64 hash bins, top 100
@@ -2608,6 +2619,19 @@ GROUP BY 1 ORDER BY 1"""
            CASE WHEN n_tok_lang > 0 THEN
              CAST((alloc * 1000000) // n_tok_lang AS BIGINT) END AS epochs_micro
          FROM a ORDER BY lang""",
+
+    // mirrors Sampling.splitByGroup: the unit hash on the SOURCE key, so
+    // every doc of a source shares a split label
+    "split_group_disjoint" ->
+      """WITH u AS (SELECT doc_id, source,
+             CAST(CAST('0x' || substr(md5(source || ':gsplit'), 1, 15) AS BIGINT) AS DOUBLE)
+               / 1152921504606846976.0 AS pos
+           FROM documents)
+         SELECT CASE WHEN pos < 0.6 THEN 'train'
+                     WHEN pos < 0.8 THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM u GROUP BY 1 ORDER BY 1""",
 
     "split_train_val" ->
       """WITH u AS (SELECT doc_id,

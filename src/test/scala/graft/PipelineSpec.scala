@@ -715,6 +715,22 @@ class PipelineSpec extends SparkSpecBase {
            dist.orderBy("sel_rank").collect().map(_.getLong(2)).toSeq)
   }
 
+  test("group-disjoint split: every source lands in exactly one split; " +
+       "doc-level split does not") {
+    val fr = Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2)
+    val out = Sampling.splitByGroup(docs, fr)
+    val perSource = out.groupBy("source")
+      .agg(countDistinct(col("split")).as("k")).collect()
+    assert(perSource.nonEmpty && perSource.forall(_.getLong(1) == 1L))
+    // pure function of the group key: bit-identical across runs
+    assert(out.exceptAll(Sampling.splitByGroup(docs, fr)).isEmpty)
+    // the contrast that motivates the operator: the doc-hash split
+    // scatters a source's documents across splits (the eval leak)
+    val scattered = Sampling.split(docs, fr).groupBy("source")
+      .agg(countDistinct(col("split")).as("k")).filter(col("k") > 1).count()
+    assert(scattered > 0)
+  }
+
   test("temperature allocations: all-empty corpus leaves the budget unspent") {
     // Σ weights = 0 is the ONE case the exact-budget invariant yields to:
     // there is no token to allocate, so every allocation is 0 by contract
