@@ -82,26 +82,92 @@ object LanguageModel {
     * tokens have no bigram score and are not bucketed (documented
     * corpus-reality: they carry no LM evidence either way).
     *
-    * Scale posture: inherits crossEntropy's shape (Zipf-bounded model
-    * relations broadcast against the candidate bigram stream) plus one
-    * language-keyed window over the per-document score frame — rows =
-    * documents, not tokens.
+    * NO per-language document sort: a naive `ntile().over(partitionBy
+    * (lang))` puts the dominant language's ENTIRE per-document score
+    * frame through one window task (English ≈ half a 100 TB corpus — the
+    * same single-reducer defect class bd:sample EVEN was cured of). This
+    * computes the identical NTILE result distributively:
+    *
+    *  1. collapse documents to per-(lang, rounded-ce) groups — a hash
+    *     aggregation; group count is bounded by the VALUE RANGE of the
+    *     6-decimal rounding (≤ range·10⁶ per language, ~10⁷ worst case),
+    *     not by corpus size;
+    *  2. cumulative counts over that collapsed frame give each group its
+    *     global rank span [cum_start+1, cum_end] within its language, and
+    *     NTILE's bucket is a closed-form function of (rank, n): with
+    *     q = n div k, m = n mod k, the first m buckets hold q+1 rows —
+    *     bucket(r) = (r-1) div (q+1) + 1 for r ≤ m(q+1), else
+    *     m + (r-1-m(q+1)) div q + 1;
+    *  3. groups whose span lies inside ONE bucket (all but ≤ k-1 per
+    *     language) contribute their (count, ce, Σid) wholesale; only the
+    *     straddling groups re-rank their documents — by keyCol, exactly
+    *     NTILE's tiebreak within a ce tie — in a window keyed by
+    *     (lang, ce), i.e. one bounded tie group per task.
+    *
+    * The result is bit-identical to the NTILE window (the oracle still
+    * runs NTILE SQL) with no document-scale sort anywhere; the only
+    * residual skew is a language whose ties put most documents on ONE
+    * rounded ce value, which no rank-based bucketing can split without
+    * looking at ids. Plan-guarded in PlanQualitySpec: no ntile, and every
+    * lang-partitioned window runs above the collapsing aggregation.
     */
   def pplBuckets(candidates: DataFrame, ref: DataFrame, buckets: Int = 3,
                  textCol: String = "text", langCol: String = "lang",
                  keyCol: String = "doc_id"): DataFrame = {
     require(buckets >= 2, "pplBuckets needs at least 2 buckets")
+    val k = buckets.toLong
     val ce = crossEntropy(candidates, ref, textCol, keyCol)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(langCol)).orderBy(col("cross_entropy"), col(keyCol))
-    candidates.select(col(keyCol), col(langCol))
+    val scored = candidates.select(col(keyCol), col(langCol))
       .join(ce, keyCol)
-      .withColumn("bucket", ntile(buckets).over(w).cast(LongType))
+      .select(col(langCol), col(keyCol), col("cross_entropy"))
+    // 1. collapse to (lang, ce) groups — value-range-bounded cardinality
+    val grp = scored.groupBy(col(langCol), col("cross_entropy"))
+      .agg(count(lit(1)).as("__cnt"), sum(col(keyCol)).as("__gsum"))
+    // 2. rank spans over the COLLAPSED frame (window input = groups, not
+    //    documents) + per-language totals from the same partition
+    val wLang = org.apache.spark.sql.expressions.Window.partitionBy(col(langCol))
+    val wCum = wLang.orderBy(col("cross_entropy"))
+    // NTILE(k) bucket of global rank r among n rows, front-loaded
+    // remainder; longs stay < 2^53 so the double division is exact after
+    // floor (numerator and divisor are exact integers in double range)
+    def bucketOf(r: Column, n: Column): Column = {
+      val q = floor(n / k)
+      val m = n % k
+      val thr = m * (q + lit(1L))
+      when(r <= thr, floor((r - lit(1L)) / (q + lit(1L))) + lit(1L))
+        .otherwise(m + floor((r - lit(1L) - thr) / q) + lit(1L))
+        .cast(LongType)
+    }
+    val spans = grp
+      .withColumn("__cum_end", sum(col("__cnt")).over(wCum))
+      .withColumn("__n", sum(col("__cnt")).over(wLang))
+      .withColumn("__cum_start", col("__cum_end") - col("__cnt"))
+      .withColumn("__b_lo", bucketOf(col("__cum_start") + lit(1L), col("__n")))
+      .withColumn("__b_hi", bucketOf(col("__cum_end"), col("__n")))
+    // 3a. groups entirely inside one bucket contribute wholesale
+    val whole = spans.filter(col("__b_lo") === col("__b_hi"))
+      .select(col(langCol), col("__b_lo").as("bucket"),
+              col("__cnt").as("__ndocs"), col("cross_entropy").as("__ce"),
+              col("__gsum").as("__idsum"))
+    // 3b. boundary-straddling groups (≤ buckets-1 per language) re-rank
+    //     their documents by keyCol — NTILE's within-tie order
+    val strad = spans.filter(col("__b_lo") < col("__b_hi"))
+      .select(col(langCol), col("cross_entropy"),
+              col("__cum_start"), col("__n"))
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol), col("cross_entropy")).orderBy(col(keyCol))
+    val split = scored
+      .join(broadcast(strad), Seq(langCol, "cross_entropy"))
+      .withColumn("__r", col("__cum_start") + row_number().over(wTie))
+      .select(col(langCol), bucketOf(col("__r"), col("__n")).as("bucket"),
+              lit(1L).as("__ndocs"), col("cross_entropy").as("__ce"),
+              col(keyCol).cast(LongType).as("__idsum"))
+    whole.unionByName(split)
       .groupBy(col(langCol), col("bucket"))
-      .agg(count(lit(1)).as("n_docs"),
-           min(col("cross_entropy")).as("min_ce"),
-           max(col("cross_entropy")).as("max_ce"),
-           sum(col(keyCol)).as("id_sum"))
+      .agg(sum(col("__ndocs")).as("n_docs"),
+           min(col("__ce")).as("min_ce"),
+           max(col("__ce")).as("max_ce"),
+           sum(col("__idsum")).as("id_sum"))
   }
 
   def crossEntropy(candidates: DataFrame, ref: DataFrame,

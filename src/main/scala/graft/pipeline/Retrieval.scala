@@ -112,7 +112,10 @@ object Retrieval {
         eAll.filter(col("vec_id").isin(candIds.map(_.getLong(0)).toSeq: _*))
       else eAll
     val withV = cand.join(e, "vec_id")
-    val pairs = materialize(withV
+    // lazy: when the candidate count alone already exceeds the driver
+    // guard, the distributed loop materializes the pair frame on first
+    // use and the fast-path probe never pays for it
+    lazy val pairs = materialize(withV
       .select(col("q_id"), col("vec_id").as("a_id"), col("v").as("av"))
       .join(withV.select(col("q_id"), col("vec_id").as("b_id"),
                          col("v").as("bv")), "q_id")
@@ -125,10 +128,12 @@ object Retrieval {
     // shuffle nothing are pure overhead. BOTH frames are bounded — a
     // degenerate batch (one candidate per query, k=1) has ZERO pairs, so
     // a pairs-only guard would wave a million-row candidate frame through
-    // to cand.collect()
-    val pairCount = pairs.limit(driverMax + 1).count()
+    // to cand.collect(). The cand count is the cheaper gate and runs
+    // FIRST: an over-bound candidate frame short-circuits straight to the
+    // distributed loop without counting (or materializing) pairs at all
     val candCount = cand.limit(driverMax + 1).count()
-    if (pairCount <= driverMax && candCount <= driverMax) {
+    if (candCount <= driverMax &&
+        pairs.limit(driverMax + 1).count() <= driverMax) {
       val spark = emb.sparkSession
       val cs = cand.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

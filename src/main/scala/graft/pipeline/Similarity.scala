@@ -74,13 +74,21 @@ object Similarity {
     */
   def hardNegatives(emb: DataFrame, anchors: DataFrame, k: Int,
                     labelCol: String = "label"): DataFrame = {
+    // NULL-label policy, explicit: an unlabeled corpus row cannot be
+    // certified a negative (its class is unknown) and an unlabeled anchor
+    // has no positive class to contrast against — both are EXCLUDED, by
+    // filter rather than by the null-rejecting `=!=` below, so a
+    // partially-labeled corpus reads as a deliberate choice, not a
+    // silent three-valued-logic artifact
     val corpus = asDouble(emb)
       .join(emb.select(col("vec_id"), col(labelCol).cast(LongType).as("label")),
             "vec_id")
+      .filter(col("label").isNotNull)
     val q = asDouble(anchors)
       .join(anchors.select(col("vec_id"),
                            col(labelCol).cast(LongType).as("q_label")),
             "vec_id")
+      .filter(col("q_label").isNotNull)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("q_label"))
     val scored = corpus.join(broadcast(q),
         col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
@@ -136,8 +144,19 @@ object Similarity {
       .groupBy("grp")
       .agg(transform(sort_array(collect_list(struct(col("d"), col("m")))),
                      e => e.getField("m")).as("gv"),
-           max(col("n")).as("n_vecs"))
-      .select("grp", "n_vecs", "gv")
+           max(col("n")).as("n_vecs"), min(col("n")).as("__n_min"))
+      // ragged-dimension guard: mixed dims in one group would make the
+      // higher dimensions average over FEWER rows — a silently malformed
+      // mean. The streaming face raises on a dim mismatch at update time;
+      // this keeps the batch face's contract identical (loud, not wrong),
+      // so the spec-pinned batch/streaming bit-parity cannot silently
+      // diverge on malformed input
+      .select(col("grp"), col("n_vecs"),
+        when(col("__n_min") === col("n_vecs"), col("gv"))
+          .otherwise(raise_error(concat(
+            lit("groupCentroids: inconsistent embedding dimensions in group "),
+            col("grp"), lit(" (per-dim counts "), col("__n_min"),
+            lit(".."), col("n_vecs"), lit(")")))).as("gv"))
 
   /** Sign-bit binary quantization: one bit per dimension (`v[d] > 0`),
     * packed 32 bits per long word — the 32× storage dial below int8's 4×
@@ -182,6 +201,92 @@ object Similarity {
     val q = binaryQuantize(anchors)
       .select(col("vec_id").as("q_id"), col("sig").as("qsig"))
     val scored = sig.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("hamming",
+        aggregate(zip_with(col("sig"), col("qsig"),
+                           (a, b) => bit_count(a.bitwiseXOR(b)).cast(LongType)),
+                  lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy("q_id").orderBy(col("hamming"), col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "hamming")
+  }
+
+  /** Multi-index Hamming band table (Norouzi/Punjani/Fleet, "Fast Search
+    * in Hamming Space with Multi-Index Hashing", CVPR 2012): the B-bit
+    * sign signature splits into `bands` disjoint substrings; by
+    * pigeonhole, any code within Hamming distance r < bands of a query
+    * matches the query EXACTLY in at least one band — so exact band
+    * equality is a complete candidate filter for all neighbors nearer
+    * than `bands` bits, and a recall dial beyond. Output: (vec_id, band,
+    * bval) — the inverted index a deployed store builds ONCE at load
+    * time, exactly as [[lshBuckets]] materializes hyperplane buckets.
+    *
+    * Bands must align to the 32-bit packed words: bits-per-band divides
+    * 32 (or the band ends exactly at a word boundary) — enforced per row
+    * with raise_error, since dimension is data. Scale posture: a pure
+    * per-row explode to `bands` rows; the table shuffles once on
+    * (band, bval) when bucketed for probing.
+    */
+  def hammingBuckets(emb: DataFrame, bands: Int): DataFrame = {
+    require(bands >= 2, "multi-index hashing needs at least 2 bands")
+    sigBands(binaryQuantize(emb), bands)
+  }
+
+  /** (id, band, bval) decomposition of a (id, sig) signature frame. */
+  private def sigBands(sig: DataFrame, bands: Int): DataFrame = {
+    val idCol = sig.columns(0)
+    val withBits = sig
+      .withColumn("__bits", size(col("sig")) * 32)
+      .withColumn("__bb", (col("__bits") / bands).cast(IntegerType))
+    // each band must sit inside ONE packed word: total bits divide evenly
+    // into bands, and the per-band width divides 32 (a generator cannot
+    // nest in a conditional, so the guard wraps the band VALUE instead)
+    val ok = (col("__bits") % bands === 0) &&
+      (col("__bb") <= 32) && (lit(32) % col("__bb") === 0)
+    withBits
+      .select(col(idCol), col("sig"), col("__bb"), ok.as("__ok"),
+              explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bval",
+        when(col("__ok"),
+          expr("shiftright(element_at(sig, CAST((band * __bb) DIV 32 AS INT) + 1), " +
+               "CAST((band * __bb) % 32 AS INT)) & " +
+               "(shiftleft(CAST(1 AS BIGINT), __bb) - 1)"))
+        .otherwise(raise_error(concat(
+          lit(s"hammingBuckets: $bands bands do not align to "),
+          size(col("sig")) * 32, lit("-bit signatures packed in 32-bit words")))))
+      .select(col(idCol), col("band"), col("bval"))
+  }
+
+  /** Multi-index Hamming top-k: [[hammingTopK]]'s ranking restricted to
+    * candidates that share at least one exact band with the anchor —
+    * COMPLETE for every neighbor within Hamming distance < `bands`
+    * (pigeonhole over [[hammingBuckets]]); farther neighbors may be
+    * pruned, which is the recall dial ann_recall_hamming_indexed prices.
+    * Verification is the exact integer popcount, so returned distances
+    * and order are identical to the brute ranking wherever candidates
+    * survive.
+    *
+    * Scale posture: the scale path [[hammingTopK]]'s scaladoc promises —
+    * the corpus never cross-joins the anchors; candidates come from a
+    * (band, bval) EQUI-join of the band table against the anchors' bands
+    * (bucketed, skew-free for non-degenerate sign distributions), then
+    * one popcount verify per distinct candidate pair. At 100 TB the band
+    * table is a load-time artifact; a probe touches only its ~bands
+    * matching buckets.
+    */
+  def hammingTopKIndexed(emb: DataFrame, anchors: DataFrame, k: Int,
+                         bands: Int = 8): DataFrame = {
+    val csig = binaryQuantize(emb)
+    val qsig = binaryQuantize(anchors)
+      .select(col("vec_id").as("q_id"), col("sig").as("qsig"))
+    val cband = sigBands(csig, bands)
+    val qband = sigBands(
+      qsig.select(col("q_id"), col("qsig").as("sig")), bands)
+    val cand = cband.join(broadcast(qband), Seq("band", "bval"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val scored = cand.join(csig, "vec_id").join(broadcast(qsig), "q_id")
       .withColumn("hamming",
         aggregate(zip_with(col("sig"), col("qsig"),
                            (a, b) => bit_count(a.bitwiseXOR(b)).cast(LongType)),
@@ -323,6 +428,56 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "score")
+  }
+
+  /** ANN-backed hard-negative mining: [[hardNegatives]]' semantics served
+    * by [[ivfTopK]]'s probe machinery — each anchor mines its negatives
+    * from its `nProbe` nearest centroid LISTS instead of the full corpus,
+    * the composition the brute-force face's scaladoc promises. Same
+    * NULL-label policy (unlabeled rows excluded, explicitly), same
+    * deterministic ranking (rounded cosine desc, vec_id asc); recall vs
+    * the exact miner is priced by ann_hard_negatives (they share oracle
+    * data), and rises with nProbe.
+    *
+    * Scale posture: the corpus shuffles ONCE by centroid id (the shared
+    * inverted file — pass `centroids`/`assigned` to reuse the load-time
+    * artifacts); an anchor batch touches nProbe/nlist of the data. This
+    * is the shape that survives mining negatives for millions of anchors
+    * over a 100 TB corpus — the full-scan face stays as the correctness
+    * baseline.
+    */
+  def hardNegativesIvf(emb: DataFrame, anchors: DataFrame, k: Int,
+                       nlist: Int, nProbe: Int, labelCol: String = "label",
+                       centroids: Option[DataFrame] = None,
+                       assigned: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(ivfCentroids(emb, nlist))
+    val assign = assigned.getOrElse(ivfAssign(emb, cent))
+    val corpus = asDouble(emb)
+      .join(emb.select(col("vec_id"), col(labelCol).cast(LongType).as("label")),
+            "vec_id")
+      .filter(col("label").isNotNull)
+      .join(assign, "vec_id")
+    val q = asDouble(anchors)
+      .join(anchors.select(col("vec_id"),
+                           col(labelCol).cast(LongType).as("q_label")),
+            "vec_id")
+      .filter(col("q_label").isNotNull)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("q_label"))
+    val wq = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select("q_id", "qv", "q_label", "cid")
+    val scored = corpus.join(broadcast(probes),
+        corpus("cid") === probes("cid") && col("vec_id") =!= col("q_id") &&
+          col("label") =!= col("q_label"))
+      .withColumn("score", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "label", "score")
   }
 
   // ---- product quantization (IVF-PQ — the billion-scale ANN design) ----

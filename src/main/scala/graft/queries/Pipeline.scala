@@ -184,6 +184,18 @@ object Pipeline {
         .orderBy("q_id", "rank")
     }),
 
+    "ann_hard_negatives_ivf" -> ((s, d) => {
+      // the scale path behind ann_hard_negatives: negatives mined from
+      // the 2 probed IVF lists (shared load-time centroid/assignment
+      // artifacts), never the full corpus scan
+      val e = emb(s, d)
+      Similarity.hardNegativesIvf(e, e.filter(col("vec_id") < 5), k = 10,
+                                  nlist = 8, nProbe = 2,
+                                  centroids = Some(ivfCentroids8(s, d)),
+                                  assigned = Some(ivfAssign8(s, d)))
+        .orderBy("q_id", "rank")
+    }),
+
     "emb_centroid_drift" -> ((s, d) =>
       // per-label exact (quantized-long) centroids + pairwise cosine —
       // the embedding-space corpus-mix drift report
@@ -273,6 +285,27 @@ object Pipeline {
       val e = emb(s, d)
       Similarity.hammingTopK(e, e.filter(col("vec_id") < 5), k = 10)
         .orderBy("q_id", "rank")
+    }),
+
+    "ann_hamming_indexed" -> ((s, d) => {
+      // multi-index Hamming (Norouzi MIH): candidates from exact band
+      // matches over the 8-band signature table, verified by popcount —
+      // the scale path behind ann_hamming_topk's brute scan
+      val e = emb(s, d)
+      Similarity.hammingTopKIndexed(e, e.filter(col("vec_id") < 5), k = 10,
+                                    bands = 8)
+        .orderBy("q_id", "rank")
+    }),
+
+    "ann_recall_hamming_indexed" -> ((s, d) => {
+      // the multi-index pruning dial priced next to ann_recall_hamming:
+      // recall@10 of band-filtered Hamming vs the exact cosine ranking
+      val e = emb(s, d)
+      Similarity.recallAtK(
+          Similarity.hammingTopKIndexed(e, e.filter(col("vec_id") < 5),
+                                        k = 10, bands = 8),
+          Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10))
+        .orderBy("q_id")
     }),
 
     "ann_recall_hamming" -> ((s, d) => {
@@ -1158,6 +1191,41 @@ GROUP BY 1 ORDER BY 1"""
            FROM scored)
          WHERE rank <= 10 ORDER BY q_id, rank""",
 
+    // mirrors Similarity.hardNegativesIvf: ann_ivf's probe machinery with
+    // ann_hard_negatives' cross-label scan filter
+    "ann_hard_negatives_ivf" ->
+      s"""WITH $embSql,
+         cent AS (SELECT vec_id AS cid, v AS cv FROM e_t WHERE vec_id < 8),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT e_t.vec_id, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY e_t.vec_id
+                 ORDER BY ${cosSql("e_t.v", "cent.cv")} DESC, cent.cid) AS rn
+             FROM e_t CROSS JOIN cent)
+           WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS q_label, v AS qv
+               FROM e_t WHERE vec_id < 5),
+         probes AS (
+           SELECT q_id, qv, q_label, cid FROM (
+             SELECT q.q_id, q.qv, q.q_label, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY ${cosSql("q.qv", "cent.cv")} DESC, cent.cid) AS rn
+             FROM q CROSS JOIN cent)
+           WHERE rn <= 2),
+         scored AS (
+           SELECT p.q_id, e_t.vec_id, CAST(e_t.label AS BIGINT) AS label,
+                  ${cosSql("p.qv", "e_t.v")} AS score
+           FROM probes p JOIN assign a ON a.cid = p.cid
+             JOIN e_t ON e_t.vec_id = a.vec_id
+           WHERE e_t.vec_id <> p.q_id
+             AND CAST(e_t.label AS BIGINT) <> p.q_label)
+         SELECT q_id, rank, vec_id, label, score FROM (
+           SELECT q_id, vec_id, label, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id)
+                  AS BIGINT) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY q_id, rank""",
+
     // mirrors Similarity.centroidDrift: the kmeans quantized-long exact
     // mean per (label, dim), then the pairwise rounded centroid cosine
     "emb_centroid_drift" ->
@@ -1459,6 +1527,86 @@ GROUP BY 1 ORDER BY 1"""
                   AS BIGINT) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    // mirrors Similarity.hammingTopKIndexed: 8 bands of 8 bits over the
+    // two 32-bit sign words (64-dim corpus), candidates = exact band
+    // matches (pigeonhole-complete within Hamming < 8), popcount verify
+    "ann_hamming_indexed" ->
+      s"""WITH $embSql,
+         sig AS (SELECT vec_id,
+             list_transform(range(0, CAST(ceil(len(v) / 32.0) AS INTEGER)),
+               w -> CAST(list_sum(list_transform(range(0, 32),
+                 b -> CASE WHEN w * 32 + b < len(v)
+                            AND v[w * 32 + b + 1] > 0
+                           THEN CAST(1 AS BIGINT) << b ELSE 0 END))
+                 AS BIGINT)) AS sig
+           FROM e_t),
+         bnd AS (SELECT vec_id,
+             b.band AS band,
+             (sig[CAST((b.band * 8) // 32 AS INTEGER) + 1]
+                >> CAST((b.band * 8) % 32 AS INTEGER)) & 255 AS bval
+           FROM sig CROSS JOIN range(8) b(band)),
+         q AS (SELECT vec_id AS q_id, sig AS qsig FROM sig WHERE vec_id < 5),
+         qb AS (SELECT vec_id AS q_id, band, bval FROM bnd WHERE vec_id < 5),
+         cand AS (SELECT DISTINCT qb.q_id, c.vec_id
+           FROM bnd c JOIN qb ON c.band = qb.band AND c.bval = qb.bval
+           WHERE c.vec_id <> qb.q_id),
+         scored AS (SELECT cand.q_id, cand.vec_id,
+             CAST(list_sum(list_transform(range(1, len(s.sig) + 1),
+               i -> bit_count(xor(s.sig[i], q.qsig[i])))) AS BIGINT) AS hamming
+           FROM cand JOIN sig s ON s.vec_id = cand.vec_id
+             JOIN q ON q.q_id = cand.q_id)
+         SELECT q_id, rank, vec_id, hamming FROM (
+           SELECT q_id, vec_id, hamming,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, vec_id)
+                  AS BIGINT) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    // recall@10 of the band-filtered Hamming ranking vs the exact cosine
+    // ranking — composes the ann_hamming_indexed and ann_topk bodies
+    "ann_recall_hamming_indexed" ->
+      s"""WITH $embSql,
+         sig AS (SELECT vec_id,
+             list_transform(range(0, CAST(ceil(len(v) / 32.0) AS INTEGER)),
+               w -> CAST(list_sum(list_transform(range(0, 32),
+                 b -> CASE WHEN w * 32 + b < len(v)
+                            AND v[w * 32 + b + 1] > 0
+                           THEN CAST(1 AS BIGINT) << b ELSE 0 END))
+                 AS BIGINT)) AS sig
+           FROM e_t),
+         bnd AS (SELECT vec_id,
+             b.band AS band,
+             (sig[CAST((b.band * 8) // 32 AS INTEGER) + 1]
+                >> CAST((b.band * 8) % 32 AS INTEGER)) & 255 AS bval
+           FROM sig CROSS JOIN range(8) b(band)),
+         hq AS (SELECT vec_id AS q_id, sig AS qsig FROM sig WHERE vec_id < 5),
+         qb AS (SELECT vec_id AS q_id, band, bval FROM bnd WHERE vec_id < 5),
+         cand AS (SELECT DISTINCT qb.q_id, c.vec_id
+           FROM bnd c JOIN qb ON c.band = qb.band AND c.bval = qb.bval
+           WHERE c.vec_id <> qb.q_id),
+         ap AS (SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank
+           FROM (SELECT cand.q_id, cand.vec_id,
+                   CAST(list_sum(list_transform(range(1, len(s.sig) + 1),
+                     i -> bit_count(xor(s.sig[i], hq.qsig[i])))) AS BIGINT) AS hamming
+                 FROM cand JOIN sig s ON s.vec_id = cand.vec_id
+                   JOIN hq ON hq.q_id = cand.q_id))
+           WHERE rank <= 10),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e_t WHERE vec_id < 5),
+         ex AS (SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+           FROM (SELECT q_id, e_t.vec_id, ${cosSql("qv", "e_t.v")} AS score
+                 FROM e_t CROSS JOIN q WHERE e_t.vec_id <> q.q_id))
+           WHERE rank <= 10)
+         SELECT ex.q_id, COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS recall
+         FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+         GROUP BY 1 ORDER BY 1""",
 
     "ann_recall_hamming" ->
       s"""WITH $embSql,

@@ -122,6 +122,15 @@ object Warc {
     * exact consumed offset is `length - inf.getRemaining` — the next bytes
     * are either a valid member header, or an error. Decompression is still
     * streaming (memory bounded by the read buffer, not the shard).
+    *
+    * CONTRACT: the integrity checks (member CRC/ISIZE trailers,
+    * trailing-garbage detection) fire as the stream is consumed — a
+    * caller must drain to EOF (read() == -1) to get them all. [[parseAll]]
+    * always drains; a future caller that stops early (e.g. after finding
+    * a target record) skips verification of everything past its stop
+    * point by design, not by accident. `end()` only releases the native
+    * inflater and deliberately never throws: it runs in `finally` on
+    * exception paths where a raise would mask the original error.
     */
   private[graft] final class GzipMembers(bytes: Array[Byte]) extends InputStream {
     private val inf = new Inflater(true) // nowrap: headers/trailers are ours

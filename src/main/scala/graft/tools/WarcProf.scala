@@ -29,8 +29,11 @@ object WarcProf {
     val nShards = spark.read.format("binaryFile").load(dir).count()
     for (i <- 1 to runs) {
       val t0 = System.nanoTime()
+      // coalesce: SUM over zero records is NULL, and a directory of
+      // empty shards should report 0 bytes, not NPE at getLong
       val agg = Warc.records(spark, dir)
-        .agg(count(lit(1)), sum(col("content_length"))).head()
+        .agg(count(lit(1)), coalesce(sum(col("content_length")), lit(0L)))
+        .head()
       val (nRec, bytes) = (agg.getLong(0), agg.getLong(1))
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[warcprof] run $i: $nShards shards, $nRec records, " +

@@ -291,6 +291,152 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("ppl buckets: distributed rank is bit-identical to an NTILE window, " +
+       "including ties straddling bucket boundaries") {
+    import graft.pipeline.LanguageModel
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    // tie-heavy fixture: repeated texts give IDENTICAL rounded CE, with
+    // tie-group sizes (5,3,2) chosen so tertile cuts land INSIDE groups;
+    // "fr" exercises the n < buckets degenerate (one row per tile)
+    val rows = (0L until 5L).map(i => (i, "en", "alpha beta gamma delta")) ++
+      (5L until 8L).map(i => (i, "en", "epsilon zeta eta")) ++
+      (8L until 10L).map(i => (i, "en", "theta iota")) ++
+      Seq((10L, "fr", "kappa lambda mu"), (11L, "fr", "nu xi"))
+    val fix = spark.createDataFrame(rows).toDF("doc_id", "lang", "text")
+    val ref = fix.filter(col("doc_id") % 2 === 0)
+    val got = LanguageModel.pplBuckets(fix, ref)
+      .orderBy("lang", "bucket").collect().map(_.toSeq).toSeq
+    // reference: the naive single-window NTILE formulation this
+    // implementation replaced — must agree bit-for-bit
+    val ce = LanguageModel.crossEntropy(fix, ref)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cross_entropy"), col("doc_id"))
+    val want = fix.select("doc_id", "lang").join(ce, "doc_id")
+      .withColumn("bucket", ntile(3).over(w).cast(LongType))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), min(col("cross_entropy")).as("min_ce"),
+           max(col("cross_entropy")).as("max_ce"),
+           sum(col("doc_id")).as("id_sum"))
+      .orderBy("lang", "bucket").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // the straddle path actually fired: tie groups sized (5,3,2) — or any
+    // CE-collision merge of them — have cumulative boundaries {5,8}/{5}/{8},
+    // never NTILE's cut ranks {4,7}, so a tertile cut always lands INSIDE
+    // a tie group; what must hold is that ties exist at all
+    val enCe = ce.join(fix.filter(col("lang") === "en"), "doc_id")
+      .select("cross_entropy").distinct().count()
+    assert(enCe >= 1 && enCe <= 3, "fixture lost its tie groups")
+  }
+
+  test("group centroids: mixed embedding dimensions in one group raise " +
+       "loudly on the batch face (streaming face already requires)") {
+    val bad = spark.createDataFrame(Seq(
+      (1L, Seq(1.0f, 2.0f), 0), (2L, Seq(1.0f, 2.0f, 3.0f), 0)
+    )).toDF("vec_id", "embedding", "label")
+    val e = intercept[Exception] {
+      Similarity.groupCentroids(bad).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("inconsistent embedding dimensions")),
+           s"wrong error: ${msgs(e).mkString(" | ")}")
+    // consistent dims still pass through the guard untouched
+    val ok = spark.createDataFrame(Seq(
+      (1L, Seq(1.0f, 3.0f), 0), (2L, Seq(3.0f, 5.0f), 0)
+    )).toDF("vec_id", "embedding", "label")
+    val gv = Similarity.groupCentroids(ok).collect()(0).getSeq[Double](2)
+    assert(gv == Seq(2.0, 4.0))
+  }
+
+  test("multi-index hamming: pigeonhole-complete within distance < bands; " +
+       "misaligned band count raises") {
+    // 64-dim fixture with CONTROLLED sign distances from anchor 0:
+    // flipping d dims flips exactly d sign bits
+    def vec(flips: Set[Int]): Seq[Float] =
+      (0 until 64).map(i => if (flips(i)) -1.0f else 1.0f)
+    val rows = Seq(
+      (0L, vec(Set.empty)),            // anchor
+      (1L, vec(Set(3))),               // hamming 1
+      (2L, vec(Set(5, 9))),            // hamming 2
+      (3L, vec(Set(1, 2, 40))),        // hamming 3
+      (4L, vec((0 until 30).toSet)),   // hamming 30 (prunable)
+      (5L, vec((10 until 45).toSet)))  // hamming 35 (prunable)
+    val fix = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val anchor = fix.filter(col("vec_id") === 0L)
+    // all 3 true neighbors sit within hamming < 8 = bands, so the band
+    // filter is COMPLETE: indexed top-3 == brute top-3, bit for bit
+    val brute = Similarity.hammingTopK(fix, anchor, k = 3)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    val idx = Similarity.hammingTopKIndexed(fix, anchor, k = 3, bands = 8)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(idx == brute)
+    assert(idx.map(_(2)) == Seq(1L, 2L, 3L))
+    // real corpus: indexed results are always a subset of the brute
+    // ranking's candidate semantics — same distance, never a wrong one
+    val bruteAll = Similarity.hammingTopK(emb, emb.filter(col("vec_id") < 3), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    Similarity.hammingTopKIndexed(emb, emb.filter(col("vec_id") < 3), 10)
+      .collect().foreach { r =>
+        val key = (r.getLong(0), r.getLong(2))
+        // every indexed hit the brute top-10 also ranked must agree on
+        // the exact distance
+        bruteAll.get(key).foreach(d => assert(d == r.getLong(3)))
+      }
+    // 5 bands cannot tile a 64-bit signature of 32-bit words
+    val e = intercept[Exception] {
+      Similarity.hammingTopKIndexed(emb, emb.filter(col("vec_id") < 1),
+                                    k = 3, bands = 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("do not align")),
+           s"wrong error: ${msgs(e).mkString(" | ")}")
+  }
+
+  test("ivf hard negatives: cross-label, probed-list-restricted, and " +
+       "exactly the full-scan miner on probed candidates") {
+    val anchors = emb.filter(col("vec_id") < 5)
+    val cent = Similarity.ivfCentroids(emb, 8)
+    val assign = Similarity.ivfAssign(emb, cent)
+    val hn = Similarity.hardNegativesIvf(emb, anchors, k = 10, nlist = 8,
+                                         nProbe = 2,
+                                         centroids = Some(cent),
+                                         assigned = Some(assign)).collect()
+    val anchorLabel = anchors.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(hn.nonEmpty)
+    assert(hn.forall(r =>
+      r.getAs[Long]("label") != anchorLabel(r.getAs[Long]("q_id"))))
+    // semantic equivalence: for anchor 0, the IVF miner == the full-scan
+    // miner run over ONLY the vectors in anchor 0's two probed lists,
+    // computed INDEPENDENTLY here (cosine to centroids, top-2 by sim
+    // desc / cid asc, then the assignment lists)
+    val a0 = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) *
+                   math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val probedCids = cent.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .map { case (cid, cv) => (cid, cos(a0, cv)) }
+      .sortBy { case (cid, sim) => (-sim, cid) }.take(2).map(_._1).toSet
+    val lists = assign.collect()
+      .filter(r => probedCids(r.getLong(1))).map(_.getLong(0)).toSet
+    val restricted = emb.filter(col("vec_id").isin(lists.toSeq: _*) ||
+                                col("vec_id") === 0L)
+    val expect = Similarity.hardNegatives(restricted,
+        restricted.filter(col("vec_id") === 0L), k = 10)
+      .orderBy("rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    val got = hn.filter(_.getAs[Long]("q_id") == 0L)
+      .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+    assert(got == expect)
+  }
+
   test("binary signatures pack sign bits exactly; hamming = bit-diff count") {
     // bits (strict v > 0): vec 0 -> 1,0,1,0 = word 5; vec 1 -> 0,1,1,1 = 14
     val fix = spark.createDataFrame(Seq(

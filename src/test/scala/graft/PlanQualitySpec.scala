@@ -136,6 +136,35 @@ class PlanQualitySpec extends SparkSpecBase {
            s"multiprobe lost its bucket equi-join:\n$p")
   }
 
+  test("multi-index hamming candidates come from a band equi-join, " +
+       "never a corpus cross") {
+    val df = graft.queries.Pipeline.queries("ann_hamming_indexed")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the brute face cross-joins anchors deliberately; the INDEXED face
+    // exists to not — any nested-loop shape means banding stopped working
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+           s"multi-index hamming degraded to a corpus cross:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"),
+           s"multi-index hamming lost its band equi-join:\n$p")
+  }
+
+  test("ivf hard negatives join probed lists, never a full corpus scan " +
+       "per anchor") {
+    val df = graft.queries.Pipeline.queries("ann_hard_negatives_ivf")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the probe stage crosses the BOUNDED anchor × centroid frames (8
+    // rows); the corpus side must only ever hash-join on cid — a
+    // CartesianProduct anywhere means the corpus got crossed
+    assert(!p.contains("CartesianProduct"),
+           s"ivf hard negatives crossed the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"),
+           s"ivf hard negatives lost the cid list-probe equi-join:\n$p")
+  }
+
   test("simhash pairs block on pigeonhole chunks, never a within-block cross product") {
     val df = graft.queries.Pipeline.queries("dedup_simhash")(spark, sfDir)
     df.collect()
@@ -786,6 +815,39 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!hp.contains("CartesianProduct"),
            s"hamming top-k degraded to a cartesian product:\n$hp")
     assert(hp.contains("Window"), s"per-anchor rank window disappeared:\n$hp")
+  }
+
+  test("ppl buckets: no ntile, and no per-language window over the " +
+       "document-scale frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Filter, LogicalPlan, Project, Window => LWindow}
+    val df = graft.queries.Pipeline.queries("sample_ppl_buckets")(spark, sfDir)
+    val lp = df.queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "distributed rank lost its windows entirely")
+    // 1. the single-reducer ntile is gone for good
+    assert(!wins.exists(_.windowExpressions.exists(
+             _.sql.toLowerCase.contains("ntile"))),
+           "ntile window reappeared — one task per language at scale")
+    // 2. any window partitioned by lang ALONE must rank the COLLAPSED
+    //    (lang, ce) aggregate (value-range-bounded rows), never the
+    //    per-document score frame; the tie-splitting window partitions by
+    //    (lang, ce) and is exempt — its partitions are single tie groups
+    def below(p: LogicalPlan): LogicalPlan = p match {
+      case x: Project => below(x.child)
+      case x: Filter  => below(x.child)
+      case x: LWindow => below(x.child) // cum + total windows stack
+      case other      => other
+    }
+    val langOnly = wins.filter(_.partitionSpec.size == 1)
+    assert(langOnly.nonEmpty, "expected the collapsed-frame rank windows")
+    for (w <- langOnly) below(w.child) match {
+      case a: Aggregate =>
+        assert(a.groupingExpressions.size == 2,
+               s"lang-only window ranks a non-(lang,ce) aggregate:\n$w")
+      case other => fail(
+        s"lang-only window ranks a document-scale frame (${other.nodeName}):\n$w")
+    }
   }
 
   test("winnowing: no array lambdas past tokenization; both windows share one sort") {
