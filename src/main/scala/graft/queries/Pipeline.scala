@@ -407,6 +407,27 @@ object Pipeline {
       LanguageModel.pplBuckets(dd, dd.filter(col("doc_id") % 10 === 0))
         .orderBy("lang", "bucket")
     }),
+    "pipeline_ccnet" -> ((s, d) => {
+      // the full CCNet curation recipe (Wenzek et al. 2020) as ONE
+      // Catalyst plan: language-ID every document, score it against the
+      // reference bigram LM, tertile per DETECTED language, keep
+      // head+middle — the per-language selection report a curation run
+      // ships. Composes langId + crossEntropy + the distributed
+      // pplBuckets; no stage materializes in between.
+      val dd = docs(s, d)
+      val lid = TextAnalysis.langId(dd).select("doc_id", "pred_lang")
+      val cand = dd.join(lid, "doc_id")
+      val ref = dd.filter(col("doc_id") % 10 === 0)
+      LanguageModel.pplBuckets(cand, ref, buckets = 3, langCol = "pred_lang")
+        .groupBy("pred_lang")
+        .agg(sum(col("n_docs")).as("n_docs"),
+             sum(when(col("bucket") <= 2, col("n_docs")).otherwise(0L))
+               .as("n_kept"),
+             max(when(col("bucket") <= 2, col("max_ce"))).as("keep_ce_max"),
+             sum(when(col("bucket") <= 2, col("id_sum")).otherwise(0L))
+               .as("id_sum_kept"))
+        .orderBy("pred_lang")
+    }),
     "text_subword_stats" -> ((s, d) =>
       TextAnalysis.subwordStats(docs(s, d)).orderBy("doc_id")),
     "text_tfidf" -> ((s, d) =>
@@ -2950,6 +2971,69 @@ GROUP BY 1 ORDER BY 1"""
            MIN(cross_entropy) AS min_ce, MAX(cross_entropy) AS max_ce,
            CAST(SUM(doc_id) AS BIGINT) AS id_sum
          FROM l GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirrors the pipeline_ccnet composition: text_langid's detected
+    // language feeds sample_ppl_buckets' NTILE, then head+middle (bucket
+    // <= 2) selection aggregates per detected language
+    "pipeline_ccnet" -> {
+      val lex = TextAnalysis.stopwords.toSeq.sortBy(_._1).flatMap {
+        case (lang, sw) => sw.map(w => s"('$lang', '$w')")
+      }.mkString(", ")
+      raw"""WITH lex(lang, word) AS (VALUES $lex),
+         w AS (SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                        x -> len(x) > 0)) AS w
+               FROM documents),
+         votes AS (SELECT w.doc_id, l.lang, COUNT(*) AS votes
+                   FROM w JOIN lex l ON w.w = l.word GROUP BY 1, 2),
+         best AS (SELECT doc_id, lang,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY votes DESC, lang) AS rn
+                  FROM votes),
+         lid AS (SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang
+                 FROM documents d
+                 LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1),
+         tok AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                          w -> len(w) > 0) AS ws
+            FROM documents),
+         rtok AS (SELECT ws FROM tok WHERE doc_id % 10 = 0),
+         idx AS (SELECT doc_id, ws,
+              unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM tok WHERE len(ws) >= 2),
+         pairs AS (SELECT doc_id, ws[i] AS a, ws[i + 1] AS b FROM idx),
+         ridx AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM rtok WHERE len(ws) >= 2),
+         uni AS (SELECT w, COUNT(*) AS c_w
+            FROM (SELECT unnest(ws) AS w FROM rtok) GROUP BY 1),
+         voc AS (SELECT COUNT(*) AS v FROM uni),
+         big AS (SELECT ws[i] AS a, ws[i + 1] AS b, COUNT(*) AS c_ab
+            FROM ridx GROUP BY 1, 2),
+         sc AS (SELECT p.doc_id,
+              ln(CAST(COALESCE(big.c_ab, 0) + 1 AS DOUBLE) /
+                 CAST(COALESCE(uni.c_w, 0) + (SELECT v FROM voc) AS DOUBLE)) AS lp
+            FROM pairs p
+            LEFT JOIN big ON big.a = p.a AND big.b = p.b
+            LEFT JOIN uni ON uni.w = p.a),
+         ce AS (SELECT doc_id, ROUND(-AVG(lp), 6) AS cross_entropy
+            FROM sc GROUP BY 1),
+         l AS (SELECT lid.pred_lang, ce.doc_id, ce.cross_entropy,
+              NTILE(3) OVER (PARTITION BY lid.pred_lang
+                             ORDER BY ce.cross_entropy, ce.doc_id) AS bucket
+            FROM ce JOIN lid USING (doc_id)),
+         pb AS (SELECT pred_lang, bucket, COUNT(*) AS n_docs,
+                  MAX(cross_entropy) AS max_ce,
+                  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+                FROM l GROUP BY 1, 2)
+         SELECT pred_lang,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN bucket <= 2 THEN n_docs ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           MAX(CASE WHEN bucket <= 2 THEN max_ce END) AS keep_ce_max,
+           CAST(SUM(CASE WHEN bucket <= 2 THEN id_sum ELSE 0 END) AS BIGINT)
+             AS id_sum_kept
+         FROM pb GROUP BY 1 ORDER BY 1"""
+    },
 
     "text_subword_stats" ->
       raw"""WITH s AS (SELECT doc_id,
