@@ -491,4 +491,57 @@ object EventStreams {
     */
   private def quantHalfUp(y: Double): Long =
     (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
+
+  /** CCNet ONLINE admission — the streaming face of the pipeline_ccnet
+    * selection: score each arriving document's bigram cross-entropy under
+    * the batch-trained reference model and admit iff it clears its
+    * language's keep threshold (the head+middle cutoff a batch
+    * [[graft.pipeline.LanguageModel.pplBuckets]] report produced — CCNet
+    * deploys exactly this shape: thresholds train offline, the filter
+    * runs at ingest).
+    *
+    * Admission is BY VALUE (ce <= keepCeMax(lang)), the deployable
+    * semantics: a threshold comparison is stateless and order-free,
+    * whereas NTILE membership depends on every other document in the
+    * tile and can split a ce TIE across the boundary — so parity is
+    * pinned (StreamingSpec) against the batch THRESHOLD filter
+    * (crossEntropy + compare), not against tile membership; they differ
+    * only for boundary ties, which a value threshold deliberately admits
+    * whole. Documents with <2 tokens carry no LM evidence and are not
+    * admitted (pplBuckets leaves them unbucketed for the same reason).
+    *
+    * The scoring replica matches the batch plan's IEEE sequence exactly:
+    * lowercased whitespace tokens (empty-filtered, Locale.ROOT),
+    * left-to-right ln((c_ab+1)/(c_w+V)) accumulation in document order —
+    * the same order Spark's Sum sees the exploded bigram rows — one
+    * division, negate, HALF_UP round to 6 decimals. Model maps and
+    * thresholds are load-time artifacts (the reference model is
+    * Zipf-bounded; prune hapax bigrams for a giant reference — the
+    * LanguageModel scaladoc's dial); state here is ZERO — the filter is
+    * a pure stream-side projection, shard-count-free at any ingest rate.
+    */
+  def streamingCcnetAdmit(docs: Dataset[GroupDoc],
+                          bigram: Map[(String, String), Long],
+                          unigram: Map[String, Long],
+                          vocab: Long,
+                          keepCeMax: Map[String, Double]): Dataset[GroupDoc] = {
+    require(vocab > 0, "reference vocabulary must be non-empty")
+    docs.filter { d =>
+      val ws = d.text.trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
+      ws.length >= 2 && {
+        var s = 0.0
+        var i = 0
+        while (i < ws.length - 1) {
+          val cab = bigram.getOrElse((ws(i), ws(i + 1)), 0L)
+          val cw = unigram.getOrElse(ws(i), 0L)
+          s += math.log((cab + 1L).toDouble / (cw + vocab).toDouble)
+          i += 1
+        }
+        val ce = BigDecimal(-(s / (ws.length - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        keepCeMax.get(d.group).exists(ce <= _)
+      }
+    }
+  }
 }

@@ -387,6 +387,57 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming ccnet admission equals the batch threshold filter " +
+       "bit-for-bit across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.GroupDoc
+    import graft.pipeline.LanguageModel
+    import org.apache.spark.sql.functions._
+    val dd = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val ref = dd.filter(col("doc_id") % 10 === 0)
+    // batch-trained load-time artifacts: model relations + the tertile
+    // report's head+middle cutoffs
+    val big = LanguageModel.bigramCounts(ref).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val uni = LanguageModel.unigramCounts(ref).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thr = LanguageModel.pplBuckets(dd, ref).filter(col("bucket") <= 2)
+      .groupBy("lang").agg(max(col("max_ce")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the batch THRESHOLD filter (the semantics the stream deploys) over
+    // the batch plan's rounded scores
+    val ceMap = LanguageModel.crossEntropy(dd, ref).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val expect = dd.select("doc_id", "lang").collect().filter { r =>
+      ceMap.get(r.getLong(0)).exists(c =>
+        thr.get(r.getString(1)).exists(c <= _))
+    }.map(_.getLong(0)).toSet
+    assert(expect.nonEmpty && expect.size < ceMap.size,
+           "fixture thresholds do not split the corpus")
+    val docs = dd.collect()
+      .map(r => GroupDoc(r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[GroupDoc]
+    val q = EventStreams.streamingCcnetAdmit(
+        input.toDS(), big, uni, vocab = uni.size.toLong, keepCeMax = thr)
+      .writeStream.format("memory").queryName("ccnet_admit")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      input.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      val got = spark.table("ccnet_admit").as[GroupDoc].collect()
+        .map(_.doc_id).toSet
+      // the JVM scoring replica must reproduce the batch plan's rounded
+      // cross-entropy EXACTLY — one ulp of drift at a threshold boundary
+      // and an admission flips
+      assert(got == expect,
+             s"streaming admission diverges: extra=${got -- expect} " +
+             s"missing=${expect -- got}")
+    } finally q.stop()
+  }
+
   test("streaming decontamination via foreachBatch against a static benchmark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
