@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsSuite, Pipeline, RdfSuite, Relational}
+import graft.queries.{AnalyticsSuite, Pipeline, RdfSuite, Relational, TemporalSuite}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
       (Relational.queries, Relational.oracles),
       (Pipeline.queries, Pipeline.oracles),
       (RdfSuite.queries, RdfSuite.oracles),
-      (AnalyticsSuite.queries, AnalyticsSuite.oracles)
+      (AnalyticsSuite.queries, AnalyticsSuite.oracles),
+      (TemporalSuite.queries, TemporalSuite.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -869,4 +869,36 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(nEx <= 2, s"expected <=2 hash exchanges (doc window + distinct), got $nEx:\n$p")
     assert(p.contains("Window"), s"sliding-min window disappeared:\n$p")
   }
+
+  test("temporal suite: as-of is join-free, sessions aggregate without a " +
+       "sort window, interval and funnel joins stay equi") {
+    def tplan(name: String): String = {
+      val df = graft.queries.TemporalSuite.queries(name)(spark, sfDir)
+      df.collect() // AQE finalizes at execution
+      df.queryExecution.executedPlan.toString
+    }
+    // as-of: the ONLY correct shape is union + keyed window — a range
+    // join here is the O(|L|*|R|)-per-key plan the operator exists to
+    // avoid; the final orderBy is the single extra exchange
+    val pa = tplan("events_asof_join")
+    assert(!pa.contains("Join"), s"as-of planned a join:\n$pa")
+    assert(pa.contains("Window"), s"as-of lost its carry-forward window:\n$pa")
+    // sessionize: session_window is an AGGREGATE (map-side partials, no
+    // per-user global sort); a Window function here would mean the plan
+    // regressed to the lag/cumsum shape with one sort per user
+    val ps = tplan("events_sessionize")
+    assert(ps.contains("Aggregate") || ps.contains("SessionWindow"),
+           s"sessionize lost its aggregate shape:\n$ps")
+    assert(!ps.linesIterator.exists(l =>
+             l.contains("Window ") && !l.contains("SessionWindow")),
+           s"sessionize planned a window function:\n$ps")
+    // interval + funnel: banding/keyed frontiers keep every join equi —
+    // a nested-loop join means a raw range/theta predicate leaked through
+    for (name <- Seq("events_interval_join", "events_funnel")) {
+      val p = tplan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+             !p.contains("CartesianProduct"),
+             s"$name degraded to a nested-loop join:\n$p")
+    }
+  }
 }
