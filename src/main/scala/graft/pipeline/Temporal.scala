@@ -33,12 +33,14 @@ object Temporal {
   // an exact relabeling
   private def us(c: Column): Column = unix_micros(c.cast(TimestampType))
 
-  /** Distributed backward as-of join: for each left row, the single right
-    * row (same `keyCol`) with the greatest `tsCol` such that
-    * right.ts <= left.ts — pandas `merge_asof` / DuckDB `ASOF JOIN`
-    * backward-inclusive semantics, LEFT-outer (unmatched left rows keep
-    * null right columns). `toleranceSec` nulls out matches older than
-    * `left.ts - tolerance` (pandas' `tolerance=`).
+  /** Distributed as-of join: for each left row, the single right row
+    * (same `keyCol`) with the greatest `tsCol` such that
+    * right.ts <= left.ts (`direction = "backward"`, the default) or the
+    * smallest such that right.ts >= left.ts (`"forward"`) — pandas
+    * `merge_asof` / DuckDB `ASOF JOIN` inclusive semantics, LEFT-outer
+    * (unmatched left rows keep null right columns). `toleranceSec` nulls
+    * out matches further than the tolerance from `left.ts` in the match
+    * direction (pandas' `tolerance=`).
     *
     * Plan shape (the 100 TB story): there is NO join operator at all.
     * Both sides union into one tagged frame, ONE hash exchange on the key
@@ -64,15 +66,24 @@ object Temporal {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, tieCol: String, payloadCols: Seq[String],
-               toleranceSec: Option[Long] = None): DataFrame = {
+               toleranceSec: Option[Long] = None,
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+            s"asofJoin direction must be backward|forward, got $direction")
+    val fwd = direction == "forward"
     val rightKeep = (tsCol +: payloadCols).distinct
+    // among equal-ts right rows keep the one the match must return:
+    // backward takes the max tie id; forward the min (the "first" row at
+    // the earliest at-or-after instant)
     val wTie = Window.partitionBy(col(keyCol), col(tsCol))
-      .orderBy(col(tieCol).desc)
+      .orderBy(if (fwd) col(tieCol).asc else col(tieCol).desc)
     val rDedup = right
       .withColumn("__rn", row_number().over(wTie))
       .filter(col("__rn") === 1)
     val lStructT = StructType(left.schema.fields)
     val rStructT = StructType(rightKeep.map(c => right.schema(c)))
+    // side ordering makes equal timestamps INCLUSIVE both ways: right
+    // rows sort before left rows at equal ts in the scan direction
     val lTagged = left.select(
       col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(1).as("__side"),
       struct(left.columns.map(col): _*).as("__l"),
@@ -81,16 +92,28 @@ object Temporal {
       col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(0).as("__side"),
       lit(null).cast(lStructT).as("__l"),
       struct(rightKeep.map(col): _*).as("__r"))
-    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
+    // BOTH directions use a running [unbounded-preceding, current] frame
+    // (O(n) streaming evaluation): forward simply scans time DESCENDING,
+    // so "last right seen" is the earliest at-or-after row. The mirrored
+    // [current, unbounded-following] frame would re-aggregate the tail
+    // per row — O(n²) per key in Spark's UnboundedFollowing frame.
+    val w = (if (fwd)
+               Window.partitionBy("__k")
+                 .orderBy(col("__ts").desc, col("__side"))
+             else
+               Window.partitionBy("__k")
+                 .orderBy(col("__ts"), col("__side")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = lTagged.unionByName(rTagged)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
     val bounded = toleranceSec match {
       case Some(tol) =>
-        matched.withColumn("__m",
-          when(us(col("__m")(tsCol)) >= us(col("__ts")) - tol * 1000000L,
-               col("__m")))
+        val tolUs = tol * 1000000L
+        val inTol =
+          if (fwd) us(col("__m")(tsCol)) <= us(col("__ts")) + tolUs
+          else us(col("__m")(tsCol)) >= us(col("__ts")) - tolUs
+        matched.withColumn("__m", when(inTol, col("__m")))
       case None => matched
     }
     bounded.select(

@@ -55,6 +55,31 @@ class TemporalSpec extends SparkSpecBase {
     assert(run(Some(7199L)) == Seq(None))     // one second past: nulled
   }
 
+  test("asofJoin forward: earliest at-or-after match, min-id ties, tolerance") {
+    import spark.implicits._
+    val left = Seq(
+      (100L, 1L, ts("2026-01-01 10:10:00")),
+      (101L, 1L, ts("2026-01-01 10:30:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, 1L, ts("2026-01-01 10:05:00")), // in the past: never matches
+      (2L, 1L, ts("2026-01-01 10:10:00")), // equal ts -> inclusive
+      (3L, 1L, ts("2026-01-01 10:10:00")), // tie: forward keeps MIN id
+      (4L, 1L, ts("2026-01-01 10:45:00"))
+    ).toDF("event_id", "user_id", "ts")
+    def run(tol: Option[Long]) =
+      Temporal.asofJoin(left, right, "user_id", "ts", "event_id",
+                        Seq("event_id"), toleranceSec = tol,
+                        direction = "forward")
+        .orderBy("event_id")
+        .select("event_id", "r_event_id")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(run(None) == Seq((100L, Some(2L)), (101L, Some(4L))))
+    // 15 min to the 10:45 match: tolerance 900s keeps it, 899s nulls it
+    assert(run(Some(900L)) == Seq((100L, Some(2L)), (101L, Some(4L))))
+    assert(run(Some(899L)) == Seq((100L, Some(2L)), (101L, None)))
+  }
+
   test("asofJoin plan is join-free: union + keyed window, no join operator") {
     import spark.implicits._
     val left = Seq((1L, 1L, ts("2026-01-01 10:00:00")))
