@@ -56,10 +56,12 @@ object Temporal {
     * the billions. A single pathological key serializes only its own
     * history (inherent to per-key temporal order).
     *
-    * Right rows are first deduplicated per (key, ts) keeping the row with
-    * the greatest `tieCol` (a unique id), so timestamp collisions cannot
-    * make the matched payload nondeterministic. That dedup is a second
-    * keyed window, not a join — the whole operator stays join-free.
+    * Timestamp collisions on the right stay deterministic without any
+    * extra pass: the window's sort order ends on `tieCol` (a unique id),
+    * placing the row the match must return LAST among its equal-ts
+    * group (backward: max id; forward: min id), where the running
+    * `last()` picks it up. A separate (key, ts) dedup window would cost
+    * a second full shuffle of the corpus-sized right side.
     *
     * Output: every left column, then each right payload column prefixed
     * `r_` (including `r_<tsCol>`, the matched timestamp).
@@ -72,24 +74,20 @@ object Temporal {
             s"asofJoin direction must be backward|forward, got $direction")
     val fwd = direction == "forward"
     val rightKeep = (tsCol +: payloadCols).distinct
-    // among equal-ts right rows keep the one the match must return:
-    // backward takes the max tie id; forward the min (the "first" row at
-    // the earliest at-or-after instant)
-    val wTie = Window.partitionBy(col(keyCol), col(tsCol))
-      .orderBy(if (fwd) col(tieCol).asc else col(tieCol).desc)
-    val rDedup = right
-      .withColumn("__rn", row_number().over(wTie))
-      .filter(col("__rn") === 1)
     val lStructT = StructType(left.schema.fields)
     val rStructT = StructType(rightKeep.map(c => right.schema(c)))
+    val tieT = right.schema(tieCol).dataType
     // side ordering makes equal timestamps INCLUSIVE both ways: right
-    // rows sort before left rows at equal ts in the scan direction
+    // rows sort before left rows at equal ts in the scan direction.
+    // Left rows carry a null tie key (their mutual order is irrelevant)
     val lTagged = left.select(
       col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(1).as("__side"),
+      lit(null).cast(tieT).as("__tie"),
       struct(left.columns.map(col): _*).as("__l"),
       lit(null).cast(rStructT).as("__r"))
-    val rTagged = rDedup.select(
+    val rTagged = right.select(
       col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(0).as("__side"),
+      col(tieCol).as("__tie"),
       lit(null).cast(lStructT).as("__l"),
       struct(rightKeep.map(col): _*).as("__r"))
     // BOTH directions use a running [unbounded-preceding, current] frame
@@ -97,12 +95,14 @@ object Temporal {
     // so "last right seen" is the earliest at-or-after row. The mirrored
     // [current, unbounded-following] frame would re-aggregate the tail
     // per row — O(n²) per key in Spark's UnboundedFollowing frame.
+    // Tie order ends ascending (backward) / descending (forward) on the
+    // unique id so last() lands on the max / min id at equal ts.
     val w = (if (fwd)
                Window.partitionBy("__k")
-                 .orderBy(col("__ts").desc, col("__side"))
+                 .orderBy(col("__ts").desc, col("__side"), col("__tie").desc)
              else
                Window.partitionBy("__k")
-                 .orderBy(col("__ts"), col("__side")))
+                 .orderBy(col("__ts"), col("__side"), col("__tie")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = lTagged.unionByName(rTagged)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
