@@ -3,7 +3,7 @@ package graft.gas
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.util.Fixpoint.materialize
+import graft.util.Fixpoint.{materialize, materializeKeyed}
 
 /** Graph analytics over edge DataFrames — the GAS layer's programs
   * (reference: /root/reference/bigdata-gas/src/java/com/bigdata/rdf/graph/
@@ -26,7 +26,26 @@ import graft.util.Fixpoint.materialize
 object Graphs {
 
   /** BFS: minimum hop count from the source set, up to maxDepth. */
+  /** Loop-invariant edge relation, deduped and checkpointed WITH
+    * HashPartitioning(src) preserved: every round of every iterative
+    * program here joins frontier/label state against `src`, so keeping the
+    * edge frame pre-partitioned removes the edge-sized exchange from every
+    * round — at corpus scale the edge frame is the heavy side of those
+    * joins. The repartition lands before dropDuplicates: (src) partitioning
+    * satisfies the (src, dst) clustering the dedup needs (equal pairs share
+    * src), so the dedup adds no second exchange.
+    */
+  private def keyedEdges(edges: DataFrame, cols: String*): DataFrame =
+    materializeKeyed(
+      edges.select(cols.head, cols.tail: _*)
+        .repartition(col("src")).dropDuplicates("src", "dst"))
+
   def bfs(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    // NOT keyedEdges: the frontier is seed-bounded (tiny next to the edge
+    // frame), and AQE's runtime broadcast conversion — which needs the
+    // edge side to flow through a measurable shuffle stage — is worth far
+    // more per round than a pre-partitioned edge frame (measured: keyed
+    // edges forced sort-merge rounds and graph_bfs went 1.7s → 2.7-5.2s)
     val e = materialize(edges.select("src", "dst").distinct())
     var depths = materialize(
       sources.select(col("node").cast(LongType)).distinct()
@@ -51,6 +70,10 @@ object Graphs {
     * `source` using at most maxHops edges. Integer weights.
     */
   def sssp(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    // no dedup here (parallel edges each relax, by contract); and not
+    // keyedEdges either — the distance frame is seed-bounded like bfs's
+    // frontier, so AQE's broadcast conversion of the small side beats a
+    // pre-partitioned edge frame (see bfs note)
     val e = materialize(
       edges.select(col("src"), col("dst"), col("weight").cast(LongType)))
     var dist = materialize(
@@ -98,7 +121,7 @@ object Graphs {
     * shuffle bytes" argument buys little here to begin with.
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
-    val e = materialize(edges.select("src", "dst").distinct())
+    val e = keyedEdges(edges, "src", "dst")
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     var labels = materialize(nodes.withColumn("component", col("node")))
@@ -150,21 +173,30 @@ object Graphs {
     val Unit_ : Long = 1000000000000L
     val e = materialize(edges.select("src", "dst").distinct())
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val eDeg = materialize(e.join(deg, "src"))
+    // keyed checkpoint: eDeg is loop-invariant and joined on src every
+    // round — preserving its HashPartitioning(src) removes the edge-sized
+    // exchange from every iteration (the frame a 100 TB corpus actually
+    // pays to move; rank frames are node-sized)
+    val eDeg = materializeKeyed(e.join(deg, "src"))
     val nodes = materialize(
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct())
     var ranks = nodes.withColumn("rank", lit(Unit_))
     for (_ <- 1 to iters) {
+      // dangling-node handling WITHOUT a per-round outer join: union a
+      // zero-contribution row per node into the inflow aggregation — the
+      // same (node, inflow) frame (sum + 0 = sum; absent groups surface
+      // with inflow 0), one join and one exchange fewer per round than
+      // aggregate-then-left-join-nodes
       val contribs = ranks.join(eDeg, ranks("node") === eDeg("src"))
         .select(eDeg("dst").as("node"),
                 expr("rank div deg").as("contrib"))
-        .groupBy("node").agg(sum(col("contrib")).as("inflow"))
       ranks = materialize(
-        nodes.join(contribs, Seq("node"), "left_outer")
+        contribs.unionByName(nodes.withColumn("contrib", lit(0L)))
+          .groupBy("node").agg(sum(col("contrib")).as("inflow"))
           .select(col("node"),
             (lit(15L * Unit_ / 100L) +
-             expr("85 * coalesce(inflow, 0L) div 100")).as("rank")))
+             expr("85 * inflow div 100")).as("rank")))
     }
     ranks
   }
@@ -184,7 +216,14 @@ object Graphs {
     * nested loops); output is one row per vertex in ≥1 triangle. Exact
     * integer counts — replayable in ANSI SQL.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame): DataFrame =
+    wedgeTriangles(orientedEdges(edges))
+
+  /** The degree-oriented edge frame (u, w, dw): every undirected simple
+    * edge once, pointing from the (deg, id)-smaller to the larger
+    * endpoint, materialized (it feeds the three-way wedge closure).
+    */
+  private def orientedEdges(edges: DataFrame): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
@@ -194,7 +233,7 @@ object Graphs {
       .unionByName(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     // orient a—b from the (deg, id)-smaller to the larger endpoint
-    val oriented = materialize(und
+    materialize(und
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
       .select(
@@ -204,6 +243,10 @@ object Graphs {
           .otherwise(struct(col("b").as("u"), col("a").as("w"),
                             col("da").as("dw"))).as("e"))
       .select(col("e.u").as("u"), col("e.w").as("w"), col("e.dw").as("dw")))
+  }
+
+  /** Per-vertex triangle counts from the oriented frame. */
+  private def wedgeTriangles(oriented: DataFrame): DataFrame = {
     // wedges at u with the two legs ordered by (deg, id); close on (x, y)
     val left = oriented.select(col("u"), col("w").as("x"), col("dw").as("dx"))
     val right = oriented.select(col("u"), col("w").as("y"), col("dw").as("dy"))
@@ -227,16 +270,19 @@ object Graphs {
     * join — the wedge closure dominates, same scale posture.
     */
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-              greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-    val deg = und.select(col("a").as("node"))
-      .unionByName(und.select(col("b").as("node")))
+    // one oriented-edge materialization serves BOTH the degree frame and
+    // the wedge closure (before this, und+deg were derived twice: once
+    // feeding the orientation checkpoint inside triangleCounts and once
+    // again from the raw edges for the filter branch — a full duplicate
+    // distinct+aggregate+join chain over the edge set). The oriented frame
+    // keeps each undirected edge exactly once, so per-vertex degree is its
+    // u-side count plus w-side count — identical values to the und degree.
+    val oriented = orientedEdges(edges)
+    val deg = oriented.select(col("u").as("node"))
+      .unionByName(oriented.select(col("w").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     deg.filter(col("deg") >= 2)
-      .join(triangleCounts(edges), Seq("node"), "left_outer")
+      .join(wedgeTriangles(oriented), Seq("node"), "left_outer")
       .select(col("node"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         expr("(2 * coalesce(n_tri, 0L) * 1000000L) div (deg * (deg - 1))")

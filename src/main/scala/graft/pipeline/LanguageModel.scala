@@ -117,9 +117,21 @@ object LanguageModel {
     require(buckets >= 2, "pplBuckets needs at least 2 buckets")
     val k = buckets.toLong
     val ce = crossEntropy(candidates, ref, textCol, keyCol)
-    val scored = candidates.select(col(keyCol), col(langCol))
-      .join(ce, keyCol)
-      .select(col(langCol), col(keyCol), col("cross_entropy"))
+    // materialize the per-document score frame ONCE: it feeds three plan
+    // branches (the collapsing aggregation, the straddling-group lookup
+    // derived from it, and the tie re-rank join) and Catalyst does not
+    // share the subtree across them — without this the whole scoring
+    // chain (candidate bigram explode + model joins, plus whatever
+    // computed the caller's candidate frame, e.g. ccnet's langId) is
+    // re-executed per branch (measured: 36 parquet scans, 0 reused
+    // exchanges in the pipeline_ccnet plan). The checkpoint is a narrow
+    // (lang, key, ce) row per document — corpus-row-sized but tiny per
+    // row, and 1 write + 3 reads beats 3 full scoring passes at every
+    // scale.
+    val scored = graft.util.Fixpoint.materialize(
+      candidates.select(col(keyCol), col(langCol))
+        .join(ce, keyCol)
+        .select(col(langCol), col(keyCol), col("cross_entropy")))
     // 1. collapse to (lang, ce) groups — value-range-bounded cardinality
     val grp = scored.groupBy(col(langCol), col("cross_entropy"))
       .agg(count(lit(1)).as("__cnt"), sum(col(keyCol)).as("__gsum"))

@@ -20,6 +20,28 @@ object Fixpoint {
   def materialize(df: DataFrame): DataFrame =
     org.apache.spark.sql.graft.Internal.freshIdCheckpoint(df)
 
+  /** Materialize like [[materialize]] but KEEP the frame's physical output
+    * partitioning (and attribute ids): `Dataset.localCheckpoint` records
+    * `executedPlan.outputPartitioning` in the resulting LogicalRDD, so a
+    * downstream join/aggregation keyed the same way skips its exchange —
+    * the freshIdCheckpoint route erases that metadata (fresh ids cannot
+    * reference the old partitioning expressions) and every loop round
+    * re-shuffles the invariant frame (guide §2.4: two operations keyed the
+    * same way should share one exchange).
+    *
+    * Use for loop-INVARIANT relations (edge sets, degree tables) that are
+    * joined on their partitioning key each round. Because attribute ids
+    * are preserved, do NOT use it for frames that self-union or self-join
+    * across rounds — that is exactly the shared-id hazard freshIdCheckpoint
+    * exists for.
+    */
+  def materializeKeyed(df: DataFrame): DataFrame = {
+    val reliable = df.sparkSession.conf
+      .getOption(org.apache.spark.sql.graft.Internal.ReliableCheckpointsConf)
+      .exists(_.toBoolean)
+    if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+  }
+
   /** Convergence fingerprint for monotone label frames (SSSP distances,
     * CC/sameAs canon labels): (XOR of per-row xxhash64, row count) in ONE
     * cheap aggregate, replacing a per-round except() shuffle.
