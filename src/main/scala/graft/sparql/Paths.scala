@@ -378,10 +378,21 @@ object Paths {
     * must be materialized, distinct, (src: long, dst: long).
     */
   private def chainClosure(e: DataFrame, maxIters: Int): Option[DataFrame] = {
-    def maxDeg(c: String): Long =
-      e.groupBy(col(c)).count()
-        .agg(coalesce(max("count"), lit(0L))).first().getLong(0)
-    if (maxDeg("src") > 1L || maxDeg("dst") > 1L) {
+    // functionality detection + edge count in ONE pass (was three separate
+    // jobs — two per-direction max-degree aggregations plus a count, i.e.
+    // three full scans of the edge set): tag each endpoint with its side,
+    // count per (side, node) group, then fold max-per-side and the edge
+    // total out of the grouped frame in a single action
+    val degRow = e.select(col("src").as("k"), lit(0).as("side"))
+      .unionByName(e.select(col("dst").as("k"), lit(1).as("side")))
+      .groupBy("side", "k").agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(when(col("side") === 0, col("c"))), lit(0L)),
+           coalesce(max(when(col("side") === 1, col("c"))), lit(0L)),
+           coalesce(sum(when(col("side") === 0, col("c"))), lit(0L)))
+      .first()
+    val (maxOut, maxIn, edgeCount) =
+      (degRow.getLong(0), degRow.getLong(1), degRow.getLong(2))
+    if (maxOut > 1L || maxIn > 1L) {
       lastClosureStrategy = "doubling"
       return None
     }
@@ -389,7 +400,6 @@ object Paths {
     // unconverged past that bound has hit a cycle — give up THEN, not after
     // maxIters wasted rounds (also keeps pos ≤ 2·edges, far from long
     // overflow, since unconverged cycle positions double every round)
-    val edgeCount = e.count()
     val jumpBound = math.min(maxIters,
       64 - java.lang.Long.numberOfLeadingZeros(math.max(edgeCount, 1L)) + 2)
     // each node's pointer: its unique predecessor (dist 1), or itself for a
@@ -404,7 +414,10 @@ object Paths {
       df.agg(coalesce(sum(col("pos").cast("decimal(38,0)")),
                       lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
         .first().getDecimal(0)
-    var last = posSum(st)
+    // the initial position sum needs no job: pos is 1 exactly for nodes
+    // with a predecessor, and with in-degree ≤ 1 (just verified) each of
+    // the edgeCount edges contributes one distinct such node
+    var last = java.math.BigDecimal.valueOf(edgeCount)
     var i = 0
     while (i < jumpBound) {
       val jumped = st.as("a").join(st.as("b"), col("a.ptr") === col("b.n"))
