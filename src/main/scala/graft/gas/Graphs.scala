@@ -120,8 +120,76 @@ object Graphs {
     * label frame, which is node-, not edge-, sized, so the "delta saves
     * shuffle bytes" argument buys little here to begin with.
     */
+  /** Edge-count bound under which connectedComponents solves locally on
+    * the driver (union-find over the collected, deduped edge list) instead
+    * of running the iterative label-propagation rounds. The same adaptive
+    * pattern as a broadcast join or [[graft.sparql.Paths.seededClosure]]'s
+    * broadcastMaxRows: the driver pays O(edges) memory — 2M two-long rows
+    * ≈ tens of MB, well under any broadcast-relation budget — and saves
+    * O(log n) scheduled rounds of joins; past the bound the distributed
+    * loop runs unchanged, so 100 TB graphs never touch the driver.
+    * Override with spark.graft.ccLocalMaxEdges.
+    */
+  val CcLocalMaxEdgesConf = "spark.graft.ccLocalMaxEdges"
+  val CcLocalMaxEdgesDefault = 2000000L
+
+  /** Exact min-label components via driver union-find — bit-identical to
+    * the fixpoint result (component = minimum reachable node id).
+    */
+  private def localComponents(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) {
+        val p = parent.get(r)
+        parent.put(r, parent.get(p)) // path halving
+        r = parent.get(r)
+      }
+      r
+    }
+    val rows = e.select(col("src").cast(LongType), col("dst").cast(LongType))
+      .collect()
+    var r = 0
+    while (r < rows.length) {
+      val row = rows(r); r += 1
+      val (s, d) = (row.getLong(0), row.getLong(1))
+      if (!parent.containsKey(s)) parent.put(s, s)
+      if (!parent.containsKey(d)) parent.put(d, d)
+      val (rs, rd) = (find(s), find(d))
+      if (rs != rd) { // union by min root keeps find-results canonical-min
+        if (rs < rd) parent.put(rd, rs) else parent.put(rs, rd)
+      }
+    }
+    val out = new Array[org.apache.spark.sql.Row](parent.size())
+    val keys = parent.keySet().iterator()
+    var i = 0
+    while (keys.hasNext) {
+      val n = keys.next()
+      out(i) = org.apache.spark.sql.Row(n, find(n))
+      i += 1
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq),
+      StructType(Seq(StructField("node", LongType, nullable = false),
+                     StructField("component", LongType, nullable = false))))
+  }
+
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
     val e = keyedEdges(edges, "src", "dst")
+    val localMax = e.sparkSession.conf.getOption(CcLocalMaxEdgesConf)
+      .map(_.toLong).getOrElse(CcLocalMaxEdgesDefault)
+    // bounded-size fast path: counting the checkpointed frame is one cheap
+    // job, and below the bound the whole O(log n)-round loop collapses to
+    // a single driver pass (exact same labels; see localComponents)
+    if (e.count() <= localMax) localComponents(e)
+    else connectedComponentsLoop(e, maxIters)
+  }
+
+  /** The distributed fixpoint (unchanged): min-label propagation + double
+    * pointer jumping per round.
+    */
+  private def connectedComponentsLoop(e: DataFrame, maxIters: Int): DataFrame = {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     var labels = materialize(nodes.withColumn("component", col("node")))

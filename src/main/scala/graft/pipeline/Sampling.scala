@@ -186,12 +186,20 @@ object Sampling {
       d.select(explode(TextPrep.words(col("text"))).as("w"))
         .select((TextPrep.hash64(col("w")) % buckets).as("b"))
         .groupBy("b").agg(count(lit(1)).as("c"))
-    val tc = bucketCounts(target).select(col("b"), col("c").as("c_t"))
-    val sc = bucketCounts(docs).select(col("b"), col("c").as("c_s"))
-    val totT = target.select(coalesce(sum(size(TextPrep.words(col("text")))), lit(0))
-      .cast("long")).head.getLong(0)
-    val totS = docs.select(coalesce(sum(size(TextPrep.words(col("text")))), lit(0))
-      .cast("long")).head.getLong(0)
+    // bucket-count frames are <= `buckets` rows — checkpoint them and read
+    // the corpus word totals off the aggregated frames instead of two
+    // separate full-scan sum jobs (every word lands in exactly one bucket,
+    // so sum of bucket counts IS the word total): 6 corpus-scale passes
+    // over the exploded words become 3 (target once, docs once for counts,
+    // docs once for scoring)
+    val tc = graft.util.Fixpoint.materialize(
+      bucketCounts(target).select(col("b"), col("c").as("c_t")))
+    val sc = graft.util.Fixpoint.materialize(
+      bucketCounts(docs).select(col("b"), col("c").as("c_s")))
+    def tot(df: DataFrame, c: String): Long =
+      df.agg(coalesce(sum(col(c)), lit(0L))).head.getLong(0)
+    val totT = tot(tc, "c_t")
+    val totS = tot(sc, "c_s")
     val bins = tc.join(sc, Seq("b"), "full_outer")
       .select(col("b"),
         ((coalesce(col("c_t"), lit(0L)) + 1).cast(dec) * lit(totS + buckets).cast(dec))

@@ -93,6 +93,24 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(cc(100L) == 100L && cc(101L) == 100L)
   }
 
+  test("connected components: distributed loop above the local bound, " +
+       "bit-identical labels on both paths") {
+    // force the distributed fixpoint by shrinking the local-edge bound to
+    // zero, then compare against the default (local union-find) path: the
+    // 100 TB fallback must stay alive and agree label-for-label
+    val chain = (10L until 40L).map(i => i -> (i + 1))
+    val e = undirected(chain ++ Seq(100L -> 101L, 101L -> 102L): _*)
+    val local = Graphs.connectedComponents(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set(Graphs.CcLocalMaxEdgesConf, "0")
+    try {
+      val dist = Graphs.connectedComponents(e)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == local)
+      assert((10L to 40L).forall(dist(_) == 10L))
+    } finally spark.conf.unset(Graphs.CcLocalMaxEdgesConf)
+  }
+
   test("triangle counts: K4 corners sit in 3 triangles; wedges close to none") {
     // K4 on 1-4 (4 triangles, each vertex in C(3,2)=3) plus an OPEN wedge
     // 4-5, 5-6 (no closing edge: 5 and 6 must not appear) and a self-loop
