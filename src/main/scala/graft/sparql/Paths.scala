@@ -377,6 +377,56 @@ object Paths {
     * closure pays output size); AQE skew-join splitting applies. Input `e`
     * must be materialized, distinct, (src: long, dst: long).
     */
+  /** Edge-count bound for solving the chain labeling on the driver; see
+    * the fast-path note inside [[chainClosure]]. Override with
+    * spark.graft.chainLocalMaxEdges.
+    */
+  val ChainLocalMaxEdgesConf = "spark.graft.chainLocalMaxEdges"
+  val ChainLocalMaxEdgesDefault = 2000000L
+
+  /** Driver walk of a both-ways-functional edge list: label every node
+    * with its (chain head, position) — exactly the fixpoint the pointer-
+    * jump loop converges to. Returns None when a cycle exists (some node
+    * is never reached from a head), matching the loop's giving-up path.
+    * Input must be deduped (src: long, dst: long) with in/out-degree ≤ 1.
+    */
+  private def localChainLabels(e: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val rows = e.select(col("src").cast("long"), col("dst").cast("long")).collect()
+    val next = new java.util.HashMap[Long, Long](rows.length * 2)
+    val hasPred = new java.util.HashSet[Long](rows.length * 2)
+    val nodes = new java.util.LinkedHashSet[Long](rows.length * 2)
+    rows.foreach { r =>
+      val (s, d) = (r.getLong(0), r.getLong(1))
+      next.put(s, d); hasPred.add(d); nodes.add(s); nodes.add(d)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row](nodes.size())
+    val it = nodes.iterator()
+    var labeled = 0L
+    while (it.hasNext) {
+      val n = it.next()
+      if (!hasPred.contains(n)) { // a head: walk its chain
+        var cur = n
+        var pos = 0L
+        var more = true
+        while (more) {
+          out += org.apache.spark.sql.Row(cur, n, pos)
+          labeled += 1
+          if (next.containsKey(cur)) { cur = next.get(cur); pos += 1 }
+          else more = false
+        }
+      }
+    }
+    if (labeled != nodes.size()) return None // unreached nodes = cycles
+    val spark = e.sparkSession
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq),
+      StructType(Seq(StructField("n", LongType, nullable = false),
+                     StructField("ptr", LongType, nullable = false),
+                     StructField("pos", LongType, nullable = false)))))
+  }
+
   private def chainClosure(e: DataFrame, maxIters: Int): Option[DataFrame] = {
     // functionality detection + edge count in ONE pass (was three separate
     // jobs — two per-direction max-degree aggregations plus a count, i.e.
@@ -395,6 +445,27 @@ object Paths {
     if (maxOut > 1L || maxIn > 1L) {
       lastClosureStrategy = "doubling"
       return None
+    }
+    // bounded-size fast path (the CC discipline, Graphs.localComponents):
+    // below spark.graft.chainLocalMaxEdges the head/position labeling —
+    // the part the jump rounds exist to compute — is a single driver walk
+    // over the collected functional edge list (O(edges) memory, two longs
+    // per row), and ONLY the labeling moves to the driver: the pair
+    // emission self-join, the part whose output is closure-sized, stays
+    // distributed. Past the bound the pointer-jump loop runs unchanged,
+    // so corpus-scale chains never touch the driver.
+    val localMax = e.sparkSession.conf.getOption(ChainLocalMaxEdgesConf)
+      .map(_.toLong).getOrElse(ChainLocalMaxEdgesDefault)
+    if (edgeCount <= localMax) return localChainLabels(e) match {
+      case Some(st) =>
+        lastClosureStrategy = "chain"
+        Some(st.as("a")
+          .join(st.as("b"),
+                col("a.ptr") === col("b.ptr") && col("a.pos") < col("b.pos"))
+          .select(col("a.n").as("src"), col("b.n").as("dst")))
+      case None => // a cycle: same verdict the unconverged loop reaches
+        lastClosureStrategy = "doubling"
+        None
     }
     // a chain of L edges converges in ceil(log2 L) jumps, so a loop still
     // unconverged past that bound has hit a cycle — give up THEN, not after

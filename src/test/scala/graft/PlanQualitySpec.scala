@@ -520,6 +520,20 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(Paths.lastClosureStrategy == "doubling")
     assert(cycClosed ==
       (for (a <- 1L to 3L; b <- 1L to 3L) yield (a, b)).toSet)
+
+    // the distributed pointer-jump fallback (forced by zeroing the local
+    // bound) must stay alive and produce the identical pair set — the
+    // 100 TB path of the chain closure
+    spark.conf.set(Paths.ChainLocalMaxEdgesConf, "0")
+    try {
+      val closedDist = Paths.transitiveClosure(chains)
+        .as[(Long, Long)].collect().toSet
+      assert(Paths.lastClosureStrategy == "chain")
+      assert(closedDist == closed)
+      val cycDist = Paths.transitiveClosure(cyc).as[(Long, Long)].collect().toSet
+      assert(Paths.lastClosureStrategy == "doubling")
+      assert(cycDist == cycClosed)
+    } finally spark.conf.unset(Paths.ChainLocalMaxEdgesConf)
   }
 
   test("seededClosure shuffle fallback (big frontier) matches the broadcast path") {
