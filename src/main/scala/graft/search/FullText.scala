@@ -533,7 +533,13 @@ object FullText {
     * per query). The per-row redundancy is free in parquet (dictionary/RLE
     * on a per-doc constant).
     */
-  private def weigh(tf: DataFrame, n: Long): DataFrame = {
+  private def weigh(tf0: DataFrame, n: Long): DataFrame = {
+    // materialize the postings once: they feed the df aggregation, the
+    // weighting join AND (via `weighted`) the norm pass — as a plain plan
+    // the tokenize+explode+count subtree re-executed for each reference
+    // (the dominant cost of an index build; the checkpoint is the postings
+    // relation itself, which the build is about to write out anyway)
+    val tf = graft.util.Fixpoint.materialize(tf0)
     val df_ = tf.groupBy("term").agg(count_distinct(col("doc")).as("df"))
     val weighted = tf.join(df_, "term")
       .withColumn("w", (lit(1.0) + log(col("tf"))) * log(lit(n.toDouble) / col("df")))

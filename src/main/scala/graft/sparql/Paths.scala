@@ -322,6 +322,32 @@ object Paths {
     // node-sized, not closure-sized, so they broadcast.
     val cols = if (keyed) Seq("g", "src", "dst") else Seq("src", "dst")
     val e0 = edges.distinct()
+    // bounded-size fast path before any dict machinery: a small edge
+    // relation (schema hierarchies, tiny property graphs) closes in one
+    // driver BFS over the collected rows — the whole encode/loop/decode
+    // apparatus (dict build + 4 broadcast joins + log D rounds of
+    // join/dedup/anti-join) is pure fixed overhead at that size. The
+    // collect is bounded twice: input rows via limit(bound+1) (no count
+    // job; an over-bound relation collects at most bound+1 rows before
+    // falling through) and OUTPUT pairs via ClosureLocalMaxPairs (a
+    // dense closure aborts to the distributed loop mid-walk, so driver
+    // memory stays bounded even when E is small but E² is not).
+    if (!keyed) {
+      val localMax = edges.sparkSession.conf
+        .getOption(ClosureLocalMaxEdgesConf)
+        .map(_.toLong).getOrElse(ClosureLocalMaxEdgesDefault)
+      if (localMax > 0) {
+        val sample = e0.limit(math.min(localMax + 1, Int.MaxValue).toInt).collect()
+        if (sample.length <= localMax) {
+          localBfsClosure(sample, edges.sparkSession, e0.schema) match {
+            case Some(df) =>
+              lastClosureStrategy = "local"
+              return df
+            case None => () // output too dense — distributed loop below
+          }
+        }
+      }
+    }
     val dict = materialize(
       cols.map(c => e0.select(col(c).as("t"))).reduce(_ unionByName _)
         .distinct().withColumn("id", monotonically_increasing_id()))
@@ -383,6 +409,61 @@ object Paths {
     */
   val ChainLocalMaxEdgesConf = "spark.graft.chainLocalMaxEdges"
   val ChainLocalMaxEdgesDefault = 2000000L
+
+  /** Edge-count bound for the general (non-chain) closure's driver BFS
+    * fast path, and the output-pair cap past which it aborts back to the
+    * distributed loop. The edge bound is deliberately tighter than the
+    * chain bound: a general closure's output can approach E², so the
+    * driver walk is only attempted on genuinely small relations (schema
+    * hierarchies, small property graphs) and the pair cap bounds memory
+    * when density bites anyway. Override with
+    * spark.graft.closureLocalMaxEdges.
+    */
+  val ClosureLocalMaxEdgesConf = "spark.graft.closureLocalMaxEdges"
+  val ClosureLocalMaxEdgesDefault = 65536L
+  val ClosureLocalMaxPairs = 4000000L
+
+  /** Driver BFS transitive closure over collected edge rows (endpoint
+    * values compare by Row/primitive equality — term structs included).
+    * Emits (src, dst) for every pair reachable by a path of length ≥ 1;
+    * cycles reach their own start. Returns None if the pair count
+    * exceeds [[ClosureLocalMaxPairs]].
+    */
+  private def localBfsClosure(rows: Array[org.apache.spark.sql.Row],
+                              spark: org.apache.spark.sql.SparkSession,
+                              schema: org.apache.spark.sql.types.StructType)
+      : Option[DataFrame] = {
+    val adj = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
+    rows.foreach { r =>
+      adj.computeIfAbsent(r.get(0), _ => new java.util.ArrayList[Any]())
+        .add(r.get(1))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val starts = adj.keySet().iterator()
+    val stack = new java.util.ArrayDeque[Any]()
+    while (starts.hasNext) {
+      val start = starts.next()
+      val visited = new java.util.HashSet[Any]()
+      stack.clear()
+      val first = adj.get(start)
+      var i = 0
+      while (i < first.size()) { stack.push(first.get(i)); i += 1 }
+      while (!stack.isEmpty) {
+        val n = stack.pop()
+        if (visited.add(n)) {
+          out += org.apache.spark.sql.Row(start, n)
+          if (out.length > ClosureLocalMaxPairs) return None
+          val nxt = adj.get(n)
+          if (nxt != null) {
+            var j = 0
+            while (j < nxt.size()) { stack.push(nxt.get(j)); j += 1 }
+          }
+        }
+      }
+    }
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq), schema))
+  }
 
   /** Driver walk of a both-ways-functional edge list: label every node
     * with its (chain head, position) — exactly the fixpoint the pointer-

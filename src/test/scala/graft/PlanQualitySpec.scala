@@ -494,46 +494,52 @@ class PlanQualitySpec extends SparkSpecBase {
            s"marker binding re-grew the 2^K union fan-out:\n$p")
   }
 
-  test("functional relations take the chain closure — no fixpoint over the pair set") {
+  test("closure strategy ladder: local BFS below the bound; chain / doubling " +
+       "fixpoints above it, all three bit-identical") {
     import spark.implicits._
     import graft.sparql.Paths
     // two disjoint simple chains: 1→2→3→4→5 and 10→11→12
     val chains = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
                      (10L, 11L), (11L, 12L)).toDF("src", "dst")
-    val closed = Paths.transitiveClosure(chains).as[(Long, Long)].collect().toSet
-    assert(Paths.lastClosureStrategy == "chain",
-           "max-degree-1 relation must take the chain fast path")
-    assert(closed == Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L),
-                         (2L, 4L), (2L, 5L), (3L, 4L), (3L, 5L), (4L, 5L),
-                         (10L, 11L), (10L, 12L), (11L, 12L)))
-
-    // branching (out-degree 2) relation must NOT take it
+    val chainExpect = Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L),
+                          (2L, 4L), (2L, 5L), (3L, 4L), (3L, 5L), (4L, 5L),
+                          (10L, 11L), (10L, 12L), (11L, 12L))
     val tree = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("src", "dst")
-    val treeClosed = Paths.transitiveClosure(tree).as[(Long, Long)].collect().toSet
-    assert(Paths.lastClosureStrategy == "doubling")
-    assert(treeClosed == Set((1L, 2L), (1L, 3L), (2L, 4L), (1L, 4L)))
-
-    // a functional CYCLE has no head: pointer jumping detects it within
-    // ceil(log2 E)+2 rounds and falls back to doubling, which closes it
+    val treeExpect = Set((1L, 2L), (1L, 3L), (2L, 4L), (1L, 4L))
     val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
-    val cycClosed = Paths.transitiveClosure(cyc).as[(Long, Long)].collect().toSet
-    assert(Paths.lastClosureStrategy == "doubling")
-    assert(cycClosed ==
-      (for (a <- 1L to 3L; b <- 1L to 3L) yield (a, b)).toSet)
+    val cycExpect = (for (a <- 1L to 3L; b <- 1L to 3L) yield (a, b)).toSet
 
-    // the distributed pointer-jump fallback (forced by zeroing the local
-    // bound) must stay alive and produce the identical pair set — the
-    // 100 TB path of the chain closure
+    // small relations take the driver BFS regardless of shape
+    for ((e, expect) <- Seq(chains -> chainExpect, tree -> treeExpect,
+                            cyc -> cycExpect)) {
+      assert(Paths.transitiveClosure(e).as[(Long, Long)].collect().toSet
+               == expect)
+      assert(Paths.lastClosureStrategy == "local",
+             "small relation must close on the driver")
+    }
+
+    // above the bound (forced to 0) the distributed paths are the 100 TB
+    // story and must agree pair-for-pair: chain fast path for functional
+    // relations, doubling for branching/cyclic ones
+    spark.conf.set(Paths.ClosureLocalMaxEdgesConf, "0")
     spark.conf.set(Paths.ChainLocalMaxEdgesConf, "0")
     try {
-      val closedDist = Paths.transitiveClosure(chains)
-        .as[(Long, Long)].collect().toSet
-      assert(Paths.lastClosureStrategy == "chain")
-      assert(closedDist == closed)
-      val cycDist = Paths.transitiveClosure(cyc).as[(Long, Long)].collect().toSet
+      assert(Paths.transitiveClosure(chains).as[(Long, Long)].collect().toSet
+               == chainExpect)
+      assert(Paths.lastClosureStrategy == "chain",
+             "max-degree-1 relation must take the chain fast path")
+      assert(Paths.transitiveClosure(tree).as[(Long, Long)].collect().toSet
+               == treeExpect)
       assert(Paths.lastClosureStrategy == "doubling")
-      assert(cycDist == cycClosed)
-    } finally spark.conf.unset(Paths.ChainLocalMaxEdgesConf)
+      // a functional CYCLE has no head: pointer jumping detects it within
+      // ceil(log2 E)+2 rounds and falls back to doubling, which closes it
+      assert(Paths.transitiveClosure(cyc).as[(Long, Long)].collect().toSet
+               == cycExpect)
+      assert(Paths.lastClosureStrategy == "doubling")
+    } finally {
+      spark.conf.unset(Paths.ClosureLocalMaxEdgesConf)
+      spark.conf.unset(Paths.ChainLocalMaxEdgesConf)
+    }
   }
 
   test("seededClosure shuffle fallback (big frontier) matches the broadcast path") {
