@@ -19,7 +19,11 @@ import org.apache.spark.sql.types._
 object GraphXBackend {
 
   private def toEdgeRdd(edges: DataFrame) =
-    edges.select("src", "dst").rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    // queryExecution.toRdd hands over InternalRows directly — no
+    // InternalRow→Row conversion per edge (the rows are reused buffers,
+    // but the longs are extracted immediately, so no reference escapes)
+    edges.select("src", "dst").queryExecution.toRdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
 
   private def toDf(spark: SparkSession, rows: org.apache.spark.rdd.RDD[Row],
                    schema: StructType): DataFrame =

@@ -557,7 +557,11 @@ object TextAnalysis {
   def tfidfTopK(docs: DataFrame, topK: Int): DataFrame = {
     val tok = withWs(docs, lower_ = true)
       .select(col("doc_id"), explode(col("ws")).as("token"))
-    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // materialize: tf feeds both the document-frequency aggregation and
+    // the scoring join — without it the tokenize+explode+count subtree
+    // executes twice (Catalyst does not share the branches)
+    val tf = graft.util.Fixpoint.materialize(
+      tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_corpus"))
     val scored = tf.join(dfreq, "token")
